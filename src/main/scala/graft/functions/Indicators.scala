@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import WindowFns._
+
+/** Technical indicators re-expressed as native Catalyst column expressions.
+  *
+  * Each mirrors one pandas function in the reference's
+  * ml/feature_engineering.py; the chosen NaN/null and warm-up semantics are
+  * documented per function (SURVEY §2.5 W7-W12, §7.5 item 1). All are pure
+  * expressions — codegen-friendly, no UDFs.
+  */
+object Indicators {
+
+  /** Intraday volatility `(high-low)/close*100`
+    * (reference: ml/feature_engineering.py:7-9; SQL twin
+    * sql/dashboard_views.sql:9 with NULLIF(close,0) — we adopt the SQL
+    * NULLIF semantics, accepted by the reference's own tests). */
+  def volatility(high: Column, low: Column, close: Column): Column =
+    round((high - low) / nullif(close, lit(0)) * 100, 4)
+
+  /** `pd.cut` volatility bins (0,medium],(medium,high],(high,inf) →
+    * low/medium/high (reference: ml/feature_engineering.py:12-29).
+    * Null input → null label, matching pd.cut NaN handling. */
+  def classifyVolatility(v: Column, medium: Double = 2.0,
+                         high: Double = 5.0): Column =
+    when(v.isNull, lit(null).cast("string"))
+      .when(v <= medium, "low")
+      .when(v <= high, "medium")
+      .otherwise("high")
+
+  /** RSI(period) (reference: ml/feature_engineering.py:32-40).
+    * delta = diff(close); gain/loss = clamped positive/negative parts;
+    * rolling means use the pandas DEFAULT min_periods=period, so the first
+    * `period` rows are null (warm-up). pandas yields RSI=100 when
+    * avg_loss==0 (gain/0 → inf → 100-100/(1+inf)); we make that explicit
+    * instead of relying on float inf. */
+  def rsi(close: Column, w: WindowSpec, period: Int = 14): Column = {
+    val delta = diff(close, w)
+    val gain = when(delta > 0, delta).otherwise(0.0)
+    val loss = when(delta < 0, -delta).otherwise(0.0)
+    val avgGain = rollingMean(gain, period, period, w)
+    val avgLoss = rollingMean(loss, period, period, w)
+    val rsiVal = when(avgLoss === 0, 100.0)
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+    round(rsiVal, 4)
+  }
+
+  /** True range `greatest(h-l, |h-prev_c|, |l-prev_c|)`
+    * (reference: ml/feature_engineering.py:43-49). */
+  def trueRange(high: Column, low: Column, close: Column,
+                w: WindowSpec): Column = {
+    val prevClose = lagBy(close, 1, w)
+    greatest(high - low, abs(high - prevClose), abs(low - prevClose))
+  }
+
+  /** ATR(period): rolling mean of true range, pandas default
+    * min_periods=period (reference: ml/feature_engineering.py:43-51). */
+  def atr(high: Column, low: Column, close: Column, w: WindowSpec,
+          period: Int = 14): Column =
+    round(rollingMean(trueRange(high, low, close, w), period, period, w), 4)
+
+  /** Bollinger band width(period, k σ): `(upper-lower)/sma*100`
+    * (reference: ml/feature_engineering.py:54-63). sma/std use pandas
+    * default min_periods=period. */
+  def bollingerWidth(close: Column, w: WindowSpec, period: Int = 20,
+                     numStd: Double = 2.0): Column = {
+    val sma = rollingMean(close, period, period, w)
+    val std = rollingStd(close, period, period, w)
+    round((lit(2 * numStd) * std) / nullif(sma, lit(0)) * 100, 4)
+  }
+
+  /** Move-size category on |pct_change|
+    * (reference: dbt_project/models/marts/fct_prices_with_grok.sql:16-20). */
+  def moveCategory(pctChange: Column): Column =
+    when(abs(pctChange) > 5, "large_move")
+      .when(abs(pctChange) > 2, "medium_move")
+      .otherwise("small_move")
+
+  /** Day-of-week with the pandas convention Mon=0..Sun=6
+    * (reference: ml/feature_engineering.py:69 `dt.dayofweek`). Spark's
+    * `dayofweek` is Sun=1..Sat=7 — the +5 mod 7 shift converts; pinned by a
+    * unit test (SURVEY §7.4 flags this as easy to get silently wrong). */
+  def dayOfWeekMon0(date: Column): Column = (dayofweek(date) + 5) % 7
+
+  /** Next business day: +1 day, then jump weekend to Monday
+    * (reference: ml/predict.py:143-147). */
+  def nextTradingDay(date: Column): Column = {
+    val next = date_add(date, 1)
+    // Spark dayofweek: Sun=1, Sat=7
+    when(dayofweek(next) === 7, date_add(next, 2))
+      .when(dayofweek(next) === 1, date_add(next, 1))
+      .otherwise(next)
+  }
+
+  /** Sentiment → signed score {positive:+1, neutral:0, negative:-1},
+    * null → 0 (reference: ml/feature_engineering.py:152-155). */
+  def sentimentScore(sentiment: Column): Column =
+    coalesce(
+      when(sentiment === "positive", 1)
+        .when(sentiment === "negative", -1)
+        .when(sentiment === "neutral", 0),
+      lit(0))
+}

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * Beyond-reference surface (BASELINE.json north star): language ID,
+  * quality scoring, token counting, fingerprinting. All pure Catalyst
+  * expressions (split/filter/transform/aggregate higher-order functions) —
+  * no UDFs, so they stay inside whole-stage codegen and scale linearly
+  * with no shuffle.
+  *
+  * Cross-engine determinism: anything that must hash identically in the
+  * DuckDB oracle uses md5 (hex string), not xxhash64/murmur.
+  */
+object TextFns {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation character count (explicit class, engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, """[.,!?;:'"()\[\]-]""", ""))
+
+  /** English stopword list used by quality scoring / language ID. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    hitCount(t, enStopwords).cast("double") / nullif(size(t), lit(0))
+  }
+
+  /** Mean token length — a cheap fluency signal. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+      nullif(size(t), lit(0))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation density. Mirrors the shape of C4/Gopher-style filters
+    * (published heuristics), kept simple and engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(10, 100000), 0.4).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.05, 0.3).otherwise(0.0)
+    val punctOk =
+      when(punctCount(text).cast("double") / nullif(length(text), lit(0))
+        < 0.1, 0.3).otherwise(0.0)
+    round(lengthOk + stopOk + punctOk, 4)
+  }
+
+  /** Stopword-set language ID over {en,es,de,fr}: hit counts per language
+    * word set, argmax with deterministic preference order
+    * en > es > de > fr > und on ties. N-gram-free variant of the classic
+    * stopword-profile heuristic (Cavnar-Trenkle-style). */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "y", "de", "es", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "une"))
+
+  def langHits(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    langWords.map { case (l, ws) => l -> hitCount(t, ws) }
+  }
+
+  def langId(text: Column): Column = {
+    val hits = langHits(text)
+    val best = greatest(hits.map(_._2): _*)
+    // first language (in declared preference order) reaching the max
+    hits.foldLeft(when(best <= 0, "und")) { case (acc, (l, h)) =>
+      acc.when(h === best, l)
+    }.otherwise("und")
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set.
+    * Robust to token order / duplication — the "fingerprint dedup" key. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input set. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    if (n == 1) array_distinct(t)
+    else {
+      val grams = transform(t, (tok, i) =>
+        when(i <= size(t) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      array_distinct(filter(grams, g => g.isNotNull))
+    }
+  }
+
+  /** One MinHash signature: min over shingles of md5(seed|shingle).
+    * Hex-string min — identical in any engine with md5. */
+  def minhashSig(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol,
+      s => md5(concat(lit(seed.toString), lit("|"), s))))
+
+  /** 64-bit SimHash: for each bit position, sum +1/-1 votes from each
+    * distinct token's xxhash64, set the bit if the vote is positive
+    * (Charikar 2002). Pure expressions, Spark-side only (no oracle twin —
+    * xxhash64 is engine-specific). The signed-long result is the usual
+    * 64-bit pattern; near-dups are clustered by Hamming distance on it. */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(toks, lit(0), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), 63 - j)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      // j=0 is the sign bit: adding 1L<<63 == Long.MinValue still yields
+      // the correct signed reinterpretation of the bit pattern
+      when(vote > 0, lit(1L << (63 - j))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Four families, all shuffle-by-key (never O(n²) cross join), so each
+  * scales to 100 TB with executor-count parallelism:
+  *  - exact: hash-groupBy on content digest
+  *  - minhash LSH: shingle → signature → band bucket → same-bucket pairs
+  *  - simhash: 64-bit fingerprint, band-rotated bucketing
+  *  - n-gram Jaccard: inverted-index self-join (pair generation by shared
+  *    shingle, counts → Jaccard), the exact counterpart LSH approximates
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct text (min id wins), with
+    * duplicate count. One hash aggregation. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Fingerprint dedup: like exact but on the sorted-distinct-token
+    * fingerprint, catching reordered/duplicated-token copies. */
+  def byFingerprint(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: `k` md5-seeded min-hashes over `n`-gram shingles.
+    * Output: (idCol, sig_0 .. sig_{k-1}). Deterministic and
+    * engine-portable (md5 hex min). */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 2,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = TextFns.shingles(col(textCol), n)
+    val sigs = (0 until k).map(i =>
+      TextFns.minhashSig(sh, i).as(s"sig_$i"))
+    docs.select(col(idCol) +: sigs: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any band bucket become a candidate pair.
+    * Pair generation is a self-join on the band key — shuffle by bucket,
+    * no cross join. Returns (id_a, id_b, n_shared_bands), id_a < id_b. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                      n: Int = 2, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k, n, textCol, idCol)
+    val banded = sigs.select(col(idCol),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * r until (b + 1) * r)
+          .map(i => col(s"sig_$i")): _*)).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+    * via inverted index (explode shingles → self-join on shingle →
+    * co-occurrence counts). Returns pairs with jaccard ≥ threshold.
+    * This is the verification stage LSH candidates feed at scale. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val withSets = docs.select(col(idCol),
+      TextFns.shingles(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val inverted = withSets
+      .select(col(idCol), col("set_size"), explode(col("sh")).as("shingle"))
+    val a = inverted.select(col("shingle"), col(idCol).as("id_a"),
+      col("set_size").as("size_a"))
+    val b = inverted.select(col("shingle"), col(idCol).as("id_b"),
+      col("set_size").as("size_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  /** SimHash near-dup clusters: 64-bit simhash, pairs within `maxHamming`
+    * found by 4×16-bit band bucketing (two docs within Hamming ≤3 of each
+    * other share at least one exact 16-bit band — pigeonhole). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      TextFns.simhash64(col(textCol)).as("simhash"))
+    val banded = hashed.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFns.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above a similarity threshold.
+    * Delegates to Similarity; see there for the scale path. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame =
+    Similarity.cosineSelfPairs(embeddings, threshold, vecCol, idCol)
+}

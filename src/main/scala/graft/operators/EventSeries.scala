@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Indicators, WindowFns}
+
+/** The reference's stock-pipeline shapes, bound to the `events` fixture.
+  *
+  * The reference operates on a keyed daily series (ticker, date) with OHLCV
+  * columns plus a per-(key,day) enrichment table (SURVEY §1.1, §3.1). The
+  * driver fixture's analog is `events(user_id, ts, value, event_type,
+  * props)`: `user_id` plays ticker, calendar day of `ts` plays date, and
+  * per-day aggregates of `value` play the OHLC bar. The enrichment analog
+  * derives a per-(user, day) dominant event_type ("sentiment").
+  *
+  * Scale: dailyBars is one hash aggregation keyed (user_id, date) — partial
+  * map-side combine then a single shuffle; window stages reuse the same key
+  * so they co-partition with it.
+  */
+object EventSeries {
+
+  /** Per-(user_id, date) OHLCV-like bar from the raw event stream.
+    * open/close are arg-min/arg-max by event_id — event ids are assigned in
+    * event-time order in the fixture, and a single unique key avoids
+    * timestamp-precision tie-break differences across engines. */
+  def dailyBars(events: DataFrame): DataFrame = {
+    val ord = col("event_id")
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(
+        round(min_by(col("value"), ord), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max_by(col("value"), ord), 4).as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** Staging model: previous close / price change / pct change via LAG
+    * (reference: dbt_project/models/staging/stg_stock_prices.sql:3-14). */
+  def stgDailyPrices(bars: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val prev = lag(col("close"), 1).over(w)
+    bars
+      .withColumn("prev_close", prev)
+      .withColumn("price_change", round(col("close") - prev, 4))
+      .withColumn("pct_change",
+        round((col("close") - prev) / nullif(prev, lit(0)) * 100, 4))
+  }
+
+  /** Enrichment analog of the grok explanations table: the dominant
+    * event_type per (user, day), deterministically tie-broken by name
+    * (count desc, event_type asc), lowercased like
+    * stg_grok_explanations.sql:7-8. */
+  def dailySentiment(events: DataFrame): DataFrame = {
+    val counted = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"), col("date"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("date"),
+        lower(col("event_type")).as("sentiment"), col("n").as("n_events"))
+  }
+
+  /** Fact model: staged prices ⟕ enrichment on (user_id, date) + move
+    * category (reference: dbt_project/models/marts/fct_prices_with_grok
+    * .sql:3-24). The enrichment side is per-(key,day) — small relative to
+    * raw events — so it is broadcast explicitly. */
+  def fctPricesWithSentiment(events: DataFrame): DataFrame = {
+    val p = stgDailyPrices(dailyBars(events))
+    val g = dailySentiment(events)
+    p.join(broadcast(g), Seq("user_id", "date"), "left")
+      .withColumn("move_category", Indicators.moveCategory(col("pct_change")))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale paths: (a) two-phase
+  * top-k — per-partition partial top-k then global merge, so no single
+  * reducer sees the whole corpus; (b) random-hyperplane LSH bucketing so
+  * self-join pair generation shuffles by bucket instead of crossing n².
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions over
+  * `array<double>` — codegen'd, no UDFs. Embedding floats are cast to
+  * double up front so results are reproducible against a double-precision
+  * oracle.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 4dp for cross-engine determinism. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / nullif(norm(a) * norm(b), lit(0)), 4)
+
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast (small side);
+    * ranking uses the ROUNDED similarity with id tiebreak so the result is
+    * total-ordered and engine-portable. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    topKPerKey(scored, k)
+  }
+
+  /** Two-phase top-k: partial top-k per (key, scan partition) — map-side
+    * bounded — then global merge per key. No reducer materializes more
+    * than numPartitions×k candidates per key, so a hot query key cannot
+    * OOM a single task at cluster scale. */
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    // struct(-sim, id): ascending struct sort == sim desc, id asc
+    val item = struct((-col("sim")).as("neg_sim"),
+      col("neighbor_id").as("neighbor_id"))
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("cand"))
+    partial
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "it")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("it.neighbor_id").as("neighbor_id"),
+        round(-col("it.neg_sim"), 4).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim` doubles in
+    * [-1,1), seeded — the IVF/LSH bucketing basis. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-bit LSH bucket id from `planes` hyperplane dot products. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All self-pairs with cosine ≥ threshold — embedding near-dup
+    * detection. LSH-bucketed: pairs are generated only within a bucket
+    * (shuffle by bucket key), then verified exactly. Multi-probe via
+    * `bands` independent bucketings raises recall. */
+  def cosineSelfPairs(embeddings: DataFrame, threshold: Double,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      planesPerBand: Int = 8, bands: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val banded = base.select(col("id"), col("vec"),
+      explode(array((0 until bands).map { bnd =>
+        val planes = hyperplanes(planesPerBand, dim, seed = 42L + bnd)
+        struct(lit(bnd).as("band"), lshBucket(col("vec"), planes).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact brute-force self-pairs above threshold (oracle-matchable
+    * counterpart of cosineSelfPairs; fine while n² fits, the LSH variant
+    * is the scale path). */
+  def bruteForceSelfPairs(embeddings: DataFrame, threshold: Double,
+                          vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"),
+      asDouble(col(vecCol)).as("vec_a"))
+    val b = embeddings.select(col(idCol).as("id_b"),
+      asDouble(col(vecCol)).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unique-key write semantics re-expressed as set operations.
+  *
+  * Postgres enforced these with constraints; Spark has none, so idempotency
+  * becomes explicit relational algebra (SURVEY §2.1 S3/S4, §7.4). At
+  * warehouse scale these become a MERGE against a transactional table
+  * format; the set-op formulation here is the engine-agnostic core.
+  */
+object Writes {
+
+  /** `INSERT ... ON CONFLICT DO NOTHING` keyed by `keys`
+    * (reference: airflow/dags/stock_grok_pipeline.py:84-97): keep all
+    * existing rows; append only incoming rows whose key is absent.
+    * Also dedups within the incoming batch (deterministically: min struct
+    * of remaining columns per key, so re-runs are stable). */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val valueCols = incoming.columns.filterNot(keys.contains)
+    val dedupedIncoming = incoming
+      .groupBy(keyCols: _*)
+      .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
+      .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+    existing.unionByName(
+      dedupedIncoming.join(existing.select(keyCols: _*).distinct(),
+        keys, "left_anti"))
+  }
+
+  /** `INSERT ... ON CONFLICT DO UPDATE` (upsert) keyed by `keys`
+    * (reference: ml/data_loader.py:140-160): incoming wins on key clash;
+    * existing rows with no clash survive. One set-oriented plan replaces
+    * the reference's row-at-a-time loop. */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val valueCols = incoming.columns.filterNot(keys.contains)
+    val dedupedIncoming = incoming
+      .groupBy(keyCols: _*)
+      .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
+      .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+    existing
+      .join(dedupedIncoming.select(keyCols: _*).distinct(), keys, "left_anti")
+      .unionByName(dedupedIncoming)
+  }
+
+  /** Delta detection: rows in `all` not yet enriched — the NOT EXISTS
+    * anti-join that gates the reference's API calls
+    * (reference: airflow/dags/stock_grok_pipeline.py:191-194). */
+  def unenriched(all: DataFrame, enriched: DataFrame,
+                 keys: Seq[String]): DataFrame =
+    all.join(enriched.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}

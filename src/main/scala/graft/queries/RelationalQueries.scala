@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Indicators, WindowFns}
+
+/** Relational operator inventory (SURVEY §2.2-2.4, §2.6, §2.8) bound to the
+  * TPC-H-ish fixture tables, each with a DuckDB oracle twin.
+  *
+  * Conventions shared with every oracle: computed doubles rounded (4dp, or
+  * 2dp for money sums), explicit aliases on both sides, total-order ORDER
+  * BY, dates cast to DATE (never raw timestamps — the fixture's ns
+  * precision does not survive a Spark round-trip).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A3/A6: global aggregate incl. COUNT(DISTINCT)
+    "q01_global_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        iso(min(to_date(col("l_shipdate")))).as("min_ship"),
+        iso(max(to_date(col("l_shipdate")))).as("max_ship"))),
+
+    // A2/A12: group-count + per-group sums (TPC-H Q1 shape)
+    "q02_group_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A15: multi-agg (sample stddev / mean / count) per key
+    "q03_supplier_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))),
+
+    // A4/A9: conditional aggregation (share of large orders per priority)
+    "q04_cond_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
+            .cast("long").as("n_big"),
+          round(sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
+            * 100.0 / count(lit(1)), 2).as("pct_big"))
+        .orderBy(col("o_orderpriority"))),
+
+    // J1 analog: left outer join preserving all left rows
+    "q05_left_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spent"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: 3-way inner equi-join, dims broadcast
+    "q06_join3" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("n_name"))),
+
+    // J4: anti-join (NOT EXISTS) — customers with no recent orders
+    "q07_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // semi-join (EXISTS) — customers with at least one order
+    "q08_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // J5/O4: scalar-subquery semi-filter — rows at the global max date
+    "q09_latest_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val maxD = o.agg(max(col("o_orderdate")).as("_max_d"))
+      o.join(broadcast(maxD), col("o_orderdate") === col("_max_d"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          iso(col("o_orderdate")).as("order_date"),
+          round(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A14: pivot (explicit value list → no discovery job, fixed columns)
+    "q19_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))),
+
+    // O5: top-k with total-order tiebreak (TakeOrderedAndProject plan)
+    "q21_topk_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(10)),
+
+    // F-DOW/F-MON/F-NBD: temporal features, pandas Mon=0 convention
+    "q25_temporal" -> ((s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), iso(dt).as("order_date"),
+          Indicators.dayOfWeekMon0(dt).cast("long").as("dow"),
+          month(dt).cast("long").as("month"),
+          (Indicators.dayOfWeekMon0(dt) >= 5).as("is_weekend"),
+          iso(Indicators.nextTradingDay(dt)).as("next_trading_day"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A16: last row per group, single hash-agg (no sort+filter)
+    "q27_latest_per_user" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        iso(col("ts")).as("date"), col("event_type"), col("value"))
+      WindowFns.latestPerKey(e, Seq("user_id"), col("event_id"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_global_agg" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         count(DISTINCT l_suppkey) AS n_supp,
+         strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ship,
+         strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship FROM lineitem""",
+    "q02_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(avg(l_discount),6) AS avg_disc
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q03_supplier_stats" ->
+      """SELECT l_suppkey, round(stddev_samp(l_extendedprice),2) AS std_price,
+         round(avg(l_extendedprice),4) AS avg_price, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q04_cond_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_big,
+         round(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+           * 100.0 / count(*), 2) AS pct_big
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q05_left_join_agg" ->
+      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders,
+         coalesce(total_spent, 0.0) AS total_spent
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice),2) AS total_spent
+           FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+    "q06_join3" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= DATE '2001-01-01')
+         ORDER BY c_custkey""",
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q09_latest_orders" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         round(o_totalprice, 2) AS total_price
+         FROM orders WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+         ORDER BY o_orderkey""",
+    "q19_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),2)
+           AS qty_f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),2)
+           AS qty_o
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q21_topk_events" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         ORDER BY value DESC, event_id LIMIT 10""",
+    "q25_temporal" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         (dayofweek(o_orderdate) + 6) % 7 AS dow,
+         month(o_orderdate) AS month,
+         (dayofweek(o_orderdate) + 6) % 7 >= 5 AS is_weekend,
+         strftime(CASE WHEN dayofweek(CAST(o_orderdate AS DATE) + 1) = 6
+                THEN CAST(o_orderdate AS DATE) + 3
+              WHEN dayofweek(CAST(o_orderdate AS DATE) + 1) = 0
+                THEN CAST(o_orderdate AS DATE) + 2
+              ELSE CAST(o_orderdate AS DATE) + 1 END, '%Y-%m-%d')
+           AS next_trading_day
+         FROM orders ORDER BY o_orderkey""",
+    "q27_latest_per_user" ->
+      """WITH e AS (
+           SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS date, event_type,
+                  value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id, date, event_type, value
+         FROM e WHERE rn = 1 ORDER BY user_id""")
+}

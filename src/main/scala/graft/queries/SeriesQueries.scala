@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Indicators, WindowFns}
+import graft.operators.{EventSeries, Writes}
+
+/** The reference's keyed-time-series pipeline (SURVEY §2.5 windows, §2.1
+  * write semantics, §2.8 scalar functions) bound to the `events` fixture,
+  * each query with a DuckDB oracle twin built over a shared daily-bars CTE.
+  */
+object SeriesQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def bars(s: SparkSession, d: String): DataFrame =
+    EventSeries.dailyBars(Tables.events(s, d))
+
+  private def staged(s: SparkSession, d: String): DataFrame =
+    EventSeries.stgDailyPrices(bars(s, d))
+
+  private def seriesW = WindowFns.series(col("user_id"), col("date"))
+
+  /** Shared oracle prefix: daily OHLCV bars from events (open/close picked
+    * by min/max event_id — ids are time-ordered in the fixture). */
+  private val BARS: String =
+    """WITH raw AS (
+         SELECT user_id, CAST(ts AS DATE) AS date, value, event_id
+         FROM events),
+       bars AS (
+         SELECT user_id, date,
+                round(min(CASE WHEN rn_a = 1 THEN value END),4) AS open,
+                round(max(value),4) AS high,
+                round(min(value),4) AS low,
+                round(min(CASE WHEN rn_d = 1 THEN value END),4) AS close,
+                count(*) AS volume
+         FROM (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, date
+                                    ORDER BY event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, date
+                                    ORDER BY event_id DESC) AS rn_d
+               FROM raw) t
+         GROUP BY 1, 2)"""
+
+  private val STAGED: String = BARS +
+    """, staged AS (
+         SELECT user_id, date, close,
+                lag(close) OVER w AS prev_close,
+                round(close - lag(close) OVER w, 4) AS price_change,
+                round((close - lag(close) OVER w)
+                      / nullif(lag(close) OVER w, 0) * 100, 4) AS pct_change
+         FROM bars
+         WINDOW w AS (PARTITION BY user_id ORDER BY date))"""
+
+  val queries: Map[String, Q] = Map(
+    // the OHLCV aggregation itself (arg-min/arg-max by id, one hash agg)
+    "q10_daily_bars" -> ((s, d) =>
+      bars(s, d).withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W1: LAG → prev/price_change/pct_change (stg_stock_prices model)
+    "q11_staged_prices" -> ((s, d) =>
+      staged(s, d).select(col("user_id"), col("date"), col("close"),
+          col("prev_close"), col("price_change"), col("pct_change"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W3: LEAD → next-day close and forward return (the ML target shape)
+    "q12_lead_target" -> ((s, d) => {
+      val next = lead(col("close"), 1).over(seriesW)
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          next.as("next_close"),
+          round((next - col("close")) / nullif(col("close"), lit(0)) * 100, 4)
+            .as("next_return"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // W6: rolling mean/std, window 5, min_periods=1
+    "q13_rolling" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          round(WindowFns.rollingMean(col("close"), 5, 1, seriesW), 4)
+            .as("ma5"),
+          round(WindowFns.rollingStd(col("close"), 5, 1, seriesW), 4)
+            .as("sd5"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W7: rolling mean with pandas default min_periods=window (warm-up null)
+    "q14_rolling_minp" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          round(WindowFns.rollingMean(col("close"), 3, 3, seriesW), 4)
+            .as("ma3"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W8: RSI(14) composite
+    "q15_rsi" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.rsi(col("close"), seriesW, 14).as("rsi_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W9: ATR(14) — true range + warm-up rolling mean
+    "q16_atr" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.atr(col("high"), col("low"), col("close"), seriesW, 14)
+            .as("atr_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // W10: Bollinger width(20, 2σ)
+    "q17_bollinger" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.bollingerWidth(col("close"), seriesW, 20, 2.0)
+            .as("bb_width_20"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // J1+F-CASE flagship: fact model with enrichment join + move category
+    "q18_fact_sentiment" -> ((s, d) =>
+      EventSeries.fctPricesWithSentiment(Tables.events(s, d))
+        .select(col("user_id"), col("date"), col("close"), col("prev_close"),
+          col("pct_change"), col("sentiment"), col("n_events"),
+          col("move_category"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // A5: ordered string aggregation (array_sort∘collect_list∘array_join)
+    "q20_string_agg" -> ((s, d) => {
+      val mark = when(col("pct_change") > 0, "U")
+        .when(col("pct_change") < 0, "D").otherwise("_")
+      staged(s, d)
+        .select(col("user_id"), col("date"), mark.as("mark"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("date").as("d"),
+              col("mark").as("m")))),
+            x => x.getField("m")), "").as("moves"))
+        .orderBy(col("user_id"))
+    }),
+
+    // S3: INSERT .. ON CONFLICT DO NOTHING as anti-join + union
+    "q22_insert_ignore" -> ((s, d) => {
+      val b = bars(s, d)
+      val existing = b.filter(col("date") <= lit("2024-01-15").cast("date"))
+      val incoming = b.filter(col("date").between(
+          lit("2024-01-10").cast("date"), lit("2024-01-20").cast("date")))
+        .withColumn("volume", col("volume") + 1000L)
+      Writes.insertIgnore(existing, incoming, Seq("user_id", "date"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // S4: upsert (incoming wins) as anti-join + union
+    "q23_upsert" -> ((s, d) => {
+      val b = bars(s, d)
+      val existing = b.filter(col("date") <= lit("2024-01-15").cast("date"))
+      val incoming = b.filter(col("date").between(
+          lit("2024-01-10").cast("date"), lit("2024-01-20").cast("date")))
+        .withColumn("volume", col("volume") + 1000L)
+      Writes.upsert(existing, incoming, Seq("user_id", "date"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // F-CUT + W12: intraday volatility and pd.cut-style class bins
+    "q24_cut_bins" -> ((s, d) => {
+      val vol = Indicators.volatility(col("high"), col("low"), col("close"))
+      bars(s, d).select(col("user_id"), col("date"), vol.as("volatility"),
+          Indicators.classifyVolatility(vol).as("vol_class"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // F-JSON: enrichment payload decode (from_json ↔ json_extract)
+    "q26_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long")
+            .as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy(col("event_id"))))
+
+  val oracle: Map[String, String] = Map(
+    "q10_daily_bars" -> (BARS +
+      " SELECT user_id, strftime(date, '%Y-%m-%d') AS date, open, high, low, close, volume FROM bars" +
+      " ORDER BY 1, 2"),
+    "q11_staged_prices" -> (STAGED +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close, prev_close, price_change, pct_change
+          FROM staged ORDER BY 1, 2"""),
+    "q12_lead_target" -> (BARS +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+            lead(close) OVER w AS next_close,
+            round((lead(close) OVER w - close) / nullif(close, 0) * 100, 4)
+              AS next_return
+          FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)
+          ORDER BY 1, 2"""),
+    "q13_rolling" -> (BARS +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+            round(avg(close) OVER f, 4) AS ma5,
+            round(stddev_samp(close) OVER f, 4) AS sd5
+          FROM bars
+          WINDOW f AS (PARTITION BY user_id ORDER BY date
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+    "q14_rolling_minp" -> (BARS +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+            round(CASE WHEN count(close) OVER f >= 3
+                       THEN avg(close) OVER f END, 4) AS ma3
+          FROM bars
+          WINDOW f AS (PARTITION BY user_id ORDER BY date
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+    "q15_rsi" -> (BARS +
+      """, delta AS (
+            SELECT user_id, date,
+                   close - lag(close) OVER (PARTITION BY user_id
+                                            ORDER BY date) AS d
+            FROM bars),
+          gl AS (
+            SELECT user_id, date,
+                   CASE WHEN d > 0 THEN d ELSE 0 END AS gain,
+                   CASE WHEN d < 0 THEN -d ELSE 0 END AS loss
+            FROM delta),
+          r AS (
+            SELECT user_id, date,
+                   CASE WHEN count(gain) OVER f >= 14
+                        THEN avg(gain) OVER f END AS ag,
+                   CASE WHEN count(loss) OVER f >= 14
+                        THEN avg(loss) OVER f END AS al
+            FROM gl
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(CASE WHEN al = 0 THEN 100.0
+                            ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 4)
+                   AS rsi_14
+          FROM r ORDER BY 1, 2"""),
+    "q16_atr" -> (BARS +
+      """, tr AS (
+            SELECT user_id, date,
+                   greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) AS tr
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(CASE WHEN count(tr) OVER f >= 14
+                            THEN avg(tr) OVER f END, 4) AS atr_14
+          FROM tr
+          WINDOW f AS (PARTITION BY user_id ORDER BY date
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+    "q17_bollinger" -> (BARS +
+      """, bb AS (
+            SELECT user_id, date,
+                   CASE WHEN count(close) OVER f >= 20
+                        THEN avg(close) OVER f END AS sma,
+                   CASE WHEN count(close) OVER f >= 20
+                        THEN stddev_samp(close) OVER f END AS sd
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(4.0 * sd / nullif(sma, 0) * 100, 4) AS bb_width_20
+          FROM bb ORDER BY 1, 2"""),
+    "q18_fact_sentiment" -> (STAGED +
+      """, sent AS (
+            SELECT user_id, date, lower(event_type) AS sentiment,
+                   n AS n_events
+            FROM (SELECT user_id, CAST(ts AS DATE) AS date, event_type,
+                         count(*) AS n,
+                         row_number() OVER (
+                           PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY count(*) DESC, event_type) AS rn
+                  FROM events GROUP BY 1, 2, 3) t
+            WHERE rn = 1)
+          SELECT s.user_id, strftime(s.date, '%Y-%m-%d') AS date, s.close, s.prev_close, s.pct_change,
+                 g.sentiment, g.n_events,
+                 CASE WHEN abs(s.pct_change) > 5 THEN 'large_move'
+                      WHEN abs(s.pct_change) > 2 THEN 'medium_move'
+                      ELSE 'small_move' END AS move_category
+          FROM staged s LEFT JOIN sent g
+            ON s.user_id = g.user_id AND s.date = g.date
+          ORDER BY 1, 2"""),
+    "q20_string_agg" -> (STAGED +
+      """ SELECT user_id,
+            string_agg(CASE WHEN pct_change > 0 THEN 'U'
+                            WHEN pct_change < 0 THEN 'D'
+                            ELSE '_' END, '' ORDER BY date) AS moves
+          FROM staged GROUP BY 1 ORDER BY 1"""),
+    "q22_insert_ignore" -> (BARS +
+      """, existing AS (
+            SELECT * FROM bars WHERE date <= DATE '2024-01-15'),
+          incoming AS (
+            SELECT user_id, date, open, high, low, close,
+                   volume + 1000 AS volume
+            FROM bars
+            WHERE date BETWEEN DATE '2024-01-10' AND DATE '2024-01-20')
+        , merged AS (
+            SELECT * FROM existing
+            UNION ALL
+            SELECT * FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM existing e
+                              WHERE e.user_id = i.user_id
+                                AND e.date = i.date))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, open, high,
+                 low, close, volume
+          FROM merged ORDER BY user_id, date"""),
+    "q23_upsert" -> (BARS +
+      """, existing AS (
+            SELECT * FROM bars WHERE date <= DATE '2024-01-15'),
+          incoming AS (
+            SELECT user_id, date, open, high, low, close,
+                   volume + 1000 AS volume
+            FROM bars
+            WHERE date BETWEEN DATE '2024-01-10' AND DATE '2024-01-20')
+        , merged AS (
+            SELECT * FROM existing e
+            WHERE NOT EXISTS (SELECT 1 FROM incoming i
+                              WHERE i.user_id = e.user_id
+                                AND i.date = e.date)
+            UNION ALL
+            SELECT * FROM incoming)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, open, high,
+                 low, close, volume
+          FROM merged ORDER BY user_id, date"""),
+    "q24_cut_bins" -> (BARS +
+      """, v AS (
+            SELECT user_id, date,
+                   round((high - low) / nullif(close, 0) * 100, 4)
+                     AS volatility
+            FROM bars)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, volatility,
+                 CASE WHEN volatility IS NULL THEN NULL
+                      WHEN volatility <= 2 THEN 'low'
+                      WHEN volatility <= 5 THEN 'medium'
+                      ELSE 'high' END AS vol_class
+          FROM v ORDER BY 1, 2"""),
+    "q26_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ORDER BY event_id""")
+}
