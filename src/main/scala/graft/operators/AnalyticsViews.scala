@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Indicators, WindowFns}
+
+/** The reference's stacked analytics views (sql/dashboard_views.sql:5-182)
+  * re-expressed as composable DataFrame functions (SURVEY §2.4 A4-A11,
+  * §2.3 J2/J3, §2.8 F-CONCAT/F-EMOJI).
+  *
+  * The reference compares ML predictions against realized volatility. To
+  * keep every view deterministic and oracle-checkable, the prediction
+  * column here is the persistence baseline (tomorrow's class = today's
+  * class) — the view algebra is identical for any model's output, and the
+  * ML path (graft.ml) plugs its predictions into the same functions.
+  */
+object AnalyticsViews {
+
+  /** actual_volatility twin (dashboard_views.sql:5-16): per (user, date)
+    * realized volatility + class, with next-day actual and the
+    * persistence prediction. */
+  def predictionBase(bars: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val vol = Indicators.volatility(col("high"), col("low"), col("close"))
+    bars
+      .withColumn("volatility", vol)
+      .withColumn("vol_class", Indicators.classifyVolatility(vol))
+      .withColumn("actual_class", lead(col("vol_class"), 1).over(w))
+      .withColumn("predicted_class", col("vol_class"))
+      .filter(col("actual_class").isNotNull)
+      .withColumn("is_correct",
+        when(col("predicted_class") === col("actual_class"), 1).otherwise(0))
+  }
+
+  /** prediction_accuracy / accuracy_by_stock twin
+    * (dashboard_views.sql:42-51): counts, correct count, accuracy percent
+    * rendered `round(x,1)::text || '%'`. */
+  def accuracyByKey(base: DataFrame): DataFrame =
+    base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_predictions"),
+        sum(col("is_correct")).cast("long").as("n_correct"),
+        concat(
+          format_number(round(avg(col("is_correct")) * 100, 1), 1),
+          lit("%")).as("accuracy_pct"),
+        // volatility is 4dp-rounded per row; summing as DECIMAL(18,4) is
+        // exact and order-independent, so it reproduces bit-exactly in any
+        // engine. A rounded mean is NOT reproducible: sum/count lands on
+        // exact .5 rounding boundaries where engines legitimately disagree
+        // (shortest-decimal vs exact-binary rounding), so the view exposes
+        // the exact sum and leaves mean = sum/n to the consumer.
+        sum(col("volatility").cast("decimal(18,4)")).cast("double")
+          .as("sum_volatility"))
+
+  /** accuracy_by_day twin (dashboard_views.sql:54-66) incl. the ordered
+    * STRING_AGG of per-key ✅/❌ marks — array_sort∘collect_list∘
+    * array_join, no custom aggregate needed. */
+  def accuracyByDay(base: DataFrame): DataFrame = {
+    val mark = when(col("is_correct") === 1, "✅").otherwise("❌")
+    base
+      .select(col("date"), col("user_id"), col("is_correct"),
+        mark.as("mark"))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_predictions"),
+        sum(col("is_correct")).cast("long").as("n_correct"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("user_id").as("u"),
+              col("mark").as("m")))),
+            x => x.getField("m")), " ").as("marks"))
+  }
+
+  /** confusion_matrix twin (dashboard_views.sql:139-146). */
+  def confusionMatrix(base: DataFrame): DataFrame =
+    base.groupBy(col("predicted_class"), col("actual_class"))
+      .agg(count(lit(1)).as("n"))
+
+  /** precision/recall/F1 per class twins (dashboard_views.sql:149-182):
+    * two conditional aggregations joined on class (J3), F1 with the
+    * NULLIF(p+r,0) guard. */
+  def classMetrics(base: DataFrame): DataFrame = {
+    val precision = base.groupBy(col("predicted_class").as("class"))
+      .agg(round(sum(col("is_correct")) / count(lit(1)).cast("double"), 4)
+        .as("precision"))
+    val recall = base.groupBy(col("actual_class").as("class"))
+      .agg(round(sum(col("is_correct")) / count(lit(1)).cast("double"), 4)
+        .as("recall"))
+    precision.join(recall, Seq("class"))
+      .withColumn("f1",
+        round(lit(2) * col("precision") * col("recall") /
+          nullif(col("precision") + col("recall"), lit(0.0)), 4))
+  }
+
+  /** summary twin (dashboard_views.sql:69-78): global counts, distinct
+    * keys, span. */
+  def summary(base: DataFrame): DataFrame =
+    base.agg(count(lit(1)).as("n_predictions"),
+      sum(col("is_correct")).cast("long").as("n_correct"),
+      round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+      countDistinct(col("user_id")).as("n_keys"),
+      min(col("date")).as("min_date"),
+      max(col("date")).as("max_date"))
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AnalyticsViews, EventSeries}
+
+/** The reference's stacked dashboard views (SURVEY §2.4 A4-A11, J2/J3,
+  * F-CONCAT/F-EMOJI) over the deterministic persistence-baseline
+  * prediction frame, each with a DuckDB oracle twin.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    AnalyticsViews.predictionBase(
+      EventSeries.dailyBars(Tables.events(s, d)))
+
+  /** bars + actual/predicted class base, twin of AnalyticsViews
+    * .predictionBase over the shared BARS CTE. */
+  private val PRED_BASE: String =
+    """WITH raw AS (
+         SELECT user_id, CAST(ts AS DATE) AS date, value, event_id
+         FROM events),
+       bars AS (
+         SELECT user_id, date,
+                round(max(value),4) AS high,
+                round(min(value),4) AS low,
+                round(min(CASE WHEN rn_d = 1 THEN value END),4) AS close
+         FROM (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, date
+                                    ORDER BY event_id DESC) AS rn_d
+               FROM raw) t
+         GROUP BY 1, 2),
+       v AS (
+         SELECT user_id, date,
+                round((high - low) / nullif(close, 0) * 100, 4)
+                  AS volatility
+         FROM bars),
+       c AS (
+         SELECT user_id, date, volatility,
+                CASE WHEN volatility IS NULL THEN NULL
+                     WHEN volatility <= 2 THEN 'low'
+                     WHEN volatility <= 5 THEN 'medium'
+                     ELSE 'high' END AS vol_class
+         FROM v),
+       base AS (
+         SELECT user_id, date, volatility,
+                vol_class AS predicted_class,
+                lead(vol_class) OVER w AS actual_class,
+                CASE WHEN vol_class = lead(vol_class) OVER w
+                     THEN 1 ELSE 0 END AS is_correct
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY date)
+         QUALIFY actual_class IS NOT NULL)"""
+
+  val queries: Map[String, Q] = Map(
+    // A4 + F-CONCAT: accuracy by key with percent-string rendering
+    "q41_accuracy_by_user" -> ((s, d) =>
+      AnalyticsViews.accuracyByKey(base(s, d)).orderBy(col("user_id"))),
+
+    // A5 + F-EMOJI: accuracy by day with ordered ✅/❌ mark aggregation
+    "q42_accuracy_by_day" -> ((s, d) =>
+      AnalyticsViews.accuracyByDay(base(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("date"))),
+
+    // A8: confusion matrix
+    "q43_confusion_matrix" -> ((s, d) =>
+      AnalyticsViews.confusionMatrix(base(s, d))
+        .orderBy(col("predicted_class"), col("actual_class"))),
+
+    // A9-A11 + J3: per-class precision/recall joined, F1 with NULLIF guard
+    "q44_class_metrics" -> ((s, d) =>
+      AnalyticsViews.classMetrics(base(s, d)).orderBy(col("class"))),
+
+    // A6: global summary (count, distinct keys, span)
+    "q45_summary" -> ((s, d) =>
+      AnalyticsViews.summary(base(s, d))
+        .withColumn("min_date", iso(col("min_date")))
+        .withColumn("max_date", iso(col("max_date")))))
+
+  val oracle: Map[String, String] = Map(
+    "q41_accuracy_by_user" -> (PRED_BASE +
+      """ SELECT user_id, count(*) AS n_predictions,
+            CAST(sum(is_correct) AS BIGINT) AS n_correct,
+            round(avg(is_correct) * 100, 1) || '%' AS accuracy_pct,
+            CAST(sum(CAST(volatility AS DECIMAL(18,4))) AS DOUBLE)
+              AS sum_volatility
+          FROM base GROUP BY 1 ORDER BY 1"""),
+    "q42_accuracy_by_day" -> (PRED_BASE +
+      """ SELECT strftime(date, '%Y-%m-%d') AS date,
+            count(*) AS n_predictions,
+            CAST(sum(is_correct) AS BIGINT) AS n_correct,
+            string_agg(CASE WHEN is_correct = 1 THEN '✅' ELSE '❌' END,
+                       ' ' ORDER BY user_id) AS marks
+          FROM base GROUP BY date ORDER BY date"""),
+    "q43_confusion_matrix" -> (PRED_BASE +
+      """ SELECT predicted_class, actual_class, count(*) AS n
+          FROM base GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "q44_class_metrics" -> (PRED_BASE +
+      """, p AS (
+            SELECT predicted_class AS class,
+                   round(sum(is_correct) / count(*), 4) AS precision
+            FROM base GROUP BY 1),
+          r AS (
+            SELECT actual_class AS class,
+                   round(sum(is_correct) / count(*), 4) AS recall
+            FROM base GROUP BY 1)
+          SELECT p.class, p.precision, r.recall,
+                 round(2 * p.precision * r.recall /
+                       nullif(p.precision + r.recall, 0.0), 4) AS f1
+          FROM p JOIN r ON p.class = r.class ORDER BY 1"""),
+    "q45_summary" -> (PRED_BASE +
+      """ SELECT count(*) AS n_predictions,
+            CAST(sum(is_correct) AS BIGINT) AS n_correct,
+            round(avg(is_correct) * 100, 2) AS accuracy_pct,
+            count(DISTINCT user_id) AS n_keys,
+            strftime(min(date), '%Y-%m-%d') AS min_date,
+            strftime(max(date), '%Y-%m-%d') AS max_date
+          FROM base"""))
+}
