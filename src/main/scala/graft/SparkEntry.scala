@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.EventSeries
-import graft.queries.{AnalyticsQueries, RelationalQueries, SeriesQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, MLQueries, RelationalQueries, SeriesQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SeriesQueries.queries ++
-      TextQueries.queries ++ AnalyticsQueries.queries
+      TextQueries.queries ++ AnalyticsQueries.queries ++ MLQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for engine-specific scale paths
     * (LSH/simhash) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ SeriesQueries.oracle ++
-      TextQueries.oracle ++ AnalyticsQueries.oracle
+      TextQueries.oracle ++ AnalyticsQueries.oracle ++ MLQueries.oracle
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsViews
+
+class AnalyticsViewsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // hand-built base: 2 keys, 3 scored days each
+  private def base = Seq(
+    (1L, "2024-01-01", 1.0, "low", "low", 1),
+    (1L, "2024-01-02", 3.0, "medium", "high", 0),
+    (1L, "2024-01-03", 6.0, "high", "high", 1),
+    (2L, "2024-01-01", 1.5, "low", "medium", 0),
+    (2L, "2024-01-02", 2.5, "medium", "medium", 1),
+    (2L, "2024-01-03", 1.0, "low", "low", 1)
+  ).toDF("user_id", "d", "volatility", "predicted_class", "actual_class",
+      "is_correct")
+    .withColumn("date", col("d").cast("date")).drop("d")
+
+  test("accuracyByKey renders counts and round(x,1)::text || '%'") {
+    val out = AnalyticsViews.accuracyByKey(base).orderBy("user_id")
+      .select("n_predictions", "n_correct", "accuracy_pct")
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((3L, 2L, "66.7%"), (3L, 2L, "66.7%")))
+  }
+
+  test("accuracyByDay emits ordered ✅/❌ marks per key") {
+    val out = AnalyticsViews.accuracyByDay(base).orderBy("date")
+      .select("marks").as[String].collect()
+    assert(out.toSeq == Seq("✅ ❌", "❌ ✅", "✅ ✅"))
+  }
+
+  test("confusionMatrix counts predicted × actual cells") {
+    val out = AnalyticsViews.confusionMatrix(base)
+      .orderBy("predicted_class", "actual_class")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(("high", "high", 1L), ("low", "low", 2L),
+      ("low", "medium", 1L), ("medium", "high", 1L),
+      ("medium", "medium", 1L)))
+  }
+
+  test("classMetrics: precision, recall, F1 with NULLIF guard " +
+    "(dashboard_views.sql:149-182)") {
+    val m = AnalyticsViews.classMetrics(base).orderBy("class")
+      .as[(String, Double, Double, Option[Double])].collect().toSeq
+    // low: predicted 3×, correct 2 → P=0.6667; actual 2, correct 2 → R=1.0
+    val low = m.find(_._1 == "low").get
+    assert(low._2 == 0.6667 && low._3 == 1.0)
+    assert(low._4.exists(f => math.abs(f - 0.8) < 1e-3))
+    // medium: P=0.5, R=0.5, F1=0.5
+    val med = m.find(_._1 == "medium").get
+    assert(med._2 == 0.5 && med._3 == 0.5 && med._4.contains(0.5))
+  }
+
+  test("summary aggregates counts, distinct keys and span") {
+    val s = AnalyticsViews.summary(base)
+      .as[(Long, Long, Double, Long, Date, Date)].head()
+    assert(s == ((6L, 4L, 66.67, 2L, Date.valueOf("2024-01-01"),
+      Date.valueOf("2024-01-03"))))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 4
+  private def docs = Seq(
+    (1L, base),                                   // original
+    (2L, base),                                   // exact dup of 1
+    (3L, base + "extra tail words here"),         // near dup of 1
+    (4L, "completely different content about spark query engines and " +
+      "distributed shuffles at warehouse scale"),
+    (5L, "the dog jumps the fox " * 6)            // shares vocab, reordered
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs).orderBy("canonical_id")
+      .select("canonical_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("fingerprint dedup additionally folds token-reordered copies") {
+    // doc 5 is a reorder/repeat of a vocab subset — different fingerprint;
+    // docs 1/2 identical fingerprints
+    val fps = Dedup.byFingerprint(docs)
+    assert(fps.count() == 4)
+    assert(fps.filter(col("n_dups") === 2).select("canonical_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("minhash LSH surfaces the exact and near duplicates, not the " +
+    "unrelated pair") {
+    val pairs = Dedup.minhashLshPairs(docs, k = 8, bands = 4, n = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard is exact: identical docs score 1.0") {
+    val out = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(out.contains((1L, 2L, 1.0)))
+  }
+
+  test("simhash pairs exact and near duplicates within small hamming") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // hamming 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

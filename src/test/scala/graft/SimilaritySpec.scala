@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // 4-dim toy corpus: v1 ∥ v2 (identical direction), v3 orthogonal-ish
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.9f, 0.1f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel vectors 1.0, orthogonal 0.0") {
+    val sims = Similarity.bruteForceSelfPairs(vecs, threshold = -1.0)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(sims((1L, 2L)) == 1.0)
+    assert(sims((1L, 3L)) == 0.0)
+    assert(sims((2L, 4L)) > 0.9)
+  }
+
+  test("bruteForceTopK ranks by similarity desc with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 1L), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 4L, 3L))
+  }
+
+  test("LSH self-pairs are a subset of brute force and keep the " +
+    "identical-direction pair") {
+    val exact = Similarity.bruteForceSelfPairs(vecs, 0.9)
+    val lsh = Similarity.cosineSelfPairs(vecs, 0.9, planesPerBand = 4,
+      bands = 4, dim = 4)
+    val exactSet = exact.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    val lshSet = lsh.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(lshSet.subsetOf(exactSet))
+    assert(lshSet.contains((1L, 2L))) // same direction → same buckets
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
