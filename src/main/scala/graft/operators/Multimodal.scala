@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines: media payloads
+  * travel as opaque `binary` columns with a typed metadata struct; decode
+  * and feature extraction run partition-local over iterator batches
+  * (`mapPartitions`) so a real codec slots in without changing the plan.
+  *
+  * STUB NOTE: this container ships no image/audio codecs, so
+  * `decodeStub` derives deterministic fake dimensions from the payload
+  * header bytes. The Spark-side contract — schema, batch iteration,
+  * partition locality, null passthrough — is real and tested; only the
+  * bytes→pixels step is fake (clearly marked).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String,
+                      payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String,
+                           n_bytes: Int, width: Int, height: Int,
+                           checksum: Long, valid: Boolean)
+
+  /** Attach a payload column: fixture adapter that treats the document
+    * text bytes as the opaque media payload (in production this is the
+    * raw image/audio bytes read from the lake). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** ??? real decoder goes here — deterministic STUB: fake
+    * "decode" reads dimensions from the first payload bytes and a
+    * rolling checksum, preserving the iterator-batch shape a pandas-UDF /
+    * codec-JNI implementation would use. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      val n = bytes.length
+      if (n == 0) MediaFeatures(r.doc_id, r.media_type, 0, 0, 0, 0L,
+        valid = false)
+      else {
+        var checksum = 1125899906842597L
+        var i = 0
+        while (i < n) { checksum = 31 * checksum + bytes(i); i += 1 }
+        MediaFeatures(r.doc_id, r.media_type, n,
+          width = 16 + (bytes(0) & 0x7f),
+          height = 16 + (bytes(n / 2) & 0x7f),
+          checksum = checksum, valid = true)
+      }
+    }
+
+  /** Partition-local feature extraction over the media frame. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(decodeStub)
+  }
+
+  /** Frame-sample stub: pick every k-th byte as a "frame" digest —
+    * demonstrates the explode-to-frames shape (one row per sampled
+    * frame) used by video pipelines. */
+  def sampleFrames(media: DataFrame, everyK: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      bytes.indices.by(everyK).map(i =>
+        (r.doc_id, i / everyK, bytes(i).toInt & 0xff))
+    }.toDF("doc_id", "frame_no", "frame_digest")
+  }
+}

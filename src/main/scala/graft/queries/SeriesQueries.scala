@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Indicators, WindowFns}
-import graft.operators.{EventSeries, Writes}
+import graft.jobs.DailyEtlJob
+import graft.operators.{Enrichment, EventSeries, Writes}
 
 /** The reference's keyed-time-series pipeline (SURVEY §2.5 windows, §2.1
   * write semantics, §2.8 scalar functions) bound to the `events` fixture,
@@ -170,6 +171,18 @@ object SeriesQueries {
       val vol = Indicators.volatility(col("high"), col("low"), col("close"))
       bars(s, d).select(col("user_id"), col("date"), vol.as("volatility"),
           Indicators.classifyVolatility(vol).as("vol_class"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // S8+J4+J1: the full daily-ETL fact — ingest, anti-join enrichment
+    // delta through the provider, staging windows, left join, categorize
+    "q49_enriched_fact" -> ((s, d) => {
+      val (_, fact) = DailyEtlJob.backfill(Tables.events(s, d),
+        Enrichment.DeterministicProvider)
+      fact.select(col("user_id"), col("date"), col("close"),
+          col("pct_change"), col("sentiment"), col("topic"),
+          col("move_category"))
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))
     }),
@@ -340,6 +353,21 @@ object SeriesQueries {
                       WHEN volatility <= 5 THEN 'medium'
                       ELSE 'high' END AS vol_class
           FROM v ORDER BY 1, 2"""),
+    "q49_enriched_fact" -> (STAGED +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+            pct_change,
+            CASE WHEN pct_change IS NULL THEN NULL
+                 WHEN pct_change > 1 THEN 'positive'
+                 WHEN pct_change < -1 THEN 'negative'
+                 ELSE 'neutral' END AS sentiment,
+            CASE WHEN pct_change IS NULL THEN NULL
+                 WHEN abs(pct_change) > 5 THEN 'volatility'
+                 WHEN abs(pct_change) > 2 THEN 'momentum'
+                 ELSE 'steady' END AS topic,
+            CASE WHEN abs(pct_change) > 5 THEN 'large_move'
+                 WHEN abs(pct_change) > 2 THEN 'medium_move'
+                 ELSE 'small_move' END AS move_category
+          FROM staged ORDER BY 1, 2"""),
     "q26_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

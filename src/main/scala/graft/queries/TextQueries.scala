@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data-pipeline operators (BASELINE.json north star): text
   * analysis, deduplication, similarity search over `documents` and
@@ -103,6 +103,17 @@ object TextQueries {
       Dedup.minhashLshPairs(Tables.documents(s, d), k = 8, bands = 4, n = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // multimodal plumbing: binary payloads → partition-local decode
+    // (decode itself is a deterministic stub; see Multimodal scaladoc)
+    "q50_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("doc_id"))),
+
     // random-hyperplane LSH bucketed cosine pairs (ANN scale path)
     "q40_lsh_cosine_pairs" -> ((s, d) =>
       Similarity.cosineSelfPairs(Tables.embeddings(s, d), 0.3,
@@ -198,6 +209,16 @@ object TextQueries {
             FROM p)
           SELECT id_a, id_b, inter, jaccard FROM j
           WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
+    "q50_media_features" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST(16 + (ascii(substr(text, 1, 1)) % 128) AS BIGINT) AS width,
+         CAST(16 + (ascii(substr(text, length(text) // 2 + 1, 1)) % 128)
+           AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
     "q35_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

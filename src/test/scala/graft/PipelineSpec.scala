@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.jobs.DailyEtlJob
+import graft.operators.{Enrichment, EventSeries, Multimodal}
+import graft.streaming.StreamingIngest
+
+/** End-to-end composition specs: daily ETL idempotency (§3.1), streaming
+  * ingest exactly-once append (§2.9), multimodal plumbing. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("daily ETL: backfill + re-running the same day is a no-op " +
+    "(unique-key idempotency, init.sql:14,25)") {
+    val (state1, fact1) = DailyEtlJob.backfill(events,
+      Enrichment.DeterministicProvider)
+    val (state2, fact2) = DailyEtlJob.step(state1, events,
+      Enrichment.DeterministicProvider)
+    assert(fact1.count() == fact2.count())
+    assert(state2.bars.count() == state1.bars.count())
+    assert(state2.enrichments.count() == state1.enrichments.count())
+    // enrichment covers every row with a non-null pct_change
+    val stagedRows = fact1.filter(col("pct_change").isNotNull).count()
+    assert(state1.enrichments.count() == stagedRows)
+    // fact keeps all bar rows (left join), sentiment lower-cased
+    assert(fact1.count() == state1.bars.count())
+    val sentiments = fact1.select("sentiment").distinct()
+      .as[Option[String]].collect().flatten.toSet
+    assert(sentiments.subsetOf(Set("positive", "negative", "neutral")))
+  }
+
+  test("streaming ingest: availableNow run appends daily bars once; " +
+    "a re-run with fresh checkpoint appends nothing new") {
+    val target = Files.createTempDirectory("graft_stream_out").toString
+    val cp1 = Files.createTempDirectory("graft_cp1").toString
+    val cp2 = Files.createTempDirectory("graft_cp2").toString
+    val src = "/root/testdata/sf0.001"
+
+    // stream only reads the events parquet: give it a dir with that file
+    val srcDir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(java.nio.file.Paths.get(s"$src/events.parquet"),
+      srcDir.resolve("events.parquet"))
+
+    val q1 = StreamingIngest.ingestDailyBars(spark, srcDir.toString,
+      target, cp1)
+    q1.awaitTermination()
+    val expected = EventSeries.dailyBars(events).count()
+    assert(spark.read.parquet(target).count() == expected)
+
+    val q2 = StreamingIngest.ingestDailyBars(spark, srcDir.toString,
+      target, cp2)
+    q2.awaitTermination()
+    assert(spark.read.parquet(target).count() == expected)
+  }
+
+  test("multimodal: payload decode preserves rows, emits valid typed " +
+    "features, frame sampling explodes deterministically") {
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == media.count())
+    assert(feats.filter(!col("valid")).count() == 0)
+    assert(feats.filter(col("width") < 16 || col("width") > 143)
+      .count() == 0)
+    // deterministic: re-extraction yields identical checksums
+    val again = Multimodal.extractFeatures(media)
+    assert(feats.select("doc_id", "checksum").except(
+      again.select("doc_id", "checksum")).count() == 0)
+    val frames = Multimodal.sampleFrames(media, everyK = 64)
+    assert(frames.count() > media.count()) // docs are >64 bytes
+  }
+
+  test("watermarked windowed aggregation compiles to a streaming-safe " +
+    "plan over the batch frame too") {
+    val out = StreamingIngest.windowedCounts(events)
+    assert(out.columns.contains("n_events"))
+    assert(out.count() == EventSeries.dailyBars(events).count())
+  }
+}
