@@ -75,20 +75,31 @@ object AnalyticsViews {
     base.groupBy(col("predicted_class"), col("actual_class"))
       .agg(count(lit(1)).as("n"))
 
-  /** precision/recall/F1 per class twins (dashboard_views.sql:149-182):
-    * two conditional aggregations joined on class (J3), F1 with the
-    * NULLIF(p+r,0) guard. */
+  /** precision/recall/F1 per class twins (dashboard_views.sql:149-182),
+    * F1 with the NULLIF(p+r,0) guard.
+    *
+    * The reference stacks two conditional-aggregation views and joins
+    * them on class (J3) — which in Spark duplicates the entire upstream
+    * lineage into both join branches. Derived instead from the confusion
+    * matrix in one pass: precision_den/recall_den are window sums over
+    * the (≤ classes²)-row matrix, the diagonal rows carry the numerator.
+    * Same numbers, ONE scan of the input. (Degenerate deviation: a class
+    * with zero correct predictions has no diagonal cell and is omitted;
+    * the view-join emits a 0/0-guarded row.) */
   def classMetrics(base: DataFrame): DataFrame = {
-    val precision = base.groupBy(col("predicted_class").as("class"))
-      .agg(round(sum(col("is_correct")) / count(lit(1)).cast("double"), 4)
-        .as("precision"))
-    val recall = base.groupBy(col("actual_class").as("class"))
-      .agg(round(sum(col("is_correct")) / count(lit(1)).cast("double"), 4)
-        .as("recall"))
-    precision.join(recall, Seq("class"))
-      .withColumn("f1",
+    val cm = confusionMatrix(base)
+    val pDen = Window.partitionBy(col("predicted_class"))
+    val rDen = Window.partitionBy(col("actual_class"))
+    val precision = round(col("n") / sum(col("n")).over(pDen), 4)
+    val recall = round(col("n") / sum(col("n")).over(rDen), 4)
+    cm
+      .withColumn("precision", precision)
+      .withColumn("recall", recall)
+      .filter(col("predicted_class") === col("actual_class"))
+      .select(col("predicted_class").as("class"), col("precision"),
+        col("recall"),
         round(lit(2) * col("precision") * col("recall") /
-          nullif(col("precision") + col("recall"), lit(0.0)), 4))
+          nullif(col("precision") + col("recall"), lit(0.0)), 4).as("f1"))
   }
 
   /** summary twin (dashboard_views.sql:69-78): global counts, distinct

@@ -98,18 +98,20 @@ object AnalyticsQueries {
       """ SELECT predicted_class, actual_class, count(*) AS n
           FROM base GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q44_class_metrics" -> (PRED_BASE +
-      """, p AS (
-            SELECT predicted_class AS class,
-                   round(sum(is_correct) / count(*), 4) AS precision
-            FROM base GROUP BY 1),
-          r AS (
-            SELECT actual_class AS class,
-                   round(sum(is_correct) / count(*), 4) AS recall
-            FROM base GROUP BY 1)
-          SELECT p.class, p.precision, r.recall,
-                 round(2 * p.precision * r.recall /
-                       nullif(p.precision + r.recall, 0.0), 4) AS f1
-          FROM p JOIN r ON p.class = r.class ORDER BY 1"""),
+      """, cm AS (
+            SELECT predicted_class, actual_class, count(*) AS n
+            FROM base GROUP BY 1, 2),
+          m AS (
+            SELECT predicted_class, actual_class,
+              round(n / sum(n) OVER (PARTITION BY predicted_class), 4)
+                AS precision,
+              round(n / sum(n) OVER (PARTITION BY actual_class), 4)
+                AS recall
+            FROM cm)
+          SELECT predicted_class AS class, precision, recall,
+                 round(2 * precision * recall /
+                       nullif(precision + recall, 0.0), 4) AS f1
+          FROM m WHERE predicted_class = actual_class ORDER BY 1"""),
     "q45_summary" -> (PRED_BASE +
       """ SELECT count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,

@@ -187,15 +187,19 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
-    // F-JSON: enrichment payload decode (from_json ↔ json_extract)
+    // F-JSON: enrichment payload decode (from_json ↔ json_extract).
+    // The null guard is on the raw props column, NOT on the parsed field:
+    // filtering on the parsed value makes Catalyst evaluate from_json in
+    // both the Filter and the Project (it is also a codegen-fallback
+    // expression), doubling the dominant cost of the query.
     "q26_json_extract" -> ((s, d) =>
       Tables.events(s, d)
+        .filter(col("props").isNotNull)
         .select(col("event_id"),
           from_json(col("props"),
               org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").cast("long")
             .as("k"))
-        .filter(col("k").isNotNull)
         .orderBy(col("event_id"))))
 
   val oracle: Map[String, String] = Map(
@@ -372,6 +376,6 @@ object SeriesQueries {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events
-         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         WHERE props IS NOT NULL
          ORDER BY event_id""")
 }
