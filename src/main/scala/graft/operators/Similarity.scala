@@ -23,9 +23,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, rounded to 4dp for cross-engine determinism. */
+  /** Cosine similarity, rounded to 4dp for cross-engine determinism.
+    * Uses the fused native kernel (graft.plans.CosineSimilarity) — one
+    * codegen'd loop per row instead of three higher-order-function
+    * passes; identical accumulation order, so results are bit-equal to
+    * the `dot/nullif(norm*norm,0)` formulation. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / nullif(norm(a) * norm(b), lit(0)), 4)
+    round(graft.plans.VectorExpressions.cosineSim(a, b), 4)
 
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 

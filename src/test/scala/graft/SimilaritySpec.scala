@@ -43,6 +43,33 @@ class SimilaritySpec extends SparkSuite {
     assert(lshSet.contains((1L, 2L))) // same direction → same buckets
   }
 
+  test("native cosine kernel matches the HOF formulation bit-for-bit " +
+    "and registers as a SQL function") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val hof = round(Similarity.dot(col("v"), col("va")) /
+      nullif(Similarity.norm(col("v")) * Similarity.norm(col("va")),
+        lit(0)), 4)
+    val joined = e.crossJoin(e.select(col("vec_id").as("ida"),
+      col("v").as("va")))
+    val diffs = joined
+      .select(Similarity.cosine(col("v"), col("va")).as("native"),
+        hof.as("reference"))
+      .filter(!(col("native") <=> col("reference"))).count()
+    assert(diffs == 0)
+
+    // same registration path GraftExtensions injects at session build
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => graft.plans.CosineSimilarity(children(0), children(1)),
+      "built-in")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(2.0d, 0.0d))")
+      .as[Double].head()
+    assert(viaSql == 1.0)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
