@@ -1,0 +1,142 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.ml.classification.RandomForestClassificationModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.jobs.DailyEtlJob
+import graft.ml.{ChronoSplit, FeatureEngineering, Predict, Train}
+import graft.operators.{Enrichment, EventSeries, Writes}
+
+/** CLI verbs mirroring the reference's cli.py (SURVEY §7.1):
+  *
+  *   backfill  destructive reload of the warehouse from an events dir (S12)
+  *   run       incremental daily step: insert-ignore + enrichment delta (§3.1)
+  *   status    row counts / span / per-key counts (A1-A3)
+  *   ml-train  feature build, chrono split, RF fit, save + metadata (M11)
+  *   ml-predict load model, next-day prediction per key, upsert (M10/S4)
+  *
+  * Warehouse layout: <warehouse>/{bars,enrichments,fact,predictions}
+  * parquet dirs + models/rf. All verbs are re-runnable; `run` and
+  * `ml-predict` are idempotent by the insert-ignore/upsert key algebra.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val verb = args.headOption.getOrElse("status")
+    val opts = args.drop(1).sliding(2, 2)
+      .collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+    val eventsDir = opts.getOrElse("events-dir", "/root/testdata/sf0.001")
+    val warehouse = opts.getOrElse("warehouse", "/tmp/graft_warehouse")
+    val spark = SparkSession.builder()
+      .master(s"local[${opts.getOrElse("cpus", "8")}]")
+      .config("spark.sql.shuffle.partitions", opts.getOrElse("cpus", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, verb, eventsDir, warehouse, opts)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, verb: String, eventsDir: String,
+          warehouse: String, opts: Map[String, String]): Unit = {
+    def path(t: String) = s"$warehouse/$t"
+    def readOr(t: String, fallback: => DataFrame): DataFrame =
+      try spark.read.parquet(path(t)) catch { case _: Throwable => fallback }
+    def write(df: DataFrame, t: String): Unit = {
+      // overwrite via temp-dir swap so a verb re-reading its own input
+      // (upsert pattern) never truncates the source mid-plan
+      val tmp = path(t + "__tmp")
+      df.write.mode("overwrite").parquet(tmp)
+      val target = Paths.get(path(t))
+      if (Files.exists(target)) {
+        val old = Paths.get(path(t + "__old"))
+        Files.move(target, old)
+        Files.move(Paths.get(tmp), target)
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      } else Files.move(Paths.get(tmp), target)
+    }
+
+    verb match {
+      case "backfill" =>
+        val (state, fact) = DailyEtlJob.backfill(
+          Tables.events(spark, eventsDir), Enrichment.DeterministicProvider)
+        write(state.bars, "bars")
+        write(state.enrichments, "enrichments")
+        write(fact, "fact")
+        println(s"[cli] backfill: bars=${state.bars.count()} " +
+          s"enrichments=${state.enrichments.count()} fact rows written")
+
+      case "run" =>
+        val state = DailyEtlJob.State(
+          readOr("bars", EventSeries.dailyBars(
+            Tables.events(spark, eventsDir)).limit(0)),
+          readOr("enrichments", spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, date DATE, explanation STRING, " +
+                "sentiment STRING, topic STRING"))))
+        val (next, fact) = DailyEtlJob.step(state,
+          Tables.events(spark, eventsDir), Enrichment.DeterministicProvider)
+        write(next.bars.cache(), "bars")
+        write(next.enrichments.cache(), "enrichments")
+        write(fact, "fact")
+        println(s"[cli] run: bars=${spark.read.parquet(path("bars")).count()}")
+
+      case "status" =>
+        val bars = readOr("bars", spark.emptyDataFrame)
+        if (bars.isEmpty) println("[cli] status: warehouse empty")
+        else {
+          val global = bars.agg(count(lit(1)).as("rows"),
+            min(col("date")).as("from"), max(col("date")).as("to"),
+            countDistinct(col("user_id")).as("keys")).head()
+          println(s"[cli] status: $global")
+          bars.groupBy(col("user_id")).count().orderBy(col("user_id"))
+            .collect().foreach(r => println(s"[cli]   $r"))
+        }
+
+      case "ml-train" =>
+        val labeled = features(spark, eventsDir, forPrediction = false)
+        val (train, _, test) = ChronoSplit(labeled)
+        val (model, _) = Train.fit(train,
+          numTrees = opts.getOrElse("trees", "200").toInt)
+        val res = Train.evaluate(model, test)
+        model.write.overwrite().save(path("models/rf"))
+        val metricsJson = res.metrics.map { case (k, v) =>
+          s""""$k": $v""" }.mkString("{", ", ", "}")
+        Files.createDirectories(Paths.get(path("models")))
+        Files.writeString(Paths.get(path("models/rf_metadata.json")),
+          s"""{"model_type": "random_forest", "metrics": $metricsJson,
+             |"features": ${FeatureEngineering.featureColumns.size}}
+             |""".stripMargin)
+        println(s"[cli] ml-train: ${res.metrics}")
+
+      case "ml-predict" =>
+        val model = RandomForestClassificationModel.load(path("models/rf"))
+        val preds = Predict(model,
+          features(spark, eventsDir, forPrediction = true),
+          modelVersion = "rf_v1")
+        val existing = readOr("predictions", preds.limit(0))
+        write(Writes.upsert(existing, preds,
+          Seq("user_id", "prediction_date", "model_version")).cache(),
+          "predictions")
+        println(s"[cli] ml-predict: " +
+          s"${spark.read.parquet(path("predictions")).count()} rows")
+
+      case other =>
+        System.err.println(s"unknown verb '$other' " +
+          "(backfill|run|status|ml-train|ml-predict)")
+    }
+  }
+
+  private def features(spark: SparkSession, eventsDir: String,
+                       forPrediction: Boolean): DataFrame = {
+    val events = Tables.events(spark, eventsDir)
+    FeatureEngineering(EventSeries.dailyBars(events),
+      Some(EventSeries.dailySentiment(events)
+        .select(col("user_id"), col("date"), col("sentiment"))),
+      forPrediction = forPrediction)
+  }
+}

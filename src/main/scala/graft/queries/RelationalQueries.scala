@@ -139,6 +139,19 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // P1-P8: combined projection + range/isin/null/positive predicates —
+    // all of them must reach the parquet scan as PushedFilters
+    "q51_filter_combo" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date") &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_quantity") > 0 && col("l_extendedprice").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"),
+          iso(col("l_shipdate")).as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // A16: last row per group, single hash-agg (no sort+filter)
     "q27_latest_per_user" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
@@ -222,6 +235,15 @@ object RelationalQueries {
               ELSE CAST(o_orderdate AS DATE) + 1 END, '%Y-%m-%d')
            AS next_trading_day
          FROM orders ORDER BY o_orderkey""",
+    "q51_filter_combo" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_returnflag IN ('A', 'R')
+           AND l_quantity > 0 AND l_extendedprice IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber""",
     "q27_latest_per_user" ->
       """WITH e AS (
            SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS date, event_type,

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import graft.cli.Main
+
+/** End-to-end CLI verb flow on a temp warehouse (reference cli.py verbs:
+  * backfill → status → run (idempotent) → ml-train → ml-predict). */
+class CliSpec extends SparkSuite {
+
+  test("backfill → run → ml-train → ml-predict round-trips through the " +
+    "warehouse with idempotent re-runs") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val src = "/root/testdata/sf0.001"
+    val opts = Map("trees" -> "20")
+
+    Main.run(spark, "backfill", src, wh, opts)
+    val bars1 = spark.read.parquet(s"$wh/bars").count()
+    assert(bars1 > 0)
+    assert(spark.read.parquet(s"$wh/fact").count() == bars1)
+
+    // incremental run over the same events must not change the warehouse
+    Main.run(spark, "run", src, wh, opts)
+    assert(spark.read.parquet(s"$wh/bars").count() == bars1)
+
+    Main.run(spark, "status", src, wh, opts)
+
+    Main.run(spark, "ml-train", src, wh, opts)
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/models/rf")))
+    val meta = Files.readString(
+      java.nio.file.Paths.get(s"$wh/models/rf_metadata.json"))
+    assert(meta.contains("random_forest") && meta.contains("accuracy"))
+
+    Main.run(spark, "ml-predict", src, wh, opts)
+    val preds = spark.read.parquet(s"$wh/predictions")
+    val nKeys = Tables.events(spark, src)
+      .select("user_id").distinct().count()
+    assert(preds.count() == nKeys)
+
+    // upsert keyed (user, prediction_date, model_version): re-predicting
+    // must not grow the table
+    Main.run(spark, "ml-predict", src, wh, opts)
+    assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
+  }
+
+  test("csv export sink round-trips predictions (reference predict.py:209)") {
+    val wh = Files.createTempDirectory("graft_csv").toString
+    import spark.implicits._
+    val df = Seq((1L, "low", 0.9), (2L, "high", 0.7))
+      .toDF("user_id", "predicted_class", "confidence")
+    df.write.option("header", "true").csv(s"$wh/preds_csv")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$wh/preds_csv")
+    assert(back.count() == 2)
+    assert(back.columns.toSeq ==
+      Seq("user_id", "predicted_class", "confidence"))
+  }
+}
