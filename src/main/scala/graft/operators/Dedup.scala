@@ -35,15 +35,19 @@ object Dedup {
 
   /** MinHash signatures: `k` md5-seeded min-hashes over `n`-gram shingles.
     * Output: (idCol, sig_0 .. sig_{k-1}). Deterministic and
-    * engine-portable (md5 hex min). */
+    * engine-portable (md5 hex min). The fused native expression computes
+    * all k mins in one traversal; the two-step select keeps it evaluated
+    * once per row (CollapseProject never inlines non-cheap expressions
+    * into multiple consumers). */
   def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 2,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val sh = TextFns.shingles(col(textCol), n)
-    val sigs = (0 until k).map(i =>
-      TextFns.minhashSig(sh, i).as(s"sig_$i"))
-    docs.select(col(idCol) +: sigs: _*)
-  }
+                        idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), graft.plans.MinHashExpressions.minhashSigs(
+        TextFns.shingles(col(textCol), n), k).as("_sigs"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("_sigs"), i + 1)
+          .as(s"sig_$i")): _*)
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band bucket become a candidate pair.

@@ -187,6 +187,30 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // Structured Streaming: the daily aggregation executed as an
+    // availableNow stream (file source → windowed agg → memory sink).
+    // The decimal sum is exact, so the batch oracle matches bit-for-bit.
+    "q52_stream_daily_counts" -> ((s, d) => {
+      val src = graft.streaming.StreamingIngest.readEvents(s,
+        s"$d/events.parquet")
+      val agg = src
+        .groupBy(col("user_id"), window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      val sink = "q52_sink_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(col("user_id"),
+          iso(col("window.start")).as("date"),
+          col("n_events"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // F-JSON: enrichment payload decode (from_json ↔ json_extract).
     // The null guard is on the raw props column, NOT on the parsed field:
     // filtering on the parsed value makes Catalyst evaluate from_json in
@@ -372,6 +396,11 @@ object SeriesQueries {
                  WHEN abs(pct_change) > 2 THEN 'medium_move'
                  ELSE 'small_move' END AS move_category
           FROM staged ORDER BY 1, 2"""),
+    "q52_stream_daily_counts" ->
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q26_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

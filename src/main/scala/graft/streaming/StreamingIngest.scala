@@ -25,9 +25,17 @@ object StreamingIngest {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  def readEvents(spark: SparkSession, sourceDir: String): DataFrame = {
+  def readEvents(spark: SparkSession, source: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(sourceDir)
+    // file stream sources require a directory; a single-file source
+    // becomes its parent dir + a glob filter on the file name
+    val (dir, glob) =
+      if (source.endsWith(".parquet")) {
+        val p = java.nio.file.Paths.get(source)
+        (p.getParent.toString, p.getFileName.toString)
+      } else (source, "*")
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
