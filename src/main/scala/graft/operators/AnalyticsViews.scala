@@ -102,6 +102,48 @@ object AnalyticsViews {
           nullif(col("precision") + col("recall"), lit(0.0)), 4).as("f1"))
   }
 
+  /** Multi-model-version prediction log twin (analytics
+    * .ml_volatility_predictions with UNIQUE(key,date,model_version)):
+    * persistence baseline as v2 (newer) plus an always-low v1 —
+    * deterministic stand-ins for successive trained models. */
+  def multiVersionPredictions(base: DataFrame): DataFrame = {
+    val common = base.select(col("user_id"), col("date"),
+      col("actual_class"), col("predicted_class"))
+    common
+      .withColumn("model_version", lit("v1_always_low"))
+      .withColumn("predicted_class", lit("low"))
+      .withColumn("created_at", lit("2024-02-01 00:00:00").cast("timestamp"))
+      .unionByName(common
+        .withColumn("model_version", lit("v2_persistence"))
+        .withColumn("created_at",
+          lit("2024-03-01 00:00:00").cast("timestamp")))
+  }
+
+  /** accuracy_by_model_version twin (dashboard_views.sql:106-116):
+    * per-version counts, accuracy, prediction-date span. */
+  def accuracyByModelVersion(preds: DataFrame): DataFrame =
+    preds
+      .withColumn("is_correct",
+        when(col("predicted_class") === col("actual_class"), 1).otherwise(0))
+      .groupBy(col("model_version"))
+      .agg(count(lit(1)).as("n_predictions"),
+        sum(col("is_correct")).cast("long").as("n_correct"),
+        round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+        min(col("date")).as("first_date"),
+        max(col("date")).as("last_date"))
+
+  /** Latest-model-version semi-filter twin (dashboard_views.sql:98-103):
+    * keep only rows of the version with the newest created_at — the
+    * scalar-subquery J5 pattern as a broadcast single-row join. */
+  def latestVersionOnly(preds: DataFrame): DataFrame = {
+    val latest = preds.select(col("model_version"), col("created_at"))
+      .groupBy(col("model_version"))
+      .agg(max(col("created_at")).as("created_at"))
+      .orderBy(col("created_at").desc, col("model_version"))
+      .limit(1).select(col("model_version"))
+    preds.join(broadcast(latest), Seq("model_version"))
+  }
+
   /** summary twin (dashboard_views.sql:69-78): global counts, distinct
     * keys, span. */
   def summary(base: DataFrame): DataFrame =

@@ -16,6 +16,10 @@ object AnalyticsQueries {
     AnalyticsViews.predictionBase(
       EventSeries.dailyBars(Tables.events(s, d)))
 
+  /** bars + LAG staging shared with SeriesQueries (movers/value-count
+    * views aggregate over the staged frame). */
+  private val STAGED_MOVERS: String = SeriesQueries.STAGED
+
   /** bars + actual/predicted class base, twin of AnalyticsViews
     * .predictionBase over the shared BARS CTE. */
   private val PRED_BASE: String =
@@ -77,7 +81,53 @@ object AnalyticsQueries {
     "q45_summary" -> ((s, d) =>
       AnalyticsViews.summary(base(s, d))
         .withColumn("min_date", iso(col("min_date")))
-        .withColumn("max_date", iso(col("max_date")))))
+        .withColumn("max_date", iso(col("max_date")))),
+
+    // O5 + F-FMT: top movers with sign-aware percent formatting
+    "q53_top_movers" -> ((s, d) => {
+      val staged = graft.operators.EventSeries.stgDailyPrices(
+        graft.operators.EventSeries.dailyBars(Tables.events(s, d)))
+      staged.filter(col("pct_change").isNotNull)
+        .select(col("user_id"), iso(col("date")).as("date"),
+          col("pct_change"),
+          concat(when(col("pct_change") >= 0, "+").otherwise(""),
+            format_string("%.2f", col("pct_change")), lit("%"))
+            .as("pct_formatted"))
+        .orderBy(col("pct_change").desc, col("user_id"), col("date"))
+        .limit(10)
+    }),
+
+    // A12/A13: enrichment value counts by (topic, sentiment)
+    "q54_topic_sentiment" -> ((s, d) => {
+      val (state, _) = graft.jobs.DailyEtlJob.backfill(
+        Tables.events(s, d),
+        graft.operators.Enrichment.DeterministicProvider)
+      state.enrichments
+        .groupBy(col("topic"), col("sentiment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"), col("sentiment"))
+    }),
+
+    // A7 + J5: accuracy by model version; latest-version-only filter
+    "q55_model_versions" -> ((s, d) => {
+      val preds = AnalyticsViews.multiVersionPredictions(base(s, d))
+      AnalyticsViews.accuracyByModelVersion(preds)
+        .withColumn("first_date", iso(col("first_date")))
+        .withColumn("last_date", iso(col("last_date")))
+        .orderBy(col("model_version"))
+    }),
+    "q56_latest_version_accuracy" -> ((s, d) => {
+      val preds = AnalyticsViews.latestVersionOnly(
+        AnalyticsViews.multiVersionPredictions(base(s, d)))
+      preds
+        .withColumn("is_correct",
+          when(col("predicted_class") === col("actual_class"), 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_correct")).cast("long").as("n_correct"))
+        .orderBy(col("user_id"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q41_accuracy_by_user" -> (PRED_BASE +
@@ -112,6 +162,43 @@ object AnalyticsQueries {
                  round(2 * precision * recall /
                        nullif(precision + recall, 0.0), 4) AS f1
           FROM m WHERE predicted_class = actual_class ORDER BY 1"""),
+    "q53_top_movers" -> (STAGED_MOVERS +
+      """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, pct_change,
+            (CASE WHEN pct_change >= 0 THEN '+' ELSE '' END
+             || printf('%.2f', pct_change) || '%') AS pct_formatted
+          FROM staged WHERE pct_change IS NOT NULL
+          ORDER BY pct_change DESC, user_id, date LIMIT 10"""),
+    "q54_topic_sentiment" -> (STAGED_MOVERS +
+      """ SELECT
+            CASE WHEN abs(pct_change) > 5 THEN 'volatility'
+                 WHEN abs(pct_change) > 2 THEN 'momentum'
+                 ELSE 'steady' END AS topic,
+            CASE WHEN pct_change > 1 THEN 'positive'
+                 WHEN pct_change < -1 THEN 'negative'
+                 ELSE 'neutral' END AS sentiment,
+            count(*) AS n
+          FROM staged WHERE pct_change IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "q55_model_versions" -> (PRED_BASE +
+      """, preds AS (
+            SELECT user_id, date, actual_class, 'low' AS predicted_class,
+                   'v1_always_low' AS model_version FROM base
+            UNION ALL
+            SELECT user_id, date, actual_class, predicted_class,
+                   'v2_persistence' FROM base)
+          SELECT model_version, count(*) AS n_predictions,
+            CAST(sum(CASE WHEN predicted_class = actual_class
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+            round(avg(CASE WHEN predicted_class = actual_class
+                           THEN 1 ELSE 0 END) * 100, 2) AS accuracy_pct,
+            strftime(min(date), '%Y-%m-%d') AS first_date,
+            strftime(max(date), '%Y-%m-%d') AS last_date
+          FROM preds GROUP BY 1 ORDER BY 1"""),
+    "q56_latest_version_accuracy" -> (PRED_BASE +
+      """ SELECT user_id, count(*) AS n,
+            CAST(sum(CASE WHEN predicted_class = actual_class
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          FROM base GROUP BY 1 ORDER BY 1"""),
     "q45_summary" -> (PRED_BASE +
       """ SELECT count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,

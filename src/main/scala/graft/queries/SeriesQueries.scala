@@ -24,7 +24,7 @@ object SeriesQueries {
 
   /** Shared oracle prefix: daily OHLCV bars from events (open/close picked
     * by min/max event_id — ids are time-ordered in the fixture). */
-  private val BARS: String =
+  private[queries] val BARS: String =
     """WITH raw AS (
          SELECT user_id, CAST(ts AS DATE) AS date, value, event_id
          FROM events),
@@ -43,7 +43,7 @@ object SeriesQueries {
                FROM raw) t
          GROUP BY 1, 2)"""
 
-  private val STAGED: String = BARS +
+  private[queries] val STAGED: String = BARS +
     """, staged AS (
          SELECT user_id, date, close,
                 lag(close) OVER w AS prev_close,
