@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jobs.DailyEtlJob
+import graft.operators.{Dedup, Enrichment, EventSeries, Similarity}
+
+/** Dev main: inflate the sf0.1 fixtures N× (shifting keys so cardinality
+  * grows with volume, as it would in production) and time the heavy
+  * pipelines — a local check that plan shapes scale linearly in rows and
+  * keys rather than hitting a super-linear wall.
+  *
+  *   SPARK_GRAFT_SCALE=32 sbt 'runMain graft.ScaleCheck'
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def inflate(df: DataFrame, keyCol: String, idCols: Seq[String],
+                m: Int): DataFrame =
+      df.crossJoin(spark.range(m).select(col("id").as("_copy")))
+        .withColumn(keyCol, col(keyCol) + col("_copy") * 1000000L)
+        .select((df.columns.map {
+          case c if idCols.contains(c) =>
+            (col(c) + col("_copy") * 1000000000L).as(c)
+          case c => col(c)
+        }).toIndexedSeq: _*)
+
+    def time[T](name: String, rows: Long)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s ${rows}%12d rows  $dt%7.2f s  " +
+        f"${rows / dt / 1e6}%6.2f M rows/s")
+    }
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val events = inflate(Tables.events(spark, sfDir), "user_id",
+      Seq("event_id"), mult).cache()
+    val n = events.count()
+
+    time("daily_bars", n) { sink(EventSeries.dailyBars(events)) }
+    time("fact_with_sentiment", n) {
+      sink(EventSeries.fctPricesWithSentiment(events))
+    }
+    time("full_etl_backfill", n) {
+      sink(DailyEtlJob.backfill(events,
+        Enrichment.DeterministicProvider)._2)
+    }
+    time("ml_features", n) {
+      sink(graft.ml.FeatureEngineering(EventSeries.dailyBars(events)))
+    }
+    events.unpersist()
+
+    val emb = inflate(Tables.embeddings(spark, sfDir), "vec_id",
+      Seq(), mult).cache()
+    val ne = emb.count()
+    time("knn_bruteforce_top10", ne) {
+      sink(Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), k = 10))
+    }
+    time("lsh_cosine_pairs", ne) {
+      sink(Similarity.cosineSelfPairs(emb, 0.3, planesPerBand = 8,
+        bands = 2))
+    }
+    emb.unpersist()
+
+    val docs = inflate(Tables.documents(spark, sfDir), "doc_id",
+      Seq(), mult).cache()
+    val nd = docs.count()
+    time("minhash_signatures", nd) {
+      sink(Dedup.minhashSignatures(docs, k = 8, n = 2))
+    }
+    time("minhash_lsh_pairs", nd) {
+      sink(Dedup.minhashLshPairs(docs, k = 8, bands = 4, n = 2))
+    }
+    docs.unpersist()
+    spark.stop()
+  }
+}

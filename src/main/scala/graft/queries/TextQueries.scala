@@ -118,7 +118,24 @@ object TextQueries {
     "q40_lsh_cosine_pairs" -> ((s, d) =>
       Similarity.cosineSelfPairs(Tables.embeddings(s, d), 0.3,
           planesPerBand = 6, bands = 8)
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash-LSH dedup as linear cluster labeling (the scale-correct
+    // output shape: one canonical id per doc, never pair enumeration)
+    "q58_dedup_groups" -> ((s, d) =>
+      Dedup.minhashDedupGroups(Tables.documents(s, d), k = 8, bands = 4,
+          n = 2, iterations = 2)
+        .orderBy(col("doc_id"))),
+
+    // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
+    // approximate scale path otherwise — no SQL oracle, SimilaritySpec
+    // pins the exactness property)
+    "q57_ivf_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+          nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q28_token_stats" -> (TOKS +
@@ -219,6 +236,54 @@ object TextQueries {
          CAST(16 + (ascii(substr(text, length(text) // 2 + 1, 1)) % 128)
            AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
+    "q58_dedup_groups" -> (TOKS +
+      """, sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS sh
+            FROM t),
+          sig AS (
+            SELECT doc_id,
+              list_aggregate(list_transform(sh, s -> md5('0|' || s)),
+                'min') AS s0,
+              list_aggregate(list_transform(sh, s -> md5('1|' || s)),
+                'min') AS s1,
+              list_aggregate(list_transform(sh, s -> md5('2|' || s)),
+                'min') AS s2,
+              list_aggregate(list_transform(sh, s -> md5('3|' || s)),
+                'min') AS s3,
+              list_aggregate(list_transform(sh, s -> md5('4|' || s)),
+                'min') AS s4,
+              list_aggregate(list_transform(sh, s -> md5('5|' || s)),
+                'min') AS s5,
+              list_aggregate(list_transform(sh, s -> md5('6|' || s)),
+                'min') AS s6,
+              list_aggregate(list_transform(sh, s -> md5('7|' || s)),
+                'min') AS s7
+            FROM sh),
+          banded AS (
+            SELECT doc_id, md5('0|' || s0 || '|' || s1) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, md5('1|' || s2 || '|' || s3) FROM sig
+            UNION ALL
+            SELECT doc_id, md5('2|' || s4 || '|' || s5) FROM sig
+            UNION ALL
+            SELECT doc_id, md5('3|' || s6 || '|' || s7) FROM sig),
+          l1 AS (
+            SELECT b.doc_id, min(bm.m) AS canonical
+            FROM banded b JOIN (SELECT bucket, min(doc_id) AS m
+                                FROM banded GROUP BY 1) bm
+              USING (bucket)
+            GROUP BY 1),
+          l2 AS (
+            SELECT b.doc_id, min(bm2.m) AS canonical
+            FROM banded b JOIN (
+              SELECT b2.bucket, min(l1.canonical) AS m
+              FROM banded b2 JOIN l1 ON b2.doc_id = l1.doc_id
+              GROUP BY 1) bm2
+              USING (bucket)
+            GROUP BY 1)
+          SELECT doc_id, canonical FROM l2 ORDER BY doc_id"""),
     "q35_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

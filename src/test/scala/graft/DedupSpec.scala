@@ -47,6 +47,16 @@ class DedupSpec extends SparkSuite {
     assert(out.contains((1L, 2L, 1.0)))
   }
 
+  test("minhash dedup labeling folds duplicate clusters to one " +
+    "canonical id in linear output") {
+    val labels = Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 5)          // one row per doc, never pairs
+    assert(labels(1L) == 1L && labels(2L) == 1L) // exact dups cluster
+    assert(labels(3L) == 1L)          // near dup joins the cluster
+    assert(labels(4L) == 4L)          // unrelated doc stays canonical
+  }
+
   test("simhash pairs exact and near duplicates within small hamming") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -70,6 +70,40 @@ class SimilaritySpec extends SparkSuite {
     assert(viaSql == 1.0)
   }
 
+  test("IVF with full probes equals brute force; partial probes return " +
+    "a bounded approximate subset") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().toSet
+    val full = Similarity.ivfTopK(e, queries, k = 5, nCentroids = 8,
+        nProbe = 8)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().toSet
+    assert(full == exact) // scanning every cell degenerates to exact
+    val partial = Similarity.ivfTopK(e, queries, k = 5, nCentroids = 8,
+      nProbe = 2).collect()
+    assert(partial.length <= 15)
+    assert(partial.nonEmpty)
+  }
+
+  test("salted aggregation is exact for associative aggregates") {
+    import graft.operators.SkewTools
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val salted = SkewTools.saltedAgg(ev, Seq("user_id"), "value", salt = 8)
+      .orderBy("user_id")
+      .select("user_id", "n", "min_value", "max_value")
+      .collect().toSeq
+    val plain = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("user_id")
+      .select("user_id", "n", "min_value", "max_value")
+      .collect().toSeq
+    assert(salted == plain)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
