@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Indicators, WindowFns}
+import graft.operators.Writes
+
+/** Property-based invariants over ScalaCheck-generated inputs — an
+  * upgrade over the reference's fixed fixtures (SURVEY §5). Raw
+  * ScalaCheck generators sampled under fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache); each case runs real
+  * Spark jobs, so cases are few and small. */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[(String, Int, Double)]] = for {
+    n <- Gen.choose(1, 12)
+    keys <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    vals <- Gen.listOfN(n, Gen.choose(1.0, 1000.0))
+  } yield keys.zip(1 to n).zip(vals).map { case ((k, t), v) => (k, t, v) }
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: rollingMean(w, minPeriods=1) equals the naive trailing" +
+    " mean for every row") {
+    samples(seriesGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "t", "v")
+      val w = WindowFns.series(col("k"), col("t"))
+      val got = df.withColumn("m", WindowFns.rollingMean(col("v"), 3, 1, w))
+        .orderBy("k", "t").select("k", "t", "m")
+        .as[(String, Int, Double)].collect()
+      val byKey = rows.groupBy(_._1)
+      got.foreach { case (k, t, m) =>
+        val series = byKey(k).sortBy(_._2)
+        val idx = series.indexWhere(_._2 == t)
+        val window = series.slice(math.max(0, idx - 2), idx + 1).map(_._3)
+        assert(math.abs(m - window.sum / window.size) < 1e-9,
+          s"key=$k t=$t")
+      }
+    }
+  }
+
+  test("property: insertIgnore never changes existing rows, stays " +
+    "key-unique, and is idempotent for any batch") {
+    samples(Gen.zip(seriesGen, seriesGen), 5).foreach { case (a, b) =>
+      val existing = a.toDF("k", "t", "v")
+        .groupBy("k", "t").agg(min("v").as("v"))
+      val incoming = b.toDF("k", "t", "v")
+      val once = Writes.insertIgnore(existing, incoming, Seq("k", "t"))
+        .cache()
+      assert(once.alias("o").join(existing.alias("e"), Seq("k", "t"))
+        .filter(col("o.v") =!= col("e.v")).count() == 0)
+      val twice = Writes.insertIgnore(once, incoming, Seq("k", "t"))
+      assert(twice.orderBy("k", "t", "v").collect().toSeq ==
+        once.orderBy("k", "t", "v").collect().toSeq)
+      assert(once.groupBy("k", "t").count().filter(col("count") > 1)
+        .count() == 0)
+      once.unpersist()
+    }
+  }
+
+  test("property: upsert always carries exactly the incoming values on " +
+    "conflicting keys and stays key-unique") {
+    samples(Gen.zip(seriesGen, seriesGen), 5).foreach { case (a, b) =>
+      val existing = a.toDF("k", "t", "v")
+        .groupBy("k", "t").agg(min("v").as("v"))
+      val incoming = b.toDF("k", "t", "v")
+        .groupBy("k", "t").agg(min("v").as("v"))
+      val out = Writes.upsert(existing, incoming, Seq("k", "t")).cache()
+      assert(out.alias("o").join(incoming.alias("i"), Seq("k", "t"))
+        .filter(col("o.v") =!= col("i.v")).count() == 0)
+      assert(out.groupBy("k", "t").count().filter(col("count") > 1)
+        .count() == 0)
+      out.unpersist()
+    }
+  }
+
+  test("property: classifyVolatility matches the closed-form bins for " +
+    "any non-negative input") {
+    samples(Gen.listOfN(30, Gen.choose(0.0, 12.0)), 5).foreach { vs =>
+      val out = vs.toDF("v")
+        .select(col("v"), Indicators.classifyVolatility(col("v")).as("c"))
+        .as[(Double, String)].collect()
+      out.foreach { case (v, c) =>
+        val expected =
+          if (v <= 2) "low" else if (v <= 5) "medium" else "high"
+        assert(c == expected, s"v=$v")
+      }
+    }
+  }
+}
