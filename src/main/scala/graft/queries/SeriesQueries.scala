@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Indicators, WindowFns}
 import graft.jobs.DailyEtlJob
-import graft.operators.{Enrichment, EventSeries, Writes}
+import graft.operators.{AsOfJoin, Enrichment, EventSeries, Writes}
 
 /** The reference's keyed-time-series pipeline (SURVEY §2.5 windows, §2.1
   * write semantics, §2.8 scalar functions) bound to the `events` fixture,
@@ -183,6 +183,21 @@ object SeriesQueries {
       fact.select(col("user_id"), col("date"), col("close"),
           col("pct_change"), col("sentiment"), col("topic"),
           col("move_category"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // As-of join: attach the most recent significant-move signal on or
+    // before each bar's date (union + running last_value — no range-join
+    // explosion; oracle is DuckDB's native ASOF JOIN)
+    "q59_asof_join" -> ((s, d) => {
+      val b = bars(s, d).select(col("user_id"), col("date"), col("close"))
+      val sparse = staged(s, d)
+        .filter(abs(col("pct_change")) > 2)
+        .select(col("user_id"), col("date"),
+          when(col("pct_change") > 0, "positive").otherwise("negative")
+            .as("last_signal"))
+      AsOfJoin.joinAsOf(b, sparse, Seq("user_id"), "date")
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))
     }),
@@ -396,6 +411,17 @@ object SeriesQueries {
                  WHEN abs(pct_change) > 2 THEN 'medium_move'
                  ELSE 'small_move' END AS move_category
           FROM staged ORDER BY 1, 2"""),
+    "q59_asof_join" -> (STAGED +
+      """, sparse AS (
+            SELECT user_id, date,
+                   CASE WHEN pct_change > 0 THEN 'positive'
+                        ELSE 'negative' END AS last_signal
+            FROM staged WHERE abs(pct_change) > 2)
+          SELECT b.user_id, strftime(b.date, '%Y-%m-%d') AS date, b.close,
+                 s.last_signal
+          FROM bars b ASOF LEFT JOIN sparse s
+            ON b.user_id = s.user_id AND b.date >= s.date
+          ORDER BY 1, 2"""),
     "q52_stream_daily_counts" ->
       """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
          count(*) AS n_events,
