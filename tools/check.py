@@ -61,6 +61,12 @@ def main():
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a declared oracle without a result dir means the query never ran
+    # (stale compile / runtime failure) — surface it instead of silently
+    # checking a smaller set
+    for missing in sorted(set(oracles) - set(names)):
+        if not only or missing in only:
+            results[missing] = "MISSING-RESULT (query did not run)"
     for name in names:
         if only and name not in only:
             continue
