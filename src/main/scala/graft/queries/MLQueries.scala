@@ -24,12 +24,19 @@ object MLQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // M1/M2: the engineered feature matrix with next-day labels
+    // M1/M2: the engineered feature matrix with next-day labels.
+    // Unrounded window outputs get 6dp boundary rounding (matching the
+    // generated oracle in MLFeatureOracle) — engines legitimately differ
+    // in window-aggregate ulps.
     "q46_ml_features" -> ((s, d) =>
       featureFrame(s, d, forPrediction = false)
         .select((Seq(col("user_id"), iso(col("date")).as("date"),
           col("label"), col("target_class")) ++
-          FeatureEngineering.featureColumns.map(col)): _*)
+          FeatureEngineering.featureColumns.map {
+            case c if MLFeatureOracle.roundedCols.contains(c) =>
+              round(col(c), 6).as(c)
+            case c => col(c)
+          }): _*)
         .orderBy(col("user_id"), col("date"))),
 
     // M3-M10: train on the chronological split, score latest row per key
@@ -52,5 +59,6 @@ object MLQueries {
         .orderBy(col("predicted_class"), col("actual_class"))
     }))
 
-  val oracle: Map[String, String] = Map()
+  val oracle: Map[String, String] =
+    Map("q46_ml_features" -> MLFeatureOracle.sql)
 }
