@@ -43,7 +43,7 @@ object MLQueries {
     "q47_ml_predict" -> ((s, d) => {
       val labeled = featureFrame(s, d, forPrediction = false)
       val (train, _, _) = ChronoSplit(labeled)
-      val (model, _) = Train.fit(train, numTrees = 100)
+      val (model, _) = Train.fit(train, numTrees = 50)
       Predict(model, featureFrame(s, d, forPrediction = true), "rf_v1")
         .withColumn("as_of_date", iso(col("as_of_date")))
         .withColumn("prediction_date", iso(col("prediction_date")))
@@ -54,7 +54,7 @@ object MLQueries {
     "q48_ml_eval" -> ((s, d) => {
       val labeled = featureFrame(s, d, forPrediction = false)
       val (train, _, test) = ChronoSplit(labeled)
-      val (model, _) = Train.fit(train, numTrees = 100)
+      val (model, _) = Train.fit(train, numTrees = 50)
       Train.evaluate(model, test).confusion
         .orderBy(col("predicted_class"), col("actual_class"))
     }))
