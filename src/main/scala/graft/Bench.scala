@@ -43,7 +43,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
     Tables.names.foreach { n =>
-      try Tables.read(spark, sfDir, n).limit(1).write
+      try Tables.table(spark, sfDir, n).limit(1).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

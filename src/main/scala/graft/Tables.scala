@@ -17,6 +17,15 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Name-dispatched reader that routes through the per-table accessors,
+    * so tables needing read-time normalization (events' nanosecond
+    * timestamps) are handled uniformly. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case other    => read(spark, dir, other)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
