@@ -36,6 +36,48 @@ object EventSeries {
         count(lit(1)).as("volume"))
   }
 
+  /** dailyBars decomposed into associative partial aggregates: partials
+    * computed over ANY partition of the events (micro-batches, shards,
+    * backfill chunks) re-merge to exactly the batch bar. open/close carry
+    * their arg event ids so the merge keeps the global arg-min/arg-max;
+    * round(4dp) is monotone, so min/max commute with it and rounding
+    * per-partial equals rounding once at the end. */
+  def dailyBarPartials(events: DataFrame): DataFrame = {
+    val ord = col("event_id")
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(
+        min(ord).as("open_eid"),
+        round(min_by(col("value"), ord), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        max(ord).as("close_eid"),
+        round(max_by(col("value"), ord), 4).as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** Merge step for [[dailyBarPartials]]: one hash aggregation on the
+    * same (user_id, date) key. */
+  def mergeBarPartials(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("user_id"), col("date"))
+      .agg(
+        min(col("open_eid")).as("open_eid"),
+        min_by(col("open"), col("open_eid")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col("close_eid")).as("close_eid"),
+        max_by(col("close"), col("close_eid")).as("close"),
+        sum(col("volume")).as("volume"))
+
+  /** Final bar schema from partials: merge, then drop the merge-state
+    * event ids. Equals dailyBars(events) when the partials cover the
+    * same events exactly once. */
+  def finalizeBars(partials: DataFrame): DataFrame =
+    mergeBarPartials(partials).select(
+      col("user_id"), col("date"), col("open"), col("high"),
+      col("low"), col("close"), col("volume"))
+
   /** Staging model: previous close / price change / pct change via LAG
     * (reference: dbt_project/models/staging/stg_stock_prices.sql:3-14). */
   def stgDailyPrices(bars: DataFrame): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import graft.operators.{EventSeries, Writes}
+import graft.operators.EventSeries
 
 /** Structured Streaming framing of the daily ingest (SURVEY §2.9/§7.4):
   * the reference's cron-driven batch append is re-expressed as an
@@ -25,7 +25,8 @@ object StreamingIngest {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  def readEvents(spark: SparkSession, source: String): DataFrame = {
+  def readEvents(spark: SparkSession, source: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file stream sources require a directory; a single-file source
     // becomes its parent dir + a glob filter on the file name
@@ -34,30 +35,50 @@ object StreamingIngest {
         val p = java.nio.file.Paths.get(source)
         (p.getParent.toString, p.getFileName.toString)
       } else (source, "*")
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val reader = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Incremental daily-bars ingest: each micro-batch is folded into the
-    * parquet target with insert-ignore key semantics — re-delivery or
-    * re-run appends nothing new (idempotent, checkpointed). */
+  /** Incremental daily-bars ingest.
+    *
+    * A day's events may span micro-batches (maxFilesPerTrigger,
+    * resumed runs), so no batch can emit a FINAL bar for its keys —
+    * instead each batch writes its mergeable partial aggregates
+    * ([[EventSeries.dailyBarPartials]]) to a `batch_id=<id>` partition
+    * of the target. Bars are finalized at read by [[readDailyBars]].
+    *
+    * Idempotency comes from write-by-batch-id, not insert-ignore:
+    * foreachBatch is at-least-once, and a replayed batch overwrites
+    * its own partition rather than double-counting. Batch 0 clears the
+    * target — a fresh checkpoint means "reprocess from scratch" in
+    * Structured Streaming semantics, so the rebuilt state replaces the
+    * old, and re-running over the same source is a no-op end-state.
+    * At warehouse scale, a periodic compaction would fold old
+    * batch partitions into one (mergeBarPartials is associative). */
   def ingestDailyBars(spark: SparkSession, sourceDir: String,
-                      targetDir: String,
-                      checkpointDir: String): StreamingQuery =
-    readEvents(spark, sourceDir).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bars = EventSeries.dailyBars(batch)
-        val existing =
-          try spark.read.parquet(targetDir)
-          catch { case _: Throwable => bars.limit(0) }
-        // append-only delta: new keys only, never rewriting history
-        val delta = Writes.unenriched(bars, existing, Seq("user_id", "date"))
-        delta.write.mode("append").parquet(targetDir)
+                      targetDir: String, checkpointDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readEvents(spark, sourceDir, maxFilesPerTrigger).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == 0L)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(targetDir))
+        EventSeries.dailyBarPartials(batch).write
+          .mode("overwrite").parquet(s"$targetDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Finalized daily bars from an [[ingestDailyBars]] target: merge the
+    * per-batch partials (one hash agg on the bar key). */
+  def readDailyBars(spark: SparkSession, targetDir: String): DataFrame =
+    EventSeries.finalizeBars(
+      spark.read.parquet(targetDir).drop("batch_id"))
 
   /** Watermarked sliding-window event counts — the pure-stream
     * aggregation shape (event-time window + late-data bound). */

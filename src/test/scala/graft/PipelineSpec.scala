@@ -32,28 +32,45 @@ class PipelineSpec extends SparkSuite {
     assert(sentiments.subsetOf(Set("positive", "negative", "neutral")))
   }
 
-  test("streaming ingest: availableNow run appends daily bars once; " +
-    "a re-run with fresh checkpoint appends nothing new") {
+  test("streaming ingest: bars merge exactly across day-spanning " +
+    "micro-batches; a fresh-checkpoint re-run rebuilds the same bars") {
     val target = Files.createTempDirectory("graft_stream_out").toString
     val cp1 = Files.createTempDirectory("graft_cp1").toString
     val cp2 = Files.createTempDirectory("graft_cp2").toString
-    val src = "/root/testdata/sf0.001"
 
-    // stream only reads the events parquet: give it a dir with that file
+    // split the events across two files by event-id parity, so every
+    // (user, day) bar spans both micro-batches (maxFilesPerTrigger=1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val srcDir = Files.createTempDirectory("graft_stream_src")
-    Files.copy(java.nio.file.Paths.get(s"$src/events.parquet"),
-      srcDir.resolve("events.parquet"))
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, srcDir.resolve(name))
+    }
+    writeHalf(raw.filter(col("event_id") % 2 === 0), "half0.parquet")
+    writeHalf(raw.filter(col("event_id") % 2 === 1), "half1.parquet")
 
     val q1 = StreamingIngest.ingestDailyBars(spark, srcDir.toString,
-      target, cp1)
+      target, cp1, maxFilesPerTrigger = Some(1))
     q1.awaitTermination()
-    val expected = EventSeries.dailyBars(events).count()
-    assert(spark.read.parquet(target).count() == expected)
+    // two micro-batches actually ran
+    assert(new java.io.File(target).list()
+      .count(_.startsWith("batch_id=")) == 2)
+    val expected = EventSeries.dailyBars(events)
+    val bars1 = StreamingIngest.readDailyBars(spark, target)
+    assert(bars1.except(expected).count() == 0)
+    assert(expected.except(bars1).count() == 0)
 
+    // fresh checkpoint = reprocess from scratch: same end state
     val q2 = StreamingIngest.ingestDailyBars(spark, srcDir.toString,
       target, cp2)
     q2.awaitTermination()
-    assert(spark.read.parquet(target).count() == expected)
+    val bars2 = StreamingIngest.readDailyBars(spark, target)
+    assert(bars2.count() == expected.count())
+    assert(bars2.except(expected).count() == 0)
   }
 
   test("multimodal: payload decode preserves rows, emits valid typed " +
