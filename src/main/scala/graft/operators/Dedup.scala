@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
@@ -49,6 +49,15 @@ object Dedup {
         (0 until k).map(i => element_at(col("_sigs"), i + 1)
           .as(s"sig_$i")): _*)
 
+  /** Band-bucket key: md5 over "|"-joined parts via null-PROPAGATING
+    * concat. A doc with no shingles (null/empty/single-token text) has
+    * null signatures; concat_ws would silently skip them and give every
+    * such doc the same bucket in every band, clustering all degenerate
+    * docs as mutual duplicates. Null buckets are filtered by callers —
+    * degenerate docs are singletons, never candidates. */
+  private def bandBucket(prefix: Column, sigs: Seq[Column]): Column =
+    md5(sigs.foldLeft(prefix)((acc, s) => concat(acc, lit("|"), s)))
+
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band bucket become a candidate pair.
     * Pair generation is a self-join on the band key — shuffle by bucket,
@@ -61,9 +70,10 @@ object Dedup {
     val sigs = minhashSignatures(docs, k, n, textCol, idCol)
     val banded = sigs.select(col(idCol),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        md5(concat_ws("|", (b * r until (b + 1) * r)
-          .map(i => col(s"sig_$i")): _*)).as("bucket"))): _*)).as("bb"))
+        bandBucket(lit(b.toString), (b * r until (b + 1) * r)
+          .map(i => col(s"sig_$i"))).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .filter(col("bucket").isNotNull)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -89,19 +99,26 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, k, n, textCol, idCol)
+    // null buckets (shingle-less docs) never band: they stay singletons
     val banded = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b =>
-        md5(concat_ws("|", (lit(b.toString) +: (b * r until (b + 1) * r)
-          .map(i => col(s"sig_$i"))): _*))): _*)).as("bucket"))
-    var labels = banded.groupBy(col("id"))
-      .agg(min(col("id")).as("canonical")) // self-label start
+        bandBucket(lit(b.toString), (b * r until (b + 1) * r)
+          .map(i => col(s"sig_$i")))): _*)).as("bucket"))
+      .filter(col("bucket").isNotNull)
+    var labels = banded.select(col("id")).distinct()
+      .withColumn("canonical", col("id")) // self-label start
     for (_ <- 1 to iterations) {
       val bucketMin = banded.join(labels, Seq("id"))
         .groupBy(col("bucket")).agg(min(col("canonical")).as("bmin"))
       labels = banded.join(bucketMin, Seq("bucket"))
         .groupBy(col("id")).agg(min(col("bmin")).as("canonical"))
     }
-    labels.select(col("id").as(idCol), col("canonical"))
+    // singleton pass-through: docs that produced no band bucket
+    val singletons = sigs.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("canonical", col("id"))
+    labels.unionByName(singletons)
+      .select(col("id").as(idCol), col("canonical"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,

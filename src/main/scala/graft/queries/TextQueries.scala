@@ -283,7 +283,8 @@ object TextQueries {
               GROUP BY 1) bm2
               USING (bucket)
             GROUP BY 1)
-          SELECT doc_id, canonical FROM l2 ORDER BY doc_id"""),
+          SELECT s.doc_id, COALESCE(l2.canonical, s.doc_id) AS canonical
+          FROM sig s LEFT JOIN l2 USING (doc_id) ORDER BY s.doc_id"""),
     "q35_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),

@@ -57,6 +57,24 @@ class DedupSpec extends SparkSuite {
     assert(labels(4L) == 4L)          // unrelated doc stays canonical
   }
 
+  test("degenerate docs (null / empty / single-token text) are " +
+    "singletons, never clustered with each other") {
+    val degenerate = Seq(
+      (10L, base), (11L, base),      // a real dup cluster as control
+      (20L, null.asInstanceOf[String]),
+      (21L, ""),
+      (22L, "solo")                  // one token → no bigram shingles
+    ).toDF("doc_id", "text")
+    val labels = Dedup.minhashDedupGroups(degenerate, k = 8, bands = 4,
+        n = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 5)                       // every doc labeled
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(20L) == 20L && labels(21L) == 21L && labels(22L) == 22L)
+    val pairs = Dedup.minhashLshPairs(degenerate, k = 8, bands = 4, n = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)))               // no degenerate pairs
+  }
+
   test("simhash pairs exact and near duplicates within small hamming") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
