@@ -45,19 +45,28 @@ object Main {
     def path(t: String) = s"$warehouse/$t"
     def readOr(t: String, fallback: => DataFrame): DataFrame =
       try spark.read.parquet(path(t)) catch { case _: Throwable => fallback }
-    def write(df: DataFrame, t: String): Unit = {
-      // overwrite via temp-dir swap so a verb re-reading its own input
-      // (upsert pattern) never truncates the source mid-plan
-      val tmp = path(t + "__tmp")
-      df.write.mode("overwrite").parquet(tmp)
+    // Two-phase overwrite: STAGE materializes a frame to a __tmp dir
+    // (a real parquet write, so no plan re-reads the source afterwards),
+    // SWAP retires the old dir. Verbs stage every dependent output
+    // before swapping any input dir — a lazy plan over dir A must never
+    // execute after A has been swapped (cache() residency is not a
+    // correctness guarantee: eviction or executor loss would recompute
+    // against deleted files).
+    def stage(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(path(t + "__tmp"))
+    def swap(t: String): Unit = {
       val target = Paths.get(path(t))
-      if (Files.exists(target)) {
-        val old = Paths.get(path(t + "__old"))
-        Files.move(target, old)
-        Files.move(Paths.get(tmp), target)
+      val old = Paths.get(path(t + "__old"))
+      // a stale __old from a crashed prior run would fail the move
+      if (Files.exists(old))
         org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-      } else Files.move(Paths.get(tmp), target)
+      if (Files.exists(target)) {
+        Files.move(target, old)
+        Files.move(Paths.get(path(t + "__tmp")), target)
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      } else Files.move(Paths.get(path(t + "__tmp")), target)
     }
+    def write(df: DataFrame, t: String): Unit = { stage(df, t); swap(t) }
 
     verb match {
       case "backfill" =>
@@ -80,9 +89,11 @@ object Main {
                 "sentiment STRING, topic STRING"))))
         val (next, fact) = DailyEtlJob.step(state,
           Tables.events(spark, eventsDir), Enrichment.DeterministicProvider)
-        write(next.bars.cache(), "bars")
-        write(next.enrichments.cache(), "enrichments")
-        write(fact, "fact")
+        // stage ALL outputs (all plans read the pre-swap dirs), then swap
+        stage(next.bars, "bars")
+        stage(next.enrichments, "enrichments")
+        stage(fact, "fact")
+        Seq("bars", "enrichments", "fact").foreach(swap)
         println(s"[cli] run: bars=${spark.read.parquet(path("bars")).count()}")
 
       case "status" =>
@@ -120,7 +131,7 @@ object Main {
           modelVersion = "rf_v1")
         val existing = readOr("predictions", preds.limit(0))
         write(Writes.upsert(existing, preds,
-          Seq("user_id", "prediction_date", "model_version")).cache(),
+          Seq("user_id", "prediction_date", "model_version")),
           "predictions")
         println(s"[cli] ml-predict: " +
           s"${spark.read.parquet(path("predictions")).count()} rows")

@@ -33,10 +33,16 @@ object Indicators {
 
   /** RSI(period) (reference: ml/feature_engineering.py:32-40).
     * delta = diff(close); gain/loss = clamped positive/negative parts;
-    * rolling means use the pandas DEFAULT min_periods=period, so the first
-    * `period` rows are null (warm-up). pandas yields RSI=100 when
-    * avg_loss==0 (gain/0 → inf → 100-100/(1+inf)); we make that explicit
-    * instead of relying on float inf. */
+    * rolling means use the pandas DEFAULT min_periods=period, so the
+    * first `period-1` rows (0-based) are null and the first valid RSI is
+    * at row index period-1 — exactly pandas. Note the reference's
+    * `delta.where(delta > 0, 0)` CLAMPS the NaN first diff to 0 (NaN > 0
+    * is False in pandas), so `otherwise(0.0)` here is parity, not a
+    * deviation; the rolling count therefore includes the first row.
+    * Pinned against a precomputed pandas vector in IndicatorsSpec.
+    * pandas yields RSI=100 when avg_loss==0 (gain/0 → inf →
+    * 100-100/(1+inf)); we make that explicit instead of relying on
+    * float inf. */
   def rsi(close: Column, w: WindowSpec, period: Int = 14): Column = {
     val delta = diff(close, w)
     val gain = when(delta > 0, delta).otherwise(0.0)

@@ -40,6 +40,23 @@ class IndicatorsSpec extends SparkSuite {
     assert(out.drop(13).forall(_.exists(v => v >= 0 && v <= 100)))
   }
 
+  test("rsi matches a precomputed pandas vector cell-for-cell " +
+    "(diff → where-clamp → rolling(min_periods=period))") {
+    // pandas: prices.diff().where(delta>0,0).rolling(3).mean() etc. —
+    // the NaN first diff clamps to 0 under .where (NaN > 0 is False),
+    // so the first valid RSI is at 0-based index period-1 = 2
+    val prices = Seq(10.0, 11.0, 10.5, 12.0, 11.8, 12.2, 13.0, 12.5,
+      12.9, 13.4)
+    val expected = Seq(None, None, Some(66.6667), Some(83.3333),
+      Some(68.1818), Some(90.4762), Some(85.7143), Some(70.5882),
+      Some(70.5882), Some(64.2857))
+    val df = prices.zipWithIndex.map { case (p, i) => ("a", i, p) }
+      .toDF("k", "t", "close")
+    val out = df.withColumn("rsi", Indicators.rsi(col("close"), w, 3))
+      .orderBy("t").select("rsi").as[Option[Double]].collect().toSeq
+    assert(out == expected)
+  }
+
   test("rsi is 100 when there are no losses") {
     val rising = (1 to 20).map(t => ("a", t, t.toDouble)).toDF("k", "t", "close")
     val out = rising.withColumn("rsi", Indicators.rsi(col("close"), w, 14))

@@ -3,9 +3,11 @@
 
 Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`: loads each query's
 parquet result, runs its oracle SQL in DuckDB over the same fixture tables,
-sorts columns by name and rows by all columns, and compares values exactly
-(with a small float tolerance reported separately so rounding-boundary risks
-are visible before the driver's hash compare).
+sorts columns by name and rows by all columns, and compares values EXACTLY —
+no float tolerance, deliberately mirroring the driver's hash compare (a
+rounding-boundary miss here would also miss there). Queries without an
+oracle pass as "rows-only" only when they return rows: the driver's gate is
+rows > 0, so an empty rows-only result fails the exit code.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
@@ -111,7 +113,8 @@ def main():
 
     width = max(len(n) for n in results) if results else 10
     n_ok = sum(1 for v in results.values()
-               if v.startswith("OK") or v.startswith("rows-only"))
+               if v.startswith("OK")
+               or (v.startswith("rows-only") and "EMPTY" not in v))
     for name in sorted(results):
         print(f"{name:<{width}}  {results[name]}")
     print(f"\n{n_ok}/{len(results)} passing")
