@@ -113,23 +113,13 @@ object TextFns {
     array_min(transform(shingleCol,
       s => md5(concat(lit(seed.toString), lit("|"), s))))
 
-  /** 64-bit SimHash: for each bit position, sum +1/-1 votes from each
-    * distinct token's xxhash64, set the bit if the vote is positive
-    * (Charikar 2002). Pure expressions, Spark-side only (no oracle twin —
-    * xxhash64 is engine-specific). The signed-long result is the usual
-    * 64-bit pattern; near-dups are clustered by Hamming distance on it. */
-  def simhash64(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(toks, lit(0), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), 63 - j)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      // j=0 is the sign bit: adding 1L<<63 == Long.MinValue still yields
-      // the correct signed reinterpretation of the bit pattern
-      when(vote > 0, lit(1L << (63 - j))).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** 64-bit SimHash over distinct tokens (Charikar 2002), as one fused
+    * native expression: per-token hash = first 64 bits of md5 (engine-
+    * portable — the DuckDB oracle reproduces it from the md5 hex), bit
+    * votes summed in a single pass. Null text → null; empty token set →
+    * 0L. Near-dups are clustered by Hamming distance on the result. */
+  def simhash64(text: Column): Column =
+    graft.plans.SimHashExpressions.simhash64(array_distinct(tokens(text)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

@@ -91,14 +91,15 @@ object TextQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // SimHash fingerprints (Spark-side scale path; no oracle —
-    // xxhash64-based). Pairing is covered by DedupSpec unit tests.
+    // SimHash fingerprints — md5-based native expression, exact DuckDB
+    // twin (bit votes recomputed from the md5 hex halves in SQL)
     "q38_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           TextFns.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // MinHash-LSH candidate pairs (banded bucketing; no oracle)
+    // MinHash-LSH candidate pairs (banded bucketing; exact oracle —
+    // the band join is reproduced on the raw signature pairs in SQL)
     "q39_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), k = 8, bands = 4, n = 1)
         .orderBy(col("id_a"), col("id_b"))),
@@ -114,7 +115,10 @@ object TextQueries {
           col("height").cast("long").as("height"))
         .orderBy(col("doc_id"))),
 
-    // random-hyperplane LSH bucketed cosine pairs (ANN scale path)
+    // random-hyperplane LSH bucketed cosine pairs (ANN scale path).
+    // Oracle: the hyperplanes are deterministic (seeded), so their
+    // literals are inlined into the generated SQL — same buckets, same
+    // pairs, same double-precision cosine.
     "q40_lsh_cosine_pairs" -> ((s, d) =>
       Similarity.cosineSelfPairs(Tables.embeddings(s, d), 0.3,
           planesPerBand = 6, bands = 8)
@@ -137,7 +141,85 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** q38 oracle: SimHash64 semantics replayed in SQL — per-token 64-bit
+    * hash from the md5 hex halves, +1/-1 votes per bit, positive-vote
+    * bits summed as a signed 64-bit pattern (the j=0 term is 1L<<63 ==
+    * Long.MinValue, printed negative; partial sums cannot overflow). */
+  private val simhashOracle: String = TOKS + """
+     , sh AS (SELECT doc_id, list_distinct(w) AS toks FROM t),
+       h AS (SELECT doc_id, CASE WHEN toks IS NULL THEN NULL ELSE
+               list_transform(toks, s ->
+                 [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
+                  CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)])
+             END AS hs FROM sh)
+     SELECT doc_id, CASE WHEN hs IS NULL THEN NULL ELSE """ +
+    (0 until 64).map { j =>
+      val bit =
+        if (j < 32) s"(x[1] >> ${31 - j}) & 1"
+        else s"(x[2] >> ${63 - j}) & 1"
+      s"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ($bit) = 1" +
+        s" THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << (63 - j)} AS BIGINT)" +
+        " ELSE 0 END"
+    }.mkString("\n       + ") + """
+     END AS simhash FROM h ORDER BY doc_id"""
+
+  /** q39 oracle: 8 md5-seeded minhash signatures over unigram shingles,
+    * 4 bands of 2 rows; docs sharing a band's signature pair are
+    * candidates (NULL signatures drop out of the equijoin — singleton
+    * semantics, same as the Spark side's null-bucket filter). */
+  private val minhashLshPairsOracle: String = TOKS + """
+     , sh AS (SELECT doc_id, list_distinct(w) AS sh FROM t),
+       sig AS (SELECT doc_id, """ +
+    (0 until 8).map(i =>
+      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min')" +
+        s" AS s$i").mkString(",\n         ") + """
+       FROM sh),
+       banded AS (
+         """ + (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1}" +
+        " AS bucket FROM sig").mkString("\n         UNION ALL ") + """)
+     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS n_shared_bands
+     FROM banded a JOIN banded b
+       ON a.band = b.band AND a.bucket = b.bucket
+      AND a.doc_id < b.doc_id
+     GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q40 oracle: the seeded hyperplanes are deterministic, so their
+    * double literals are inlined (Double.toString round-trips exactly);
+    * bucket = sign-bit sum of plane dot products, pairs verified with
+    * double-precision cosine — the same algebra as Similarity
+    * .cosineSelfPairs(threshold=0.3, planesPerBand=6, bands=8). */
+  private val lshCosineOracle: String = {
+    val bandSelects = (0 until 8).map { bnd =>
+      val planes = Similarity.hyperplanes(6, 64, seed = 42L + bnd)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1L << i}" +
+          " ELSE 0 END"
+      }.mkString("\n           + ")
+      s"SELECT vec_id, $bnd AS band,\n           $bucket AS bucket FROM v"
+    }
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       banded AS (
+         """ + bandSelects.mkString("\n         UNION ALL\n         ") + """),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id)
+     SELECT c.id_a, c.id_b,
+            round(list_cosine_similarity(va.e, vb.e), 4) AS sim
+     FROM cand c JOIN v va ON va.vec_id = c.id_a
+                 JOIN v vb ON vb.vec_id = c.id_b
+     WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= 0.3
+     ORDER BY 1, 2"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q38_simhash" -> simhashOracle,
+    "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "q40_lsh_cosine_pairs" -> lshCosineOracle,
     "q28_token_stats" -> (TOKS +
       """ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
             CAST(length(text) AS BIGINT) AS n_chars_measured,
