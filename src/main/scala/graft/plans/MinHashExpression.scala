@@ -29,12 +29,38 @@ case class MinHashSignatures(child: Expression, k: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Unsigned lexicographic byte order == hex-string order, so minima
+    * are tracked on raw 16-byte digests and hex-encoded only once at
+    * the end — no per-hash String/char[] allocation in the hot loop. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def toHex(digest: Array[Byte]): String = {
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(b * 2) = hexDigits((digest(b) >> 4) & 0xf)
+      hex(b * 2 + 1) = hexDigits(digest(b) & 0xf)
+      b += 1
+    }
+    new String(hex)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = Array.fill[String](k)(null)
+    val mins = Array.ofDim[Array[Byte]](k)
     val md = MessageDigest.getInstance("MD5")
     val prefixes = Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+    val scratch = new Array[Byte](16)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
@@ -44,23 +70,16 @@ case class MinHashSignatures(child: Expression, k: Int)
           md.reset()
           md.update(prefixes(i))
           md.update(shingle)
-          val digest = md.digest()
-          val hex = new Array[Char](32)
-          var b = 0
-          while (b < 16) {
-            hex(b * 2) = hexDigits((digest(b) >> 4) & 0xf)
-            hex(b * 2 + 1) = hexDigits(digest(b) & 0xf)
-            b += 1
-          }
-          val h = new String(hex)
-          if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+          md.digest(scratch, 0, 16) // in-place: allocate only on new min
+          if (mins(i) == null || unsignedLess(scratch, mins(i)))
+            mins(i) = scratch.clone()
           i += 1
         }
       }
       j += 1
     }
     new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(m)))
+      if (m == null) null else UTF8String.fromString(toHex(m))))
   }
 
   override protected def withNewChildInternal(
