@@ -88,6 +88,22 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, symbol runs
+    * (whitespace dropped) — the GPT-2 pre-tokenizer shape reduced to an
+    * engine-portable character-class regex (no lookahead, explicit ASCII
+    * classes, so Java regex and RE2 agree). */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Order-sensitive rolling-hash fingerprint (h·31+cp mod 2³¹−1 over
+    * codepoints) — the streaming/positional complement to [[fingerprint]]
+    * (which is order-free). Native one-pass expression; the DuckDB twin
+    * replays the recurrence with list_reduce. */
+  def rollingFingerprint(text: Column): Column =
+    graft.plans.RollingHashExpressions.rollingHash(text)
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input set.
     *
     * Built by zipping the token array against its k-shifted slices —

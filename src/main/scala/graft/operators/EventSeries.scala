@@ -108,6 +108,33 @@ object EventSeries {
         lower(col("event_type")).as("sentiment"), col("n").as("n_events"))
   }
 
+  /** Batch sessionization: a session breaks when the gap from the
+    * previous event of the same user exceeds `gapMinutes`. LAG → break
+    * flag → running sum (= session index) → per-session aggregates.
+    * One shuffle on user_id; the window and the final aggregation share
+    * that partitioning. Timestamps are emitted as epoch microseconds
+    * (exact integers cross-engine); the value sum goes through
+    * decimal(18,2) so it is order-independent and oracle-exact. */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val prevUs = lag(us, 1).over(w)
+    val brk = when(prevUs.isNull ||
+      us - prevUs > gapMinutes * 60L * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("_brk", brk)
+      .withColumn("session_id", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(us).as("start_us"),
+        max(us).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Fact model: staged prices ⟕ enrichment on (user_id, date) + move
     * category (reference: dbt_project/models/marts/fct_prices_with_grok
     * .sql:3-24). The enrichment side is per-(key,day) — small relative to

@@ -202,6 +202,15 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // gap-based sessionization: LAG → break flag → running sum →
+    // per-session aggregates; epoch-micro bounds + decimal value sum
+    // keep it oracle-exact. The streaming twin (flatMapGroupsWithState,
+    // graft.streaming.Sessionize) is equivalence-tested in PipelineSpec.
+    "q62_sessions" -> ((s, d) =>
+      graft.operators.EventSeries.sessions(Tables.events(s, d),
+          gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // Structured Streaming: the daily aggregation executed as an
     // availableNow stream (file source → windowed agg → memory sink).
     // The decimal sum is exact, so the batch oracle matches bit-for-bit.
@@ -422,6 +431,29 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
+    "q62_sessions" ->
+      """WITH l AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT *, CASE WHEN prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             THEN 1 ELSE 0 END AS brk
+           FROM l),
+         s AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+           FROM b)
+         SELECT user_id, session_id,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q52_stream_daily_counts" ->
       """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
          count(*) AS n_events,

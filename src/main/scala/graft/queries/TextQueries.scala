@@ -131,6 +131,30 @@ object TextQueries {
           n = 2, iterations = 2)
         .orderBy(col("doc_id"))),
 
+    // BPE-ish regex pre-tokenization stats (letter/digit/symbol runs).
+    // Two-step select: the extraction is materialized once, then the
+    // four consumers read the bound column (CollapseProject keeps
+    // non-cheap expressions out of multi-consumer inlining).
+    "q60_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.bpePieces(col("text")).as("_p"))
+        .select(col("doc_id"),
+          size(col("_p")).cast("long").as("n_pieces"),
+          size(filter(col("_p"), x => x.rlike("^[A-Za-z]"))).cast("long")
+            .as("n_word"),
+          size(filter(col("_p"), x => x.rlike("^[0-9]"))).cast("long")
+            .as("n_num"),
+          round(aggregate(col("_p"), lit(0), (a, x) => a + length(x))
+            .cast("double") / nullif(size(col("_p")), lit(0)), 4)
+            .as("mean_piece_len"))
+        .orderBy(col("doc_id"))),
+
+    // order-sensitive rolling-hash fingerprint (native expression)
+    "q61_rolling_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.rollingFingerprint(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))),
+
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
     // approximate scale path otherwise — no SQL oracle, SimilaritySpec
     // pins the exactness property)
@@ -217,6 +241,29 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q60_bpe_tokens" ->
+      """WITH p AS (
+           SELECT doc_id,
+             regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS p
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(p) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(p, x -> regexp_matches(x, '^[A-Za-z]')))
+             AS BIGINT) AS n_word,
+           CAST(len(list_filter(p, x -> regexp_matches(x, '^[0-9]')))
+             AS BIGINT) AS n_num,
+           round(CAST(list_aggregate(list_transform(p, x -> length(x)),
+             'sum') AS DOUBLE) / nullif(len(p), 0), 4) AS mean_piece_len
+         FROM p ORDER BY doc_id""",
+    "q61_rolling_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '.'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 2147483647) AS fp64
+         FROM documents ORDER BY doc_id""",
     "q38_simhash" -> simhashOracle,
     "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
     "q40_lsh_cosine_pairs" -> lshCosineOracle,

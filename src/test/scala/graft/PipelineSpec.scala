@@ -73,6 +73,58 @@ class PipelineSpec extends SparkSuite {
     assert(bars2.except(expected).count() == 0)
   }
 
+  test("streaming sessionize (flatMapGroupsWithState) closes exactly " +
+    "the batch operator's sessions, leaving at most one open tail per " +
+    "user") {
+    import graft.streaming.Sessionize
+    val cp = Files.createTempDirectory("graft_sess_cp").toString
+    // two micro-batches split at the median TIMESTAMP (streams deliver
+    // roughly in event-time order; an out-of-order split would make
+    // whole batches late under the watermark) — sessions crossing the
+    // midpoint span both batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    val srcDir = Files.createTempDirectory("graft_sess_src")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, srcDir.resolve(name))
+    }
+    writeHalf(raw.filter(col("ts") <= mid), "half0.parquet")
+    writeHalf(raw.filter(col("ts") > mid), "half1.parquet")
+
+    val sessions = Sessionize.sessionize(
+      StreamingIngest.readEvents(spark, srcDir.toString,
+        maxFilesPerTrigger = Some(1)), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val cols = Seq("user_id", "start_us", "end_us", "n_events", "sum_value")
+    val streamed = spark.table("sess_out").select(cols.map(col): _*)
+    val batch = EventSeries.sessions(events, gapMinutes = 30)
+      .select(cols.map(col): _*)
+
+    // every emitted session is a batch session, bit-for-bit
+    assert(streamed.except(batch).count() == 0)
+    // whatever is missing is only the (possibly still-open) LAST
+    // session of a user — never an interior one
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max(col("end_us")).as("end_us"))
+    val missing = batch.except(streamed)
+    assert(missing.join(lastPerUser, Seq("user_id", "end_us"), "left_anti")
+      .count() == 0)
+    // and the stream did close the overwhelming majority
+    assert(streamed.count() > 0)
+    assert(missing.count() <= lastPerUser.count())
+  }
+
   test("multimodal: payload decode preserves rows, emits valid typed " +
     "features, frame sampling explodes deterministically") {
     val media = Multimodal.asMedia(

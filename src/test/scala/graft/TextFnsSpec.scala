@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bpePieces splits letter/digit/symbol runs and drops whitespace") {
+    val out = Seq("Hello, world 42 don't x9y!!").toDF("text")
+      .select(TextFns.bpePieces(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("Hello", ",", "world", "42", "don", "'", "t",
+      "x", "9", "y", "!!"))
+  }
+
+  test("rollingFingerprint matches the closed-form recurrence, is " +
+    "order-sensitive, and hashes empty to 0") {
+    val out = Seq("ab", "ba", "").toDF("text")
+      .select(TextFns.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(out(0) == 97L * 31 + 98) // ((0·31+97) mod M)·31 + 98
+    assert(out(1) == 98L * 31 + 97)
+    assert(out(0) != out(1)) // positional, unlike fingerprint()
+    assert(out(2) == 0L)
+  }
+
+  test("rollingFingerprint stays under the 2^31-1 modulus on long text") {
+    val long = Seq(("x" * 10000)).toDF("text")
+      .select(TextFns.rollingFingerprint(col("text"))).as[Long].head()
+    assert(long >= 0L && long < 2147483647L)
+  }
+}
