@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Price-feed ingestion (SURVEY §2.1 S1/S2): the reference fetches OHLCV
+  * for N tickers from yfinance as a WIDE multi-index frame (one row per
+  * date, one column group per ticker) and normalizes to long rows at
+  * insert (airflow/dags/stock_grok_pipeline.py:67-121,
+  * backfill.py:57-93). The engine ingests equivalent fixtures through
+  * this trait, so a live fetcher slots in without touching the pipeline.
+  *
+  * The wide→long unpivot is a single generate (`stack`) over the column
+  * groups — no shuffle, fully pipelined with the scan, and column
+  * pruning still reaches the source (only referenced ticker groups are
+  * read).
+  */
+trait PriceSource {
+  /** Normalized long frame: (ticker, date, open, high, low, close,
+    * volume) — the raw.stock_prices shape (init.sql:4-15). */
+  def fetch(spark: SparkSession): DataFrame
+}
+
+object PriceSource {
+
+  val longSchema: StructType = StructType.fromDDL(
+    "ticker STRING, date DATE, open DOUBLE, high DOUBLE, low DOUBLE, " +
+      "close DOUBLE, volume BIGINT")
+
+  private val fields = Seq("open", "high", "low", "close", "volume")
+
+  /** Wide yfinance-shaped frame (date + `<ticker>_<field>` column
+    * groups) → normalized long rows via stack(). */
+  def unpivotWide(wide: DataFrame, tickers: Seq[String]): DataFrame = {
+    require(tickers.nonEmpty, "tickers must be non-empty")
+    val groups = tickers.map { t =>
+      (s"'$t'" +: fields.map(f => s"`${t}_$f`")).mkString(", ")
+    }.mkString(", ")
+    wide.selectExpr("date",
+        s"stack(${tickers.size}, $groups) AS " +
+          s"(ticker, ${fields.mkString(", ")})")
+      .select(col("ticker"), col("date"), col("open"), col("high"),
+        col("low"), col("close"), col("volume").cast("long").as("volume"))
+      // bulk feeds deliver NaN/null rows for non-trading days per ticker;
+      // the reference skips them at insert (stock_grok_pipeline.py:92-96)
+      .filter(col("close").isNotNull && !isnan(col("close")))
+  }
+
+  /** CSV fixture feed: a wide CSV (header `date,<t>_open,...`) read with
+    * an explicit schema — the batch-download stand-in. */
+  final case class WideCsv(path: String, tickers: Seq[String])
+    extends PriceSource {
+    override def fetch(spark: SparkSession): DataFrame = {
+      val wideSchema = StructType.fromDDL(("date DATE" +: tickers.flatMap(
+        t => fields.map(f =>
+          if (f == "volume") s"${t}_$f BIGINT" else s"${t}_$f DOUBLE"))
+        .toSeq).mkString(", "))
+      unpivotWide(
+        spark.read.schema(wideSchema).option("header", "true").csv(path),
+        tickers)
+    }
+  }
+
+  /** Parquet fixture feed with the long schema already — pass-through
+    * with schema enforcement. */
+  final case class LongParquet(path: String) extends PriceSource {
+    override def fetch(spark: SparkSession): DataFrame =
+      spark.read.parquet(path).select(
+        longSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.PriceSource
+
+class PriceSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val tickers = Seq("AAA", "BBB")
+
+  test("unpivotWide stacks ticker column groups into long rows and " +
+    "drops non-trading (null/NaN) cells") {
+    val wide = Seq(
+      ("2024-01-02", 10.0, 11.0, 9.0, 10.5, 100L,
+        20.0, 21.0, 19.0, 20.5, 200L),
+      ("2024-01-03", 10.5, 12.0, 10.0, 11.5, 110L,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0L))
+      .toDF("d", "AAA_open", "AAA_high", "AAA_low", "AAA_close",
+        "AAA_volume", "BBB_open", "BBB_high", "BBB_low", "BBB_close",
+        "BBB_volume")
+      .withColumn("date", to_date(col("d"))).drop("d")
+    val long = PriceSource.unpivotWide(wide, tickers)
+    assert(long.columns.toSeq ==
+      Seq("ticker", "date", "open", "high", "low", "close", "volume"))
+    assert(long.count() == 3) // BBB 01-03 NaN row dropped
+    val aaa = long.filter(col("ticker") === "AAA" &&
+      col("date") === "2024-01-02").head()
+    assert(aaa.getDouble(2) == 10.0 && aaa.getDouble(5) == 10.5 &&
+      aaa.getLong(6) == 100L)
+    // the unpivot is generate-only: no exchange in the plan
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("WideCsv source round-trips a wide CSV fixture into the " +
+    "normalized long schema") {
+    val dir = Files.createTempDirectory("graft_prices").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "prices.csv"),
+      """date,AAA_open,AAA_high,AAA_low,AAA_close,AAA_volume,BBB_open,BBB_high,BBB_low,BBB_close,BBB_volume
+        |2024-01-02,10.0,11.0,9.0,10.5,100,20.0,21.0,19.0,20.5,200
+        |2024-01-03,10.5,12.0,10.0,11.5,110,,,,,
+        |""".stripMargin)
+    val long = PriceSource.WideCsv(s"$dir/prices.csv", tickers)
+      .fetch(spark)
+    assert(long.schema.fieldNames.toSeq ==
+      PriceSource.longSchema.fieldNames.toSeq)
+    assert(long.count() == 3)
+    assert(long.filter(col("ticker") === "BBB").count() == 1)
+  }
+}
