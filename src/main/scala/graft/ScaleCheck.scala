@@ -63,6 +63,7 @@ object ScaleCheck {
     time("ml_features", n) {
       sink(graft.ml.FeatureEngineering(EventSeries.dailyBars(events)))
     }
+    time("sessions_gap30", n) { sink(EventSeries.sessions(events, 30)) }
     events.unpersist()
 
     val emb = inflate(Tables.embeddings(spark, sfDir), "vec_id",
@@ -86,6 +87,14 @@ object ScaleCheck {
     }
     time("minhash_lsh_pairs", nd) {
       sink(Dedup.minhashLshPairs(docs, k = 8, bands = 4, n = 2))
+    }
+    time("simhash64", nd) {
+      sink(docs.select(col("doc_id"),
+        graft.functions.TextFns.simhash64(col("text"))))
+    }
+    time("rolling_fingerprint", nd) {
+      sink(docs.select(col("doc_id"),
+        graft.functions.TextFns.rollingFingerprint(col("text"))))
     }
     docs.unpersist()
     spark.stop()

@@ -17,6 +17,16 @@ class BucketingSpec extends SparkSuite {
     val dir = "/root/testdata/sf0.001"
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
+    // the in-memory catalog is fresh per JVM but table DIRECTORIES
+    // survive in spark-warehouse/ — clear both or the create fails with
+    // LOCATION_ALREADY_EXISTS on re-runs
+    Seq("b_customer", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     Bucketing.writeBucketed(customer, "b_customer", "c_custkey", 4)
     Bucketing.writeBucketed(
       orders.withColumnRenamed("o_custkey", "c_custkey"),

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regression pins: the properties that make the queries
+  * scale (column pruning into the parquet scan, predicate pushdown,
+  * broadcast of small dims) are asserted on the PLAN, not inferred from
+  * timings — a refactor that silently drops one fails here long before
+  * it shows up at 100 TB.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01 scan is pruned to the four referenced lineitem columns") {
+    val p = plan("q01_global_agg")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") &&
+      readSchema.contains("l_extendedprice") &&
+      readSchema.contains("l_suppkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_comment") &&
+      !readSchema.contains("l_orderkey"))
+  }
+
+  test("q51 pushes its predicates into the parquet scan") {
+    val p = plan("q51_filter_combo")
+    assert(p.contains("PushedFilters: ["))
+    val pushed = p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.length > "PushedFilters: []".length + 10,
+      s"expected non-empty pushdown, got: $pushed")
+  }
+
+  test("q26 pushes the cheap null guard to the scan and evaluates " +
+    "from_json exactly once") {
+    val p = plan("q26_json_extract")
+    assert(p.contains("PushedFilters: [IsNotNull(props)"))
+    assert(p.linesIterator.count(_.contains("from_json")) <= 1)
+  }
+
+  test("q06 broadcasts both dimension sides of the 3-way join") {
+    val p = plan("q06_join3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q18's enrichment side is broadcast, never shuffled into a " +
+    "sort-merge join") {
+    val p = plan("q18_fact_sentiment")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
