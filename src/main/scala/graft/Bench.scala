@@ -33,10 +33,16 @@ object Bench {
     // cluster scale the trade inverts (real shuffles need cpus×executors
     // partitions and runtime skew/coalesce handling), so production
     // sessions keep AQE on; both knobs stay env-overridable.
+    // The default partition count grows with the fixture size (~64 MB
+    // per shuffle partition, floor 4) so larger SFs don't serialize.
+    val dataBytes = Tables.names.map(n =>
+      new java.io.File(s"$sfDir/$n.parquet").length).sum
+    val defaultParts =
+      math.min(256L, math.max(4L, dataBytes / (64L << 20))).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_PARTS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", defaultParts))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",

@@ -85,8 +85,15 @@ object ScaleCheck {
     time("minhash_signatures", nd) {
       sink(Dedup.minhashSignatures(docs, k = 8, n = 2))
     }
+    // the pair/label contrast: inflation makes every doc a member of a
+    // 32-copy duplicate cluster, so PAIR enumeration is quadratic in
+    // cluster size while GROUP labeling stays linear — the reason
+    // minhashDedupGroups is the scale path (Dedup scaladoc)
     time("minhash_lsh_pairs", nd) {
       sink(Dedup.minhashLshPairs(docs, k = 8, bands = 4, n = 2))
+    }
+    time("minhash_dedup_groups", nd) {
+      sink(Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2))
     }
     time("simhash64", nd) {
       sink(docs.select(col("doc_id"),
