@@ -155,6 +155,22 @@ object TextQueries {
           TextFns.rollingFingerprint(col("text")).as("fp64"))
         .orderBy(col("doc_id"))),
 
+    // Exact interpolated percentiles per (lang, source) — corpus length
+    // profiling for quality filtering. Exercises the spark.sql() surface
+    // over a registered view (the rest of the inventory uses the
+    // DataFrame API); Spark `percentile` and DuckDB `quantile_cont`
+    // share the linear-interpolation definition, so 4dp rounding is
+    // hash-exact.
+    "q63_char_percentiles" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT lang, source, count(*) AS n_docs,
+          CAST(min(n_chars) AS BIGINT) AS min_chars,
+          round(percentile(n_chars, 0.5), 4) AS p50_chars,
+          round(percentile(n_chars, 0.9), 4) AS p90_chars,
+          CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents_v GROUP BY lang, source ORDER BY lang, source""")
+    }),
+
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
     // approximate scale path otherwise — no SQL oracle, SimilaritySpec
     // pins the exactness property)
@@ -241,6 +257,13 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q63_char_percentiles" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q60_bpe_tokens" ->
       """WITH p AS (
            SELECT doc_id,
