@@ -211,6 +211,24 @@ object SeriesQueries {
           gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // binned range join: events attributed back to the session window
+    // containing them (self-validating: n_in_window == the session's
+    // n_events). The bin width matches the gap, so interval fan-out
+    // stays ~2x and no per-key cartesian forms.
+    "q64_session_attribution" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val sess = graft.operators.EventSeries.sessions(events, 30)
+        .select(col("user_id"), col("session_id"), col("start_us"),
+          col("end_us"))
+      val probe = events.select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.operators.RangeJoin.joinRange(probe, sess, Seq("user_id"),
+          "ts_us", "start_us", "end_us", binWidth = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"), col("start_us"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Structured Streaming: the daily aggregation executed as an
     // availableNow stream (file source → windowed agg → memory sink).
     // The decimal sum is exact, so the batch oracle matches bit-for-bit.
@@ -249,6 +267,33 @@ object SeriesQueries {
             .getField("k").cast("long")
             .as("k"))
         .orderBy(col("event_id"))))
+
+  /** Gap-30min sessionization CTE shared by q62 (the sessions
+    * themselves) and q64 (range-join attribution back onto them). */
+  private val SESSIONS_CTE =
+    """WITH l AS (
+         SELECT user_id, event_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+         FROM events),
+       b AS (
+         SELECT *, CASE WHEN prev IS NULL
+             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+           THEN 1 ELSE 0 END AS brk
+         FROM l),
+       s AS (
+         SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+         FROM b),
+       sess AS (
+         SELECT user_id, session_id,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM s GROUP BY 1, 2)"""
 
   val oracle: Map[String, String] = Map(
     "q10_daily_bars" -> (BARS +
@@ -431,29 +476,16 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
-    "q62_sessions" ->
-      """WITH l AS (
-           SELECT user_id, event_id, ts, value,
-                  lag(ts) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS prev
-           FROM events),
-         b AS (
-           SELECT *, CASE WHEN prev IS NULL
-               OR epoch_us(ts) - epoch_us(prev) > 1800000000
-             THEN 1 ELSE 0 END AS brk
-           FROM l),
-         s AS (
-           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS session_id
-           FROM b)
-         SELECT user_id, session_id,
-                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
-                CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
-                count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_value
-         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q62_sessions" -> (SESSIONS_CTE + """
+         SELECT user_id, session_id, start_us, end_us, n_events,
+                sum_value
+         FROM sess ORDER BY 1, 2"""),
+    "q64_session_attribution" -> (SESSIONS_CTE + """
+         SELECT se.user_id, se.session_id, se.start_us,
+                count(*) AS n_in_window
+         FROM sess se JOIN events e ON e.user_id = se.user_id
+           AND epoch_us(e.ts) BETWEEN se.start_us AND se.end_us
+         GROUP BY 1, 2, 3 ORDER BY 1, 2"""),
     "q52_stream_daily_counts" ->
       """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
          count(*) AS n_events,
