@@ -171,6 +171,16 @@ object TextQueries {
         FROM documents_v GROUP BY lang, source ORDER BY lang, source""")
     }),
 
+    // deterministic hash split: stable, nested, engine-portable — the
+    // reproducible corpus train/val/test assignment
+    "q65_hash_split" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id"))
+            .as("bucket"),
+          graft.operators.Sampling.assignSplit(col("doc_id"))
+            .as("split"))
+        .orderBy(col("doc_id"))),
+
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
     // approximate scale path otherwise — no SQL oracle, SimilaritySpec
     // pins the exactness property)
@@ -257,6 +267,17 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q65_hash_split" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket % 100 < 80 THEN 'train'
+                WHEN bucket % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "q63_char_percentiles" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
