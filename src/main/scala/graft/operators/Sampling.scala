@@ -29,6 +29,23 @@ object Sampling {
       math.round(fraction * 4294967296.0))
   }
 
+  /** Keep at most `k` rows per group, chosen deterministically by hash
+    * order (bucket, then key as tiebreak) — the "cap documents per
+    * domain" downsampling a pretraining mix needs. Hash order makes the
+    * kept set stable across runs AND nested in `k`: capPerGroup(10) ⊂
+    * capPerGroup(100) for the same group. One shuffle on the group key;
+    * rank-within-group never materializes more than the group's rows on
+    * a reducer (pair with salting if a single group is genuinely hot). */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** train/val/test label from the bucket's percent residue — the
     * reproducible split a training pipeline needs (chronological splits
     * live in graft.ml.ChronoSplit; this is the i.i.d. variant). */

@@ -181,6 +181,14 @@ object TextQueries {
             .as("split"))
         .orderBy(col("doc_id"))),
 
+    // per-source downsampling cap: ≤10 docs per source, picked by hash
+    // order — deterministic, nested in k, one shuffle on the group key
+    "q66_source_cap" -> ((s, d) =>
+      graft.operators.Sampling.capPerGroup(
+          Tables.documents(s, d).select("doc_id", "source"),
+          groupCol = "source", keyCol = "doc_id", k = 10)
+        .orderBy(col("doc_id"))),
+
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
     // approximate scale path otherwise — no SQL oracle, SimilaritySpec
     // pins the exactness property)
@@ -267,6 +275,15 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q66_source_cap" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source FROM h WHERE rk <= 10
+         ORDER BY doc_id""",
     "q65_hash_split" ->
       """WITH h AS (
            SELECT doc_id,

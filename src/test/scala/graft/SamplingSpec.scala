@@ -29,6 +29,23 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(large.size / n - 0.6) < 0.08)
   }
 
+  test("capPerGroup keeps at most k per group, deterministically, and " +
+    "smaller caps nest inside larger ones") {
+    val base = docs.select("doc_id", "source")
+    val cap10 = Sampling.capPerGroup(base, "source", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val cap10b = Sampling.capPerGroup(base.repartition(5), "source",
+        "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val cap50 = Sampling.capPerGroup(base, "source", "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cap10 == cap10b)
+    assert(cap10.subsetOf(cap50))
+    val perGroup = Sampling.capPerGroup(base, "source", "doc_id", 10)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_._2 <= 10))
+  }
+
   test("assignSplit partitions every row into exactly one of " +
     "train/val/test with roughly the requested proportions") {
     val split = docs.select(col("doc_id"),
