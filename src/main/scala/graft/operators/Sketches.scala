@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates — the 100 TB path for distinct counts and
+  * quantiles.
+  *
+  * Exact `count(distinct x)` shuffles every distinct value to a
+  * reducer; exact `percentile` collects every value per group. Both
+  * have state proportional to the data. Sketches replace that with
+  * FIXED-SIZE mergeable state (HLL registers, KLL/GK summaries), so the
+  * aggregation is a map-side partial + one small shuffle regardless of
+  * cardinality — the only shape that survives a 100 TB distinct-URL or
+  * length-distribution profile.
+  *
+  * Error contracts (pinned by SketchesSpec against the exact answers):
+  * - `approxDistinct`: HyperLogLog++ relative standard deviation `rsd`
+  *   (default 2.5%; Spark caps rsd ≥ 0.4% ≈ 32KB of registers).
+  * - `approxQuantiles`: `percentile_approx(accuracy)` rank error
+  *   ≤ 1/accuracy of the row count.
+  *
+  * The SQL-surface twin for EXACT distinct/percentile profiling already
+  * exists (q03/q63); these are the drop-in approximate replacements, so
+  * they're exposed through `queries()` rows-only (a cross-engine hash
+  * oracle would pin two engines' sketch internals, not semantics).
+  */
+object Sketches {
+
+  /** Per-group HLL++ distinct-count profile of `valueCol`. */
+  def distinctProfile(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, rsd: Double = 0.025): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd)
+        .as(s"approx_distinct_$valueCol"))
+
+  /** Per-group approximate quantiles of `valueCol` at the given
+    * probabilities; rank error ≤ n/accuracy. */
+  def quantileProfile(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, probs: Seq[Double],
+                      accuracy: Int = 10000): DataFrame = {
+    val pArr = array(probs.map(lit): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol), pArr, lit(accuracy))
+        .as(s"approx_q_$valueCol"))
+  }
+
+  /** One-pass corpus profile: distinct sketches + quantile summaries for
+    * several columns in a single aggregation (one shuffle total). */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("source"), 0.01).as("nd_sources"),
+        approx_count_distinct(col("doc_id"), 0.01).as("nd_docs"),
+        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("chars_q50_q90"))
+}

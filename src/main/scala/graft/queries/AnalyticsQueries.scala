@@ -127,9 +127,34 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("is_correct")).cast("long").as("n_correct"))
         .orderBy(col("user_id"))
-    }))
+    }),
+
+    // Multi-level aggregation in ONE pass: rollup (lang, source) →
+    // per-source, per-lang, and grand-total rows from a single shuffle
+    // instead of three scans+unions — the hierarchy-profile shape a
+    // corpus dashboard needs at 100 TB.
+    "q68_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          (grouping(col("lang")) * 2 + grouping(col("source")))
+            .cast("long").as("lvl"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("lvl"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("lvl"), col("lang"), col("source"))))
 
   val oracle: Map[String, String] = Map(
+    "q68_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS lvl,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY ROLLUP(lang, source)
+         ORDER BY lvl, lang, source""",
     "q41_accuracy_by_user" -> (PRED_BASE +
       """ SELECT user_id, count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,

@@ -189,6 +189,15 @@ object TextQueries {
           groupCol = "source", keyCol = "doc_id", k = 10)
         .orderBy(col("doc_id"))),
 
+    // sketch-based corpus profile: HLL distincts + KLL-style quantile
+    // summaries, one shuffle, fixed-size state — the 100 TB replacement
+    // for exact profiling (exact twins: q03 distincts, q63 percentiles).
+    // Rows-only: a cross-engine hash would pin sketch internals, not
+    // semantics; SketchesSpec pins the error contracts instead.
+    "q67_sketch_profile" -> ((s, d) =>
+      graft.operators.Sketches.corpusProfile(Tables.documents(s, d))
+        .orderBy(col("lang"))),
+
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
     // approximate scale path otherwise — no SQL oracle, SimilaritySpec
     // pins the exactness property)
