@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Within-document repetition signals (Gopher-style quality filters:
+  * repeated tokens / n-grams mark boilerplate, spam, and generation
+  * loops).
+  *
+  * Distinct-counts come from higher-order expressions (array_distinct)
+  * — per-row, codegen, no shuffle. The one signal that needs a
+  * frequency table (top-token share) goes through explode + two
+  * hash aggregations rather than an O(distinct × total) per-row
+  * filter-count loop: HOF nested counting is quadratic in document
+  * length and blows past a minute at corpus scale (measured — see
+  * MEMORY perf landmines), while explode is linear and partial-agg
+  * friendly. */
+object Repetition {
+
+  /** Per-doc repetition profile:
+    * (id, n_tokens, n_distinct, dup_token_frac, top_token_frac,
+    * dup_bigram_frac) — fractions in [0,1], 0 for token-less docs. */
+  def profile(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    // two-step select: tokenization materializes once, the three size
+    // consumers read the bound column (CollapseProject keeps non-cheap
+    // expressions out of multi-consumer inlining)
+    val toks = docs.select(col(idCol),
+      TextFns.tokens(col(textCol)).as("w"),
+      TextFns.shingles(col(textCol), 2).as("bi"))
+    val base = toks.select(col(idCol),
+      coalesce(size(col("w")), lit(0)).cast("long").as("n_tokens"),
+      coalesce(size(array_distinct(col("w"))), lit(0)).cast("long")
+        .as("n_distinct"),
+      coalesce(size(col("bi")), lit(0)).cast("long")
+        .as("n_bigram_distinct"))
+    val topTok = toks
+      .select(col(idCol), explode(col("w")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_cnt"))
+    base.join(topTok, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_cnt"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens"), 6)).otherwise(0.0).as("dup_token_frac"),
+        when(col("n_tokens") > 0,
+          round(col("top_cnt").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("top_token_frac"),
+        when(col("n_tokens") > 1,
+          round(lit(1.0) - col("n_bigram_distinct").cast("double") /
+            (col("n_tokens") - 1), 6)).otherwise(0.0)
+          .as("dup_bigram_frac"))
+  }
+}

@@ -189,6 +189,25 @@ object TextQueries {
           groupCol = "source", keyCol = "doc_id", k = 10)
         .orderBy(col("doc_id"))),
 
+    // benchmark decontamination: corpus docs scored by 5-gram-shingle
+    // overlap with a broadcast eval-set index (docs 0-49 as the "eval
+    // set") — no shuffle of corpus bytes, exchange bounded by hit count.
+    // 5-grams discriminate: ~2% of corpus docs hit at all (the true
+    // near-copies); bigrams would flag everything
+    "q69_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.contaminationStats(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), n = 5, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // within-doc repetition signals (Gopher-style): dup-token, top-token
+    // and dup-bigram fractions — boilerplate/loop detection
+    "q70_repetition" -> ((s, d) =>
+      graft.operators.Repetition.profile(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -284,6 +303,62 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q70_repetition" -> (TOKS +
+      """, base AS (
+            SELECT doc_id,
+              CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(len(list_distinct(w)), 0) AS BIGINT)
+                AS n_distinct,
+              CAST(coalesce(len(list_distinct(list_transform(
+                range(1, len(w)), i -> w[i] || ' ' || w[i+1]))), 0)
+                AS BIGINT) AS n_bigram_distinct
+            FROM t),
+          top AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt
+            FROM (SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+                  GROUP BY 1, 2)
+            GROUP BY 1)
+          SELECT b.doc_id, b.n_tokens, b.n_distinct,
+            CASE WHEN b.n_tokens > 0 THEN
+              round(1.0 - b.n_distinct / b.n_tokens, 6) ELSE 0.0 END
+              AS dup_token_frac,
+            CASE WHEN b.n_tokens > 0 THEN
+              round(coalesce(t2.top_cnt, 0) / b.n_tokens, 6)
+              ELSE 0.0 END AS top_token_frac,
+            CASE WHEN b.n_tokens > 1 THEN
+              round(1.0 - b.n_bigram_distinct / (b.n_tokens - 1), 6)
+              ELSE 0.0 END AS dup_bigram_frac
+          FROM base b LEFT JOIN top t2 USING (doc_id)
+          ORDER BY b.doc_id"""),
+    "q69_decontaminate" -> (TOKS +
+      """, sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4])) AS sh
+            FROM t),
+          corp AS (
+            SELECT doc_id, sh, CAST(coalesce(len(sh), 0) AS BIGINT)
+              AS n_shingles
+            FROM sh WHERE doc_id >= 50),
+          bench AS (
+            SELECT DISTINCT unnest(sh) AS shingle
+            FROM sh WHERE doc_id < 50),
+          inv AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM corp),
+          hits AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM inv JOIN bench USING (shingle) GROUP BY 1)
+          SELECT c.doc_id, c.n_shingles,
+            CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            round(coalesce(h.n_hit, 0) / greatest(c.n_shingles, 1), 6)
+              AS contamination,
+            CAST(CASE WHEN coalesce(h.n_hit, 0) /
+              greatest(c.n_shingles, 1) >= 0.5 THEN 1 ELSE 0 END
+              AS BIGINT) AS contaminated
+          FROM corp c LEFT JOIN hits h USING (doc_id)
+          ORDER BY c.doc_id"""),
     "q66_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,
