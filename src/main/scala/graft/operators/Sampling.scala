@@ -46,6 +46,28 @@ object Sampling {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Deterministic corpus mixing: keep each group at its target
+    * retention rate (`weights`: group value → keep fraction; groups
+    * absent from the map keep `defaultWeight`). Membership is the same
+    * nested hash threshold as [[sampleByHash]], so a mix is stable
+    * across runs and monotone in its weights — raising one group's
+    * weight only ADDS docs, never reshuffles the kept set. This is the
+    * downsampling half of a pretraining mix (upsampling = emitting
+    * repeat epochs downstream); a map-side filter, no shuffle at all. */
+  def mixByWeights(df: DataFrame, groupCol: String, keyCol: String,
+                   weights: Map[String, Double],
+                   defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0 && w <= 1), "weights must be in [0,1]")
+    val threshold = weights.foldLeft(
+      lit(math.round(defaultWeight * 4294967296.0))) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit(math.round(w * 4294967296.0)))
+          .otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
   /** train/val/test label from the bucket's percent residue — the
     * reproducible split a training pipeline needs (chronological splits
     * live in graft.ml.ChronoSplit; this is the i.i.d. variant). */

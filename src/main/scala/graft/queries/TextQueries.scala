@@ -208,6 +208,24 @@ object TextQueries {
       graft.operators.Repetition.profile(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // deterministic corpus mixing: per-lang keep fractions via the
+    // nested hash threshold — a map-side filter, no shuffle; raising a
+    // weight only adds docs
+    "q71_mix" -> ((s, d) =>
+      graft.operators.Sampling.mixByWeights(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          groupCol = "lang", keyCol = "doc_id",
+          weights = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25),
+          defaultWeight = 0.1)
+        .orderBy(col("doc_id"))),
+
+    // sequence packing (concat-and-chunk): per-shard token tape via one
+    // window cumsum → fixed 256-token sequence coordinates per doc
+    "q72_pack" -> ((s, d) =>
+      graft.operators.Packing.packCoordinates(Tables.documents(s, d),
+          seqLen = 256)
+        .orderBy(col("doc_id"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -303,6 +321,37 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q71_mix" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS bucket
+           FROM documents)
+         SELECT doc_id, lang FROM h
+         WHERE bucket < CASE lang
+           WHEN 'en' THEN 4294967296
+           WHEN 'de' THEN 2147483648
+           WHEN 'fr' THEN 1073741824
+           ELSE 429496730 END
+         ORDER BY doc_id""",
+    "q72_pack" -> (TOKS +
+      """, n AS (
+            SELECT doc_id, lang,
+              CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens
+            FROM t),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens AS tape_start
+            FROM n)
+          SELECT doc_id, lang, n_tokens,
+            CAST(tape_start AS BIGINT) AS tape_start,
+            CAST(tape_start // 256 AS BIGINT) AS seq_start,
+            CAST(CASE WHEN n_tokens > 0
+              THEN (tape_start + n_tokens - 1) // 256
+              ELSE tape_start // 256 END AS BIGINT) AS seq_end,
+            CAST(tape_start % 256 AS BIGINT) AS seq_offset
+          FROM c ORDER BY doc_id"""),
     "q70_repetition" -> (TOKS +
       """, base AS (
             SELECT doc_id,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("tape coordinates are gapless per shard: each doc starts where " +
+    "the previous one ended, and offsets/sequences are consistent") {
+    val packed = Packing.packCoordinates(docs, seqLen = 256)
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect()
+      .groupBy(_._2)
+    assert(packed.nonEmpty)
+    packed.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var expectedStart = 0L
+      sorted.foreach {
+        case (_, _, n, tapeStart, seqStart, seqEnd, off) =>
+          assert(tapeStart == expectedStart)
+          assert(seqStart == tapeStart / 256)
+          assert(off == tapeStart % 256)
+          if (n > 0) assert(seqEnd == (tapeStart + n - 1) / 256)
+          assert(seqEnd >= seqStart)
+          expectedStart += n
+      }
+    }
+  }
+
+  test("packing is one shuffle: the plan has a single Exchange (the " +
+    "shard-key repartition for the window)") {
+    val packed = Packing.packCoordinates(docs, seqLen = 256)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one Exchange, plan:\n$plan")
+  }
+
+  test("total sequences per shard equal ceil(shard tokens / seqLen)") {
+    val packed = Packing.packCoordinates(docs, seqLen = 256)
+    val bySeqs = packed.groupBy("lang")
+      .agg(max(col("seq_end")).as("last_seq"),
+        sum(col("n_tokens")).as("tokens"))
+      .as[(String, Long, Long)].collect()
+    bySeqs.foreach { case (_, lastSeq, tokens) =>
+      assert(lastSeq == (tokens - 1) / 256)
+    }
+  }
+}

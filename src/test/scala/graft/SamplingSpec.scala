@@ -46,6 +46,24 @@ class SamplingSpec extends SparkSuite {
     assert(perGroup.nonEmpty && perGroup.forall(_._2 <= 10))
   }
 
+  test("mixByWeights keeps per-group fractions near target and is " +
+    "monotone: raising one weight only ADDS docs") {
+    val base = docs.select("doc_id", "lang")
+    val mixA = Sampling.mixByWeights(base, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.2), defaultWeight = 0.1)
+    val mixB = Sampling.mixByWeights(base, "lang", "doc_id",
+      Map("en" -> 0.9, "de" -> 0.2), defaultWeight = 0.1)
+    val a = mixA.select("doc_id").as[Long].collect().toSet
+    val b = mixB.select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(b)) // only en grew; everything kept stays kept
+    val kept = mixA.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val total = base.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(math.abs(kept("en").toDouble / total("en") - 0.5) < 0.15)
+    assert(math.abs(kept("de").toDouble / total("de") - 0.2) < 0.15)
+  }
+
   test("assignSplit partitions every row into exactly one of " +
     "train/val/test with roughly the requested proportions") {
     val split = docs.select(col("doc_id"),
