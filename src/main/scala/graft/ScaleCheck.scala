@@ -103,6 +103,21 @@ object ScaleCheck {
       sink(docs.select(col("doc_id"),
         graft.functions.TextFns.rollingFingerprint(col("text"))))
     }
+    import graft.operators.{Decontaminate, Packing, Repetition, Sampling}
+    time("repetition_profile", nd) { sink(Repetition.profile(docs)) }
+    time("cap_per_group", nd) {
+      sink(Sampling.capPerGroup(docs.select("doc_id", "source"),
+        "source", "doc_id", 1000))
+    }
+    time("sequence_packing", nd) {
+      sink(Packing.packCoordinates(docs, seqLen = 2048))
+    }
+    // eval set stays fixture-sized while the corpus inflates — the
+    // broadcast-probe shape this op exists for
+    time("decontaminate", nd) {
+      sink(Decontaminate.contaminationStats(docs,
+        Tables.documents(spark, sfDir).limit(500), n = 5))
+    }
     docs.unpersist()
     spark.stop()
   }

@@ -104,14 +104,19 @@ object TextFns {
   def rollingFingerprint(text: Column): Column =
     graft.plans.RollingHashExpressions.rollingHash(text)
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard input set.
-    *
-    * Built by zipping the token array against its k-shifted slices —
-    * the lambda touches only its own arguments, never the outer array.
-    * (An element_at(t, i+k) formulation re-evaluates the tokenization per
-    * element under interpreted HOF evaluation: O(tokens²) regex splits
-    * per document, measured 60× slower at sf0.1.) */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input set —
+    * the native [[graft.plans.WordNGrams]] kernel (one traversal; the
+    * prior chained-zip_with formulation was interpreted HOF evaluation
+    * and measured ~10× slower at n=5; `shinglesHof` below keeps the
+    * composed formulation as the kernel's differential-test twin). */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.NGramExpressions.wordNGrams(text, n)
+
+  /** Composed-Catalyst twin of [[shingles]] (zip_with against k-shifted
+    * slices; lambdas touch only their own arguments — an element_at
+    * formulation re-evaluates tokenization per element, O(tokens²)).
+    * Kept for TextFnsSpec equivalence testing only. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     if (n == 1) array_distinct(t)
     else {

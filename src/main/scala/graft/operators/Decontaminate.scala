@@ -26,23 +26,25 @@ object Decontaminate {
                          n: Int = 2, threshold: Double = 0.5,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val cSh = corpus.select(col(idCol),
-      coalesce(size(TextFns.shingles(col(textCol), n)), lit(0))
-        .cast("long").as("n_shingles"),
-      TextFns.shingles(col(textCol), n).as("sh"))
+    // ONE shingle pass over the corpus: bind the array, carry its size
+    // through explode_outer (the null row keeps shingle-less docs), and
+    // LEFT-probe the broadcast index — a second plan branch would
+    // re-shingle the whole corpus (measured 2× at scale)
+    val exploded = corpus
+      .select(col(idCol), TextFns.shingles(col(textCol), n).as("sh"))
+      .select(col(idCol),
+        coalesce(size(col("sh")), lit(0)).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("shingle"))
     val benchIndex = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("shingle"))
       .distinct()
-    val hits = cSh
-      .select(col(idCol), explode(col("sh")).as("shingle"))
-      .join(broadcast(benchIndex), Seq("shingle"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("_hit", lit(1))
     val frac = col("n_hit").cast("double") /
       greatest(col("n_shingles"), lit(1L))
-    cSh.select(col(idCol), col("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hit"))
+    exploded
+      .join(broadcast(benchIndex), Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(col("_hit")).as("n_hit"))
       .select(col(idCol), col("n_shingles"), col("n_hit"),
         round(frac, 6).as("contamination"),
         when(frac >= threshold, 1L).otherwise(0L).as("contaminated"))

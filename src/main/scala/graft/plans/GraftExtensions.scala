@@ -9,11 +9,29 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-        => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    // minhash_sigs(shingles, k): k fused md5 min-hashes, one traversal.
+    // k must be a foldable int (it sizes the signature schema).
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName,
+        "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSignatures(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children(0))))
   }
 }

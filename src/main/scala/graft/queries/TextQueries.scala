@@ -226,6 +226,28 @@ object TextQueries {
           seqLen = 256)
         .orderBy(col("doc_id"))),
 
+    // multimodal frame sampling: every-64th-byte digest per payload —
+    // the explode-to-frames shape of a video pipeline, exact oracle
+    // because the fixture payloads are ASCII text bytes (byte ≡ char)
+    "q73_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(Tables.documents(s, d)), everyK = 64)
+        .select(col("doc_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("frame_digest").cast("long").as("frame_digest"))
+        .orderBy(col("doc_id"), col("frame_no"))),
+
+    // PII scrub + whitespace canonicalization (fixture is PII-free, so
+    // the oracle checks the normalization path and zero counts; planted
+    // PII behavior is pinned by TextCleanSpec)
+    "q74_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextClean.scrub(col("text")).as("clean_text"),
+          graft.functions.TextClean.emailCount(col("text"))
+            .as("n_emails"),
+          graft.functions.TextClean.urlCount(col("text")).as("n_urls"))
+        .orderBy(col("doc_id"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -321,6 +343,31 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q74_scrub" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '(https?://|www\.)[^\s]+', '<URL>', 'g'),
+             '(^|[^0-9])((\+?[0-9][0-9 ().-]{5,14}[0-9]))($|[^0-9])',
+             '\1<PHONE>\4', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_split_to_array(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_split_to_array(text,
+             '(https?://|www\.)[^\s]+')) - 1 AS BIGINT) AS n_urls
+         FROM documents ORDER BY doc_id""",
+    "q73_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+           CAST(ord(substr(text, CAST(i * 64 + 1 AS INT), 1)) AS BIGINT)
+             AS frame_digest
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT)))
+                   AS i
+               FROM documents)
+         ORDER BY doc_id, frame_no""",
     "q71_mix" ->
       """WITH h AS (
            SELECT doc_id, lang,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextClean
+
+class TextCleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scrubOne(s: String): String =
+    Seq(s).toDF("text").select(TextClean.scrub(col("text"))).head.getString(0)
+
+  test("emails, urls, and phone numbers are replaced with placeholders") {
+    assert(scrubOne("mail me at jane.doe+x@example.co.uk today") ==
+      "mail me at <EMAIL> today")
+    assert(scrubOne("see https://ex.com/a?b=1 and www.foo.org/x") ==
+      "see <URL> and <URL>")
+    assert(scrubOne("call +1 (555) 123-4567 now") == "call <PHONE> now")
+    assert(scrubOne("call 555 123 4567 now") == "call <PHONE> now")
+  }
+
+  test("clean text passes through unchanged; years and small numbers " +
+    "are NOT phone-scrubbed") {
+    assert(scrubOne("born in 1984, moved in 2001") ==
+      "born in 1984, moved in 2001")
+    assert(scrubOne("a plain sentence") == "a plain sentence")
+  }
+
+  test("whitespace normalizes after scrubbing and counts see the " +
+    "original text") {
+    assert(scrubOne("  a@b.co   x  ") == "<EMAIL> x")
+    val counts = Seq("a@b.co and c@d.org visit www.e.com")
+      .toDF("text")
+      .select(TextClean.emailCount(col("text")).as("e"),
+        TextClean.urlCount(col("text")).as("u"))
+      .as[(Long, Long)].head()
+    assert(counts == ((2L, 1L)))
+  }
+
+  test("scrub over the corpus is a no-op on the PII-free fixture " +
+    "except whitespace canonicalization") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val changed = docs.filter(
+      TextClean.scrub(col("text")) =!= trim(regexp_replace(col("text"),
+        "\\s+", " "))).count()
+    assert(changed == 0)
+  }
+}

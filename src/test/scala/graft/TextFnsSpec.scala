@@ -6,6 +6,21 @@ import graft.functions.TextFns
 class TextFnsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("native WordNGrams kernel is cell-for-cell identical to the " +
+    "composed zip_with formulation, including degenerate inputs") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("text")
+      .unionByName(Seq("", " ", "one", "a b", "\ta b", null)
+        .map(Tuple1(_)).toDF("text"))
+    Seq(1, 2, 3, 5).foreach { n =>
+      val diffs = corpus.select(
+          TextFns.shingles(col("text"), n).as("native"),
+          TextFns.shinglesHof(col("text"), n).as("hof"))
+        .filter(!(col("native") <=> col("hof"))).count()
+      assert(diffs == 0, s"n=$n")
+    }
+  }
+
   test("bpePieces splits letter/digit/symbol runs and drops whitespace") {
     val out = Seq("Hello, world 42 don't x9y!!").toDF("text")
       .select(TextFns.bpePieces(col("text"))).as[Seq[String]].head()
