@@ -8,14 +8,14 @@ import graft.functions.TextFns
   * repeated tokens / n-grams mark boilerplate, spam, and generation
   * loops).
   *
-  * Distinct-counts come from higher-order expressions (array_distinct)
-  * — per-row, codegen, no shuffle. The one signal that needs a
-  * frequency table (top-token share) goes through explode + two
-  * hash aggregations rather than an O(distinct × total) per-row
-  * filter-count loop: HOF nested counting is quadratic in document
-  * length and blows past a minute at corpus scale (measured — see
-  * MEMORY perf landmines), while explode is linear and partial-agg
-  * friendly. */
+  * Every signal is a per-row expression — array_distinct sizes plus
+  * the native [[graft.plans.TokenTopCount]] kernel for the top-token
+  * share — so the whole profile is a map-side projection with NO
+  * Exchange at any corpus size (plan-pinned in RepetitionSpec). The
+  * composed alternatives both lose: explode + two hash aggregations
+  * shuffles every token in the corpus, and an O(distinct × total)
+  * HOF filter-count loop is quadratic in document length (measured —
+  * see MEMORY perf landmines). */
 object Repetition {
 
   /** Per-doc repetition profile:
@@ -29,18 +29,14 @@ object Repetition {
     val toks = docs.select(col(idCol),
       TextFns.tokens(col(textCol)).as("w"),
       TextFns.shingles(col(textCol), 2).as("bi"))
-    val base = toks.select(col(idCol),
-      coalesce(size(col("w")), lit(0)).cast("long").as("n_tokens"),
-      coalesce(size(array_distinct(col("w"))), lit(0)).cast("long")
-        .as("n_distinct"),
-      coalesce(size(col("bi")), lit(0)).cast("long")
-        .as("n_bigram_distinct"))
-    val topTok = toks
-      .select(col(idCol), explode(col("w")).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("top_cnt"))
-    base.join(topTok, Seq(idCol), "left")
-      .na.fill(0L, Seq("top_cnt"))
+    toks.select(col(idCol),
+        coalesce(size(col("w")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(array_distinct(col("w"))), lit(0)).cast("long")
+          .as("n_distinct"),
+        coalesce(size(col("bi")), lit(0)).cast("long")
+          .as("n_bigram_distinct"),
+        coalesce(graft.plans.TopCountExpressions.tokenTopCount(col("w")),
+          lit(0L)).as("top_cnt"))
       .select(col(idCol), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") > 0,
           round(lit(1.0) - col("n_distinct").cast("double") /

@@ -33,5 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children(0))))
+    // word_ngrams(text, n): n must be a foldable int
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNGrams(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("token_top_count"),
+      new ExpressionInfo(classOf[TokenTopCount].getName,
+        "token_top_count"),
+      (children: Seq[Expression]) => TokenTopCount(children(0))))
   }
 }

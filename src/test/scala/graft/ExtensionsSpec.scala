@@ -36,9 +36,13 @@ class ExtensionsSpec extends SparkSuite {
              cosine_sim(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS cos,
              minhash_sigs(array('a b', 'b c'), 2) AS sigs,
              simhash64(array('a', 'b')) AS sh,
-             rolling_hash('a b c') AS rh""").head()
+             rolling_hash('a b c') AS rh,
+             word_ngrams('a b c', 2) AS ng,
+             token_top_count(array('x', 'y', 'x')) AS tc""").head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getSeq[String](1).length == 2)
+      assert(row.getSeq[String](4) == Seq("a b", "b c"))
+      assert(row.getLong(5) == 2L)
 
       // cross-check against the Column-API kernels on the suite session
       val df = Seq(("a b c", Seq("a b", "b c"), Seq("a", "b")))

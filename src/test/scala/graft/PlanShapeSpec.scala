@@ -51,4 +51,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q71 mix is a pure map-side filter: zero Exchange (the sort in " +
+    "the query surface is presentation, not a shuffle requirement)") {
+    import org.apache.spark.sql.functions.col
+    // the operator itself, pre-orderBy: must add no exchange at all
+    val mixed = graft.operators.Sampling.mixByWeights(
+      Tables.documents(spark, dir).select("doc_id", "lang"),
+      "lang", "doc_id", Map("en" -> 0.5))
+    val p = mixed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("q66 cap and q72 packing cost exactly one Exchange (the window " +
+    "key partition)") {
+    Seq("q66_source_cap", "q72_pack").foreach { q =>
+      val body = SparkEntry.queries(q)(spark, dir)
+      // strip the presentation orderBy's range exchange by counting
+      // only hash partitionings
+      val p = body.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q expected one hash exchange:\n$p")
+    }
+  }
+
+  test("q68 rollup is one Expand + one aggregation exchange — never " +
+    "three scans unioned") {
+    val p = plan("q68_rollup")
+    assert(p.contains("Expand"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Union"))
+  }
 }

@@ -23,4 +23,25 @@ class RepetitionSpec extends SparkSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("the profile is a pure map-side projection: zero Exchange") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Repetition.profile(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("native TokenTopCount agrees with the explode/groupBy histogram " +
+    "over the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("w"))
+    val native = toks.select(col("doc_id"),
+      graft.plans.TopCountExpressions.tokenTopCount(col("w")).as("c"))
+    val composed = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("c"))
+    assert(native.except(composed).count() == 0)
+    assert(composed.except(native).count() == 0)
+  }
 }
