@@ -25,6 +25,29 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Near-dup groups with QUALITY-AWARE canonical selection: within
+    * each FINGERPRINT group (same distinct-token set — reordered or
+    * token-repeated copies land together, where byte-identical copies
+    * would all score the same) the highest-`quality` doc survives, id
+    * tiebreak — keep the best-scored fetch of a duplicated page, not
+    * the first-crawled one. One shuffle on the group key; the rank and
+    * group size share one window partition. */
+  def canonicalByQuality(docs: DataFrame, quality: Column,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val part = Window.partitionBy(col("group_key"))
+    docs
+      .select(col(idCol),
+        TextFns.fingerprint(col(textCol)).as("group_key"),
+        quality.as("canonical_quality"))
+      .withColumn("rk", row_number().over(
+        part.orderBy(col("canonical_quality").desc, col(idCol))))
+      .withColumn("n_dups", count(lit(1)).over(part))
+      .filter(col("rk") === 1)
+      .select(col("group_key"), col(idCol).as("canonical_id"),
+        col("canonical_quality"), col("n_dups"))
+  }
+
   /** Fingerprint dedup: like exact but on the sorted-distinct-token
     * fingerprint, catching reordered/duplicated-token copies. */
   def byFingerprint(docs: DataFrame, textCol: String = "text",

@@ -248,6 +248,14 @@ object TextQueries {
           graft.functions.TextClean.urlCount(col("text")).as("n_urls"))
         .orderBy(col("doc_id"))),
 
+    // quality-aware canonical selection: the best-scored copy survives
+    // each fingerprint (token-set) dup group, id tiebreak — one window
+    // partition carries both the rank and the group size
+    "q75_canonical_by_quality" -> ((s, d) =>
+      Dedup.canonicalByQuality(Tables.documents(s, d),
+          TextFns.qualityScore(col("text")))
+        .orderBy(col("group_key"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -343,6 +351,36 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q75_canonical_by_quality" -> (TOKS +
+      """, q AS (
+            SELECT doc_id, text, len(w) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of',
+                'to','in','is','it','that'))) AS DOUBLE)
+                / nullif(len(w), 0) AS sr,
+              length(text)
+                - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g'))
+                AS np,
+              length(text) AS nc
+            FROM t),
+          scored AS (
+            SELECT q.doc_id,
+              md5(array_to_string(list_sort(list_distinct(t.w)), ' '))
+                AS group_key,
+              round((CASE WHEN n_tok BETWEEN 10 AND 100000
+                          THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN sr > 0.05 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN CAST(np AS DOUBLE) / nullif(nc, 0) < 0.1
+                        THEN 0.3 ELSE 0.0 END), 4) AS canonical_quality
+            FROM q JOIN t ON q.doc_id = t.doc_id),
+          r AS (
+            SELECT group_key, doc_id, canonical_quality,
+              row_number() OVER (PARTITION BY group_key
+                ORDER BY canonical_quality DESC, doc_id) AS rk,
+              count(*) OVER (PARTITION BY group_key) AS n
+            FROM scored)
+          SELECT group_key, doc_id AS canonical_id,
+            canonical_quality, CAST(n AS BIGINT) AS n_dups
+          FROM r WHERE rk = 1 ORDER BY group_key"""),
     "q74_scrub" ->
       """SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

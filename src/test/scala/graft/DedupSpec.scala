@@ -81,4 +81,28 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))   // hamming 0
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("canonicalByQuality keeps the best-scored copy of a fingerprint " +
+    "group even when it has the higher id") {
+    import org.apache.spark.sql.functions.col
+    // same token SET (= same fingerprint), different quality: doc 1 is
+    // short so its punct-bomb token dominates char density (loses the
+    // low-punct 0.3 band); doc 2 repeats clean tokens, diluting it
+    val set = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa the !!!!!!!!!!"
+    val planted = Seq(
+      (1L, set),
+      (2L, set + (" alpha the beta the" * 20)),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val out = Dedup.canonicalByQuality(planted,
+        graft.functions.TextFns.qualityScore(col("text")))
+      .as[(String, Long, Double, Long)].collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_._4 == 2L).get
+    assert(dupGroup._2 == 2L) // higher-quality copy wins, not min id
+    val qualities = planted.select(
+      graft.functions.TextFns.qualityScore(col("text"))).as[Double]
+      .collect()
+    assert(qualities(1) > qualities(0)) // the premise the test rests on
+  }
 }
