@@ -201,4 +201,49 @@ object Dedup {
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame =
     Similarity.cosineSelfPairs(embeddings, threshold, vecCol, idCol)
+
+  /** Min-label propagation over an explicit (id_a, id_b) edge list:
+    * after `iterations` rounds every node carries the smallest id
+    * within `iterations` hops, so components of diameter ≤ iterations
+    * converge to true connected components. Each round is one
+    * shuffle-by-node join + aggregation — linear in edges, never
+    * materializing a component. (The minhash variant propagates
+    * through bucket memberships instead, covering 2 hops/round.) */
+  def labelPropagate(ids: DataFrame, edges: DataFrame,
+                     iterations: Int): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("canonical"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("canonical")).as("nbr"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"),
+          least(col("canonical"), coalesce(col("nbr"), col("canonical")))
+            .as("canonical"))
+    }
+    labels
+  }
+
+  /** Embedding near-dup GROUPS: connected components of the cosine
+    * pair graph, as linear cluster labels (one canonical id per
+    * vector — the output shape dedup needs; see minhashDedupGroups for
+    * why pair enumeration doesn't scale). Exact edges by default; pass
+    * `lsh = true` for the bucketed candidate graph at corpus scale. */
+  def embeddingNearDupGroups(embeddings: DataFrame,
+                             threshold: Double = 0.95,
+                             iterations: Int = 6, lsh: Boolean = false,
+                             vecCol: String = "embedding",
+                             idCol: String = "vec_id"): DataFrame = {
+    val edges =
+      if (lsh) Similarity.cosineSelfPairs(embeddings, threshold,
+        vecCol = vecCol, idCol = idCol)
+      else Similarity.bruteForceSelfPairs(embeddings, threshold,
+        vecCol = vecCol, idCol = idCol)
+    labelPropagate(embeddings.select(col(idCol).as("id")),
+      edges.select("id_a", "id_b"), iterations)
+      .select(col("id").as(idCol), col("canonical"))
+  }
 }

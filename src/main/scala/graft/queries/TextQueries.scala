@@ -256,6 +256,15 @@ object TextQueries {
           TextFns.qualityScore(col("text")))
         .orderBy(col("group_key"))),
 
+    // embedding near-dup GROUPS: connected components of the cosine
+    // pair graph as linear labels (6 propagation rounds ≥ the fixture
+    // graph's diameter 5, so labels equal the true components the
+    // recursive-CTE oracle computes; convergence spec-pinned)
+    "q76_embed_dedup_groups" -> ((s, d) =>
+      Dedup.embeddingNearDupGroups(Tables.embeddings(s, d),
+          threshold = 0.4, iterations = 6)
+        .orderBy(col("vec_id"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -351,6 +360,21 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q76_embed_dedup_groups" ->
+      """WITH RECURSIVE
+           v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id
+                 WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4),
+           ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+           reach(id, r) AS (
+             SELECT vec_id, vec_id FROM v
+             UNION
+             SELECT ed.dst, reach.r FROM reach JOIN ed
+               ON ed.src = reach.id)
+         SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS canonical
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "q75_canonical_by_quality" -> (TOKS +
       """, q AS (
             SELECT doc_id, text, len(w) AS n_tok,

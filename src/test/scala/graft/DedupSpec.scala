@@ -82,6 +82,26 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("embedding near-dup labels have converged (an extra round " +
+    "changes nothing) and every cosine edge's endpoints share a label") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val l6 = Dedup.embeddingNearDupGroups(emb, threshold = 0.4,
+      iterations = 6)
+    val l7 = Dedup.embeddingNearDupGroups(emb, threshold = 0.4,
+      iterations = 7)
+    assert(l6.except(l7).count() == 0 && l7.except(l6).count() == 0)
+    val labels = l6.as[(Long, Long)].collect().toMap
+    assert(labels.forall { case (id, c) => c <= id })
+    val edges = graft.operators.Similarity
+      .bruteForceSelfPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across groups")
+    }
+  }
+
   test("canonicalByQuality keeps the best-scored copy of a fingerprint " +
     "group even when it has the higher id") {
     import org.apache.spark.sql.functions.col
