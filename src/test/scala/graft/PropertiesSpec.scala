@@ -91,4 +91,28 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  private val messyTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    pieces <- Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("a", "bb", "ccc", "a", "Ü", "x-y", "a.b"),
+      Gen.oneOf(" ", "  ", "\t", "\n", " \t ")))
+  } yield pieces.mkString
+
+  test("property: native WordNGrams equals the composed zip_with " +
+    "formulation on adversarial whitespace for n in 1..4") {
+    import graft.functions.TextFns
+    val texts = samples(messyTextGen, 40) ++
+      Seq("", " ", "\t", "a", " a ", "\ta b\t")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    (1 to 4).foreach { n =>
+      val diffs = df.select(col("text"),
+          TextFns.shingles(col("text"), n).as("native"),
+          TextFns.shinglesHof(col("text"), n).as("hof"))
+        .filter(!(col("native") <=> col("hof")))
+      val bad = diffs.collect()
+      assert(bad.isEmpty,
+        s"n=$n first diff: ${bad.headOption.mkString}")
+    }
+  }
 }
