@@ -265,6 +265,35 @@ object TextQueries {
           threshold = 0.4, iterations = 6)
         .orderBy(col("vec_id"))),
 
+    // corpus vocabulary: top-20 tokens by frequency (count desc, token
+    // asc tiebreak) — tokenizer-training input; explode → two-phase
+    // count → TakeOrdered, no full sort of the vocabulary
+    "q77_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    // per-lang type/token profile: tokens, vocabulary size, hapax count
+    // (types seen once), top-token share — the Zipf-shape corpus stats
+    // quality reports are built from; two aggregations, both partial
+    "q78_vocab_stats" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text")))
+          .as("token"))
+      val perType = tok.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      perType.groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_hapax"),
+          round(max(col("n")).cast("double") / sum(col("n")), 6)
+            .as("top_share"))
+        .orderBy(col("lang"))
+    }),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -360,6 +389,22 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q77_vocab_topk" -> (TOKS +
+      """ SELECT token, count(*) AS n
+          FROM (SELECT unnest(w) AS token FROM t)
+          GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+    "q78_vocab_stats" -> (TOKS +
+      """, tok AS (SELECT lang, unnest(w) AS token FROM t),
+          per_type AS (
+            SELECT lang, token, count(*) AS n
+            FROM tok GROUP BY 1, 2)
+          SELECT lang,
+            CAST(sum(n) AS BIGINT) AS n_tokens,
+            count(*) AS n_types,
+            CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hapax,
+            round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+          FROM per_type GROUP BY lang ORDER BY lang"""),
     "q76_embed_dedup_groups" ->
       """WITH RECURSIVE
            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
