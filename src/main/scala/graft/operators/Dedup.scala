@@ -202,6 +202,36 @@ object Dedup {
                         idCol: String = "vec_id"): DataFrame =
     Similarity.cosineSelfPairs(embeddings, threshold, vecCol, idCol)
 
+  /** C4-style chunk-level duplication stats: each doc is cut into
+    * consecutive non-overlapping `chunkTokens`-token chunks; a chunk is
+    * a duplicate if the identical chunk appeared earlier in corpus
+    * order (doc_id, then position). Returns per-doc chunk counts and
+    * the duplicated fraction — the signal span-level dedup filters on.
+    * One shuffle by chunk (first-occurrence window), one by doc
+    * (re-aggregate); chunking itself is a map-side projection, so the
+    * whole operator is linear in corpus tokens. */
+  def chunkDupStats(docs: DataFrame, chunkTokens: Int = 20,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val chunks = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+              sequence(0, cast(ceil(size(w) / ${chunkTokens}.0) as int) - 1),
+              i -> concat_ws(' ', slice(w, i * $chunkTokens + 1, $chunkTokens)))"""))
+        .as(Seq("chunk_idx", "chunk")))
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks") / col("n_chunks"), 6))
+  }
+
   /** Min-label propagation over an explicit (id_a, id_b) edge list:
     * after `iterations` rounds every node carries the smallest id
     * within `iterations` hops, so components of diameter ≤ iterations

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Relevance, Similarity}
 
 /** Training-data-pipeline operators (BASELINE.json north star): text
   * analysis, deduplication, similarity search over `documents` and
@@ -294,6 +294,18 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // per-doc top-5 tokens by tf·idf — relevance scoring / keyword
+    // extraction; partial aggs + broadcast corpus count, window top-k
+    "q79_tfidf" -> ((s, d) =>
+      Relevance.tfIdfTopK(Tables.documents(s, d), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // C4-style span dedup signal: 20-token non-overlapping chunks,
+    // duplicated fraction per doc (chunk seen earlier in corpus order)
+    "q80_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDupStats(Tables.documents(s, d), chunkTokens = 20)
+        .orderBy(col("doc_id"))),
+
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
     // for exact profiling (exact twins: q03 distincts, q63 percentiles).
@@ -389,6 +401,48 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q79_tfidf" -> (TOKS +
+      """, tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+          tf AS (SELECT doc_id, token, count(*) AS tf
+                 FROM tok GROUP BY 1, 2),
+          dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                     AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+          ranked AS (
+            SELECT doc_id, token, tf, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS rank
+            FROM scored)
+          SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                 CAST(tf AS BIGINT) AS tf, round(score, 6) AS tfidf
+          FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
+    "q80_chunk_dedup" -> (TOKS +
+      """, idx AS (
+            SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT)))
+                     AS chunk_idx
+            FROM t),
+          chunks AS (
+            SELECT doc_id, chunk_idx,
+                   array_to_string(
+                     w[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ')
+                     AS chunk
+            FROM idx),
+          flagged AS (
+            SELECT doc_id, chunk,
+                   row_number() OVER (PARTITION BY chunk
+                     ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks)
+          SELECT doc_id, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+                 round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS dup_ratio
+          FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
     "q77_vocab_topk" -> (TOKS +
       """ SELECT token, count(*) AS n
           FROM (SELECT unnest(w) AS token FROM t)
