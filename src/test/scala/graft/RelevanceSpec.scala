@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Dedup, Relevance}
+
+class RelevanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tfIdfTopK ranks by tf·ln(N/df) with token-asc tiebreak, " +
+    "hand-computed corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date"))
+      .toDF("doc_id", "text")
+    val got = Relevance.tfIdfTopK(docs, k = 2)
+      .as[(Long, Long, String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    assert(got.toSeq == Seq(
+      (1L, 1L, "apple", 2L, 2.197225),  // 2·ln 3
+      (1L, 2L, "banana", 1L, 0.405465), // ln 1.5
+      (2L, 1L, "banana", 1L, 0.405465), // score tie → token asc
+      (2L, 2L, "cherry", 1L, 0.405465),
+      (3L, 1L, "date", 1L, 1.098612),   // ln 3 beats 2·ln 1.5
+      (3L, 2L, "cherry", 2L, 0.81093)))
+  }
+
+  test("tfIdfTopK corpus size joins as a broadcast, not a cartesian") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Relevance.tfIdfTopK(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("chunkDupStats flags chunks seen earlier in (doc_id, idx) order; " +
+    "empty text is one empty chunk on both engines") {
+    val docs = Seq(
+      (1L, "a b a b c"), // chunks: "a b", "a b"(dup), "c"
+      (2L, "a b x"),     // chunks: "a b"(dup of d1), "x"
+      (3L, ""))          // split(trim('')) = [''] → one "" chunk
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDupStats(docs, chunkTokens = 2)
+      .as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+}
