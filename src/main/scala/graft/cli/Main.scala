@@ -111,15 +111,26 @@ object Main {
       case "ml-train" =>
         val labeled = features(spark, eventsDir, forPrediction = false)
         val (train, _, test) = ChronoSplit(labeled)
-        val (model, _) = Train.fit(train,
-          numTrees = opts.getOrElse("trees", "200").toInt)
-        val res = Train.evaluate(model, test)
-        model.write.overwrite().save(path("models/rf"))
+        // --model rf (default) | gbt — the reference's rf/xgboost choice
+        // (cli.py --model-type); xgboost maps to one-vs-rest GBT
+        val (modelType, res) = opts.getOrElse("model", "rf") match {
+          case "gbt" =>
+            val (model, _) = Train.fitBoosted(train,
+              maxIter = opts.getOrElse("trees", "200").toInt)
+            model.write.overwrite().save(path("models/gbt"))
+            ("gbt_one_vs_rest", Train.evaluateModel(model, test))
+          case _ =>
+            val (model, _) = Train.fit(train,
+              numTrees = opts.getOrElse("trees", "200").toInt)
+            model.write.overwrite().save(path("models/rf"))
+            ("random_forest", Train.evaluate(model, test))
+        }
         val metricsJson = res.metrics.map { case (k, v) =>
           s""""$k": $v""" }.mkString("{", ", ", "}")
         Files.createDirectories(Paths.get(path("models")))
-        Files.writeString(Paths.get(path("models/rf_metadata.json")),
-          s"""{"model_type": "random_forest", "metrics": $metricsJson,
+        Files.writeString(Paths.get(path(s"models/${opts.getOrElse("model",
+          "rf")}_metadata.json")),
+          s"""{"model_type": "$modelType", "metrics": $metricsJson,
              |"features": ${FeatureEngineering.featureColumns.size}}
              |""".stripMargin)
         println(s"[cli] ml-train: ${res.metrics}")

@@ -80,10 +80,44 @@ class MLSpec extends SparkSuite {
     val (train, _, test) = ChronoSplit(labeled)
     val (model, _) = Train.fit(train, numTrees = 20)
     val res = Train.evaluate(model, test)
-    assert(Set("accuracy", "f1", "weightedPrecision", "weightedRecall")
+    assert(Set("accuracy", "f1", "weightedPrecision", "weightedRecall",
+      "f1Macro", "recallMacro", "precisionMacro")
       .subsetOf(res.metrics.keySet))
     assert(res.metrics("accuracy") >= 0.0 &&
       res.metrics("accuracy") <= 1.0)
     assert(res.importances.map(_._2).sum > 0.99) // importances normalized
+    // macro averages are means of per-class values, each in [0,1]
+    Seq("f1Macro", "recallMacro", "precisionMacro").foreach { m =>
+      assert(res.metrics(m) >= 0.0 && res.metrics(m) <= 1.0)
+    }
+  }
+
+  test("macro metrics agree with a hand-computed confusion matrix") {
+    // 10 pre-scored rows (prediction, label):
+    //   (1,1)x3  (0,1)x3  (0,0)x2  (1,0)x2
+    // class 0: tp=2 predicted=5 actual=4 -> P=2/5 R=2/4
+    // class 1: tp=3 predicted=5 actual=6 -> P=3/5 R=3/6
+    val rows = Seq((1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (0.0, 1.0),
+      (0.0, 0.0), (0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (0.0, 1.0),
+      (0.0, 1.0)).toDF("prediction", "label")
+    val m = Train.metricsOf(rows)
+    val (p0, r0) = (2.0 / 5, 2.0 / 4)
+    val (p1, r1) = (3.0 / 5, 3.0 / 6)
+    val f0 = 2 * p0 * r0 / (p0 + r0); val f1 = 2 * p1 * r1 / (p1 + r1)
+    assert(math.abs(m("precisionMacro") - (p0 + p1) / 2) < 1e-12)
+    assert(math.abs(m("recallMacro") - (r0 + r1) / 2) < 1e-12)
+    assert(math.abs(m("f1Macro") - (f0 + f1) / 2) < 1e-12)
+    assert(math.abs(m("accuracy") - 0.5) < 1e-12)
+  }
+
+  test("one-vs-rest GBT (the xgboost mapping) trains and evaluates") {
+    val (train, _, test) = ChronoSplit(labeled)
+    val (model, _) = Train.fitBoosted(train, maxIter = 5)
+    val res = Train.evaluateModel(model, test)
+    assert(res.metrics("accuracy") >= 0.0 && res.metrics("accuracy") <= 1.0)
+    assert(res.confusion.count() > 0)
+    val classes = res.confusion.select("predicted_class").distinct()
+      .as[String].collect().toSet
+    assert(classes.subsetOf(Set("low", "medium", "high")))
   }
 }
