@@ -154,6 +154,20 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // S3 at warehouse scale: the same insert-ignore through the
+    // Bloom-pruned zero-shuffle-of-existing plan — same oracle as q22
+    // proves the pruned path exact cross-engine
+    "q81_insert_ignore_bloom" -> ((s, d) => {
+      val b = bars(s, d)
+      val existing = b.filter(col("date") <= lit("2024-01-15").cast("date"))
+      val incoming = b.filter(col("date").between(
+          lit("2024-01-10").cast("date"), lit("2024-01-20").cast("date")))
+        .withColumn("volume", col("volume") + 1000L)
+      Writes.insertIgnoreBloom(existing, incoming, Seq("user_id", "date"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // S4: upsert (incoming wins) as anti-join + union
     "q23_upsert" -> ((s, d) => {
       val b = bars(s, d)
@@ -403,6 +417,24 @@ object SeriesQueries {
                             ELSE '_' END, '' ORDER BY date) AS moves
           FROM staged GROUP BY 1 ORDER BY 1"""),
     "q22_insert_ignore" -> (BARS +
+      """, existing AS (
+            SELECT * FROM bars WHERE date <= DATE '2024-01-15'),
+          incoming AS (
+            SELECT user_id, date, open, high, low, close,
+                   volume + 1000 AS volume
+            FROM bars
+            WHERE date BETWEEN DATE '2024-01-10' AND DATE '2024-01-20')
+        , merged AS (
+            SELECT * FROM existing
+            UNION ALL
+            SELECT * FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM existing e
+                              WHERE e.user_id = i.user_id
+                                AND e.date = i.date))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, open, high,
+                 low, close, volume
+          FROM merged ORDER BY user_id, date"""),
+    "q81_insert_ignore_bloom" -> (BARS +
       """, existing AS (
             SELECT * FROM bars WHERE date <= DATE '2024-01-15'),
           incoming AS (
