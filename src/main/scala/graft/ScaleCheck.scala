@@ -64,6 +64,35 @@ object ScaleCheck {
       sink(graft.ml.FeatureEngineering(EventSeries.dailyBars(events)))
     }
     time("sessions_gap30", n) { sink(EventSeries.sessions(events, 30)) }
+
+    // S3 at scale: the plain insert-ignore anti-join must shuffle +
+    // distinct the full existing key set per batch; the bloom variant
+    // probes the existing scan map-side and broadcasts only candidates
+    import graft.operators.Writes
+    val batch = events.filter(col("event_id") % 1000 === 0)
+      .withColumn("value", lit(-1.0))
+    time("insert_ignore_plain", n) {
+      sink(Writes.insertIgnore(events, batch, Seq("event_id")))
+    }
+    time("insert_ignore_bloom", n) {
+      sink(Writes.insertIgnoreBloom(events, batch, Seq("event_id")))
+    }
+
+    // layout contrast: the same selective range scan against a sorted
+    // (disjoint row-group spans → min/max skipping) vs hash-scattered
+    // parquet layout — the write-side half of predicate pushdown
+    val layoutBase = java.nio.file.Files
+      .createTempDirectory("graft_scale_layout").toString
+    val slim = events.select(col("event_id"), col("user_id"), col("value"))
+    Writes.writeSortedLayout(slim, s"$layoutBase/sorted",
+      Seq("event_id"), partitions = cpus.toInt * 2)
+    slim.repartition(cpus.toInt * 2).write
+      .mode("overwrite").parquet(s"$layoutBase/plain")
+    def rangeScan(dir: String): Unit =
+      sink(spark.read.parquet(dir)
+        .filter(col("event_id").between(500000L, 510000L)))
+    time("scan_sorted_layout", n) { rangeScan(s"$layoutBase/sorted") }
+    time("scan_hash_layout", n) { rangeScan(s"$layoutBase/plain") }
     events.unpersist()
 
     val emb = inflate(Tables.embeddings(spark, sfDir), "vec_id",

@@ -128,11 +128,14 @@ object Main {
         val metricsJson = res.metrics.map { case (k, v) =>
           s""""$k": $v""" }.mkString("{", ", ", "}")
         Files.createDirectories(Paths.get(path("models")))
-        Files.writeString(Paths.get(path(s"models/${opts.getOrElse("model",
-          "rf")}_metadata.json")),
+        val modelDir = opts.getOrElse("model", "rf")
+        Files.writeString(Paths.get(path(s"models/${modelDir}_metadata.json")),
           s"""{"model_type": "$modelType", "metrics": $metricsJson,
              |"features": ${FeatureEngineering.featureColumns.size}}
              |""".stripMargin)
+        // the reference's `latest` symlink (train.py:169-219) as a
+        // pointer file: which model dir the most recent train produced
+        Files.writeString(Paths.get(path("models/latest")), modelDir)
         println(s"[cli] ml-train: ${res.metrics}")
 
       case "ml-predict" =>

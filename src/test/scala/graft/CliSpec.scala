@@ -29,6 +29,10 @@ class CliSpec extends SparkSuite {
     val meta = Files.readString(
       java.nio.file.Paths.get(s"$wh/models/rf_metadata.json"))
     assert(meta.contains("random_forest") && meta.contains("accuracy"))
+    assert(meta.contains("f1Macro"))
+    // the reference's `latest` pointer (train.py:169-219)
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$wh/models/latest")) == "rf")
 
     Main.run(spark, "ml-predict", src, wh, opts)
     val preds = spark.read.parquet(s"$wh/predictions")

@@ -62,6 +62,20 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: bloom-pruned insert-ignore equals the plain plan for " +
+    "any generated existing/batch pair (end-to-end no-false-negative)") {
+    samples(Gen.zip(seriesGen, seriesGen), 5).foreach { case (a, b) =>
+      val existing = a.toDF("k", "t", "v")
+        .groupBy("k", "t").agg(min("v").as("v"))
+      val incoming = b.toDF("k", "t", "v")
+      val plain = Writes.insertIgnore(existing, incoming, Seq("k", "t"))
+        .orderBy("k", "t", "v").collect().toSeq
+      val bloom = Writes.insertIgnoreBloom(existing, incoming,
+        Seq("k", "t")).orderBy("k", "t", "v").collect().toSeq
+      assert(bloom == plain)
+    }
+  }
+
   test("property: upsert always carries exactly the incoming values on " +
     "conflicting keys and stays key-unique") {
     samples(Gen.zip(seriesGen, seriesGen), 5).foreach { case (a, b) =>
