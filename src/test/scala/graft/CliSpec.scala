@@ -46,6 +46,20 @@ class CliSpec extends SparkSuite {
     assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
   }
 
+  test("ml-train --model gbt trains the one-vs-rest boosted ensemble " +
+    "and records the latest pointer") {
+    val wh = Files.createTempDirectory("graft_wh_gbt").toString
+    val src = "/root/testdata/sf0.001"
+    Main.run(spark, "ml-train", src, wh,
+      Map("model" -> "gbt", "trees" -> "3"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/models/gbt")))
+    val meta = Files.readString(
+      java.nio.file.Paths.get(s"$wh/models/gbt_metadata.json"))
+    assert(meta.contains("gbt_one_vs_rest") && meta.contains("accuracy"))
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$wh/models/latest")) == "gbt")
+  }
+
   test("csv export sink round-trips predictions (reference predict.py:209)") {
     val wh = Files.createTempDirectory("graft_csv").toString
     import spark.implicits._
