@@ -93,6 +93,19 @@ object ScaleCheck {
         .filter(col("event_id").between(500000L, 510000L)))
     time("scan_sorted_layout", n) { rangeScan(s"$layoutBase/sorted") }
     time("scan_hash_layout", n) { rangeScan(s"$layoutBase/plain") }
+    // 2-d: a box predicate over the Z-ordered layout prunes both
+    // dimensions; the hash layout and the 1-d sort cannot
+    Writes.writeZOrderLayout(slim, s"$layoutBase/zorder",
+      "user_id", "value", partitions = cpus.toInt * 2)
+    def boxScan(dir: String): Unit =
+      sink(spark.read.parquet(dir)
+        .filter(col("user_id").between(100L, 200L) &&
+          col("value").between(10.0, 20.0)))
+    time("scan_zorder_box", n) { boxScan(s"$layoutBase/zorder") }
+    time("scan_hash_box", n) { boxScan(s"$layoutBase/plain") }
+    // three full copies of the inflated table — don't leave them in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(layoutBase))
     events.unpersist()
 
     val emb = inflate(Tables.embeddings(spark, sfDir), "vec_id",

@@ -109,11 +109,21 @@ object Main {
         }
 
       case "ml-train" =>
+        // --model rf (default) | gbt | xgboost — the reference's
+        // rf/xgboost choice (cli.py --model-type); xgboost maps to the
+        // one-vs-rest GBT (SURVEY §7.4). Unknown values fail loudly
+        // instead of silently training the default.
+        val modelDir = opts.getOrElse("model", "rf") match {
+          case "xgboost" => "gbt"
+          case m @ ("rf" | "gbt") => m
+          case other =>
+            System.err.println(
+              s"unknown --model '$other' (rf|gbt|xgboost)")
+            return
+        }
         val labeled = features(spark, eventsDir, forPrediction = false)
         val (train, _, test) = ChronoSplit(labeled)
-        // --model rf (default) | gbt — the reference's rf/xgboost choice
-        // (cli.py --model-type); xgboost maps to one-vs-rest GBT
-        val (modelType, res) = opts.getOrElse("model", "rf") match {
+        val (modelType, res) = modelDir match {
           case "gbt" =>
             val (model, _) = Train.fitBoosted(train,
               maxIter = opts.getOrElse("trees", "200").toInt)
@@ -128,7 +138,6 @@ object Main {
         val metricsJson = res.metrics.map { case (k, v) =>
           s""""$k": $v""" }.mkString("{", ", ", "}")
         Files.createDirectories(Paths.get(path("models")))
-        val modelDir = opts.getOrElse("model", "rf")
         Files.writeString(Paths.get(path(s"models/${modelDir}_metadata.json")),
           s"""{"model_type": "$modelType", "metrics": $metricsJson,
              |"features": ${FeatureEngineering.featureColumns.size}}
@@ -139,10 +148,25 @@ object Main {
         println(s"[cli] ml-train: ${res.metrics}")
 
       case "ml-predict" =>
-        val model = RandomForestClassificationModel.load(path("models/rf"))
-        val preds = Predict(model,
-          features(spark, eventsDir, forPrediction = true),
-          modelVersion = "rf_v1")
+        // follow the `latest` pointer (falls back to rf); the GBT path
+        // scores without probabilities (MLlib OneVsRest exposes none)
+        val latestPtr = Paths.get(path("models/latest"))
+        val latest = if (Files.exists(latestPtr))
+          Files.readString(latestPtr).trim else "rf"
+        val preds = latest match {
+          case "gbt" =>
+            val model = org.apache.spark.ml.classification
+              .OneVsRestModel.load(path("models/gbt"))
+            Predict.withoutProbabilities(model,
+              features(spark, eventsDir, forPrediction = true),
+              modelVersion = "gbt_v1")
+          case _ =>
+            val model =
+              RandomForestClassificationModel.load(path("models/rf"))
+            Predict(model,
+              features(spark, eventsDir, forPrediction = true),
+              modelVersion = "rf_v1")
+        }
         val existing = readOr("predictions", preds.limit(0))
         write(Writes.upsert(existing, preds,
           Seq("user_id", "prediction_date", "model_version")),

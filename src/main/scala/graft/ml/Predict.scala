@@ -33,4 +33,28 @@ object Predict {
       round(probs.getItem(2), 4).as("prob_high"),
       lit(modelVersion).as("model_version"))
   }
+
+  /** Same output contract for classifiers that expose no calibrated
+    * probability vector (the one-vs-rest GBT mapping of the reference's
+    * xgboost choice): confidence and per-class probabilities are
+    * explicitly null rather than fabricated. */
+  def withoutProbabilities(model: org.apache.spark.ml.Transformer,
+                           features: DataFrame,
+                           modelVersion: String): DataFrame = {
+    val latest = WindowFns.latestPerKey(features, Seq("user_id"),
+      col("date"))
+    val scored = model.transform(Train.assembler.transform(latest))
+    val nullProb = lit(null).cast("double")
+    scored.select(
+      col("user_id"),
+      col("date").as("as_of_date"),
+      Indicators.nextTradingDay(col("date")).as("prediction_date"),
+      FeatureEngineering.classOf(col("prediction"))
+        .as("predicted_class"),
+      nullProb.as("confidence"),
+      nullProb.as("prob_low"),
+      nullProb.as("prob_medium"),
+      nullProb.as("prob_high"),
+      lit(modelVersion).as("model_version"))
+  }
 }

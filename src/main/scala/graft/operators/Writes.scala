@@ -12,24 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object Writes {
 
-  /** `INSERT ... ON CONFLICT DO NOTHING` keyed by `keys`
-    * (reference: airflow/dags/stock_grok_pipeline.py:84-97): keep all
-    * existing rows; append only incoming rows whose key is absent.
-    * Also dedups within the incoming batch (deterministically: min struct
-    * of remaining columns per key, so re-runs are stable). */
-  def insertIgnore(existing: DataFrame, incoming: DataFrame,
-                   keys: Seq[String]): DataFrame = {
+  /** In-batch key dedup, deterministically (min struct of the value
+    * columns per key, so re-runs pick the same representative), projected
+    * to the target table's column order. */
+  private def dedupeByKey(incoming: DataFrame, keys: Seq[String],
+                          targetCols: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val valueCols = incoming.columns.filterNot(keys.contains)
-    val dedupedIncoming = incoming
+    incoming
       .groupBy(keyCols: _*)
       .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
       .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
-      .select(existing.columns.map(col).toIndexedSeq: _*)
-    existing.unionByName(
-      dedupedIncoming.join(existing.select(keyCols: _*).distinct(),
-        keys, "left_anti"))
+      .select(targetCols.map(col).toIndexedSeq: _*)
   }
+
+  /** `INSERT ... ON CONFLICT DO NOTHING` keyed by `keys`
+    * (reference: airflow/dags/stock_grok_pipeline.py:84-97): keep all
+    * existing rows; append only incoming rows whose key is absent.
+    * Also dedups within the incoming batch. */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      dedupeByKey(incoming, keys, existing.columns.toIndexedSeq)
+        .join(existing.select(keys.map(col): _*).distinct(),
+          keys, "left_anti"))
 
   /** `INSERT ... ON CONFLICT DO UPDATE` (upsert) keyed by `keys`
     * (reference: ml/data_loader.py:140-160): incoming wins on key clash;
@@ -37,15 +43,11 @@ object Writes {
     * the reference's row-at-a-time loop. */
   def upsert(existing: DataFrame, incoming: DataFrame,
              keys: Seq[String]): DataFrame = {
-    val keyCols = keys.map(col)
-    val valueCols = incoming.columns.filterNot(keys.contains)
-    val dedupedIncoming = incoming
-      .groupBy(keyCols: _*)
-      .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
-      .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
-      .select(existing.columns.map(col).toIndexedSeq: _*)
+    val dedupedIncoming =
+      dedupeByKey(incoming, keys, existing.columns.toIndexedSeq)
     existing
-      .join(dedupedIncoming.select(keyCols: _*).distinct(), keys, "left_anti")
+      .join(dedupedIncoming.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
       .unionByName(dedupedIncoming)
   }
 
@@ -108,6 +110,11 @@ object Writes {
     * real conflict reaches the broadcast side, so the result equals
     * `insertIgnore` exactly; the existing table's bytes never shuffle.
     *
+    * Both sides hash their keys cast to the EXISTING schema's types:
+    * xxhash64 is type-sensitive (hash of 1:INT ≠ hash of 1:LONG), while
+    * the resolving join coerces — without the cast, a dtype mismatch
+    * between batch and table would silently disable conflict detection.
+    *
     * Size the trade: broadcast side ≈ |incoming ∩ existing| +
     * fpp·|existing|. The default fpp=1e-6 keeps a trillion-row existing
     * table's false positives around 10⁶ rows (megabytes of keys).
@@ -120,19 +127,17 @@ object Writes {
   def insertIgnoreBloom(existing: DataFrame, incoming: DataFrame,
                         keys: Seq[String], fpp: Double = 1e-6,
                         expectedItems: Option[Long] = None): DataFrame = {
-    val keyCols = keys.map(col)
-    val keyHash = xxhash64(keyCols: _*)
-    val valueCols = incoming.columns.filterNot(keys.contains)
-    val dedupedIncoming = incoming
-      .groupBy(keyCols: _*)
-      .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
-      .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
-      .select(existing.columns.map(col).toIndexedSeq: _*)
+    val keyTypes = keys.map(k => existing.schema(k).dataType)
+    val existingHash = xxhash64(keys.map(col): _*)
+    val incomingHash = xxhash64(keys.zip(keyTypes).map {
+      case (k, t) => col(k).cast(t) }: _*)
+    val dedupedIncoming =
+      dedupeByKey(incoming, keys, existing.columns.toIndexedSeq)
     val expected = math.max(expectedItems.getOrElse(incoming.count()), 1L)
-    val bf = incoming.stat.bloomFilter(keyHash, expected, fpp)
+    val bf = incoming.stat.bloomFilter(incomingHash, expected, fpp)
     val conflicts = existing
-      .filter(graft.plans.BloomFns.mightContain(keyHash, bf))
-      .select(keyCols: _*)
+      .filter(graft.plans.BloomFns.mightContain(existingHash, bf))
+      .select(keys.map(col): _*)
     existing.unionByName(
       dedupedIncoming.join(broadcast(conflicts), keys, "left_anti"))
   }

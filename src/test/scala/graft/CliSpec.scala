@@ -46,8 +46,8 @@ class CliSpec extends SparkSuite {
     assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
   }
 
-  test("ml-train --model gbt trains the one-vs-rest boosted ensemble " +
-    "and records the latest pointer") {
+  test("ml-train --model gbt trains the one-vs-rest boosted ensemble, " +
+    "records the latest pointer, and ml-predict follows it") {
     val wh = Files.createTempDirectory("graft_wh_gbt").toString
     val src = "/root/testdata/sf0.001"
     Main.run(spark, "ml-train", src, wh,
@@ -58,6 +58,24 @@ class CliSpec extends SparkSuite {
     assert(meta.contains("gbt_one_vs_rest") && meta.contains("accuracy"))
     assert(Files.readString(
       java.nio.file.Paths.get(s"$wh/models/latest")) == "gbt")
+    // a gbt-only warehouse must predict via the pointer (no models/rf);
+    // the OVR path emits null probabilities by contract
+    Main.run(spark, "ml-predict", src, wh, Map.empty)
+    val preds = spark.read.parquet(s"$wh/predictions")
+    assert(preds.count() > 0)
+    import org.apache.spark.sql.functions.col
+    assert(preds.filter(col("model_version") === "gbt_v1").count() ==
+      preds.count())
+    assert(preds.filter(col("confidence").isNotNull).count() == 0)
+    assert(preds.filter(!col("predicted_class")
+      .isin("low", "medium", "high")).count() == 0)
+  }
+
+  test("ml-train rejects unknown --model values without training") {
+    val wh = Files.createTempDirectory("graft_wh_bad").toString
+    Main.run(spark, "ml-train", "/root/testdata/sf0.001", wh,
+      Map("model" -> "resnet"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/models")))
   }
 
   test("csv export sink round-trips predictions (reference predict.py:209)") {

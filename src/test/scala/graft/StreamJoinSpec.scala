@@ -29,9 +29,7 @@ class StreamJoinSpec extends SparkSuite {
 
   test("watermarked interval join across micro-batches matches the " +
     "batch join exactly when nothing is late") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "user_id", "ts", "value")
     // enrichment feed: one row per 20th event, landing 1 minute later
     val enrBatch = raw.filter(col("event_id") % 20 === 0)

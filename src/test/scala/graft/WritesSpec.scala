@@ -105,6 +105,21 @@ class WritesSpec extends SparkSuite {
     assert(hit == 1)
   }
 
+  test("insertIgnoreBloom detects conflicts across key dtype mismatch " +
+    "(hash normalized to the existing schema's types)") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("int").as("v")) // k: LONG
+    val batch = spark.range(90, 110)
+      .select(col("id").cast("int").as("k"), lit(-1).as("v")) // k: INT
+    val plain = Writes.insertIgnore(big, batch, Seq("k"))
+      .orderBy("k").collect().toSeq
+    val bloom = Writes.insertIgnoreBloom(big, batch, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(bloom == plain)
+    assert(bloom.size == 110) // 100 kept + 10 genuinely new
+  }
+
   test("z-order kernel: quantile bucket search and bit interleave") {
     import graft.plans.ZValue2._
     assert(bucketOf(-1.0, Array(0.0, 10.0)) == 0)
