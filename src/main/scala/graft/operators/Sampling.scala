@@ -92,6 +92,36 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** α-temperature mixture (the multilingual-pretraining reweight:
+    * group sampling mass ∝ n_g^α). α=1 reproduces the natural
+    * distribution (a plain uniform sample), α→0 flattens toward equal
+    * mass per group; 0<α<1 upsamples tail groups' SHARE by keeping more
+    * of them relative to the head. Each group's keep-fraction is
+    * min(1, total·sampleFraction·p_g / n_g) with p_g = n_g^α / Σ n^α —
+    * never duplicating rows (upsampling beyond 1.0 is epoch repetition,
+    * a downstream concern). Membership reuses the nested md5-hash
+    * threshold, so the mix is deterministic, engine-portable
+    * (oracle-exact), and monotone in `sampleFraction`. Cost: one tiny
+    * group-count aggregate broadcast back — the corpus itself only
+    * streams through a map-side filter. */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double,
+                     sampleFraction: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
+    require(sampleFraction >= 0 && sampleFraction <= 1,
+      "sampleFraction must be in [0,1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val norms = counts.agg(sum(pow(col("_n"), alpha)).as("_z"),
+      sum(col("_n")).as("_total"))
+    val frac = least(lit(1.0),
+      pow(col("_n"), alpha) / col("_z") * col("_total") *
+        sampleFraction / col("_n"))
+    df.join(broadcast(counts.crossJoin(norms)), Seq(groupCol))
+      .filter(hashBucket(col(keyCol)) < frac * 4294967296.0)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** train/val/test label from the bucket's percent residue — the
     * reproducible split a training pipeline needs (chronological splits
     * live in graft.ml.ChronoSplit; this is the i.i.d. variant). */

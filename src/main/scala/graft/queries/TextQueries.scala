@@ -219,6 +219,15 @@ object TextQueries {
           defaultWeight = 0.1)
         .orderBy(col("doc_id"))),
 
+    // α-temperature mixture: keep-fractions ∝ n_lang^0.5 mass, nested
+    // md5-hash membership — the multilingual pretraining reweight
+    "q82_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          groupCol = "lang", keyCol = "doc_id",
+          alpha = 0.5, sampleFraction = 0.5)
+        .orderBy(col("doc_id"))),
+
     // sequence packing (concat-and-chunk): per-shard token tape via one
     // window cumsum → fixed 256-token sequence coordinates per doc
     "q72_pack" -> ((s, d) =>
@@ -541,6 +550,23 @@ object TextQueries {
            WHEN 'de' THEN 2147483648
            WHEN 'fr' THEN 1073741824
            ELSE 429496730 END
+         ORDER BY doc_id""",
+    "q82_temperature_mix" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS bucket
+           FROM documents),
+         c AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+         z AS (
+           SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c)
+         SELECT h.doc_id, h.lang
+         FROM h JOIN c USING (lang) CROSS JOIN z
+         WHERE h.bucket <
+           LEAST(1.0, pow(c.n, 0.5) / z.z * z.total * 0.5 / c.n)
+             * 4294967296.0
          ORDER BY doc_id""",
     "q72_pack" -> (TOKS +
       """, n AS (

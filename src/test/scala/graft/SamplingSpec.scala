@@ -80,6 +80,35 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(kept("de").toDouble / total("de") - 0.2) < 0.15)
   }
 
+  test("temperatureMix: α=1 is the plain uniform sample; α<1 shifts " +
+    "share toward tail groups; nested in sampleFraction") {
+    val base = docs.select("doc_id", "lang")
+    // α=1 → keep-fraction = sampleFraction for every group
+    val alpha1 = Sampling.temperatureMix(base, "lang", "doc_id",
+      alpha = 1.0, sampleFraction = 0.4)
+    val uniform = Sampling.sampleByHash(base, "doc_id", 0.4)
+    assert(alpha1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      uniform.select("doc_id").as[Long].collect().sorted.toSeq)
+    // α=0.5 upsamples the tail: smallest group's kept SHARE of the mix
+    // must exceed its natural share (relative to the α=1 mix)
+    val byLang = base.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val tail = byLang.minBy(_._2)._1
+    val t05 = Sampling.temperatureMix(base, "lang", "doc_id", 0.5, 0.4)
+    def share(df: org.apache.spark.sql.DataFrame, g: String): Double = {
+      val m = df.groupBy("lang").count().as[(String, Long)]
+        .collect().toMap
+      m.getOrElse(g, 0L).toDouble / m.values.sum
+    }
+    assert(share(t05, tail) > share(alpha1, tail))
+    // nested: growing the budget only adds rows
+    val small = Sampling.temperatureMix(base, "lang", "doc_id", 0.5, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Sampling.temperatureMix(base, "lang", "doc_id", 0.5, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
   test("assignSplit partitions every row into exactly one of " +
     "train/val/test with roughly the requested proportions") {
     val split = docs.select(col("doc_id"),
