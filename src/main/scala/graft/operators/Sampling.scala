@@ -122,6 +122,37 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** The upsampling half of a pretraining mix ([[mixByWeights]] /
+    * [[temperatureMix]] are the downsampling half): materialize
+    * per-group repeat epochs. A weight w ≥ 0 yields floor(w) full
+    * copies of every row plus one extra copy for the deterministic
+    * hash-fraction frac(w) of keys — so the group's expected volume is
+    * exactly w× its size, rows are never fabricated (each emitted row
+    * is a (row, epoch) pair, epoch ∈ [1, repeats]), and re-runs emit
+    * the identical tape. Map-side generate; no shuffle. */
+  def upsampleByWeights(df: DataFrame, groupCol: String, keyCol: String,
+                        weights: Map[String, Double],
+                        defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    def repeatsFor(w: Double): Column = {
+      val base = math.floor(w).toLong
+      val frac = w - base
+      lit(base) + when(
+        hashBucket(col(keyCol)) < math.round(frac * 4294967296.0), 1L)
+        .otherwise(0L)
+    }
+    val repeats = weights.foldLeft(repeatsFor(defaultWeight)) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, repeatsFor(w)).otherwise(acc)
+    }
+    df.withColumn("_r", repeats)
+      .filter(col("_r") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("_r"))))
+      .drop("_r")
+  }
+
   /** train/val/test label from the bucket's percent residue — the
     * reproducible split a training pipeline needs (chronological splits
     * live in graft.ml.ChronoSplit; this is the i.i.d. variant). */

@@ -228,6 +228,16 @@ object TextQueries {
           alpha = 0.5, sampleFraction = 0.5)
         .orderBy(col("doc_id"))),
 
+    // epoch repetition (the upsampling half of the mix): de gets 2
+    // full epochs + a deterministic 50% third; fr exactly 1; en 0.75
+    "q83_upsample_epochs" -> ((s, d) =>
+      graft.operators.Sampling.upsampleByWeights(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          groupCol = "lang", keyCol = "doc_id",
+          weights = Map("de" -> 2.5, "fr" -> 1.0, "en" -> 0.75),
+          defaultWeight = 1.0)
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // sequence packing (concat-and-chunk): per-shard token tape via one
     // window cumsum → fixed 256-token sequence coordinates per doc
     "q72_pack" -> ((s, d) =>
@@ -568,6 +578,26 @@ object TextQueries {
            LEAST(1.0, pow(c.n, 0.5) / z.z * z.total * 0.5 / c.n)
              * 4294967296.0
          ORDER BY doc_id""",
+    "q83_upsample_epochs" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS bucket
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             CASE lang
+               WHEN 'de' THEN 2 + CASE WHEN bucket < 2147483648
+                 THEN 1 ELSE 0 END
+               WHEN 'fr' THEN 1
+               WHEN 'en' THEN 0 + CASE WHEN bucket < 3221225472
+                 THEN 1 ELSE 0 END
+               ELSE 1 END AS n
+           FROM h)
+         SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch
+         FROM r, UNNEST(generate_series(1, r.n)) AS e(epoch)
+         WHERE n > 0
+         ORDER BY doc_id, epoch""",
     "q72_pack" -> (TOKS +
       """, n AS (
             SELECT doc_id, lang,

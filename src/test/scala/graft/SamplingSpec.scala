@@ -109,6 +109,35 @@ class SamplingSpec extends SparkSuite {
     assert(small.subsetOf(large))
   }
 
+  test("upsampleByWeights emits floor(w) epochs plus a deterministic " +
+    "hash-fraction extra; expected volume ≈ w× the group") {
+    val base = docs.select("doc_id", "lang")
+    val up = Sampling.upsampleByWeights(base, "lang", "doc_id",
+      Map("de" -> 2.5, "en" -> 0.75), defaultWeight = 1.0).cache()
+    val perDoc = up.groupBy("doc_id", "lang").count()
+      .as[(Long, String, Long)].collect()
+    // every de doc appears 2 or 3 times; en 0 or 1 (0s absent); rest 1
+    perDoc.foreach { case (_, lang, n) =>
+      lang match {
+        case "de" => assert(n == 2 || n == 3)
+        case "en" => assert(n == 1)
+        case _    => assert(n == 1)
+      }
+    }
+    val deTotal = base.filter(col("lang") === "de").count().toDouble
+    val deKept = up.filter(col("lang") === "de").count().toDouble
+    assert(math.abs(deKept / deTotal - 2.5) < 0.2)
+    val enTotal = base.filter(col("lang") === "en").count().toDouble
+    val enKept = up.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.75) < 0.1)
+    // epochs are a dense 1..n sequence per doc
+    val maxEp = up.groupBy("doc_id").agg(
+      max("epoch").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n")).count()
+    assert(maxEp == 0)
+    up.unpersist()
+  }
+
   test("assignSplit partitions every row into exactly one of " +
     "train/val/test with roughly the requested proportions") {
     val split = docs.select(col("doc_id"),
