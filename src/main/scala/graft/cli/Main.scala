@@ -137,9 +137,14 @@ object Main {
         }
         val metricsJson = res.metrics.map { case (k, v) =>
           s""""$k": $v""" }.mkString("{", ", ", "}")
+        // top-15 feature importances (reference train.py:146-154);
+        // empty for the OVR ensemble, which exposes none
+        val impJson = res.importances.take(15).map { case (k, v) =>
+          s""""$k": $v""" }.mkString("{", ", ", "}")
         Files.createDirectories(Paths.get(path("models")))
         Files.writeString(Paths.get(path(s"models/${modelDir}_metadata.json")),
           s"""{"model_type": "$modelType", "metrics": $metricsJson,
+             |"feature_importances": $impJson,
              |"features": ${FeatureEngineering.featureColumns.size}}
              |""".stripMargin)
         // the reference's `latest` symlink (train.py:169-219) as a

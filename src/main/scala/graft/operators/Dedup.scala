@@ -56,6 +56,44 @@ object Dedup {
       .groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup — the daily-crawl shape: drop batch docs whose
+    * content (exact hash or token fingerprint) already exists in the
+    * corpus, then dedup within the batch itself (min-id canonical).
+    *
+    * Scale path: the corpus side is only its fingerprint column, probed
+    * with the batch-keyed Bloom filter map-side (no corpus shuffle, same
+    * algebra as [[Writes.insertIgnoreBloom]]); the false-positive
+    * candidates resolve exactly through a broadcast anti-join. A 100 TB
+    * corpus contributes one column scan; everything keyed is O(batch).
+    *
+    * `corpusFingerprints` is one column `fingerprint` — persist it as a
+    * compact side table (the "seen" index) and append each surviving
+    * batch's prints to it downstream. */
+  def incrementalByFingerprint(corpusFingerprints: DataFrame,
+                               batch: DataFrame,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               fpp: Double = 1e-6): DataFrame = {
+    val printed = batch.withColumn("fingerprint",
+      TextFns.fingerprint(col(textCol)))
+    // within-batch dedup first (min id per fingerprint survives)
+    val w = Window.partitionBy(col("fingerprint"))
+    val batchCanonical = printed
+      .withColumn("rk",
+        row_number().over(w.orderBy(col(idCol))))
+      .filter(col("rk") === 1).drop("rk")
+    val keyHash = xxhash64(col("fingerprint"))
+    val expected = math.max(batchCanonical.count(), 1L)
+    val bf = batchCanonical.stat.bloomFilter(keyHash, expected, fpp)
+    val seen = corpusFingerprints
+      .filter(graft.plans.BloomFns.mightContain(
+        xxhash64(col("fingerprint").cast("string")), bf))
+      .select(col("fingerprint").cast("string").as("fingerprint"))
+    batchCanonical
+      .join(broadcast(seen), Seq("fingerprint"), "left_anti")
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** MinHash signatures: `k` md5-seeded min-hashes over `n`-gram shingles.
     * Output: (idCol, sig_0 .. sig_{k-1}). Deterministic and
     * engine-portable (md5 hex min). The fused native expression computes

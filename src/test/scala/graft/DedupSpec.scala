@@ -125,4 +125,32 @@ class DedupSpec extends SparkSuite {
       .collect()
     assert(qualities(1) > qualities(0)) // the premise the test rests on
   }
+
+  test("incremental fingerprint dedup drops corpus-seen and " +
+    "within-batch duplicate docs, keeping min-id firsts — equals the " +
+    "plain anti-join formulation") {
+    import graft.functions.TextFns
+    val corpus = Seq((100L, base), (101L, "old corpus doc about ducks"))
+      .toDF("doc_id", "text")
+    val corpusPrints = corpus
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (1L, base),                          // seen in corpus → dropped
+      (2L, "fresh new content one"),       // new
+      (3L, "fresh new content one"),       // in-batch dup of 2 → dropped
+      (4L, "one content new fresh"),       // fingerprint dup of 2 → dropped
+      (5L, "entirely novel writing")       // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalByFingerprint(corpusPrints, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 5L))
+    // plain formulation twin: within-batch min-id per fingerprint,
+    // then anti-join corpus prints directly
+    val plain = batch
+      .withColumn("fingerprint", TextFns.fingerprint(col("text")))
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .join(corpusPrints, Seq("fingerprint"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == plain)
+  }
 }
