@@ -1,35 +1,47 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: each left row picks the payload of the latest
-  * right row with `right.time <= left.time` within the same key — the
-  * canonical "attach most recent state" operator Spark has no built-in
-  * for (DuckDB: ASOF JOIN; pandas: merge_asof).
+/** As-of join: each left row picks the payload of the nearest right row
+  * on the chosen side of its time within the same key — the canonical
+  * "attach most recent state" operator Spark has no built-in for
+  * (DuckDB: ASOF JOIN; pandas: merge_asof).
   *
-  * Implementation is the union + running-last-value composition, NOT a
+  * Implementation is the union + running-value composition, NOT a
   * range join: tag both inputs, union them, and take
-  * `last(payload, ignoreNulls) OVER (PARTITION BY key ORDER BY time,
-  * side ROWS UNBOUNDED PRECEDING)`. One shuffle by key, per-partition
-  * sort, zero pair explosion — O(L+R) at any scale and skew-safe under
-  * AQE, where an inequality join would degenerate to a broadcast
-  * nested loop. Ties (equal times) match, right-before-left at the
-  * same timestamp. */
+  * `last(payload, ignoreNulls)` (backward) or `first(...)` (forward)
+  * over the keyed time window. One shuffle by key, per-partition sort,
+  * zero pair explosion — O(L+R) at any scale and skew-safe under AQE,
+  * where an inequality join would degenerate to a broadcast nested
+  * loop. Ties (equal times) match on both directions (inclusive), like
+  * merge_asof's defaults.
+  *
+  * `direction`: "backward" (latest right.time <= left.time) or
+  * "forward" (earliest right.time >= left.time).
+  * `tolerance`: optional interval (e.g. `expr("INTERVAL 7 DAYS")`) —
+  * a match farther than this from the left time is nulled out, the
+  * left row survives (merge_asof's tolerance semantics).
+  */
 object AsOfJoin {
 
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-               timeCol: String): DataFrame = {
+               timeCol: String, direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
     val payloadCols = right.columns
       .filterNot(c => keys.contains(c) || c == timeCol)
     val leftCols = left.columns
     require(payloadCols.nonEmpty, "right side has no payload columns")
 
     val keyCols = keys.map(col)
+    // payload carries the matched right time ("_rt") for tolerance
     val rTagged = right.select(
       (keyCols :+ col(timeCol)) ++
-        Seq(struct(payloadCols.map(col).toIndexedSeq: _*).as("_payload"),
+        Seq(struct((payloadCols.map(col) :+
+            col(timeCol).as("_rt")).toIndexedSeq: _*).as("_payload"),
           lit(0).as("_side"),
           // null placeholders for left-only columns
           struct(leftCols.filterNot(c => keys.contains(c) ||
@@ -43,18 +55,35 @@ object AsOfJoin {
           struct(leftCols.filterNot(c => keys.contains(c) ||
             c == timeCol).map(col).toIndexedSeq: _*).as("_left")): _*)
 
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(timeCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right sorts BEFORE left at equal times and the frame
+    // trails — last non-null is the latest right <= t. forward: left
+    // sorts before right and the frame leads — first non-null is the
+    // earliest right >= t. Both inclusive.
+    val base = Window.partitionBy(keyCols: _*)
+    val (w, pick) =
+      if (direction == "backward")
+        (base.orderBy(col(timeCol).asc, col("_side").asc)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         last(col("_payload"), ignoreNulls = true))
+      else
+        (base.orderBy(col(timeCol).asc, col("_side").desc)
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+         first(col("_payload"), ignoreNulls = true))
     val matched = rTagged.unionByName(lTagged)
-      .withColumn("_asof", last(col("_payload"), ignoreNulls = true)
-        .over(w))
+      .withColumn("_asof", pick.over(w))
       .filter(col("_side") === 1)
+
+    val inTolerance = tolerance.map { tol =>
+      if (direction == "backward")
+        col("_asof._rt") >= col(timeCol) - tol
+      else col("_asof._rt") <= col(timeCol) + tol
+    }.getOrElse(lit(true))
+    val keep = col("_asof").isNotNull && inTolerance
 
     matched.select(
       (keyCols :+ col(timeCol)) ++
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
           .map(c => col(s"_left.$c").as(c)) ++
-        payloadCols.map(c => col(s"_asof.$c").as(c)): _*)
+        payloadCols.map(c => when(keep, col(s"_asof.$c")).as(c)): _*)
   }
 }

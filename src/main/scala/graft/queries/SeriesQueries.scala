@@ -216,6 +216,35 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // as-of with tolerance: matches staler than 7 days are nulled
+    // (merge_asof tolerance semantics), the left row survives
+    "q84_asof_tolerance" -> ((s, d) => {
+      val b = bars(s, d).select(col("user_id"), col("date"), col("close"))
+      val sparse = staged(s, d)
+        .filter(abs(col("pct_change")) > 2)
+        .select(col("user_id"), col("date"),
+          when(col("pct_change") > 0, "positive").otherwise("negative")
+            .as("last_signal"))
+      AsOfJoin.joinAsOf(b, sparse, Seq("user_id"), "date",
+          tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // forward as-of: each bar attaches the NEXT signal at/after it
+    "q85_asof_forward" -> ((s, d) => {
+      val b = bars(s, d).select(col("user_id"), col("date"), col("close"))
+      val sparse = staged(s, d)
+        .filter(abs(col("pct_change")) > 2)
+        .select(col("user_id"), col("date"),
+          when(col("pct_change") > 0, "positive").otherwise("negative")
+            .as("next_signal"))
+      AsOfJoin.joinAsOf(b, sparse, Seq("user_id"), "date",
+          direction = "forward")
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // gap-based sessionization: LAG → break flag → running sum →
     // per-session aggregates; epoch-micro bounds + decimal value sum
     // keep it oracle-exact. The streaming twin (flatMapGroupsWithState,
@@ -507,6 +536,30 @@ object SeriesQueries {
                  s.last_signal
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
+          ORDER BY 1, 2"""),
+    "q84_asof_tolerance" -> (STAGED +
+      """, sparse AS (
+            SELECT user_id, date,
+                   CASE WHEN pct_change > 0 THEN 'positive'
+                        ELSE 'negative' END AS last_signal
+            FROM staged WHERE abs(pct_change) > 2)
+          SELECT b.user_id, strftime(b.date, '%Y-%m-%d') AS date, b.close,
+                 CASE WHEN s.date >= b.date - INTERVAL 7 DAY
+                      THEN s.last_signal END AS last_signal
+          FROM bars b ASOF LEFT JOIN sparse s
+            ON b.user_id = s.user_id AND b.date >= s.date
+          ORDER BY 1, 2"""),
+    "q85_asof_forward" -> (STAGED +
+      """, sparse AS (
+            SELECT user_id, date,
+                   CASE WHEN pct_change > 0 THEN 'positive'
+                        ELSE 'negative' END AS next_signal
+            FROM staged WHERE abs(pct_change) > 2)
+          SELECT b.user_id, strftime(b.date, '%Y-%m-%d') AS date, b.close,
+                 (SELECT min_by(s.next_signal, s.date) FROM sparse s
+                  WHERE s.user_id = b.user_id AND s.date >= b.date)
+                   AS next_signal
+          FROM bars b
           ORDER BY 1, 2"""),
     "q62_sessions" -> (SESSIONS_CTE + """
          SELECT user_id, session_id, start_us, end_us, n_events,

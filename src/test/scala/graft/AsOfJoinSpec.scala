@@ -27,4 +27,40 @@ class AsOfJoinSpec extends SparkSuite {
       .select("v").as[String].collect()
     assert(out.toSeq == Seq("same"))
   }
+
+  test("forward as-of picks the earliest right row at-or-after each " +
+    "left time") {
+    val left = Seq((1, 10, "L1"), (1, 20, "L2"), (2, 15, "L3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 5, "a"), (1, 18, "b"), (1, 20, "c"), (2, 3, "z"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t",
+        direction = "forward")
+      .orderBy("k", "t").select("k", "t", "tag", "v")
+      .as[(Int, Int, String, Option[String])].collect()
+    // L1@10 → b@18 (earliest ≥10); L2@20 → c@20 (tie matches);
+    // L3@15 → nothing after it in key 2
+    assert(out.toSeq == Seq((1, 10, "L1", Some("b")),
+      (1, 20, "L2", Some("c")), (2, 15, "L3", None)))
+  }
+
+  test("tolerance nulls matches farther than the bound but keeps the " +
+    "left row (merge_asof semantics), both directions") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq((1, 100, "L")).toDF("k", "t", "tag")
+    val right = Seq((1, 90, "stale"), (1, 130, "far"))
+      .toDF("k", "t", "v")
+    val back = AsOfJoin.joinAsOf(left, right, Seq("k"), "t",
+        tolerance = Some(lit(5)))
+      .select("v").as[Option[String]].collect()
+    assert(back.toSeq == Seq(None)) // 90 is 10 < t-5 → nulled
+    val backOk = AsOfJoin.joinAsOf(left, right, Seq("k"), "t",
+        tolerance = Some(lit(10)))
+      .select("v").as[Option[String]].collect()
+    assert(backOk.toSeq == Seq(Some("stale")))
+    val fwd = AsOfJoin.joinAsOf(left, right, Seq("k"), "t",
+        direction = "forward", tolerance = Some(lit(10)))
+      .select("v").as[Option[String]].collect()
+    assert(fwd.toSeq == Seq(None)) // 130 is 30 > t+10 → nulled
+  }
 }
