@@ -142,6 +142,34 @@ class PipelineSpec extends SparkSuite {
     assert(frames.count() > media.count()) // docs are >64 bytes
   }
 
+  test("multimodal: imageDims parses real PNG and GIF headers from " +
+    "binary payloads with pure column functions") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      val ihdr = Array(0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52)
+      val dims = Array(w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff,
+        w & 0xff, h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff)
+      (sig ++ ihdr ++ dims).map(_.toByte)
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      ("GIF89a".getBytes.map(_.toInt) ++ Array(w & 0xff, w >>> 8,
+        h & 0xff, h >>> 8)).map(_.toByte)
+    val rows = Seq(
+      (1L, png(640, 480)),
+      (2L, gif(320, 200)),
+      (3L, "not an image at all".getBytes)).toDF("doc_id", "payload")
+    val got = rows.select(col("doc_id"),
+        Multimodal.imageDims(col("payload")).as("d"))
+      .select("doc_id", "d.format", "d.width", "d.height")
+      .as[(Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "png", Some(640L), Some(480L)),
+      (2L, "gif", Some(320L), Some(200L)),
+      (3L, "unknown", None, None)))
+  }
+
   test("watermarked windowed aggregation compiles to a streaming-safe " +
     "plan over the batch frame too") {
     val out = StreamingIngest.windowedCounts(events)

@@ -82,4 +82,24 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
     assert(!p.contains("Union"))
   }
+
+  test("as-of join is the union+window composition: one key exchange " +
+    "per side, NO join operator, no pair explosion") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val left = spark.range(0, 1000)
+      .select((col("id") % 7).as("k"), col("id").as("t"),
+        col("id").as("tag"))
+    val right = spark.range(0, 100)
+      .select((col("id") % 7).as("k"), (col("id") * 11).as("t"),
+        col("id").as("v"))
+    val p = graft.operators.AsOfJoin
+      .joinAsOf(left, right, Seq("k"), "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"))
+    // the union's two branches share one hash exchange each at most
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
 }
