@@ -228,6 +228,15 @@ object TextQueries {
           alpha = 0.5, sampleFraction = 0.5)
         .orderBy(col("doc_id"))),
 
+    // corpus-frequency boilerplate strip (RefinedWeb line-dedup shape)
+    // at token granularity on the single-line fixture: tokens verbatim
+    // in ≥450 of 500 docs are "boilerplate" and removed order-preserving
+    "q86_strip_boilerplate" -> ((s, d) =>
+      graft.operators.Boilerplate.stripFrequentLines(
+          Tables.documents(s, d), minDocs = 450,
+          splitPattern = "\\s+", joinWith = " ")
+        .orderBy(col("doc_id"))),
+
     // epoch repetition (the upsampling half of the mix): de gets 2
     // full epochs + a deterministic 50% third; fr exactly 1; en 0.75
     "q83_upsample_epochs" -> ((s, d) =>
@@ -578,6 +587,22 @@ object TextQueries {
            LEAST(1.0, pow(c.n, 0.5) / z.z * z.total * 0.5 / c.n)
              * 4294967296.0
          ORDER BY doc_id""",
+    "q86_strip_boilerplate" -> (TOKS +
+      """, l AS (
+            SELECT doc_id, unnest(w) AS line,
+                   unnest(range(len(w))) AS pos
+            FROM t),
+          b AS (
+            SELECT line FROM l WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 450),
+          kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM l LEFT JOIN b USING (line) WHERE b.line IS NULL)
+          SELECT d.doc_id, coalesce(k.txt, '') AS text_clean
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS txt
+            FROM kept GROUP BY 1) k USING (doc_id)
+          ORDER BY doc_id"""),
     "q83_upsample_epochs" ->
       """WITH h AS (
            SELECT doc_id, lang,

@@ -44,4 +44,27 @@ class TextCleanSpec extends SparkSuite {
         "\\s+", " "))).count()
     assert(changed == 0)
   }
+
+  test("stripFrequentLines removes lines shared by >= minDocs docs, " +
+    "preserves order, keeps rare lines, empties all-boilerplate docs") {
+    import spark.implicits._
+    val nav = "Home | About | Contact"
+    val cookie = "This site uses cookies"
+    val docs = Seq(
+      (1L, s"$nav\nreal article text one\n$cookie"),
+      (2L, s"$nav\ndifferent unique content\n$cookie"),
+      (3L, s"$nav\nthird body paragraph here\n$cookie"),
+      (4L, s"$nav\n$cookie"), // nothing but boilerplate
+      (5L, "a fully unique document\nwith two lines")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Boilerplate
+      .stripFrequentLines(docs, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "real article text one"),
+      (2L, "different unique content"),
+      (3L, "third body paragraph here"),
+      (4L, ""),
+      (5L, "a fully unique document\nwith two lines")))
+  }
 }
