@@ -13,6 +13,48 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** Unigram-LM perplexity per document — the relational core of the
+    * perplexity quality filter (production pipelines score with a
+    * KenLM-style n-gram model; the unigram case is exactly expressible
+    * as corpus aggregation + join, no model artifact). The "language
+    * model" is the corpus itself: p(tok) = count(tok)/total, per doc
+    * cross-entropy = -mean ln p over its tokens, ppl = e^CE. Unusually
+    * high ppl → gibberish/rare-vocab docs; unusually low → boilerplate
+    * (pairs with [[graft.operators.Boilerplate]]).
+    *
+    * Determinism: per-token ln p is rounded (6dp) and summed as
+    * DECIMAL(28,6) — exact and summation-order independent, so the
+    * score is bit-identical across engines/partitionings (the repo's
+    * standard cross-engine trick). Shuffles: token count (partial
+    * aggs), token-keyed probability join, per-doc rollup — all linear.
+    * Docs with no tokens surface with null scores. */
+  def unigramPerplexity(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "") // a blank doc splits to one "" token
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val logp = round(log(col("cnt").cast("double") /
+        col("total").cast("double")), 6)
+      .cast("decimal(28,6)")
+    val perDoc = tok
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(logp).as("_sum_logp"))
+      .select(col(idCol), col("n_tokens"),
+        round(-(col("_sum_logp").cast("double") / col("n_tokens")), 4)
+          .as("cross_entropy"),
+        round(exp(-(col("_sum_logp").cast("double") / col("n_tokens"))),
+          4).as("perplexity"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("cross_entropy"), col("perplexity"))
+  }
+
   /** Top-`k` tokens per document by tf·idf (idf = ln(N/df); score desc,
     * token asc tiebreak). Output: (idCol, rank, token, tf, tfidf). */
   def tfIdfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",

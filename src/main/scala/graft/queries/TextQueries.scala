@@ -328,6 +328,12 @@ object TextQueries {
       Relevance.tfIdfTopK(Tables.documents(s, d), k = 5)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // unigram-LM perplexity quality score: corpus-as-model, exact
+    // decimal log-sums (order-independent cross-engine)
+    "q87_perplexity" -> ((s, d) =>
+      Relevance.unigramPerplexity(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // C4-style span dedup signal: 20-token non-overlapping chunks,
     // duplicated fraction per doc (chunk seen earlier in corpus order)
     "q80_chunk_dedup" -> ((s, d) =>
@@ -429,6 +435,29 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q87_perplexity" -> (TOKS +
+      """, tok0 AS (SELECT doc_id, unnest(w) AS token FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+          tot AS (SELECT sum(cnt) AS total FROM vocab),
+          p AS (
+            SELECT tok.doc_id,
+                   CAST(round(ln(CAST(vocab.cnt AS DOUBLE) /
+                     CAST(tot.total AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS logp
+            FROM tok JOIN vocab USING (token) CROSS JOIN tot),
+          agg AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(logp) AS sum_logp
+            FROM p GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(a.n_tokens, 0) AS n_tokens,
+                 round(-(CAST(a.sum_logp AS DOUBLE) / a.n_tokens), 4)
+                   AS cross_entropy,
+                 round(exp(-(CAST(a.sum_logp AS DOUBLE) / a.n_tokens)),
+                   4) AS perplexity
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY doc_id"""),
     "q79_tfidf" -> (TOKS +
       """, tok AS (SELECT doc_id, unnest(w) AS token FROM t),
           tf AS (SELECT doc_id, token, count(*) AS tf

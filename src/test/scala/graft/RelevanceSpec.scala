@@ -46,4 +46,25 @@ class RelevanceSpec extends SparkSuite {
       (2L, 2L, 1L, 0.5),
       (3L, 1L, 0L, 0.0)))
   }
+
+  test("unigramPerplexity: uniform corpus scores ppl = vocab size; " +
+    "token-less docs get null scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 distinct tokens, once each → p = 1/4 everywhere → ppl = 4
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Relevance.unigramPerplexity(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got(0) == (1L, 2L, Some(1.3863), Some(4.0)))
+    assert(got(1) == (2L, 2L, Some(1.3863), Some(4.0)))
+    assert(got(2) == (3L, 0L, None, None))
+    // skewed corpus: "a a b" alone → p(a)=2/3, p(b)=1/3
+    // CE = -(2·ln(2/3) + ln(1/3))/3; hand-check against the operator
+    val solo = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val ce = graft.operators.Relevance.unigramPerplexity(solo)
+      .select(col("cross_entropy")).as[Double].head()
+    val want = -(2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3
+    assert(math.abs(ce - want) < 5e-4)
+  }
 }
