@@ -55,6 +55,49 @@ object Relevance {
         col("cross_entropy"), col("perplexity"))
   }
 
+  /** Bigram-LM perplexity — one rung up from [[unigramPerplexity]]:
+    * p(w₂|w₁) = c(w₁w₂) / c(w₁ as prefix), per-doc cross-entropy over
+    * its n−1 bigrams. Every bigram in scoring also exists in training
+    * (corpus-as-model), so probabilities never need smoothing here; a
+    * held-out variant would add it. Bigrams come from one lag window
+    * per doc (a single (doc) shuffle), counts are partial aggs keyed by
+    * (w₁,w₂) and w₁, and the same rounded-decimal log-sum makes the
+    * score order-independent. Docs with <2 tokens → null scores. */
+  def bigramPerplexity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+        posexplode(graft.functions.TextFns.tokens(col(textCol)))
+          .as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = tok
+      .withColumn("w1", lag(col("token"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("token").as("w2"))
+    val pairCnt = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val prefixCnt = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val logp = round(log(col("c2").cast("double") /
+        col("c1").cast("double")), 6)
+      .cast("decimal(28,6)")
+    val perDoc = bigrams
+      .join(pairCnt, Seq("w1", "w2"))
+      .join(prefixCnt, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(logp).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-(col("_s").cast("double") / col("n_bigrams")), 4)
+          .as("cross_entropy"),
+        round(exp(-(col("_s").cast("double") / col("n_bigrams"))), 4)
+          .as("perplexity"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"), col("perplexity"))
+  }
+
   /** Top-`k` tokens per document by tf·idf (idf = ln(N/df); score desc,
     * token asc tiebreak). Output: (idCol, rank, token, tf, tfidf). */
   def tfIdfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",

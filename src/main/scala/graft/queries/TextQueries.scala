@@ -334,6 +334,11 @@ object TextQueries {
       Relevance.unigramPerplexity(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // bigram-LM perplexity: conditional p(w2|w1), same decimal rigor
+    "q88_bigram_perplexity" -> ((s, d) =>
+      Relevance.bigramPerplexity(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // C4-style span dedup signal: 20-token non-overlapping chunks,
     // duplicated fraction per doc (chunk seen earlier in corpus order)
     "q80_chunk_dedup" -> ((s, d) =>
@@ -435,6 +440,36 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q88_bigram_perplexity" -> (TOKS +
+      """, tok0 AS (SELECT doc_id, unnest(w) AS token,
+                           unnest(range(len(w))) AS pos
+            FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          big AS (
+            SELECT doc_id,
+                   lag(token) OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS w1,
+                   token AS w2
+            FROM tok QUALIFY w1 IS NOT NULL),
+          c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+          c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+          p AS (
+            SELECT big.doc_id,
+                   CAST(round(ln(CAST(c2.c2 AS DOUBLE) /
+                     CAST(c1.c1 AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS logp
+            FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+          agg AS (
+            SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS s
+            FROM p GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(a.n_bigrams, 0) AS n_bigrams,
+                 round(-(CAST(a.s AS DOUBLE) / a.n_bigrams), 4)
+                   AS cross_entropy,
+                 round(exp(-(CAST(a.s AS DOUBLE) / a.n_bigrams)), 4)
+                   AS perplexity
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY doc_id"""),
     "q87_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token FROM t),
           tok AS (SELECT * FROM tok0 WHERE token <> ''),

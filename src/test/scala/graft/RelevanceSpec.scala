@@ -67,4 +67,27 @@ class RelevanceSpec extends SparkSuite {
     val want = -(2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3
     assert(math.abs(ce - want) < 5e-4)
   }
+
+  test("bigramPerplexity: deterministic corpus gives ppl 1; branching " +
+    "prefix gives the hand-computed conditional entropy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every bigram is forced: a→b always, b→a always → p=1, CE=0, ppl=1
+    val det = Seq((1L, "a b a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val d = graft.operators.Relevance.bigramPerplexity(det)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(d(0) == (1L, 4L, Some(0.0), Some(1.0)))
+    assert(d(1) == (2L, 1L, Some(0.0), Some(1.0)))
+    // "a" branches: a→b once, a→c once → p = 1/2 each; doc CE = ln 2
+    val branch = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val b = graft.operators.Relevance.bigramPerplexity(branch)
+      .select(col("perplexity")).as[Double].collect().toSeq
+    assert(b == Seq(2.0, 2.0))
+    // short doc: no bigrams → nulls
+    val short = Seq((1L, "solo")).toDF("doc_id", "text")
+    val s = graft.operators.Relevance.bigramPerplexity(short)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(s == (1L, 0L, None, None))
+  }
 }
