@@ -37,11 +37,14 @@ object AsOfJoin {
     require(payloadCols.nonEmpty, "right side has no payload columns")
 
     val keyCols = keys.map(col)
-    // payload carries the matched right time ("_rt") for tolerance
+    // payload carries the matched right time for tolerance — under a
+    // name guaranteed not to collide with a real payload column
+    val rtName = Iterator.from(0).map(i => s"_rt$i")
+      .find(n => !payloadCols.contains(n)).get
     val rTagged = right.select(
       (keyCols :+ col(timeCol)) ++
         Seq(struct((payloadCols.map(col) :+
-            col(timeCol).as("_rt")).toIndexedSeq: _*).as("_payload"),
+            col(timeCol).as(rtName)).toIndexedSeq: _*).as("_payload"),
           lit(0).as("_side"),
           // null placeholders for left-only columns
           struct(leftCols.filterNot(c => keys.contains(c) ||
@@ -75,8 +78,8 @@ object AsOfJoin {
 
     val inTolerance = tolerance.map { tol =>
       if (direction == "backward")
-        col("_asof._rt") >= col(timeCol) - tol
-      else col("_asof._rt") <= col(timeCol) + tol
+        col(s"_asof.$rtName") >= col(timeCol) - tol
+      else col(s"_asof.$rtName") <= col(timeCol) + tol
     }.getOrElse(lit(true))
     val keep = col("_asof").isNotNull && inTolerance
 

@@ -73,22 +73,33 @@ object Dedup {
                                batch: DataFrame,
                                textCol: String = "text",
                                idCol: String = "doc_id",
-                               fpp: Double = 1e-6): DataFrame = {
+                               fpp: Double = 1e-6,
+                               expectedItems: Option[Long] = None)
+      : DataFrame = {
+    // xxhash64 is type-sensitive: a binary 'seen' index would hash to
+    // different values than the batch's hex-string prints and silently
+    // disable corpus dedup — fail loudly instead
+    require(corpusFingerprints.schema("fingerprint").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "corpusFingerprints.fingerprint must be StringType (the hex " +
+        "form TextFns.fingerprint emits)")
     val printed = batch.withColumn("fingerprint",
       TextFns.fingerprint(col(textCol)))
-    // within-batch dedup first (min id per fingerprint survives)
+    // bloom over the PRE-dedup prints (identical distinct-key set, no
+    // window shuffle); sizing count on the raw batch unless supplied
+    val keyHash = xxhash64(col("fingerprint"))
+    val expected = math.max(expectedItems.getOrElse(batch.count()), 1L)
+    val bf = printed.stat.bloomFilter(keyHash, expected, fpp)
+    // within-batch dedup (min id per fingerprint survives)
     val w = Window.partitionBy(col("fingerprint"))
     val batchCanonical = printed
       .withColumn("rk",
         row_number().over(w.orderBy(col(idCol))))
       .filter(col("rk") === 1).drop("rk")
-    val keyHash = xxhash64(col("fingerprint"))
-    val expected = math.max(batchCanonical.count(), 1L)
-    val bf = batchCanonical.stat.bloomFilter(keyHash, expected, fpp)
     val seen = corpusFingerprints
       .filter(graft.plans.BloomFns.mightContain(
-        xxhash64(col("fingerprint").cast("string")), bf))
-      .select(col("fingerprint").cast("string").as("fingerprint"))
+        xxhash64(col("fingerprint")), bf))
+      .select(col("fingerprint"))
     batchCanonical
       .join(broadcast(seen), Seq("fingerprint"), "left_anti")
       .select(batch.columns.map(col).toIndexedSeq: _*)

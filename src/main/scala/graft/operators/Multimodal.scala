@@ -71,7 +71,8 @@ object Multimodal {
       conv(concat(hex(substring(payload, pos + 1, 1)),
         hex(substring(payload, pos, 1))), 16, 10).cast("long")
     val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
-    val gifMagic = hex(substring(payload, 1, 4)) === "47494638"
+    val gifMagic = hex(substring(payload, 1, 6)).isin(
+      "474946383761", "474946383961") // GIF87a / GIF89a, full signature
     when(pngMagic, struct(lit("png").as("format"),
         beU32(17).as("width"), beU32(21).as("height")))
       .when(gifMagic, struct(lit("gif").as("format"),

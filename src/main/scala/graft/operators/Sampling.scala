@@ -110,15 +110,22 @@ object Sampling {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
     require(sampleFraction >= 0 && sampleFraction <= 1,
       "sampleFraction must be in [0,1]")
-    val counts = df.groupBy(col(groupCol))
+    // null groups are a real group (unknown language ≠ droppable): an
+    // equi-join would silently lose them while their rows still inflate
+    // the total, so group on a null-sentinel key instead
+    val gk = coalesce(col(groupCol).cast("string"), lit("\u0001null"))
+    val tagged = df.withColumn("_gk", gk)
+    val counts = tagged.groupBy(col("_gk"))
       .agg(count(lit(1)).cast("double").as("_n"))
     val norms = counts.agg(sum(pow(col("_n"), alpha)).as("_z"),
       sum(col("_n")).as("_total"))
     val frac = least(lit(1.0),
       pow(col("_n"), alpha) / col("_z") * col("_total") *
         sampleFraction / col("_n"))
-    df.join(broadcast(counts.crossJoin(norms)), Seq(groupCol))
-      .filter(hashBucket(col(keyCol)) < frac * 4294967296.0)
+    // round like every other threshold here (math.round semantics) so
+    // α=1 is EXACTLY sampleByHash and mixes nest against hash pilots
+    tagged.join(broadcast(counts.crossJoin(norms)), Seq("_gk"))
+      .filter(hashBucket(col(keyCol)) < round(frac * 4294967296.0, 0))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 

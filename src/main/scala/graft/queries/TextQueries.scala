@@ -637,19 +637,20 @@ object TextQueries {
     "q82_temperature_mix" ->
       """WITH h AS (
            SELECT doc_id, lang,
+             coalesce(CAST(lang AS VARCHAR), chr(1) || 'null') AS gk,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
                1, 8)) AS BIGINT) AS bucket
            FROM documents),
          c AS (
-           SELECT lang, CAST(count(*) AS DOUBLE) AS n
-           FROM documents GROUP BY 1),
+           SELECT gk, CAST(count(*) AS DOUBLE) AS n
+           FROM h GROUP BY 1),
          z AS (
            SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c)
          SELECT h.doc_id, h.lang
-         FROM h JOIN c USING (lang) CROSS JOIN z
-         WHERE h.bucket <
+         FROM h JOIN c USING (gk) CROSS JOIN z
+         WHERE h.bucket < round(
            LEAST(1.0, pow(c.n, 0.5) / z.z * z.total * 0.5 / c.n)
-             * 4294967296.0
+             * 4294967296.0)
          ORDER BY doc_id""",
     "q86_strip_boilerplate" -> (TOKS +
       """, l AS (

@@ -109,6 +109,19 @@ class SamplingSpec extends SparkSuite {
     assert(small.subsetOf(large))
   }
 
+  test("temperatureMix samples null-group rows as their own group " +
+    "instead of silently dropping them") {
+    val withNulls = Seq((1L, "en"), (2L, "en"), (3L, null), (4L, null),
+      (5L, null), (6L, null)).toDF("doc_id", "lang")
+    // α=1, f=1 keeps EVERYTHING — including the null-lang rows an
+    // equi-join formulation would lose
+    val all = Sampling.temperatureMix(withNulls, "lang", "doc_id",
+      alpha = 1.0, sampleFraction = 1.0)
+    assert(all.count() == 6)
+    val nullKept = all.filter(col("lang").isNull).count()
+    assert(nullKept == 4)
+  }
+
   test("upsampleByWeights emits floor(w) epochs plus a deterministic " +
     "hash-fraction extra; expected volume ≈ w× the group") {
     val base = docs.select("doc_id", "lang")
