@@ -160,6 +160,19 @@ object ScaleCheck {
       sink(Decontaminate.contaminationStats(docs,
         Tables.documents(spark, sfDir).limit(500), n = 5))
     }
+    // the composed prep pipeline: inflation makes every doc a 32-copy
+    // cluster, so the dedup stages collapse the corpus back to ~1/32.
+    // Token-granularity boilerplate stripping is degenerate on the
+    // tiny synthetic vocabulary (every token is "frequent"), so it is
+    // neutralized here; CorpusPrepSpec pins its real line semantics.
+    time("corpus_prep_pipeline", nd) {
+      val (_, ledger) = graft.jobs.CorpusPrepJob.run(
+        docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source")),
+        Tables.documents(spark, sfDir).limit(200),
+        graft.jobs.CorpusPrepJob.Config(boilerplateMinDocFrac = 1.0))
+      println(s"[scale]   prep ledger: ${ledger.mkString(" -> ")}")
+    }
     docs.unpersist()
     spark.stop()
   }

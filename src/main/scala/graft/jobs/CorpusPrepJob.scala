@@ -1,0 +1,97 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextClean, TextFns}
+import graft.operators.{Boilerplate, Decontaminate, Dedup, Sampling}
+
+/** End-to-end pretraining-corpus preparation: the composition a user of
+  * the training-data operators actually runs, in the order the
+  * literature runs it (scrub → quality gate → boilerplate strip →
+  * exact dedup → near dedup → benchmark decontamination → mixture
+  * sampling). Every stage is one of the library's tested operators;
+  * this job adds only sequencing, caching, and a per-stage row ledger.
+  *
+  * Scale notes: each stage's output is cached before its count (a
+  * production run would persist stage boundaries to the lake instead —
+  * same plan, durable lineage). No stage pairs documents (dedup goes
+  * through groups, not pairs), the eval index broadcasts, and the mix
+  * is a map-side filter, so the job stays linear in corpus bytes
+  * end-to-end.
+  */
+object CorpusPrepJob {
+
+  case class Config(minQuality: Double = 0.25,
+                    // fraction of docs a line must appear in to count
+                    // as boilerplate: an ABSOLUTE threshold breaks under
+                    // corpus growth (every common line eventually
+                    // crosses it and whole docs empty out)
+                    boilerplateMinDocFrac: Double = 0.5,
+                    minhashK: Int = 8,
+                    bands: Int = 4,
+                    shingleN: Int = 2,
+                    contaminationN: Int = 5,
+                    contaminationThreshold: Double = 0.5,
+                    mixAlpha: Double = 0.7,
+                    sampleFraction: Double = 1.0)
+
+  /** Returns the prepared corpus (doc_id, text, lang, source) and the
+    * per-stage surviving-row ledger. */
+  def run(docs: DataFrame, evalSet: DataFrame,
+          cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+    val ledger = Seq.newBuilder[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      ledger += name -> cached.count()
+      cached
+    }
+
+    val input = stage("input", docs.select(
+      col("doc_id"), col("text"), col("lang"), col("source")))
+
+    // 1. PII scrub + whitespace canonicalization (pure map)
+    val scrubbed = stage("scrubbed", input.withColumn("text",
+      TextClean.scrub(col("text"))))
+
+    // 2. heuristic quality gate (pure map)
+    val qualified = stage("quality_gate", scrubbed
+      .filter(TextFns.qualityScore(col("text")) >= cfg.minQuality))
+
+    // 3. corpus-frequency boilerplate strip (token granularity — the
+    // fixture corpus is single-line; real corpora pass line defaults)
+    val minDocs = math.max(2L, math.ceil(
+      cfg.boilerplateMinDocFrac * ledger.result().head._2).toLong)
+    val stripped = stage("boilerplate_stripped", qualified
+      .join(Boilerplate.stripFrequentLines(qualified,
+          minDocs, splitPattern = "\\s+", joinWith = " "),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text_clean").as("text"),
+        col("lang"), col("source"))
+      .filter(length(col("text")) > 0))
+
+    // 4. exact dedup: canonical (min id) per content hash survives
+    val exactDeduped = stage("exact_deduped", stripped.join(
+      Dedup.exact(stripped).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+
+    // 5. near dedup: minhash-LSH group labeling, canonical survives
+    val nearDeduped = stage("near_deduped", exactDeduped.join(
+      Dedup.minhashDedupGroups(exactDeduped, cfg.minhashK, cfg.bands,
+          cfg.shingleN)
+        .filter(col("doc_id") === col("canonical"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+
+    // 6. benchmark decontamination against the broadcast eval index
+    val decontaminated = stage("decontaminated", Decontaminate.clean(
+      nearDeduped, evalSet, cfg.contaminationN,
+      cfg.contaminationThreshold))
+
+    // 7. α-temperature mixture over languages
+    val mixed = stage("mixed", Sampling.temperatureMix(decontaminated,
+      groupCol = "lang", keyCol = "doc_id",
+      alpha = cfg.mixAlpha, sampleFraction = cfg.sampleFraction))
+
+    (mixed, ledger.result())
+  }
+}

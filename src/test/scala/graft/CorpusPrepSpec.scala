@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.jobs.CorpusPrepJob
+
+/** The composed corpus-preparation pipeline: every stage only removes
+  * or reweights rows, nothing is fabricated, and the output carries the
+  * guarantees of its stages (no surviving contamination, no surviving
+  * near-dup cluster siblings). */
+class CorpusPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pipeline runs end-to-end on the fixture corpus: monotone " +
+    "ledger, clean output, deduped output") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val (out, ledger) = CorpusPrepJob.run(corpus, evalSet)
+    val counts = ledger.map(_._2)
+    // every stage only removes rows
+    counts.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    assert(ledger.head._1 == "input" &&
+      ledger.head._2 == corpus.count())
+    assert(counts.last > 0)
+    assert(out.count() == counts.last)
+
+    // no doc in the output is contaminated against the eval set
+    val dirty = graft.operators.Decontaminate
+      .contaminationStats(out, evalSet, n = 5)
+      .filter(col("contaminated") === 1L).count()
+    assert(dirty == 0)
+
+    // no two output docs share an exact content hash
+    val dupHashes = out.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupHashes == 0)
+
+    // schema contract for downstream packing/sharding
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source"))
+  }
+
+  test("a planted eval-set copy and a planted duplicate both fall out") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val evalCopy = evalSet.limit(1)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val corpus = docs.filter(col("doc_id") >= 20)
+      .select("doc_id", "text", "lang", "source")
+    val dupCopy = corpus.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val planted = corpus.unionByName(evalCopy).unionByName(dupCopy)
+    val (out, _) = CorpusPrepJob.run(planted, evalSet,
+      CorpusPrepJob.Config(sampleFraction = 1.0, mixAlpha = 1.0))
+    assert(out.filter(col("doc_id") >= 100000).count() == 0,
+      "planted eval copy / duplicate must not survive")
+  }
+}
