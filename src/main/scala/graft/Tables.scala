@@ -26,6 +26,13 @@ object Tables {
       case other    => read(spark, dir, other)
     }
 
+  /** SQL-first entry point: register every fixture table as a temp view
+    * (normalizations included), so `spark.sql("SELECT ... FROM
+    * lineitem")` works directly — pair with GraftExtensions for the
+    * native kernels in SQL. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")

@@ -48,4 +48,15 @@ class PriceSourceSpec extends SparkSuite {
     assert(long.count() == 3)
     assert(long.filter(col("ticker") === "BBB").count() == 1)
   }
+
+  test("registerViews exposes every fixture table to spark.sql, " +
+    "including the normalized events timestamps") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").count() == 1, n)
+    }
+    // events' nanos column arrives as a usable TIMESTAMP through SQL
+    val t = spark.sql("SELECT min(ts) AS t FROM events").schema("t")
+    assert(t.dataType.typeName == "timestamp")
+  }
 }
