@@ -58,12 +58,15 @@ object Multimodal {
     * — no codec, no UDF, fully codegen'd, so sniffing a 100 TB media
     * lake is one map-side projection over the first KB of each blob.
     *
-    *   PNG: 8-byte signature, then the IHDR chunk — width/height are
-    *        big-endian u32 at offsets 17 and 21 (1-indexed).
-    *   GIF: "GIF87a"/"GIF89a", width/height little-endian u16 at 7/9.
+    *   PNG:  8-byte signature, then the IHDR chunk — width/height are
+    *         big-endian u32 at offsets 17 and 21 (1-indexed).
+    *   GIF:  "GIF87a"/"GIF89a", width/height little-endian u16 at 7/9.
+    *   JPEG: no fixed offsets — the native [[graft.plans.JpegDims]]
+    *         expression walks the marker chain to the SOF header.
     *
-    * Unknown magics → null dims with format 'unknown' (a real pipeline
-    * routes those to the codec path / quarantine). */
+    * Unknown magics (and JPEGs with truncated/corrupt headers) → null
+    * dims, format 'unknown'/'jpeg' (a real pipeline routes those to the
+    * codec path / quarantine). */
   def imageDims(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def beU32(pos: Int) =
       conv(hex(substring(payload, pos, 4)), 16, 10).cast("long")
@@ -73,13 +76,18 @@ object Multimodal {
     val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val gifMagic = hex(substring(payload, 1, 6)).isin(
       "474946383761", "474946383961") // GIF87a / GIF89a, full signature
+    val jpegMagic = hex(substring(payload, 1, 3)) === "FFD8FF"
+    val packed = graft.plans.JpegDimsFns.jpegDims(payload)
+    val nullDim = lit(null).cast("long")
     when(pngMagic, struct(lit("png").as("format"),
         beU32(17).as("width"), beU32(21).as("height")))
       .when(gifMagic, struct(lit("gif").as("format"),
         leU16(7).as("width"), leU16(9).as("height")))
+      .when(jpegMagic, struct(lit("jpeg").as("format"),
+        shiftright(packed, 16).as("width"),
+        (packed.bitwiseAND(lit(0xffffL))).as("height")))
       .otherwise(struct(lit("unknown").as("format"),
-        lit(null).cast("long").as("width"),
-        lit(null).cast("long").as("height")))
+        nullDim.as("width"), nullDim.as("height")))
   }
 
   /** Partition-local feature extraction over the media frame. */

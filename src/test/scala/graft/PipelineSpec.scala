@@ -155,10 +155,21 @@ class PipelineSpec extends SparkSuite {
     def gif(w: Int, h: Int): Array[Byte] =
       ("GIF89a".getBytes.map(_.toInt) ++ Array(w & 0xff, w >>> 8,
         h & 0xff, h >>> 8)).map(_.toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val soi = Array(0xff, 0xd8)
+      // APP0 marker with a 16-byte segment the scanner must skip
+      val app0 = Array(0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0x4a)
+      val sof0 = Array(0xff, 0xc0, 0x00, 0x0b, 8,
+        h >>> 8, h & 0xff, w >>> 8, w & 0xff, 1, 0x11)
+      (soi ++ app0 ++ sof0 ++ Array(0xff, 0xd9)).map(_.toByte)
+    }
     val rows = Seq(
       (1L, png(640, 480)),
       (2L, gif(320, 200)),
-      (3L, "not an image at all".getBytes)).toDF("doc_id", "payload")
+      (3L, "not an image at all".getBytes),
+      (4L, jpeg(1024, 768)),
+      (5L, Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)) // truncated
+    ).toDF("doc_id", "payload")
     val got = rows.select(col("doc_id"),
         Multimodal.imageDims(col("payload")).as("d"))
       .select("doc_id", "d.format", "d.width", "d.height")
@@ -167,7 +178,9 @@ class PipelineSpec extends SparkSuite {
     assert(got == Seq(
       (1L, "png", Some(640L), Some(480L)),
       (2L, "gif", Some(320L), Some(200L)),
-      (3L, "unknown", None, None)))
+      (3L, "unknown", None, None),
+      (4L, "jpeg", Some(1024L), Some(768L)),
+      (5L, "jpeg", None, None))) // valid magic, unparseable header
   }
 
   test("watermarked windowed aggregation compiles to a streaming-safe " +
