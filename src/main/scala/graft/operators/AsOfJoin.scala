@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * loop. Ties (equal times) match on both directions (inclusive), like
   * merge_asof's defaults.
   *
-  * `direction`: "backward" (latest right.time <= left.time) or
-  * "forward" (earliest right.time >= left.time).
+  * `direction`: "backward" (latest right.time <= left.time),
+  * "forward" (earliest right.time >= left.time), or "nearest"
+  * (whichever of the two is closer; ties to backward).
   * `tolerance`: optional interval (e.g. `expr("INTERVAL 7 DAYS")`) —
   * a match farther than this from the left time is nulled out, the
   * left row survives (merge_asof's tolerance semantics).
@@ -29,8 +30,8 @@ object AsOfJoin {
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, direction: String = "backward",
                tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val payloadCols = right.columns
       .filterNot(c => keys.contains(c) || c == timeCol)
     val leftCols = left.columns
@@ -61,32 +62,45 @@ object AsOfJoin {
     // backward: right sorts BEFORE left at equal times and the frame
     // trails — last non-null is the latest right <= t. forward: left
     // sorts before right and the frame leads — first non-null is the
-    // earliest right >= t. Both inclusive.
+    // earliest right >= t. Both inclusive. nearest computes both picks
+    // (same exchange, a second within-partition sort) and keeps the
+    // closer match, ties to backward (merge_asof convention).
     val base = Window.partitionBy(keyCols: _*)
-    val (w, pick) =
-      if (direction == "backward")
-        (base.orderBy(col(timeCol).asc, col("_side").asc)
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
-         last(col("_payload"), ignoreNulls = true))
-      else
-        (base.orderBy(col(timeCol).asc, col("_side").desc)
-           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
-         first(col("_payload"), ignoreNulls = true))
-    val matched = rTagged.unionByName(lTagged)
-      .withColumn("_asof", pick.over(w))
+    val wBack = base.orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.orderBy(col(timeCol).asc, col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backPick = last(col("_payload"), ignoreNulls = true).over(wBack)
+    val fwdPick = first(col("_payload"), ignoreNulls = true).over(wFwd)
+    val unioned = rTagged.unionByName(lTagged)
+    def tolerated(pick: Column, dir: String): Column = {
+      val in = tolerance.map { tol =>
+        if (dir == "backward") pick.getField(rtName) >= col(timeCol) - tol
+        else pick.getField(rtName) <= col(timeCol) + tol
+      }.getOrElse(lit(true))
+      when(pick.isNotNull && in, pick)
+    }
+    val asof = direction match {
+      case "backward" => tolerated(backPick, "backward")
+      case "forward"  => tolerated(fwdPick, "forward")
+      case "nearest"  =>
+        val b = tolerated(backPick, "backward")
+        val f = tolerated(fwdPick, "forward")
+        // epoch-seconds distance works for INT/DATE/TIMESTAMP times
+        def secs(c: Column) = c.cast("timestamp").cast("long")
+        when(b.isNull, f).when(f.isNull, b)
+          .when(secs(col(timeCol)) - secs(b.getField(rtName)) <=
+            secs(f.getField(rtName)) - secs(col(timeCol)), b)
+          .otherwise(f)
+    }
+    val matched = unioned
+      .withColumn("_asof", asof)
       .filter(col("_side") === 1)
-
-    val inTolerance = tolerance.map { tol =>
-      if (direction == "backward")
-        col(s"_asof.$rtName") >= col(timeCol) - tol
-      else col(s"_asof.$rtName") <= col(timeCol) + tol
-    }.getOrElse(lit(true))
-    val keep = col("_asof").isNotNull && inTolerance
 
     matched.select(
       (keyCols :+ col(timeCol)) ++
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
           .map(c => col(s"_left.$c").as(c)) ++
-        payloadCols.map(c => when(keep, col(s"_asof.$c")).as(c)): _*)
+        payloadCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 }

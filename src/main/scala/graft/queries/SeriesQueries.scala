@@ -245,6 +245,20 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // nearest as-of: closer of the two sides, ties to backward
+    "q89_asof_nearest" -> ((s, d) => {
+      val b = bars(s, d).select(col("user_id"), col("date"), col("close"))
+      val sparse = staged(s, d)
+        .filter(abs(col("pct_change")) > 2)
+        .select(col("user_id"), col("date"),
+          when(col("pct_change") > 0, "positive").otherwise("negative")
+            .as("near_signal"))
+      AsOfJoin.joinAsOf(b, sparse, Seq("user_id"), "date",
+          direction = "nearest")
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     // gap-based sessionization: LAG → break flag → running sum →
     // per-session aggregates; epoch-micro bounds + decimal value sum
     // keep it oracle-exact. The streaming twin (flatMapGroupsWithState,
@@ -559,6 +573,19 @@ object SeriesQueries {
                  (SELECT min_by(s.next_signal, s.date) FROM sparse s
                   WHERE s.user_id = b.user_id AND s.date >= b.date)
                    AS next_signal
+          FROM bars b
+          ORDER BY 1, 2"""),
+    "q89_asof_nearest" -> (STAGED +
+      """, sparse AS (
+            SELECT user_id, date,
+                   CASE WHEN pct_change > 0 THEN 'positive'
+                        ELSE 'negative' END AS near_signal
+            FROM staged WHERE abs(pct_change) > 2)
+          SELECT b.user_id, strftime(b.date, '%Y-%m-%d') AS date, b.close,
+                 (SELECT s.near_signal FROM sparse s
+                  WHERE s.user_id = b.user_id
+                  ORDER BY abs(date_diff('day', s.date, b.date)),
+                           s.date LIMIT 1) AS near_signal
           FROM bars b
           ORDER BY 1, 2"""),
     "q62_sessions" -> (SESSIONS_CTE + """

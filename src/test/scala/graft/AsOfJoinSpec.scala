@@ -44,6 +44,28 @@ class AsOfJoinSpec extends SparkSuite {
       (1, 20, "L2", Some("c")), (2, 15, "L3", None)))
   }
 
+  test("nearest as-of picks the closer side, ties to backward, and " +
+    "falls back to whichever side exists") {
+    val left = Seq((1, 10, "L1"), (1, 100, "L2"), (1, 200, "L3"))
+      .toDF("k", "t", "tag")
+    // L1@10: back a@8 (d=2) vs fwd b@13 (d=3) → a
+    // L2@100: back b@13 (d=87) vs fwd c@105 (d=5) → c
+    // L3@200: back c@105 only → c (no forward)
+    val right = Seq((1, 8, "a"), (1, 13, "b"), (1, 105, "c"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t",
+        direction = "nearest")
+      .orderBy("t").select("v").as[String].collect()
+    assert(out.toSeq == Seq("a", "c", "c"))
+    // exact tie: back@90 and fwd@110 for left@100 → backward wins
+    val tie = AsOfJoin.joinAsOf(
+      Seq((1, 100, "L")).toDF("k", "t", "tag"),
+      Seq((1, 90, "back"), (1, 110, "fwd")).toDF("k", "t", "v"),
+      Seq("k"), "t", direction = "nearest")
+      .select("v").as[String].collect()
+    assert(tie.toSeq == Seq("back"))
+  }
+
   test("tolerance nulls matches farther than the bound but keeps the " +
     "left row (merge_asof semantics), both directions") {
     import org.apache.spark.sql.functions.lit
