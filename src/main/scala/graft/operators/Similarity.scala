@@ -33,6 +33,27 @@ object Similarity {
 
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Symmetric int8 quantization for embedding storage: per-vector
+    * scale = max|v|/127, code qᵢ = round(vᵢ/scale) ∈ [-127,127] — 4×
+    * smaller than float32 (the standard embedding-lake storage trade;
+    * reconstruction error ≤ scale/2 per element). Cosine is invariant
+    * to the positive per-vector scale, so similarity search runs
+    * DIRECTLY on the integer codes (see [[cosine]] over the codes) —
+    * quantization costs accuracy (≲2/127 per element), not an extra
+    * dequantization pass. Pure map, deterministic, engine-portable
+    * (identical IEEE division + half-away rounding both engines).
+    * Zero vectors get scale 0 and all-zero codes. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    val codes = when(maxAbs === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / scale, 0).cast("long")))
+    df.select(col(idCol), round(scale, 6).as("scale"),
+      codes.as("qvec"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast (small side);
     * ranking uses the ROUNDED similarity with id tiebreak so the result is

@@ -328,6 +328,16 @@ object TextQueries {
       Relevance.tfIdfTopK(Tables.documents(s, d), k = 5)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // int8 embedding quantization, exploded to flat (id, pos, code)
+    // rows for the cross-engine hash
+    "q90_quantize_int8" -> ((s, d) =>
+      graft.operators.Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("pos", "qval")))
+        .select(col("vec_id"), col("scale"),
+          col("pos").cast("long").as("pos"), col("qval"))
+        .orderBy(col("vec_id"), col("pos"))),
+
     // unigram-LM perplexity quality score: corpus-as-model, exact
     // decimal log-sums (order-independent cross-engine)
     "q87_perplexity" -> ((s, d) =>
@@ -440,6 +450,31 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q90_quantize_int8" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, vec,
+                  list_aggregate(list_transform(vec, x -> abs(x)),
+                    'max') AS maxabs
+           FROM v),
+         q AS (
+           SELECT vec_id,
+                  round(maxabs / 127.0, 6) AS scale,
+                  CASE WHEN maxabs = 0
+                    THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(vec,
+                      x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT))
+                  END AS qvec
+           FROM m)
+         SELECT vec_id, scale,
+                unnest(range(len(qvec))) AS pos,
+                unnest(qvec) AS qval
+         FROM q
+         ORDER BY vec_id, pos""",
     "q88_bigram_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token,
                            unnest(range(len(w))) AS pos

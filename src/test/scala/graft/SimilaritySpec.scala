@@ -104,6 +104,48 @@ class SimilaritySpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("int8 quantization: codes bounded, reconstruction within " +
+    "scale/2, quantized cosine within 0.03 of exact, zero vector safe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb).cache()
+    // codes in [-127, 127]
+    val oob = q.select(explode(col("qvec")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127).count()
+    assert(oob == 0)
+    // reconstruction error per element <= scale/2 (+ rounding slack on
+    // the 6dp-rounded published scale)
+    val err = q.join(emb, "vec_id")
+      .select(col("scale"), explode(arrays_zip(
+        Similarity.asDouble(col("embedding")).as("v"),
+        col("qvec").as("c"))).as("z"))
+      .filter(abs(col("z.v") - col("z.c") * col("scale")) >
+        col("scale") / 2 + lit(1e-4))
+      .count()
+    assert(err == 0)
+    // cosine on the integer codes tracks the exact cosine
+    val pairs = emb.limit(10).alias("a")
+      .crossJoin(emb.limit(10).alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(Similarity.asDouble(col("a.embedding")),
+          Similarity.asDouble(col("b.embedding"))).as("exact"),
+        col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+    val qc = q.alias("qa").join(pairs, col("qa.vec_id") === col("ida"))
+      .join(q.alias("qb"), col("qb.vec_id") === col("idb"))
+      .select(col("exact"), Similarity.cosine(
+        Similarity.asDouble(col("qa.qvec")),
+        Similarity.asDouble(col("qb.qvec"))).as("approx"))
+      .filter(abs(col("exact") - col("approx")) > 0.03).count()
+    assert(qc == 0)
+    // zero vector: scale 0, all-zero codes, no NaN
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((99L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .as[(Long, Double, Seq[Long])].head()
+    assert(z == (99L, 0.0, Seq(0L, 0L)))
+    q.unpersist()
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
