@@ -58,6 +58,33 @@ object Writes {
                  keys: Seq[String]): DataFrame =
     all.join(enriched.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** CDC apply — the MERGE-with-deletes shape: fold a change feed
+    * (insert/update/delete rows keyed by `keys`, ordered by `seqCol`)
+    * into the existing table. Per key, only the LATEST change acts:
+    * 'D' removes the row, anything else upserts the change's values.
+    * Unchanged keys pass through. One window over the (small) change
+    * feed + the upsert set algebra — the existing table is touched only
+    * by the key anti-join, exactly like [[upsert]]; at warehouse scale
+    * this is the engine-agnostic core of `MERGE WHEN MATCHED [AND
+    * op='D'] THEN DELETE`. */
+  def applyCdc(existing: DataFrame, changes: DataFrame,
+               keys: Seq[String], opCol: String = "op",
+               seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .drop(opCol, seqCol)
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+    existing
+      .join(latest.select(keyCols: _*), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Scan-pruning layout: range-partition on the dominant filter
     * column(s) and sort within partitions before writing. Each parquet
     * file (and each row group inside it) then covers a narrow, disjoint

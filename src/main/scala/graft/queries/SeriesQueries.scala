@@ -180,6 +180,23 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("date"))
     }),
 
+    // CDC apply: latest change per key wins — D deletes, U upserts;
+    // untouched keys pass through
+    "q91_cdc_apply" -> ((s, d) => {
+      val b = bars(s, d)
+      val existing = graft.functions.WindowFns.latestPerKey(
+          b.filter(col("date") <= lit("2024-01-15").cast("date")),
+          Seq("user_id"), col("date"))
+        .select(col("user_id"), col("date"), col("close"))
+      val changes = b.filter(col("date") > lit("2024-01-15").cast("date"))
+        .select(col("user_id"), col("date"), col("close"),
+          col("date").as("seq"),
+          when(col("user_id") % 7 === 0, "D").otherwise("U").as("op"))
+      Writes.applyCdc(existing, changes, Seq("user_id"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"))
+    }),
+
     // F-CUT + W12: intraday volatility and pd.cut-style class bins
     "q24_cut_bins" -> ((s, d) => {
       val vol = Indicators.volatility(col("high"), col("low"), col("close"))
@@ -588,6 +605,32 @@ object SeriesQueries {
                            s.date LIMIT 1) AS near_signal
           FROM bars b
           ORDER BY 1, 2"""),
+    "q91_cdc_apply" -> (BARS +
+      """, existing AS (
+            SELECT user_id, date, close FROM (
+              SELECT user_id, date, close,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY date DESC) AS rn
+              FROM bars WHERE date <= DATE '2024-01-15') t
+            WHERE rn = 1),
+          changes AS (
+            SELECT user_id, date, close,
+                   CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM bars WHERE date > DATE '2024-01-15'),
+          latest AS (
+            SELECT user_id, date, close, op FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY date DESC, op DESC) AS rn
+              FROM changes) t
+            WHERE rn = 1)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close
+          FROM (
+            SELECT e.user_id, e.date, e.close FROM existing e
+            WHERE NOT EXISTS (SELECT 1 FROM latest l
+                              WHERE l.user_id = e.user_id)
+            UNION ALL
+            SELECT user_id, date, close FROM latest WHERE op <> 'D')
+          ORDER BY user_id"""),
     "q62_sessions" -> (SESSIONS_CTE + """
          SELECT user_id, session_id, start_us, end_us, n_events,
                 sum_value

@@ -105,6 +105,28 @@ class WritesSpec extends SparkSuite {
     assert(hit == 1)
   }
 
+  test("applyCdc: latest change per key wins — delete removes, update " +
+    "replaces, untouched keys survive, stale changes are ignored") {
+    val table = Seq((1, "a", 10), (2, "a", 20), (3, "a", 30))
+      .toDF("k", "g", "v")
+    // key 1: U then D (latest) → deleted; key 2: D then U → value 99;
+    // key 4: pure insert; key 3: untouched
+    val changes = Seq(
+      (1, "a", 11, 1, "U"), (1, "a", 0, 2, "D"),
+      (2, "a", 0, 1, "D"), (2, "a", 99, 2, "U"),
+      (4, "a", 40, 1, "U")
+    ).toDF("k", "g", "v", "seq", "op")
+    val out = Writes.applyCdc(table, changes, Seq("k", "g"))
+      .orderBy("k").as[(Int, String, Int)].collect().toSeq
+    assert(out == Seq((2, "a", 99), (3, "a", 30), (4, "a", 40)))
+    // idempotent: replaying the same change feed is a no-op
+    val twice = Writes.applyCdc(
+      Writes.applyCdc(table, changes, Seq("k", "g")),
+      changes, Seq("k", "g")).orderBy("k")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(twice == out)
+  }
+
   test("insertIgnoreBloom detects conflicts across key dtype mismatch " +
     "(hash normalized to the existing schema's types)") {
     import org.apache.spark.sql.functions._
