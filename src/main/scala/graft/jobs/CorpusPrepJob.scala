@@ -39,10 +39,16 @@ object CorpusPrepJob {
     * per-stage surviving-row ledger. */
   def run(docs: DataFrame, evalSet: DataFrame,
           cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
-    val ledger = Seq.newBuilder[(String, Long)]
+    val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    // each stage caches for its own count + the next stage's build,
+    // then the PREDECESSOR unpersists — only the live frontier (and
+    // the returned final frame) stays pinned in executor memory
+    var previous: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
       val cached = df.cache()
       ledger += name -> cached.count()
+      if (previous != null) previous.unpersist()
+      previous = cached
       cached
     }
 
@@ -58,9 +64,12 @@ object CorpusPrepJob {
       .filter(TextFns.qualityScore(col("text")) >= cfg.minQuality))
 
     // 3. corpus-frequency boilerplate strip (token granularity — the
-    // fixture corpus is single-line; real corpora pass line defaults)
+    // fixture corpus is single-line; real corpora pass line defaults).
+    // The fraction's denominator is the frame the strip actually scans
+    // (post-quality-gate), not the raw input — otherwise a selective
+    // gate silently inflates the effective threshold.
     val minDocs = math.max(2L, math.ceil(
-      cfg.boilerplateMinDocFrac * ledger.result().head._2).toLong)
+      cfg.boilerplateMinDocFrac * ledger.last._2).toLong)
     val stripped = stage("boilerplate_stripped", qualified
       .join(Boilerplate.stripFrequentLines(qualified,
           minDocs, splitPattern = "\\s+", joinWith = " "),
@@ -92,6 +101,6 @@ object CorpusPrepJob {
       groupCol = "lang", keyCol = "doc_id",
       alpha = cfg.mixAlpha, sampleFraction = cfg.sampleFraction))
 
-    (mixed, ledger.result())
+    (mixed, ledger.toList)
   }
 }

@@ -86,8 +86,10 @@ object AsOfJoin {
       case "nearest"  =>
         val b = tolerated(backPick, "backward")
         val f = tolerated(fwdPick, "forward")
-        // epoch-seconds distance works for INT/DATE/TIMESTAMP times
-        def secs(c: Column) = c.cast("timestamp").cast("long")
+        // fractional epoch-seconds distance: works for INT/DATE/
+        // TIMESTAMP times and preserves sub-second gaps (a long cast
+        // would floor 10.9s and 10.0s to equal distance)
+        def secs(c: Column) = c.cast("timestamp").cast("double")
         when(b.isNull, f).when(f.isNull, b)
           .when(secs(col(timeCol)) - secs(b.getField(rtName)) <=
             secs(f.getField(rtName)) - secs(col(timeCol)), b)

@@ -61,7 +61,8 @@ object Writes {
   /** CDC apply — the MERGE-with-deletes shape: fold a change feed
     * (insert/update/delete rows keyed by `keys`, ordered by `seqCol`)
     * into the existing table. Per key, only the LATEST change acts:
-    * 'D' removes the row, anything else upserts the change's values.
+    * 'D' removes the row, anything else — including a null op —
+    * upserts the change's values.
     * Unchanged keys pass through. One window over the (small) change
     * feed + the upsert set algebra — the existing table is touched only
     * by the key anti-join, exactly like [[upsert]]; at warehouse scale
@@ -72,12 +73,21 @@ object Writes {
                seqCol: String = "seq"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
+    // full deterministic order: seq, then op, then the value struct —
+    // a (key, seq, op)-tied feed must still pick the same row on every
+    // run or replays stop being no-ops
+    val tieCols = changes.columns.filterNot(c =>
+      keys.contains(c) || c == opCol || c == seqCol)
+    val tie = if (tieCols.isEmpty) lit(0)
+              else struct(tieCols.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+      .orderBy(col(seqCol).desc, col(opCol).desc_nulls_last, tie.desc)
     val latest = changes
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // null-safe: a null op is NOT a delete — it upserts (the =!= form
+    // would silently drop the row AND anti-join the existing one away)
+    val upserts = latest.filter(!(col(opCol) <=> "D"))
       .drop(opCol, seqCol)
       .select(existing.columns.map(col).toIndexedSeq: _*)
     existing

@@ -60,8 +60,12 @@ object JpegDims {
         case 0x01 => i += 2                        // standalone TEM
         case m if (m >= 0xc0 && m <= 0xcf) &&
             m != 0xc4 && m != 0xc8 && m != 0xcc =>
-          // SOF: len(2) precision(1) height(2) width(2)
+          // SOF: len(2) precision(1) height(2) width(2) — the declared
+          // length must cover those 7 bytes or the "dims" would be read
+          // from the NEXT segment's bytes
           if (i + 8 >= n) return -1L
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (len < 7) return -1L
           val height = (u8(i + 5) << 8) | u8(i + 6)
           val width = (u8(i + 7) << 8) | u8(i + 8)
           return (width.toLong << 16) | height.toLong

@@ -168,7 +168,11 @@ class PipelineSpec extends SparkSuite {
       (2L, gif(320, 200)),
       (3L, "not an image at all".getBytes),
       (4L, jpeg(1024, 768)),
-      (5L, Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)) // truncated
+      (5L, Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)), // truncated
+      // SOF declaring len=3: too short to hold dims — must be null,
+      // not garbage read from following bytes
+      (6L, Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x03, 8, 1, 2, 3, 4,
+        0xff, 0xd9).map(_.toByte))
     ).toDF("doc_id", "payload")
     val got = rows.select(col("doc_id"),
         Multimodal.imageDims(col("payload")).as("d"))
@@ -180,7 +184,8 @@ class PipelineSpec extends SparkSuite {
       (2L, "gif", Some(320L), Some(200L)),
       (3L, "unknown", None, None),
       (4L, "jpeg", Some(1024L), Some(768L)),
-      (5L, "jpeg", None, None))) // valid magic, unparseable header
+      (5L, "jpeg", None, None), // valid magic, unparseable header
+      (6L, "jpeg", None, None))) // SOF too short to hold dims
   }
 
   test("watermarked windowed aggregation compiles to a streaming-safe " +

@@ -127,6 +127,25 @@ class WritesSpec extends SparkSuite {
     assert(twice == out)
   }
 
+  test("applyCdc: a null op upserts (never silently deletes), and " +
+    "(key, seq, op) ties resolve deterministically by the value struct") {
+    val table = Seq((1, "a", 10)).toDF("k", "g", "v")
+    val nullOp = Seq((1, "a", 42, 1, null.asInstanceOf[String]))
+      .toDF("k", "g", "v", "seq", "op")
+    val out = Writes.applyCdc(table, nullOp, Seq("k", "g"))
+      .as[(Int, String, Int)].collect().toSeq
+    assert(out == Seq((1, "a", 42)))
+    // same key+seq+op twice with different values: highest value struct
+    // wins, on every run
+    val tied = Seq((1, "a", 7, 5, "U"), (1, "a", 9, 5, "U"))
+      .toDF("k", "g", "v", "seq", "op")
+    (1 to 3).foreach { _ =>
+      val t = Writes.applyCdc(table, tied.repartition(4), Seq("k", "g"))
+        .as[(Int, String, Int)].collect().toSeq
+      assert(t == Seq((1, "a", 9)))
+    }
+  }
+
   test("insertIgnoreBloom detects conflicts across key dtype mismatch " +
     "(hash normalized to the existing schema's types)") {
     import org.apache.spark.sql.functions._
