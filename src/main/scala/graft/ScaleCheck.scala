@@ -119,6 +119,7 @@ object ScaleCheck {
       sink(Similarity.cosineSelfPairs(emb, 0.3, planesPerBand = 8,
         bands = 2))
     }
+    time("quantize_int8", ne) { sink(Similarity.quantizeInt8(emb)) }
     emb.unpersist()
 
     val docs = inflate(Tables.documents(spark, sfDir), "doc_id",

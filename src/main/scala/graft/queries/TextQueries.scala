@@ -76,6 +76,16 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the same kNN on int8 codes — cosine is scale-invariant, so the
+    // quantized search is exact relational algebra too
+    "q92_knn_quantized" -> ((s, d) => {
+      val q = graft.operators.Similarity
+        .quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("qvec").as("embedding"))
+      Similarity.bruteForceTopK(q, q.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine similar pairs above threshold (exact)
     "q36_cosine_pairs" -> ((s, d) =>
       Similarity.bruteForceSelfPairs(Tables.embeddings(s, d), 0.4)
@@ -1002,6 +1012,35 @@ object TextQueries {
                     FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
                   FROM embeddings),
+            s AS (SELECT qid, nid,
+                         round(list_cosine_similarity(qv, cv), 4) AS sim
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid) AS rank
+                  FROM s)
+         SELECT query_id, rank, neighbor_id, sim FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q92_knn_quantized" ->
+      """WITH v AS (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> CAST(x AS DOUBLE)) AS vec
+                    FROM embeddings),
+            m AS (SELECT vec_id, vec,
+                         list_aggregate(list_transform(vec,
+                           x -> abs(x)), 'max') AS maxabs
+                  FROM v),
+            qz AS (SELECT vec_id,
+                     CASE WHEN maxabs = 0
+                       THEN list_transform(vec, x -> 0.0)
+                       ELSE list_transform(vec, x -> CAST(CAST(
+                         round(x / (maxabs / 127.0)) AS BIGINT)
+                         AS DOUBLE))
+                     END AS e
+                   FROM m),
+            q AS (SELECT vec_id AS qid, e AS qv FROM qz
+                  WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nid, e AS cv FROM qz),
             s AS (SELECT qid, nid,
                          round(list_cosine_similarity(qv, cv), 4) AS sim
                   FROM q, c WHERE qid <> nid),
