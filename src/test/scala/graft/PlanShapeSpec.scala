@@ -83,6 +83,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Union"))
   }
 
+  test("int8 quantization is a pure map-side projection (no Exchange) " +
+    "and quantized kNN broadcasts the query side like the float path") {
+    val q = graft.operators.Similarity.quantizeInt8(
+      Tables.embeddings(spark, dir))
+    val pq = q.queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange"), s"quantize must not shuffle:\n$pq")
+    import org.apache.spark.sql.functions.col
+    val codes = q.select(col("vec_id"), col("qvec").as("embedding"))
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      codes, codes.filter(col("vec_id") < 5), k = 10)
+    val pk = knn.queryExecution.executedPlan.toString
+    assert(pk.contains("BroadcastExchange"), s"queries not broadcast:\n$pk")
+    assert(!pk.contains("SortMergeJoin") &&
+      !pk.contains("CartesianProduct"))
+  }
+
   test("as-of join is the union+window composition: one key exchange " +
     "per side, NO join operator, no pair explosion") {
     import org.apache.spark.sql.functions.col
