@@ -95,6 +95,42 @@ object Writes {
       .unionByName(upserts)
   }
 
+  /** Compacted CDC state fold — the streaming-safe sibling of
+    * [[applyCdc]]: both `state` and `changes` carry (`seqCol`, `opCol`),
+    * and the fold keeps the HIGHEST-seq record per key, RETAINING
+    * delete records as tombstones (the Kafka-compacted-topic model).
+    * Tombstones are what make the fold safe under arbitrary batch
+    * splits: a stale update arriving in a later batch compares against
+    * the stored tombstone's seq and loses, where [[applyCdc]] (which
+    * physically removes rows) would resurrect the key. Keeping max-seq
+    * per key is associative, so folding a feed in any batching equals
+    * folding it at once — the property the streaming wrapper's
+    * equivalence test pins. Read the live view with [[cdcLiveView]].
+    * Ties (same key+seq) resolve deterministically and consistently
+    * with [[applyCdc]]: 'U' sorts above 'D' (update wins an exact
+    * seq tie), then the value struct. */
+  def cdcCompact(state: DataFrame, changes: DataFrame,
+                 keys: Seq[String], opCol: String = "op",
+                 seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val tieCols = state.columns.filterNot(c =>
+      keys.contains(c) || c == opCol || c == seqCol)
+    val tie = if (tieCols.isEmpty) lit(0)
+              else struct(tieCols.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc_nulls_last, tie.desc)
+    state.unionByName(changes.select(
+        state.columns.map(col).toIndexedSeq: _*))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
+  /** The visible rows of a [[cdcCompact]] state: everything that is not
+    * a tombstone. */
+  def cdcLiveView(state: DataFrame, opCol: String = "op"): DataFrame =
+    state.filter(!(col(opCol) <=> "D"))
+
   /** Scan-pruning layout: range-partition on the dominant filter
     * column(s) and sort within partitions before writing. Each parquet
     * file (and each row group inside it) then covers a narrow, disjoint
