@@ -43,30 +43,24 @@ object Main {
   def run(spark: SparkSession, verb: String, eventsDir: String,
           warehouse: String, opts: Map[String, String]): Unit = {
     def path(t: String) = s"$warehouse/$t"
+    // recover() first: a crashed swap leaves the live dir missing but a
+    // complete copy on disk — falling back to `fallback` there would
+    // silently restart the table from empty
     def readOr(t: String, fallback: => DataFrame): DataFrame =
-      try spark.read.parquet(path(t)) catch { case _: Throwable => fallback }
-    // Two-phase overwrite: STAGE materializes a frame to a __tmp dir
-    // (a real parquet write, so no plan re-reads the source afterwards),
-    // SWAP retires the old dir. Verbs stage every dependent output
-    // before swapping any input dir — a lazy plan over dir A must never
-    // execute after A has been swapped (cache() residency is not a
-    // correctness guarantee: eviction or executor loss would recompute
-    // against deleted files).
-    def stage(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(path(t + "__tmp"))
-    def swap(t: String): Unit = {
-      val target = Paths.get(path(t))
-      val old = Paths.get(path(t + "__old"))
-      // a stale __old from a crashed prior run would fail the move
-      if (Files.exists(old))
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-      if (Files.exists(target)) {
-        Files.move(target, old)
-        Files.move(Paths.get(path(t + "__tmp")), target)
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-      } else Files.move(Paths.get(path(t + "__tmp")), target)
-    }
-    def write(df: DataFrame, t: String): Unit = { stage(df, t); swap(t) }
+      if (graft.operators.StagedSwap.recover(path(t)))
+        spark.read.parquet(path(t))
+      else fallback
+    // Two-phase overwrite via StagedSwap: STAGE materializes a frame to
+    // a __tmp dir (a real parquet write, so no plan re-reads the source
+    // afterwards), SWAP retires the old dir with crash recovery. Verbs
+    // stage every dependent output before swapping any input dir — a
+    // lazy plan over dir A must never execute after A has been swapped
+    // (cache() residency is not a correctness guarantee: eviction or
+    // executor loss would recompute against deleted files).
+    import graft.operators.StagedSwap
+    def stage(df: DataFrame, t: String): Unit = StagedSwap.stage(df, path(t))
+    def swap(t: String): Unit = StagedSwap.swap(path(t))
+    def write(df: DataFrame, t: String): Unit = StagedSwap.write(df, path(t))
 
     verb match {
       case "backfill" =>

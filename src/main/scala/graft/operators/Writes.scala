@@ -68,20 +68,28 @@ object Writes {
     * by the key anti-join, exactly like [[upsert]]; at warehouse scale
     * this is the engine-agnostic core of `MERGE WHEN MATCHED [AND
     * op='D'] THEN DELETE`. */
-  def applyCdc(existing: DataFrame, changes: DataFrame,
-               keys: Seq[String], opCol: String = "op",
-               seqCol: String = "seq"): DataFrame = {
+  /** The ONE deterministic change-ordering both CDC folds use: seq,
+    * then op ('U' above 'D' on an exact tie, nulls last), then the
+    * value struct — a (key, seq, op)-tied feed must still pick the
+    * same row on every run or replays stop being no-ops. Shared so
+    * [[applyCdc]] and [[cdcCompact]] cannot drift apart. */
+  private def latestChangeWindow(columns: Seq[String], keys: Seq[String],
+                                 opCol: String, seqCol: String) = {
     import org.apache.spark.sql.expressions.Window
-    val keyCols = keys.map(col)
-    // full deterministic order: seq, then op, then the value struct —
-    // a (key, seq, op)-tied feed must still pick the same row on every
-    // run or replays stop being no-ops
-    val tieCols = changes.columns.filterNot(c =>
+    val tieCols = columns.filterNot(c =>
       keys.contains(c) || c == opCol || c == seqCol)
     val tie = if (tieCols.isEmpty) lit(0)
               else struct(tieCols.map(col).toIndexedSeq: _*)
-    val w = Window.partitionBy(keyCols: _*)
+    Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).desc_nulls_last, tie.desc)
+  }
+
+  def applyCdc(existing: DataFrame, changes: DataFrame,
+               keys: Seq[String], opCol: String = "op",
+               seqCol: String = "seq"): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = latestChangeWindow(changes.columns.toIndexedSeq, keys,
+      opCol, seqCol)
     val latest = changes
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
@@ -112,14 +120,8 @@ object Writes {
   def cdcCompact(state: DataFrame, changes: DataFrame,
                  keys: Seq[String], opCol: String = "op",
                  seqCol: String = "seq"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyCols = keys.map(col)
-    val tieCols = state.columns.filterNot(c =>
-      keys.contains(c) || c == opCol || c == seqCol)
-    val tie = if (tieCols.isEmpty) lit(0)
-              else struct(tieCols.map(col).toIndexedSeq: _*)
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc_nulls_last, tie.desc)
+    val w = latestChangeWindow(state.columns.toIndexedSeq, keys,
+      opCol, seqCol)
     state.unionByName(changes.select(
         state.columns.map(col).toIndexedSeq: _*))
       .withColumn("_rk", row_number().over(w))

@@ -29,22 +29,16 @@ object StreamingCdc {
       reader.option("maxFilesPerTrigger", n))
     reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // repair a crashed prior swap FIRST: a missing target dir must
+        // restore the retired copy (or promote a completed stage), not
+        // silently refold from empty — that would drop every key the
+        // replayed batch doesn't mention
+        val hasState = graft.operators.StagedSwap.recover(targetDir)
         val state =
-          if (Files.exists(Paths.get(targetDir)))
-            spark.read.parquet(targetDir)
+          if (hasState) spark.read.parquet(targetDir)
           else batch.limit(0)
-        val tmp = s"${targetDir}__tmp"
-        Writes.cdcCompact(state, batch, keys)
-          .write.mode("overwrite").parquet(tmp)
-        val old = Paths.get(s"${targetDir}__old")
-        if (Files.exists(old))
-          org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        if (Files.exists(Paths.get(targetDir))) {
-          Files.move(Paths.get(targetDir), old)
-          Files.move(Paths.get(tmp), Paths.get(targetDir))
-          org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        } else Files.move(Paths.get(tmp), Paths.get(targetDir))
-        () // foreachBatch wants Unit; Files.move returns a Path
+        graft.operators.StagedSwap.write(
+          Writes.cdcCompact(state, batch, keys), targetDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
