@@ -98,6 +98,48 @@ object Relevance {
         col("cross_entropy"), col("perplexity"))
   }
 
+  /** Trigram-LM perplexity — the last rung of the relational n-gram
+    * ladder: p(w₃|w₁w₂) = c(w₁w₂w₃) / c(w₁w₂ as prefix) over each
+    * doc's n−2 trigrams, same corpus-as-model closure (every scored
+    * trigram exists in training) and the same order-independent
+    * decimal log-sum. Two lags over one doc-keyed window — still a
+    * single shuffle to build the grams. */
+  def trigramPerplexity(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+        posexplode(graft.functions.TextFns.tokens(col(textCol)))
+          .as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = tok
+      .withColumn("w1", lag(col("token"), 2).over(w))
+      .withColumn("w2", lag(col("token"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"), col("token").as("w3"))
+    val triCnt = grams.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val prefixCnt = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val logp = round(log(col("c3").cast("double") /
+        col("c2").cast("double")), 6)
+      .cast("decimal(28,6)")
+    val perDoc = grams
+      .join(triCnt, Seq("w1", "w2", "w3"))
+      .join(prefixCnt, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(logp).as("_s"))
+      .select(col(idCol), col("n_trigrams"),
+        round(-(col("_s").cast("double") / col("n_trigrams")), 4)
+          .as("cross_entropy"),
+        round(exp(-(col("_s").cast("double") / col("n_trigrams"))), 4)
+          .as("perplexity"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("cross_entropy"), col("perplexity"))
+  }
+
   /** Top-`k` tokens per document by tf·idf (idf = ln(N/df); score desc,
     * token asc tiebreak). Output: (idCol, rank, token, tf, tfidf). */
   def tfIdfTopK(docs: DataFrame, k: Int = 5, textCol: String = "text",

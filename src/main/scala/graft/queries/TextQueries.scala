@@ -359,6 +359,11 @@ object TextQueries {
       Relevance.bigramPerplexity(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // trigram-LM perplexity: p(w3|w1w2)
+    "q93_trigram_perplexity" -> ((s, d) =>
+      Relevance.trigramPerplexity(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // C4-style span dedup signal: 20-token non-overlapping chunks,
     // duplicated fraction per doc (chunk seen earlier in corpus order)
     "q80_chunk_dedup" -> ((s, d) =>
@@ -460,6 +465,39 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q93_trigram_perplexity" -> (TOKS +
+      """, tok0 AS (SELECT doc_id, unnest(w) AS token,
+                           unnest(range(len(w))) AS pos
+            FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          g AS (
+            SELECT doc_id,
+                   lag(token, 2) OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS w1,
+                   lag(token, 1) OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS w2,
+                   token AS w3
+            FROM tok QUALIFY w1 IS NOT NULL),
+          c3 AS (SELECT w1, w2, w3, count(*) AS c3
+                 FROM g GROUP BY 1, 2, 3),
+          c2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY 1, 2),
+          p AS (
+            SELECT g.doc_id,
+                   CAST(round(ln(CAST(c3.c3 AS DOUBLE) /
+                     CAST(c2.c2 AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS logp
+            FROM g JOIN c3 USING (w1, w2, w3) JOIN c2 USING (w1, w2)),
+          agg AS (
+            SELECT doc_id, count(*) AS n_trigrams, sum(logp) AS s
+            FROM p GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(a.n_trigrams, 0) AS n_trigrams,
+                 round(-(CAST(a.s AS DOUBLE) / a.n_trigrams), 4)
+                   AS cross_entropy,
+                 round(exp(-(CAST(a.s AS DOUBLE) / a.n_trigrams)), 4)
+                   AS perplexity
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY doc_id"""),
     "q90_quantize_int8" ->
       """WITH v AS (
            SELECT vec_id,

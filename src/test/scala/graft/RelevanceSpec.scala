@@ -90,4 +90,24 @@ class RelevanceSpec extends SparkSuite {
       .as[(Long, Long, Option[Double], Option[Double])].head()
     assert(s == (1L, 0L, None, None))
   }
+
+  test("trigramPerplexity: forced continuations give ppl 1; a " +
+    "branching 2-token prefix gives ppl 2; <3-token docs get nulls") {
+    import spark.implicits._
+    // every (w1,w2) prefix determines w3 → all p=1
+    val det = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val d = graft.operators.Relevance.trigramPerplexity(det)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(d == (1L, 7L, Some(0.0), Some(1.0)))
+    // prefix "a b" continues to c once and d once → p = 1/2 each
+    val branch = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val b = graft.operators.Relevance.trigramPerplexity(branch)
+      .select(org.apache.spark.sql.functions.col("perplexity"))
+      .as[Double].collect().toSeq
+    assert(b == Seq(2.0, 2.0))
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+    val s = graft.operators.Relevance.trigramPerplexity(short)
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(s == (1L, 0L, None, None))
+  }
 }
