@@ -83,28 +83,30 @@ object ScaleCheck {
     // parquet layout — the write-side half of predicate pushdown
     val layoutBase = java.nio.file.Files
       .createTempDirectory("graft_scale_layout").toString
-    val slim = events.select(col("event_id"), col("user_id"), col("value"))
-    Writes.writeSortedLayout(slim, s"$layoutBase/sorted",
-      Seq("event_id"), partitions = cpus.toInt * 2)
-    slim.repartition(cpus.toInt * 2).write
-      .mode("overwrite").parquet(s"$layoutBase/plain")
-    def rangeScan(dir: String): Unit =
-      sink(spark.read.parquet(dir)
-        .filter(col("event_id").between(500000L, 510000L)))
-    time("scan_sorted_layout", n) { rangeScan(s"$layoutBase/sorted") }
-    time("scan_hash_layout", n) { rangeScan(s"$layoutBase/plain") }
-    // 2-d: a box predicate over the Z-ordered layout prunes both
-    // dimensions; the hash layout and the 1-d sort cannot
-    Writes.writeZOrderLayout(slim, s"$layoutBase/zorder",
-      "user_id", "value", partitions = cpus.toInt * 2)
-    def boxScan(dir: String): Unit =
-      sink(spark.read.parquet(dir)
-        .filter(col("user_id").between(100L, 200L) &&
-          col("value").between(10.0, 20.0)))
-    time("scan_zorder_box", n) { boxScan(s"$layoutBase/zorder") }
-    time("scan_hash_box", n) { boxScan(s"$layoutBase/plain") }
-    // three full copies of the inflated table — don't leave them in /tmp
-    org.apache.commons.io.FileUtils.deleteQuietly(
+    // three full copies of the inflated table live under layoutBase —
+    // delete them even when a timed scan throws
+    try {
+      val slim = events.select(col("event_id"), col("user_id"), col("value"))
+      Writes.writeSortedLayout(slim, s"$layoutBase/sorted",
+        Seq("event_id"), partitions = cpus.toInt * 2)
+      slim.repartition(cpus.toInt * 2).write
+        .mode("overwrite").parquet(s"$layoutBase/plain")
+      def rangeScan(dir: String): Unit =
+        sink(spark.read.parquet(dir)
+          .filter(col("event_id").between(500000L, 510000L)))
+      time("scan_sorted_layout", n) { rangeScan(s"$layoutBase/sorted") }
+      time("scan_hash_layout", n) { rangeScan(s"$layoutBase/plain") }
+      // 2-d: a box predicate over the Z-ordered layout prunes both
+      // dimensions; the hash layout and the 1-d sort cannot
+      Writes.writeZOrderLayout(slim, s"$layoutBase/zorder",
+        "user_id", "value", partitions = cpus.toInt * 2)
+      def boxScan(dir: String): Unit =
+        sink(spark.read.parquet(dir)
+          .filter(col("user_id").between(100L, 200L) &&
+            col("value").between(10.0, 20.0)))
+      time("scan_zorder_box", n) { boxScan(s"$layoutBase/zorder") }
+      time("scan_hash_box", n) { boxScan(s"$layoutBase/plain") }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(layoutBase))
     events.unpersist()
 

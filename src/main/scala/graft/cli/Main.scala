@@ -111,9 +111,10 @@ object Main {
           case "xgboost" => "gbt"
           case m @ ("rf" | "gbt") => m
           case other =>
-            System.err.println(
+            // throw, don't print-and-return: a scripted caller needs a
+            // non-zero exit, not a clean 0 with a stderr note
+            throw new IllegalArgumentException(
               s"unknown --model '$other' (rf|gbt|xgboost)")
-            return
         }
         val labeled = features(spark, eventsDir, forPrediction = false)
         val (train, _, test) = ChronoSplit(labeled)

@@ -19,6 +19,15 @@ object ChronoSplit {
   def apply(df: DataFrame, dateCol: String = "date",
             testFraction: Double = 0.2,
             valFraction: Double = 0.1): (DataFrame, DataFrame, DataFrame) = {
+    // The driver-side distinct list is bounded ONLY because the column is
+    // a calendar date (decades of trading days ≈ 10^4 values). A
+    // timestamp column would make it proportional to the data — reject it
+    // loudly; callers with timestamps should truncate to a date first.
+    import org.apache.spark.sql.types.{DateType, StringType}
+    val dt = df.schema(dateCol).dataType
+    require(dt == DateType || dt == StringType,
+      s"ChronoSplit requires a DateType/ISO-string column; '$dateCol' is " +
+        s"$dt — truncate timestamps to dates (to_date) before splitting")
     val dates = df.select(col(dateCol)).distinct()
       .orderBy(col(dateCol)).collect().map(_.get(0))
     require(dates.nonEmpty, "empty input")

@@ -65,10 +65,18 @@ object AsOfJoin {
     // earliest right >= t. Both inclusive. nearest computes both picks
     // (same exchange, a second within-partition sort) and keeps the
     // closer match, ties to backward (merge_asof convention).
+    // `_payload` is the final ordering key: when several right rows share
+    // the same (key, time), the intra-tie order would otherwise be
+    // whatever the shuffle produced, making the picked payload
+    // nondeterministic across runs. Structs sort lexicographically by
+    // field, so the pick is total-ordered and run-stable (backward takes
+    // the greatest payload at the tied time, forward the least).
     val base = Window.partitionBy(keyCols: _*)
-    val wBack = base.orderBy(col(timeCol).asc, col("_side").asc)
+    val wBack = base.orderBy(col(timeCol).asc, col("_side").asc,
+        col("_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = base.orderBy(col(timeCol).asc, col("_side").desc)
+    val wFwd = base.orderBy(col(timeCol).asc, col("_side").desc,
+        col("_payload").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val backPick = last(col("_payload"), ignoreNulls = true).over(wBack)
     val fwdPick = first(col("_payload"), ignoreNulls = true).over(wFwd)

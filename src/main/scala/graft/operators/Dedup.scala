@@ -68,7 +68,14 @@ object Dedup {
     *
     * `corpusFingerprints` is one column `fingerprint` — persist it as a
     * compact side table (the "seen" index) and append each surviving
-    * batch's prints to it downstream. */
+    * batch's prints to it downstream.
+    *
+    * `expectedItems` sizes the Bloom filter. PASS IT AT SCALE: when
+    * absent, sizing falls back to `batch.count()` — an extra action over
+    * the full batch lineage (which may itself be a derived frame). Any
+    * upper bound works (the filter just over-allocates bits), so a
+    * cheap estimate — rows-per-file × file count, the upstream source's
+    * row count — beats the exact recount. */
   def incrementalByFingerprint(corpusFingerprints: DataFrame,
                                batch: DataFrame,
                                textCol: String = "text",

@@ -73,9 +73,16 @@ object Multimodal {
     def leU16(pos: Int) =
       conv(concat(hex(substring(payload, pos + 1, 1)),
         hex(substring(payload, pos, 1))), 16, 10).cast("long")
-    val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    // Magic alone is not enough: the fixed-offset reads below need the
+    // whole fixed header present, else conv(hex(short-slice)) yields a
+    // WRONG number, not null. Guard each branch on the minimum length
+    // (PNG: sig+IHDR len/type+w+h = 24B; GIF: sig+w+h = 10B) and let
+    // truncated payloads fall through to the null-dims struct.
+    val pngMagic = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      length(payload) >= 24
     val gifMagic = hex(substring(payload, 1, 6)).isin(
-      "474946383761", "474946383961") // GIF87a / GIF89a, full signature
+      "474946383761", "474946383961") && // GIF87a / GIF89a, full signature
+      length(payload) >= 10
     val jpegMagic = hex(substring(payload, 1, 3)) === "FFD8FF"
     val packed = graft.plans.JpegDimsFns.jpegDims(payload)
     val nullDim = lit(null).cast("long")

@@ -123,15 +123,21 @@ object Similarity {
         struct(lit(bnd).as("band"), lshBucket(col("vec"), planes).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    a.join(b, Seq("band", "bucket"))
+    // Candidate generation carries IDS ONLY: a pair that co-occurs in
+    // several bands (near-identical docs share all of them) appears once
+    // after the distinct, so the vector math and the vector payload
+    // shuffle happen once per unique pair — not once per co-occurrence.
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("sim"))
-      .distinct()
       .filter(col("sim") >= threshold)
   }
 

@@ -46,7 +46,14 @@ object Sketches {
   }
 
   /** One-pass corpus profile: distinct sketches + quantile summaries for
-    * several columns in a single aggregation (one shuffle total). */
+    * several columns in a single aggregation (one shuffle total).
+    *
+    * Quantiles come out as SCALAR `chars_q50` / `chars_q90` columns (not
+    * one array column): downstream tabular consumers — including the
+    * driver's pandas row check — sort/hash on columns, and an
+    * array-typed cell breaks that contract. Both percentiles still share
+    * one underlying summary per group (same agg, one shuffle).
+    */
   def corpusProfile(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))
       .agg(
@@ -54,5 +61,8 @@ object Sketches {
         approx_count_distinct(col("source"), 0.01).as("nd_sources"),
         approx_count_distinct(col("doc_id"), 0.01).as("nd_docs"),
         percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
-          lit(10000)).as("chars_q50_q90"))
+          lit(10000)).as("chars_q"))
+      .withColumn("chars_q50", element_at(col("chars_q"), 1))
+      .withColumn("chars_q90", element_at(col("chars_q"), 2))
+      .drop("chars_q")
 }

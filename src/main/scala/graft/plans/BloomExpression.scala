@@ -48,6 +48,18 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
       s"${ev.value} = $ref.mightContainLong($v);")
   }
 
+  // case-class equality on an Array field is reference equality, which
+  // makes semantically identical probes compare unequal and defeats plan
+  // canonicalization / common-subexpression reuse — compare contents
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child &&
+        java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   override protected def withNewChildInternal(
       newChild: Expression): BloomMightContain = copy(child = newChild)
 }

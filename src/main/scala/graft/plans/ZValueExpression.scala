@@ -63,6 +63,20 @@ case class ZValue2(left: Expression, right: Expression,
       """, isNull = FalseLiteral)
   }
 
+  // content-based equality over the edge arrays (case-class equality on
+  // Array is reference-based), so equal curve keys canonicalize equal
+  override def equals(other: Any): Boolean = other match {
+    case z: ZValue2 =>
+      left == z.left && right == z.right &&
+        java.util.Arrays.equals(edgesX, z.edgesX) &&
+        java.util.Arrays.equals(edgesY, z.edgesY)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.hashCode(edgesX)),
+      Int.box(java.util.Arrays.hashCode(edgesY)))
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZValue2 =
     copy(left = newLeft, right = newRight)

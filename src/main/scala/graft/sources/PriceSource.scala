@@ -69,4 +69,65 @@ object PriceSource {
       spark.read.parquet(path).select(
         longSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Empty frame in the long schema — the "feed returned nothing" value
+    * both the bulk and per-ticker paths degrade to. */
+  def emptyLong(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], longSchema)
+
+  /** Resilient feed (SURVEY S2; reference
+    * airflow/dags/stock_grok_pipeline.py:128-156): try the bulk source,
+    * then re-fetch every EXPECTED ticker the bulk result missed through a
+    * per-ticker fallback, retrying each up to `maxRetries` times
+    * (reference's `max_retries`, stock_grok_pipeline.py:26-27). A ticker
+    * that still fails after all retries is dropped — the feed delivers
+    * what it can rather than failing the whole ingestion (the
+    * reference's per-ticker try/except continues the loop).
+    *
+    * The retry loop is a DRIVER-SIDE control loop over the (small,
+    * bounded) ticker list — the fetched frames themselves stay
+    * distributed and are combined with one `unionByName`, so the data
+    * path is unchanged. The missing-ticker probe collects only the
+    * distinct ticker column of the bulk result (≤ N tickers ≪ rows).
+    *
+    * `onGiveUp` observes permanently failed tickers (alerting hook);
+    * default logs to stderr. */
+  final case class Resilient(
+      bulk: PriceSource,
+      perTicker: (SparkSession, String) => DataFrame,
+      expectedTickers: Seq[String],
+      maxRetries: Int = 3,
+      onGiveUp: (String, Throwable) => Unit = (t, e) =>
+        System.err.println(s"[price-source] giving up on '$t': $e"))
+    extends PriceSource {
+
+    private def conform(df: DataFrame): DataFrame =
+      df.select(longSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+    override def fetch(spark: SparkSession): DataFrame = {
+      val bulkDf =
+        try conform(bulk.fetch(spark))
+        catch { case scala.util.control.NonFatal(_) => emptyLong(spark) }
+      val present = bulkDf.select(col("ticker")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val recovered = expectedTickers.filterNot(present).flatMap { t =>
+        def attempt(left: Int): Option[DataFrame] =
+          try {
+            val one = conform(perTicker(spark, t))
+              .filter(col("ticker") === t)
+            // an empty per-ticker answer is a failed fetch, not a result
+            if (one.isEmpty) throw new IllegalStateException(
+              s"per-ticker feed returned no rows for '$t'")
+            Some(one)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              if (left > 0) attempt(left - 1)
+              else { onGiveUp(t, e); None }
+          }
+        attempt(maxRetries)
+      }
+      recovered.foldLeft(bulkDf)(_ unionByName _)
+    }
+  }
 }

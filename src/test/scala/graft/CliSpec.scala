@@ -73,8 +73,10 @@ class CliSpec extends SparkSuite {
 
   test("ml-train rejects unknown --model values without training") {
     val wh = Files.createTempDirectory("graft_wh_bad").toString
-    Main.run(spark, "ml-train", "/root/testdata/sf0.001", wh,
-      Map("model" -> "resnet"))
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "ml-train", "/root/testdata/sf0.001", wh,
+        Map("model" -> "resnet"))
+    }
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/models")))
   }
 

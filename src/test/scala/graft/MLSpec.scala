@@ -41,6 +41,13 @@ class MLSpec extends SparkSuite {
     assert(train.count() > test.count())
   }
 
+  test("chronological split rejects timestamp columns (unbounded " +
+    "driver-side distinct list) with a clear error") {
+    val ts = labeled.withColumn("date", col("date").cast("timestamp"))
+    val e = intercept[IllegalArgumentException] { ChronoSplit(ts) }
+    assert(e.getMessage.contains("to_date"))
+  }
+
   test("balanced weights reproduce n/(k*count_c) per class") {
     val weighted = Train.withBalancedWeights(labeled)
     val n = labeled.count().toDouble

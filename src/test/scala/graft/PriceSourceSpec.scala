@@ -49,6 +49,46 @@ class PriceSourceSpec extends SparkSuite {
     assert(long.filter(col("ticker") === "BBB").count() == 1)
   }
 
+  test("Resilient source recovers bulk-missing tickers per key with " +
+    "retries, and drops only the permanently failing ticker") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    def oneTicker(s: SparkSession, t: String, d: String): DataFrame = {
+      import s.implicits._
+      Seq((t, d, 1.0, 2.0, 0.5, 1.5, 10L))
+        .toDF("ticker", "d", "open", "high", "low", "close", "volume")
+        .withColumn("date", to_date(col("d"))).drop("d")
+        .select(PriceSource.longSchema.fieldNames.map(col).toSeq: _*)
+    }
+    // bulk feed only knows AAA; BBB and CCC must come from the fallback
+    val bulkOnlyAAA = new PriceSource {
+      def fetch(s: SparkSession) = oneTicker(s, "AAA", "2024-01-02")
+    }
+    // BBB fails twice then succeeds; CCC always throws
+    val calls = scala.collection.mutable.Map[String, Int]()
+    val gaveUp = scala.collection.mutable.ArrayBuffer[String]()
+    val perTicker = (s: SparkSession, t: String) => {
+      calls(t) = calls.getOrElse(t, 0) + 1
+      t match {
+        case "BBB" if calls(t) <= 2 =>
+          throw new RuntimeException("transient feed error")
+        case "BBB" => oneTicker(s, "BBB", "2024-01-02")
+        case _ => throw new RuntimeException("feed down")
+      }
+    }
+    val out = PriceSource.Resilient(bulkOnlyAAA, perTicker,
+        expectedTickers = Seq("AAA", "BBB", "CCC"), maxRetries = 3,
+        onGiveUp = (t, _) => gaveUp += t)
+      .fetch(spark)
+    assert(out.select("ticker").distinct().as[String].collect().sorted
+      .toSeq == Seq("AAA", "BBB")) // CCC dropped, AAA not re-fetched
+    assert(calls("BBB") == 3)      // 2 failures + 1 success
+    assert(calls("CCC") == 4)      // initial + 3 retries, then give up
+    assert(!calls.contains("AAA")) // bulk hit → no fallback call
+    assert(gaveUp.toSeq == Seq("CCC"))
+    assert(out.schema.fieldNames.toSeq ==
+      PriceSource.longSchema.fieldNames.toSeq)
+  }
+
   test("registerViews exposes every fixture table to spark.sql, " +
     "including the normalized events timestamps") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
