@@ -39,26 +39,75 @@ object MLQueries {
           }): _*)
         .orderBy(col("user_id"), col("date"))),
 
-    // M3-M10: train on the chronological split, score latest row per key
+    // M3-M10: train on the chronological split, score latest row per key.
+    // The scored frame is PERSISTED and re-read so the oracle can check
+    // the deterministic half of the contract from the same file: the
+    // DuckDB twin recomputes as_of_date (max bar date per user),
+    // prediction_date (F-NBD next trading day) and model_version from
+    // `events` independently, and passes the model's own outputs
+    // (predicted_class, confidence, probs) through — so date stamping,
+    // latest-per-key selection and row coverage get a real hash gate
+    // even though the forest itself is not oracle-matchable.
     "q47_ml_predict" -> ((s, d) => {
       val labeled = featureFrame(s, d, forPrediction = false)
       val (train, _, _) = ChronoSplit(labeled)
       val (model, _) = Train.fit(train, numTrees = 50)
-      Predict(model, featureFrame(s, d, forPrediction = true), "rf_v1")
+      val preds = Predict(model, featureFrame(s, d, forPrediction = true),
+          "rf_v1")
         .withColumn("as_of_date", iso(col("as_of_date")))
         .withColumn("prediction_date", iso(col("prediction_date")))
-        .orderBy(col("user_id"))
+      preds.write.mode("overwrite").parquet(q47PredsDir)
+      s.read.parquet(q47PredsDir).orderBy(col("user_id"))
     }),
 
-    // M7: held-out confusion matrix of the trained model
+    // M7: held-out confusion matrix. Row-level (predicted, actual) pairs
+    // are persisted; Spark aggregates the RE-READ frame and the oracle
+    // aggregates the same parquet — the evaluation algebra (grouping,
+    // counting, class decoding already applied) is cross-engine checked.
     "q48_ml_eval" -> ((s, d) => {
       val labeled = featureFrame(s, d, forPrediction = false)
       val (train, _, test) = ChronoSplit(labeled)
       val (model, _) = Train.fit(train, numTrees = 50)
-      Train.evaluate(model, test).confusion
+      val rowPreds = model.transform(Train.assembler.transform(test))
+        .select(
+          FeatureEngineering.classOf(col("prediction"))
+            .as("predicted_class"),
+          FeatureEngineering.classOf(col("label")).as("actual_class"))
+      rowPreds.write.mode("overwrite").parquet(q48PredsDir)
+      s.read.parquet(q48PredsDir)
+        .groupBy(col("predicted_class"), col("actual_class"))
+        .agg(count(lit(1)).as("n"))
         .orderBy(col("predicted_class"), col("actual_class"))
     }))
 
-  val oracle: Map[String, String] =
-    Map("q46_ml_features" -> MLFeatureOracle.sql)
+  /** Fixed staging paths: the oracle SQL (run later, in another process)
+    * must find the frames the queries persisted. */
+  private val q47PredsDir = "/tmp/graft_ml_preds_q47"
+  private val q48PredsDir = "/tmp/graft_ml_preds_q48"
+
+  val oracle: Map[String, String] = Map(
+    "q46_ml_features" -> MLFeatureOracle.sql,
+
+    // deterministic-column check for q47: dates recomputed from events
+    // (max bar date per user; next trading day skips Sat/Sun — DuckDB
+    // dayofweek: 0=Sun..6=Sat), constants pinned as literals; model
+    // outputs pass through from the persisted frame
+    "q47_ml_predict" -> (SeriesQueries.BARS + s"""
+       , mx AS (SELECT user_id, max(date) AS d FROM bars GROUP BY 1),
+         nx AS (SELECT user_id, d,
+                  CASE WHEN dayofweek(d + 1) = 6 THEN d + 3
+                       WHEN dayofweek(d + 1) = 0 THEN d + 2
+                       ELSE d + 1 END AS pd
+                FROM mx)
+       SELECT p.user_id, strftime(nx.d, '%Y-%m-%d') AS as_of_date,
+              strftime(nx.pd, '%Y-%m-%d') AS prediction_date,
+              p.predicted_class, p.confidence, p.prob_low,
+              p.prob_medium, p.prob_high, 'rf_v1' AS model_version
+       FROM read_parquet('$q47PredsDir/*.parquet') p
+       JOIN nx USING (user_id)"""),
+
+    "q48_ml_eval" -> s"""
+       SELECT predicted_class, actual_class, CAST(count(*) AS BIGINT) AS n
+       FROM read_parquet('$q48PredsDir/*.parquet')
+       GROUP BY 1, 2""")
 }
