@@ -145,7 +145,26 @@ object Main {
         // the reference's `latest` symlink (train.py:169-219) as a
         // pointer file: which model dir the most recent train produced
         Files.writeString(Paths.get(path("models/latest")), modelDir)
+        // run registry (reference mlflow_utils.py:32-241): every train
+        // appends its metric set; ml-best-run searches it
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        graft.ml.RunRegistry.append(spark, path("models/runs"),
+          runId = s"${modelDir}_${now.getTime}", modelType = modelType,
+          createdAt = now, metrics = res.metrics)
         println(s"[cli] ml-train: ${res.metrics}")
+
+      case "ml-best-run" =>
+        // reference mlflow_utils.py:175-198 search_runs(order_by=
+        // [metric DESC], max_results=1): best run for --metric
+        // (default accuracy), newest on ties
+        val metric = opts.getOrElse("metric", "accuracy")
+        val best = graft.ml.RunRegistry.bestRun(
+          graft.ml.RunRegistry.runs(spark, path("models/runs")), metric)
+          .collect()
+        require(best.nonEmpty, s"no runs recorded for metric '$metric'")
+        val r = best.head
+        println(s"[cli] ml-best-run: metric=$metric run_id=${r.getString(0)} " +
+          s"model_type=${r.getString(1)} value=${r.getDouble(3)}")
 
       case "ml-predict" =>
         // follow the `latest` pointer (falls back to rf); the GBT path
@@ -176,7 +195,7 @@ object Main {
 
       case other =>
         System.err.println(s"unknown verb '$other' " +
-          "(backfill|run|status|ml-train|ml-predict)")
+          "(backfill|run|status|ml-train|ml-best-run|ml-predict)")
     }
   }
 

@@ -129,6 +129,32 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Best-run search (reference mlflow_utils.py:175-198) through the
+    // SQL surface: the two deterministic model versions become registry
+    // runs (long-format metric rows, the mlflow metrics shape), ranked
+    // per metric by RunRegistry.leaderboard — rank 1 = search_runs(
+    // order_by=[metric DESC], max_results=1).
+    "q94_best_run" -> ((s, d) => {
+      val preds = AnalyticsViews.multiVersionPredictions(base(s, d))
+      val rm = preds
+        .withColumn("is_correct",
+          when(col("predicted_class") === col("actual_class"), 1)
+            .otherwise(0))
+        .groupBy(col("model_version"), col("created_at"))
+        .agg(round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+          count(lit(1)).cast("double").as("n_predictions"))
+      val runsLong = rm.select(col("model_version").as("run_id"),
+        lit("baseline").as("model_type"), col("created_at"),
+        explode(map(
+          lit("accuracy_pct"), col("accuracy_pct"),
+          lit("n_predictions"), col("n_predictions")))
+          .as(Seq("metric", "value")))
+      graft.ml.RunRegistry.leaderboard(runsLong)
+        .withColumn("created_at",
+          date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("metric"), col("rank"))
+    }),
+
     // Multi-level aggregation in ONE pass: rollup (lang, source) →
     // per-source, per-lang, and grand-total rows from a single shuffle
     // instead of three scans+unions — the hierarchy-profile shape a
@@ -224,6 +250,35 @@ object AnalyticsQueries {
             CAST(sum(CASE WHEN predicted_class = actual_class
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
           FROM base GROUP BY 1 ORDER BY 1"""),
+    "q94_best_run" -> (PRED_BASE +
+      """, preds AS (
+            SELECT user_id, date, actual_class, 'low' AS predicted_class,
+                   'v1_always_low' AS model_version,
+                   TIMESTAMP '2024-02-01 00:00:00' AS created_at FROM base
+            UNION ALL
+            SELECT user_id, date, actual_class, predicted_class,
+                   'v2_persistence', TIMESTAMP '2024-03-01 00:00:00'
+            FROM base),
+          rm AS (
+            SELECT model_version AS run_id, created_at,
+                   round(avg(CASE WHEN predicted_class = actual_class
+                                  THEN 1 ELSE 0 END) * 100, 2)
+                     AS accuracy_pct,
+                   CAST(count(*) AS DOUBLE) AS n_predictions
+            FROM preds GROUP BY 1, 2),
+          runs AS (
+            SELECT run_id, 'baseline' AS model_type, created_at,
+                   'accuracy_pct' AS metric, accuracy_pct AS value FROM rm
+            UNION ALL
+            SELECT run_id, 'baseline', created_at, 'n_predictions',
+                   n_predictions FROM rm)
+          SELECT run_id, model_type,
+                 strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_at,
+                 metric, value,
+                 CAST(row_number() OVER (PARTITION BY metric
+                        ORDER BY value DESC, created_at DESC, run_id)
+                      AS BIGINT) AS rank
+          FROM runs ORDER BY metric, rank"""),
     "q45_summary" -> (PRED_BASE +
       """ SELECT count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,

@@ -44,6 +44,19 @@ class CliSpec extends SparkSuite {
     // must not grow the table
     Main.run(spark, "ml-predict", src, wh, opts)
     assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
+
+    // the train appended to the run registry; a second train makes the
+    // search meaningful and ml-best-run resolves without error
+    Main.run(spark, "ml-train", src, wh, opts)
+    val runs = graft.ml.RunRegistry.runs(spark, s"$wh/models/runs")
+    import org.apache.spark.sql.functions.col
+    assert(runs.select("run_id").distinct().count() == 2)
+    assert(runs.filter(col("metric") === "accuracy").count() == 2)
+    assert(graft.ml.RunRegistry.bestRun(runs, "accuracy").count() == 1)
+    Main.run(spark, "ml-best-run", src, wh, Map.empty)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "ml-best-run", src, wh, Map("metric" -> "nope"))
+    }
   }
 
   test("ml-train --model gbt trains the one-vs-rest boosted ensemble, " +
