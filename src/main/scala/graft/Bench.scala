@@ -33,12 +33,19 @@ object Bench {
     // cluster scale the trade inverts (real shuffles need cpus×executors
     // partitions and runtime skew/coalesce handling), so production
     // sessions keep AQE on; both knobs stay env-overridable.
-    // The default partition count grows with the fixture size (~64 MB
-    // per shuffle partition, floor 4) so larger SFs don't serialize.
+    // The default partition count grows with the fixture size (~16 MB
+    // per shuffle partition, floor 4) and is capped at the core count —
+    // measured on the 32× inflated fixtures (599 MB): parts=9 (the old
+    // 64 MB divisor) ran 48 s, parts=cpus=32 ran 27.5 s, parts=64 was
+    // slower again (scheduling overhead past core count). Single-file
+    // fixtures report the file size; directory fixtures (InflateFixtures
+    // output) are summed.
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
     val dataBytes = Tables.names.map(n =>
-      new java.io.File(s"$sfDir/$n.parquet").length).sum
-    val defaultParts =
-      math.min(256L, math.max(4L, dataBytes / (64L << 20))).toString
+      sizeOf(new java.io.File(s"$sfDir/$n.parquet"))).sum
+    val defaultParts = math.min(cpus.toLong,
+      math.max(4L, dataBytes / (16L << 20))).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
