@@ -58,4 +58,114 @@ object Decontaminate {
       contaminationStats(corpus, benchmark, n, threshold, textCol, idCol)
         .filter(col("contaminated") === 1L).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  // ---------------------------------------------------------------------
+  // Exact-substring span decontamination (the ExactSubstr shape of Lee et
+  // al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+  // instead of scoring whole documents by shingle overlap, find every
+  // MAXIMAL token span of length >= minTokens that appears verbatim in
+  // the benchmark, and surgically remove the spans — the document
+  // survives minus the leaked passage.
+  //
+  // Relational decomposition (no suffix array needed at the span level):
+  // a token span of length >= L appears verbatim iff every one of its
+  // length-L windows appears verbatim, so probing POSITIONAL L-grams
+  // against the benchmark's L-gram set and merging overlapping/adjacent
+  // hit windows (gaps-and-islands over start positions) reconstructs
+  // exactly the maximal matched spans.
+  //
+  // Scale shape: L-gram construction is map-side (O(L) per token, bound
+  // tokens — never re-tokenized per element); the benchmark L-gram set is
+  // broadcast like contaminationStats' index; the only exchange carries
+  // HIT windows (bounded by leakage, not corpus size), shuffled by doc
+  // for the island merge.
+  // ---------------------------------------------------------------------
+
+  /** Positional L-gram array over a BOUND token-array column: element i =
+    * tokens[i..i+L-1] joined by a single space; empty when the doc has
+    * fewer than L tokens (the sequence would otherwise run descending). */
+  private def posGrams(w: org.apache.spark.sql.Column, minTokens: Int) =
+    when(size(w) >= minTokens,
+      transform(sequence(lit(0), size(w) - minTokens),
+        i => array_join(slice(w, i + 1, lit(minTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Maximal matched spans per corpus doc: (idCol, n_tokens, span_start,
+    * span_end) with 0-based inclusive token positions. Docs without any
+    * match emit no row (see [[exactSubstrStats]] for the padded frame). */
+  def exactSubstrSpans(corpus: DataFrame, benchmark: DataFrame,
+                       minTokens: Int = 10, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minTokens
+    // two-step select: tokens bound once, grams built from the bound array
+    val grams = corpus
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), size(col("_w")).cast("long").as("n_tokens"),
+        posexplode(posGrams(col("_w"), L)).as(Seq("pos", "gram")))
+    val benchIndex = benchmark
+      .select(TextFns.tokens(col(textCol)).as("_w"))
+      .select(explode(posGrams(col("_w"), L)).as("gram"))
+      .distinct()
+    val hits = grams.join(broadcast(benchIndex), Seq("gram"))
+    // gaps-and-islands: a hit window extends the current span when it
+    // starts at or before (previous furthest end)+1; else a new span
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + (L - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_brk",
+        when(prevMaxEnd.isNull || prevMaxEnd < col("pos") - 1, 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_brk")).over(byDoc))
+      .groupBy(col(idCol), col("n_tokens"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (L - 1)).cast("long").as("span_end"))
+      .drop("_island")
+  }
+
+  /** Per-doc span statistics over the WHOLE corpus (clean docs included,
+    * zero-padded): (idCol, n_tokens, n_spans, tokens_flagged,
+    * flagged_ratio). */
+  def exactSubstrStats(corpus: DataFrame, benchmark: DataFrame,
+                       minTokens: Int = 10, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spans =
+      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1L)
+          .as("tokens_flagged"))
+    corpus
+      .select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_flagged"), lit(0L)).as("tokens_flagged"),
+        round(coalesce(col("tokens_flagged"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("flagged_ratio"))
+  }
+
+  /** The span-removal corpus: every doc survives with its matched spans
+    * cut out (tokens re-joined by single spaces in `textCol`; original
+    * whitespace is not preserved — the Lee et al. cut is token-level). */
+  def exactSubstrClean(corpus: DataFrame, benchmark: DataFrame,
+                       minTokens: Int = 10, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spanSets =
+      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol)
+        .groupBy(col(idCol))
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as("_spans"))
+    val kept = filter(TextFns.tokens(col(textCol)),
+      (tok, i) => !exists(col("_spans"), s =>
+        i.cast("long").between(s.getField("span_start"),
+          s.getField("span_end"))))
+    corpus.join(spanSets, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")))
+      .drop("_spans")
+  }
 }

@@ -212,6 +212,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring span decontamination (Lee et al. 2022 ExactSubstr):
+    // maximal >= 10-token verbatim spans vs the same eval set, merged
+    // from positional 10-gram hits — the surgical span-removal
+    // complement of q69's whole-doc shingle scoring
+    "q95_exact_substr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.exactSubstrStats(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50), minTokens = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // within-doc repetition signals (Gopher-style): dup-token, top-token
     // and dup-bigram fractions — boilerplate/loop detection
     "q70_repetition" -> ((s, d) =>
@@ -844,6 +856,39 @@ object TextQueries {
               greatest(c.n_shingles, 1) >= 0.5 THEN 1 ELSE 0 END
               AS BIGINT) AS contaminated
           FROM corp c LEFT JOIN hits h USING (doc_id)
+          ORDER BY c.doc_id"""),
+    "q95_exact_substr" -> (TOKS +
+      """, c AS (SELECT doc_id, w, len(w) AS n FROM t WHERE doc_id >= 50),
+          b AS (SELECT DISTINCT array_to_string(w[i + 1 : i + 10], ' ')
+                  AS gram
+                FROM (SELECT w, unnest(range(len(w) - 9)) AS i
+                      FROM t WHERE doc_id < 50)),
+          cg AS (SELECT doc_id, n, i,
+                   array_to_string(w[i + 1 : i + 10], ' ') AS gram
+                 FROM (SELECT doc_id, n, w, unnest(range(n - 9)) AS i
+                       FROM c)),
+          h AS (SELECT cg.doc_id, cg.n, cg.i FROM cg JOIN b USING (gram)),
+          isl AS (SELECT doc_id, n, i,
+                    CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
+                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) >= i - 1
+                         THEN 0 ELSE 1 END AS brk
+                  FROM h),
+          g2 AS (SELECT doc_id, n, i,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS island
+                 FROM isl),
+          sp AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 9 AS e
+                 FROM g2 GROUP BY 1, 2, 3),
+          agg AS (SELECT doc_id, count(*) AS n_spans,
+                    sum(e - s + 1) AS fl
+                  FROM sp GROUP BY 1)
+          SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
+                 CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+                 CAST(coalesce(a.fl, 0) AS BIGINT) AS tokens_flagged,
+                 round(CAST(coalesce(a.fl, 0) AS DOUBLE) /
+                       greatest(c.n, 1), 6) AS flagged_ratio
+          FROM c LEFT JOIN agg a USING (doc_id)
           ORDER BY c.doc_id"""),
     "q66_source_cap" ->
       """WITH h AS (

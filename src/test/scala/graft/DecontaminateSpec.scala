@@ -34,6 +34,76 @@ class DecontaminateSpec extends SparkSuite {
       s"expected broadcast probe, plan:\n$plan")
   }
 
+  // --- exact-substring span decontamination (Lee et al. ExactSubstr) ---
+
+  // 26 tokens a..z as a synthetic benchmark passage
+  private val abc = ('a' to 'z').map(_.toString)
+
+  test("exactSubstrSpans finds maximal spans with exact 0-based bounds, " +
+    "merges overlapping hits, and ignores sub-threshold runs") {
+    val benchDf = Seq((1L, abc.mkString(" "))).toDF("doc_id", "text")
+    // tokens 0-2 noise, 3-12 = a..j (10-token run), 13 noise,
+    // 14-18 = a..e (5 tokens, below L=6... wait L=6: 5 < 6 → ignored)
+    val corpusDf = Seq(
+      (100L, ("x1 x2 x3 " + abc.take(10).mkString(" ") + " y1 " +
+        abc.take(5).mkString(" ")).trim),
+      (101L, "no overlap here at all with the benchmark")) // clean
+      .toDF("doc_id", "text")
+    val spans = Decontaminate.exactSubstrSpans(corpusDf, benchDf,
+        minTokens = 6)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // only the 10-token run: tokens 3..12; the 5-token tail is < L
+    assert(spans == Set((100L, 3L, 12L)))
+
+    // two runs separated by one noise token stay SEPARATE spans; the
+    // same two runs adjacent merge into one
+    val corpus2 = Seq(
+      (200L, abc.take(8).mkString(" ") + " zz " +
+        abc.slice(10, 18).mkString(" ")),
+      (201L, abc.take(8).mkString(" ") + " " +
+        abc.slice(8, 16).mkString(" "))) // a..h + i..p = a..p contiguous
+      .toDF("doc_id", "text")
+    val spans2 = Decontaminate.exactSubstrSpans(corpus2, benchDf,
+        minTokens = 6)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans2 == Set((200L, 0L, 7L), (200L, 9L, 16L),
+      (201L, 0L, 15L)))
+  }
+
+  test("exactSubstrStats zero-pads clean docs; exactSubstrClean removes " +
+    "exactly the span tokens and leaves clean docs byte-identical") {
+    val benchDf = Seq((1L, abc.mkString(" "))).toDF("doc_id", "text")
+    val corpusDf = Seq(
+      (100L, "x1 x2 " + abc.take(10).mkString(" ") + " y1 y2"),
+      (101L, "completely unrelated text tokens only")).toDF("doc_id", "text")
+    val stats = Decontaminate.exactSubstrStats(corpusDf, benchDf,
+        minTokens = 6)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(100L) == ((100L, 14L, 1L, 10L, math.rint(10.0 / 14 *
+      1e6) / 1e6)))
+    assert(stats(101L) == ((101L, 5L, 0L, 0L, 0.0)))
+
+    val cleaned = Decontaminate.exactSubstrClean(corpusDf, benchDf,
+        minTokens = 6)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(cleaned(100L) == "x1 x2 y1 y2")
+    assert(cleaned(101L) == "completely unrelated text tokens only")
+  }
+
+  test("exact-substring probe keeps the broadcast shape: corpus grams " +
+    "never shuffle by gram, only hit rows move") {
+    val spans = Decontaminate.exactSubstrSpans(corpus, bench,
+      minTokens = 10)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast gram probe, plan:\n$plan")
+    // the fixture's planted near-copies give the span path real work
+    assert(spans.count() > 0)
+  }
+
   test("clean() removes exactly the flagged docs and keeps the rest") {
     val stats = Decontaminate.contaminationStats(corpus, bench, n = 5,
       threshold = 0.5)
