@@ -117,11 +117,17 @@ object Main {
               s"unknown --model '$other' (rf|gbt|xgboost)")
         }
         val labeled = features(spark, eventsDir, forPrediction = false)
-        val (train, _, test) = ChronoSplit(labeled)
+        val (train, valid, test) = ChronoSplit(labeled)
         val (modelType, res) = modelDir match {
           case "gbt" =>
+            // --early-stop-tol enables eval-set early stopping on the
+            // chronological validation split (reference train.py:95-102)
+            val validation = opts.get("early-stop-tol").map(_ => valid)
+            val tol = opts.get("early-stop-tol").map(_.toDouble)
+              .getOrElse(0.01)
             val (model, _) = Train.fitBoosted(train,
-              maxIter = opts.getOrElse("trees", "200").toInt)
+              maxIter = opts.getOrElse("trees", "200").toInt,
+              validation = validation, validationTol = tol)
             model.write.overwrite().save(path("models/gbt"))
             ("gbt_one_vs_rest", Train.evaluateModel(model, test))
           case _ =>

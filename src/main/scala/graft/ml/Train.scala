@@ -64,12 +64,30 @@ object Train {
   /** The reference's "xgboost" model choice (train.py:52-61) on MLlib:
     * one-vs-rest gradient-boosted trees, 200 rounds, depth 6, step 0.1.
     * OneVsRestModel emits predictions only (no calibrated probability
-    * vector) — confidence-bearing inference stays on the RF path. */
+    * vector) — confidence-bearing inference stays on the RF path.
+    *
+    * `validation` enables EARLY STOPPING with an eval set (reference
+    * train.py:95-102, xgboost `early_stopping_rounds` + `eval_set`):
+    * the validation rows ride along flagged by an indicator column and
+    * boosting stops once the improvement in validation error drops
+    * below `validationTol` — each one-vs-rest member stops at its own
+    * best round. Validation rows get weight 1.0 (they steer stopping,
+    * not the gradient); training rows keep balanced weights. With
+    * `validation = None` this is the reference's plain-fit fallback
+    * (train.py:103-104). */
   def fitBoosted(train: DataFrame, maxIter: Int = 200, maxDepth: Int = 6,
-                 stepSize: Double = 0.1,
-                 seed: Long = 42L): (OneVsRestModel, DataFrame) = {
+                 stepSize: Double = 0.1, seed: Long = 42L,
+                 validation: Option[DataFrame] = None,
+                 validationTol: Double = 0.01): (OneVsRestModel, DataFrame) = {
     val weighted = withBalancedWeights(train)
-    val assembled = assembler.transform(weighted)
+      .withColumn("is_val", lit(false))
+    val data = validation match {
+      case Some(v) => weighted.unionByName(
+        v.withColumn("weight", lit(1.0)).withColumn("is_val", lit(true)),
+        allowMissingColumns = false)
+      case None => weighted
+    }
+    val assembled = assembler.transform(data)
     val gbt = new GBTClassifier()
       .setMaxIter(maxIter)
       .setMaxDepth(maxDepth)
@@ -78,8 +96,16 @@ object Train {
       .setLabelCol("label")
       .setFeaturesCol("features")
       .setWeightCol("weight")
+    // validationTol has no Scala setter on GBTClassifier (the param is
+    // inherited from GBTParams) — set it through a param-map copy
+    val gbtTuned = validation.map { _ =>
+      gbt.setValidationIndicatorCol("is_val")
+      gbt.copy(org.apache.spark.ml.param.ParamMap(
+        gbt.validationTol -> validationTol))
+        .asInstanceOf[GBTClassifier]
+    }.getOrElse(gbt)
     val ovr = new OneVsRest()
-      .setClassifier(gbt)
+      .setClassifier(gbtTuned)
       .setLabelCol("label")
       .setFeaturesCol("features")
       .setWeightCol("weight")

@@ -117,6 +117,23 @@ class MLSpec extends SparkSuite {
     assert(math.abs(m("accuracy") - 0.5) < 1e-12)
   }
 
+  test("early stopping with an eval set halts boosting before maxIter " +
+    "and the stopped ensemble still evaluates") {
+    val (train, valid, test) = ChronoSplit(labeled)
+    val (model, _) = Train.fitBoosted(train, maxIter = 40, maxDepth = 3,
+      validation = Some(valid), validationTol = 0.03)
+    val trees = model.models.map(
+      _.asInstanceOf[org.apache.spark.ml.classification
+        .GBTClassificationModel].getNumTrees)
+    // at least one one-vs-rest member must stop early; none may exceed
+    // the budget
+    assert(trees.forall(_ <= 40), s"trees=$trees")
+    assert(trees.exists(_ < 40),
+      s"no member stopped before maxIter, trees=$trees")
+    val res = Train.evaluateModel(model, test)
+    assert(res.metrics("accuracy") > 0.2)
+  }
+
   test("one-vs-rest GBT (the xgboost mapping) trains and evaluates") {
     val (train, _, test) = ChronoSplit(labeled)
     val (model, _) = Train.fitBoosted(train, maxIter = 5)
