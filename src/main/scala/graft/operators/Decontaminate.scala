@@ -90,26 +90,14 @@ object Decontaminate {
         i => array_join(slice(w, i + 1, lit(minTokens)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Maximal matched spans per corpus doc: (idCol, n_tokens, span_start,
-    * span_end) with 0-based inclusive token positions. Docs without any
-    * match emit no row (see [[exactSubstrStats]] for the padded frame). */
-  def exactSubstrSpans(corpus: DataFrame, benchmark: DataFrame,
-                       minTokens: Int = 10, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+  /** Gaps-and-islands merge of hit windows into maximal spans: a hit
+    * window extends the current span when it starts at or before
+    * (previous furthest end)+1; else a new span opens. `hits` carries
+    * (idCol, n_tokens, pos); output (idCol, n_tokens, span_start,
+    * span_end), 0-based inclusive token positions. */
+  private def mergeIslands(hits: DataFrame, L: Int,
+                           idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = minTokens
-    // two-step select: tokens bound once, grams built from the bound array
-    val grams = corpus
-      .select(col(idCol), TextFns.tokens(col(textCol)).as("_w"))
-      .select(col(idCol), size(col("_w")).cast("long").as("n_tokens"),
-        posexplode(posGrams(col("_w"), L)).as(Seq("pos", "gram")))
-    val benchIndex = benchmark
-      .select(TextFns.tokens(col(textCol)).as("_w"))
-      .select(explode(posGrams(col("_w"), L)).as("gram"))
-      .distinct()
-    val hits = grams.join(broadcast(benchIndex), Seq("gram"))
-    // gaps-and-islands: a hit window extends the current span when it
-    // starts at or before (previous furthest end)+1; else a new span
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevMaxEnd = max(col("pos") + (L - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -124,14 +112,45 @@ object Decontaminate {
       .drop("_island")
   }
 
+  /** Positional-gram frame over `docs`: (idCol, n_tokens, pos, gram),
+    * tokens bound once (never re-tokenized per element). */
+  private def gramFrame(docs: DataFrame, L: Int, textCol: String,
+                        idCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), size(col("_w")).cast("long").as("n_tokens"),
+        posexplode(posGrams(col("_w"), L)).as(Seq("pos", "gram")))
+
+  /** Maximal matched spans per corpus doc: (idCol, n_tokens, span_start,
+    * span_end) with 0-based inclusive token positions. Docs without any
+    * match emit no row (see [[exactSubstrStats]] for the padded frame). */
+  def exactSubstrSpans(corpus: DataFrame, benchmark: DataFrame,
+                       minTokens: Int = 10, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val L = minTokens
+    val grams = gramFrame(corpus, L, textCol, idCol)
+    val benchIndex = benchmark
+      .select(TextFns.tokens(col(textCol)).as("_w"))
+      .select(explode(posGrams(col("_w"), L)).as("gram"))
+      .distinct()
+    val hits = grams.join(broadcast(benchIndex), Seq("gram"))
+      .select(col(idCol), col("n_tokens"), col("pos"))
+    mergeIslands(hits, L, idCol)
+  }
+
   /** Per-doc span statistics over the WHOLE corpus (clean docs included,
     * zero-padded): (idCol, n_tokens, n_spans, tokens_flagged,
     * flagged_ratio). */
   def exactSubstrStats(corpus: DataFrame, benchmark: DataFrame,
                        minTokens: Int = 10, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val spans =
-      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol)
+                       idCol: String = "doc_id"): DataFrame =
+    spanStats(corpus,
+      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol),
+      textCol, idCol)
+
+  /** Zero-padded per-doc rollup of a span frame. */
+  private def spanStats(corpus: DataFrame, spans: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1L)
@@ -152,12 +171,17 @@ object Decontaminate {
     * whitespace is not preserved — the Lee et al. cut is token-level). */
   def exactSubstrClean(corpus: DataFrame, benchmark: DataFrame,
                        minTokens: Int = 10, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val spanSets =
-      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol)
-        .groupBy(col(idCol))
-        .agg(collect_list(struct(col("span_start"), col("span_end")))
-          .as("_spans"))
+                       idCol: String = "doc_id"): DataFrame =
+    removeSpans(corpus,
+      exactSubstrSpans(corpus, benchmark, minTokens, textCol, idCol),
+      textCol, idCol)
+
+  private def removeSpans(corpus: DataFrame, spans: DataFrame,
+                          textCol: String, idCol: String): DataFrame = {
+    val spanSets = spans
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
     val kept = filter(TextFns.tokens(col(textCol)),
       (tok, i) => !exists(col("_spans"), s =>
         i.cast("long").between(s.getField("span_start"),
@@ -168,4 +192,61 @@ object Decontaminate {
           .otherwise(array_join(kept, " ")))
       .drop("_spans")
   }
+
+  // ---------------------------------------------------------------------
+  // WITHIN-corpus exact-substring dedup — Lee et al. 2022's primary mode:
+  // every >= L-token span that occurs more than once ANYWHERE in the
+  // corpus (across docs or repeated within one) is removed from all but
+  // its first occurrence in (idCol, pos) corpus order.
+  //
+  // Lee et al. build a single-machine suffix array; the distributed
+  // relational equivalent ranks positional L-gram occurrences per gram:
+  // occurrence rank 1 = the canonical copy, rank > 1 = duplicated window.
+  // A span of length >= L is repeated iff all of its L-windows are
+  // repeated, so island-merging the rank>1 windows reconstructs the
+  // maximal duplicated spans exactly.
+  //
+  // Scale shape: this is ONE shuffle of (gram-hash, doc, pos) triples by
+  // gram — unavoidable for exact-substring self-dedup (the corpus is its
+  // own index; nothing to broadcast). Grams travel as md5 digests, not
+  // token strings: fixed 32-byte keys (~4× smaller than 10-token text)
+  // that both engines compute identically for the oracle.
+  // ---------------------------------------------------------------------
+
+  /** Maximal duplicated spans (rank > 1 occurrences) per doc. */
+  def selfExactSubstrSpans(corpus: DataFrame, minTokens: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minTokens
+    val grams = gramFrame(corpus, L, textCol, idCol)
+      .select(col(idCol), col("n_tokens"), col("pos"),
+        md5(col("gram")).as("_g"))
+    val byGram = Window.partitionBy(col("_g"))
+      .orderBy(col(idCol), col("pos"))
+    val dups = grams
+      .withColumn("_rk", row_number().over(byGram))
+      .filter(col("_rk") > 1)
+      .select(col(idCol), col("n_tokens"), col("pos"))
+    mergeIslands(dups, L, idCol)
+  }
+
+  /** Per-doc duplicated-span stats over the whole corpus (docs with no
+    * duplicated span zero-padded): (idCol, n_tokens, n_spans,
+    * tokens_flagged, flagged_ratio). */
+  def selfExactSubstrStats(corpus: DataFrame, minTokens: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    spanStats(corpus,
+      selfExactSubstrSpans(corpus, minTokens, textCol, idCol),
+      textCol, idCol)
+
+  /** The self-deduplicated corpus: duplicated spans cut from every doc
+    * except the first occurrence; all docs survive. */
+  def selfExactSubstrClean(corpus: DataFrame, minTokens: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    removeSpans(corpus,
+      selfExactSubstrSpans(corpus, minTokens, textCol, idCol),
+      textCol, idCol)
 }

@@ -224,6 +224,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WITHIN-corpus exact-substring dedup (Lee et al. primary mode):
+    // every >= 10-token span occurring more than once in the corpus is
+    // flagged everywhere but its first (doc_id, pos) occurrence — the
+    // relational suffix-array substitute (occurrence rank per positional
+    // gram, then island merge)
+    "q96_self_substr" -> ((s, d) =>
+      graft.operators.Decontaminate.selfExactSubstrStats(
+          Tables.documents(s, d), minTokens = 10)
+        .orderBy(col("doc_id"))),
+
     // within-doc repetition signals (Gopher-style): dup-token, top-token
     // and dup-bigram fractions — boilerplate/loop detection
     "q70_repetition" -> ((s, d) =>
@@ -868,6 +878,39 @@ object TextQueries {
                  FROM (SELECT doc_id, n, w, unnest(range(n - 9)) AS i
                        FROM c)),
           h AS (SELECT cg.doc_id, cg.n, cg.i FROM cg JOIN b USING (gram)),
+          isl AS (SELECT doc_id, n, i,
+                    CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
+                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) >= i - 1
+                         THEN 0 ELSE 1 END AS brk
+                  FROM h),
+          g2 AS (SELECT doc_id, n, i,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS island
+                 FROM isl),
+          sp AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 9 AS e
+                 FROM g2 GROUP BY 1, 2, 3),
+          agg AS (SELECT doc_id, count(*) AS n_spans,
+                    sum(e - s + 1) AS fl
+                  FROM sp GROUP BY 1)
+          SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
+                 CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+                 CAST(coalesce(a.fl, 0) AS BIGINT) AS tokens_flagged,
+                 round(CAST(coalesce(a.fl, 0) AS DOUBLE) /
+                       greatest(c.n, 1), 6) AS flagged_ratio
+          FROM c LEFT JOIN agg a USING (doc_id)
+          ORDER BY c.doc_id"""),
+    "q96_self_substr" -> (TOKS +
+      """, c AS (SELECT doc_id, w, len(w) AS n FROM t),
+          cg AS (SELECT doc_id, n, i,
+                   md5(array_to_string(w[i + 1 : i + 10], ' ')) AS g
+                 FROM (SELECT doc_id, n, w, unnest(range(n - 9)) AS i
+                       FROM c)),
+          rk AS (SELECT doc_id, n, i,
+                   row_number() OVER (PARTITION BY g
+                     ORDER BY doc_id, i) AS rk
+                 FROM cg),
+          h AS (SELECT doc_id, n, i FROM rk WHERE rk > 1),
           isl AS (SELECT doc_id, n, i,
                     CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
                            ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING

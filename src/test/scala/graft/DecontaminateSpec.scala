@@ -104,6 +104,31 @@ class DecontaminateSpec extends SparkSuite {
     assert(spans.count() > 0)
   }
 
+  test("self exact-substring dedup keeps the FIRST occurrence and cuts " +
+    "later verbatim spans, across and within docs") {
+    val run = abc.take(10).mkString(" ") // 10 tokens, L=6
+    val corpusDf = Seq(
+      (1L, "u1 u2 " + run + " u3"),          // canonical (lowest doc_id)
+      (2L, run + " v1 v2 v3 v4 v5"),         // cross-doc copy → cut
+      (3L, "w1 " + run + " w2 " + run))      // copy + within-doc repeat
+      .toDF("doc_id", "text")
+    val stats = Decontaminate.selfExactSubstrStats(corpusDf, minTokens = 6)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(1L)._3 == 0L && stats(1L)._4 == 0L) // first occurrence kept
+    assert(stats(2L) == ((2L, 15L, 1L, 10L,
+      math.rint(10.0 / 15 * 1e6) / 1e6)))
+    // doc 3: both runs are later occurrences → 2 spans, 20 tokens
+    assert(stats(3L)._3 == 2L && stats(3L)._4 == 20L)
+
+    val cleaned = Decontaminate.selfExactSubstrClean(corpusDf,
+        minTokens = 6)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "u1 u2 " + run + " u3") // byte-identical
+    assert(cleaned(2L) == "v1 v2 v3 v4 v5")
+    assert(cleaned(3L) == "w1 w2")
+  }
+
   test("clean() removes exactly the flagged docs and keeps the rest") {
     val stats = Decontaminate.contaminationStats(corpus, bench, n = 5,
       threshold = 0.5)
