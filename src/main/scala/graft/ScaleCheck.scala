@@ -163,6 +163,13 @@ object ScaleCheck {
       sink(Decontaminate.contaminationStats(docs,
         Tables.documents(spark, sfDir).limit(500), n = 5))
     }
+    // self exact-substring dedup: the ONE corpus-wide gram shuffle
+    // (md5 digests, not token strings). Inflation makes every gram a
+    // 32-occurrence group, so the rank/island stages see maximal dup
+    // pressure — the worst case for this operator
+    time("self_exact_substr", nd) {
+      sink(Decontaminate.selfExactSubstrStats(docs, minTokens = 10))
+    }
     // the composed prep pipeline: inflation makes every doc a 32-copy
     // cluster, so the dedup stages collapse the corpus back to ~1/32.
     // Token-granularity boilerplate stripping is degenerate on the
