@@ -99,6 +99,32 @@ class PlanShapeSpec extends SparkSuite {
       !pk.contains("CartesianProduct"))
   }
 
+  test("q95 exact-substring decontamination broadcasts the eval gram " +
+    "index; the corpus branch shuffles only hit rows by doc") {
+    val p = plan("q95_exact_substr")
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram probe must be broadcast:\n$p")
+    // exactly ONE gram-keyed exchange is allowed: the (tiny) eval-set
+    // index's own distinct() before its BroadcastExchange. The CORPUS
+    // grams must never hash-shuffle by gram — a second gram exchange
+    // would mean the probe degraded to a shuffle join of corpus bytes
+    val gramKeyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("gram"))
+    assert(gramKeyed.size <= 1,
+      s"corpus grams shuffled by gram:\n${gramKeyed.mkString("\n")}")
+  }
+
+  test("q96 self-dedup pays exactly ONE gram-keyed exchange (the md5 " +
+    "digest shuffle) — everything downstream is keyed by doc") {
+    val p = plan("q96_self_substr")
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val gramKeyed = hashExchanges.filter(_.contains("_g#"))
+    assert(gramKeyed.size == 1,
+      s"expected exactly one gram-digest exchange:\n" +
+        hashExchanges.mkString("\n"))
+  }
+
   test("as-of join is the union+window composition: one key exchange " +
     "per side, NO join operator, no pair explosion") {
     import org.apache.spark.sql.functions.col
