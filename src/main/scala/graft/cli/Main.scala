@@ -131,6 +131,11 @@ object Main {
             model.write.overwrite().save(path("models/gbt"))
             ("gbt_one_vs_rest", Train.evaluateModel(model, test))
           case _ =>
+            // early stopping is a boosting concept; silently ignoring
+            // the flag on the forest would misreport what trained
+            require(!opts.contains("early-stop-tol"),
+              "--early-stop-tol requires --model gbt|xgboost (random " +
+                "forests have no boosting rounds to stop)")
             val (model, _) = Train.fit(train,
               numTrees = opts.getOrElse("trees", "200").toInt)
             model.write.overwrite().save(path("models/rf"))
@@ -200,7 +205,9 @@ object Main {
           s"${spark.read.parquet(path("predictions")).count()} rows")
 
       case other =>
-        System.err.println(s"unknown verb '$other' " +
+        // same contract as unknown --model: scripted callers need a
+        // non-zero exit, not a clean 0 with a stderr note
+        throw new IllegalArgumentException(s"unknown verb '$other' " +
           "(backfill|run|status|ml-train|ml-best-run|ml-predict)")
     }
   }

@@ -65,18 +65,27 @@ object AsOfJoin {
     // earliest right >= t. Both inclusive. nearest computes both picks
     // (same exchange, a second within-partition sort) and keeps the
     // closer match, ties to backward (merge_asof convention).
-    // `_payload` is the final ordering key: when several right rows share
-    // the same (key, time), the intra-tie order would otherwise be
+    // The final ordering key breaks (key, time) ties: when several right
+    // rows share the same time, the intra-tie order would otherwise be
     // whatever the shuffle produced, making the picked payload
-    // nondeterministic across runs. Structs sort lexicographically by
-    // field, so the pick is total-ordered and run-stable (backward takes
-    // the greatest payload at the tied time, forward the least).
+    // nondeterministic across runs. Only ORDERABLE payload fields join
+    // the tiebreak (a map-typed payload column would fail analysis in an
+    // ORDER BY); if no field is orderable the pre-existing arbitrary-tie
+    // behavior remains rather than rejecting the join.
+    val orderablePayload = payloadCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+    val tiebreak: Seq[Column] =
+      if (orderablePayload.isEmpty) Seq.empty
+      else Seq(struct((orderablePayload.map(c =>
+        col("_payload").getField(c).as(c)) :+
+        col("_payload").getField(rtName).as(rtName)).toIndexedSeq: _*).asc)
     val base = Window.partitionBy(keyCols: _*)
-    val wBack = base.orderBy(col(timeCol).asc, col("_side").asc,
-        col("_payload").asc)
+    val wBack = base.orderBy((Seq(col(timeCol).asc, col("_side").asc) ++
+        tiebreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = base.orderBy(col(timeCol).asc, col("_side").desc,
-        col("_payload").asc)
+    val wFwd = base.orderBy((Seq(col(timeCol).asc, col("_side").desc) ++
+        tiebreak): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val backPick = last(col("_payload"), ignoreNulls = true).over(wBack)
     val fwdPick = first(col("_payload"), ignoreNulls = true).over(wFwd)

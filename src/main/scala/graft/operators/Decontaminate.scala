@@ -69,10 +69,14 @@ object Decontaminate {
   //
   // Relational decomposition (no suffix array needed at the span level):
   // a token span of length >= L appears verbatim iff every one of its
-  // length-L windows appears verbatim, so probing POSITIONAL L-grams
+  // length-L windows appears verbatim. Probing POSITIONAL L-grams
   // against the benchmark's L-gram set and merging overlapping/adjacent
-  // hit windows (gaps-and-islands over start positions) reconstructs
-  // exactly the maximal matched spans.
+  // hit windows (gaps-and-islands over start positions) yields the
+  // maximal CONTIGUOUS MATCHED-TOKEN REGIONS: every token in a span is
+  // covered by at least one verbatim >= L-token match — exactly the
+  // guarantee span REMOVAL needs. A reported span is not itself claimed
+  // to be one verbatim match: two distinct matches that abut or overlap
+  // coalesce into one region (n_spans counts regions, not matches).
   //
   // Scale shape: L-gram construction is map-side (O(L) per token, bound
   // tokens — never re-tokenized per element); the benchmark L-gram set is

@@ -56,8 +56,8 @@ object MLQueries {
           "rf_v1")
         .withColumn("as_of_date", iso(col("as_of_date")))
         .withColumn("prediction_date", iso(col("prediction_date")))
-      preds.write.mode("overwrite").parquet(q47PredsDir)
-      s.read.parquet(q47PredsDir).orderBy(col("user_id"))
+      preds.write.mode("overwrite").parquet(s"${stageDir(d)}/q47")
+      s.read.parquet(s"${stageDir(d)}/q47").orderBy(col("user_id"))
     }),
 
     // M7: held-out confusion matrix. Row-level (predicted, actual) pairs
@@ -73,17 +73,27 @@ object MLQueries {
           FeatureEngineering.classOf(col("prediction"))
             .as("predicted_class"),
           FeatureEngineering.classOf(col("label")).as("actual_class"))
-      rowPreds.write.mode("overwrite").parquet(q48PredsDir)
-      s.read.parquet(q48PredsDir)
+      rowPreds.write.mode("overwrite").parquet(s"${stageDir(d)}/q48")
+      s.read.parquet(s"${stageDir(d)}/q48")
         .groupBy(col("predicted_class"), col("actual_class"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicted_class"), col("actual_class"))
     }))
 
-  /** Fixed staging paths: the oracle SQL (run later, in another process)
-    * must find the frames the queries persisted. */
-  private val q47PredsDir = "/tmp/graft_ml_preds_q47"
-  private val q48PredsDir = "/tmp/graft_ml_preds_q48"
+  /** Per-sfDir staging dir for the persisted prediction frames: the
+    * oracle SQL (run later, in another process) must find the frames the
+    * queries wrote, and two runs against DIFFERENT fixture dirs must not
+    * overwrite each other's stage between Verify and the DuckDB compare.
+    * The oracle strings carry the [[StageToken]] placeholder; Verify
+    * substitutes this path when dumping oracle_sql.json (same sfDir). */
+  def stageDir(sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"/tmp/graft_ml_stage_$digest"
+  }
+
+  val StageToken = "__GRAFT_STAGE__"
 
   val oracle: Map[String, String] = Map(
     "q46_ml_features" -> MLFeatureOracle.sql,
@@ -103,11 +113,12 @@ object MLQueries {
               strftime(nx.pd, '%Y-%m-%d') AS prediction_date,
               p.predicted_class, p.confidence, p.prob_low,
               p.prob_medium, p.prob_high, 'rf_v1' AS model_version
-       FROM read_parquet('$q47PredsDir/*.parquet') p
-       JOIN nx USING (user_id)"""),
+       FROM read_parquet('$StageToken/q47/*.parquet') p
+       JOIN nx USING (user_id)
+       ORDER BY user_id"""),
 
     "q48_ml_eval" -> s"""
        SELECT predicted_class, actual_class, CAST(count(*) AS BIGINT) AS n
-       FROM read_parquet('$q48PredsDir/*.parquet')
-       GROUP BY 1, 2""")
+       FROM read_parquet('$StageToken/q48/*.parquet')
+       GROUP BY 1, 2 ORDER BY 1, 2""")
 }

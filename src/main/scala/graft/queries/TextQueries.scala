@@ -21,6 +21,35 @@ object TextQueries {
                 regexp_split_to_array(trim(text), '\s+') AS w
          FROM documents)"""
 
+  /** Shared suffix of the exact-substring oracles (q95/q96): island
+    * merge of hit windows `h(doc_id, n, i)` into contiguous matched
+    * regions + the zero-padded per-doc rollup over corpus `c(doc_id,
+    * n)`. One definition so the two oracles cannot drift apart
+    * (L = 10 → window end = i + 9). */
+  private val SPAN_ROLLUP =
+    """, isl AS (SELECT doc_id, n, i,
+                   CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
+                          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) >= i - 1
+                        THEN 0 ELSE 1 END AS brk
+                 FROM h),
+         g2 AS (SELECT doc_id, n, i,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                    AS island
+                FROM isl),
+         sp AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 9 AS e
+                FROM g2 GROUP BY 1, 2, 3),
+         agg AS (SELECT doc_id, count(*) AS n_spans,
+                   sum(e - s + 1) AS fl
+                 FROM sp GROUP BY 1)
+         SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
+                CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(a.fl, 0) AS BIGINT) AS tokens_flagged,
+                round(CAST(coalesce(a.fl, 0) AS DOUBLE) /
+                      greatest(c.n, 1), 6) AS flagged_ratio
+         FROM c LEFT JOIN agg a USING (doc_id)
+         ORDER BY c.doc_id"""
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens, char count, mean token length
     "q28_token_stats" -> ((s, d) =>
@@ -877,29 +906,8 @@ object TextQueries {
                    array_to_string(w[i + 1 : i + 10], ' ') AS gram
                  FROM (SELECT doc_id, n, w, unnest(range(n - 9)) AS i
                        FROM c)),
-          h AS (SELECT cg.doc_id, cg.n, cg.i FROM cg JOIN b USING (gram)),
-          isl AS (SELECT doc_id, n, i,
-                    CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
-                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING) >= i - 1
-                         THEN 0 ELSE 1 END AS brk
-                  FROM h),
-          g2 AS (SELECT doc_id, n, i,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
-                     AS island
-                 FROM isl),
-          sp AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 9 AS e
-                 FROM g2 GROUP BY 1, 2, 3),
-          agg AS (SELECT doc_id, count(*) AS n_spans,
-                    sum(e - s + 1) AS fl
-                  FROM sp GROUP BY 1)
-          SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
-                 CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
-                 CAST(coalesce(a.fl, 0) AS BIGINT) AS tokens_flagged,
-                 round(CAST(coalesce(a.fl, 0) AS DOUBLE) /
-                       greatest(c.n, 1), 6) AS flagged_ratio
-          FROM c LEFT JOIN agg a USING (doc_id)
-          ORDER BY c.doc_id"""),
+          h AS (SELECT cg.doc_id, cg.n, cg.i FROM cg JOIN b USING (gram))
+      """ + SPAN_ROLLUP),
     "q96_self_substr" -> (TOKS +
       """, c AS (SELECT doc_id, w, len(w) AS n FROM t),
           cg AS (SELECT doc_id, n, i,
@@ -910,29 +918,8 @@ object TextQueries {
                    row_number() OVER (PARTITION BY g
                      ORDER BY doc_id, i) AS rk
                  FROM cg),
-          h AS (SELECT doc_id, n, i FROM rk WHERE rk > 1),
-          isl AS (SELECT doc_id, n, i,
-                    CASE WHEN max(i + 9) OVER (PARTITION BY doc_id
-                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING) >= i - 1
-                         THEN 0 ELSE 1 END AS brk
-                  FROM h),
-          g2 AS (SELECT doc_id, n, i,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
-                     AS island
-                 FROM isl),
-          sp AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 9 AS e
-                 FROM g2 GROUP BY 1, 2, 3),
-          agg AS (SELECT doc_id, count(*) AS n_spans,
-                    sum(e - s + 1) AS fl
-                  FROM sp GROUP BY 1)
-          SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
-                 CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
-                 CAST(coalesce(a.fl, 0) AS BIGINT) AS tokens_flagged,
-                 round(CAST(coalesce(a.fl, 0) AS DOUBLE) /
-                       greatest(c.n, 1), 6) AS flagged_ratio
-          FROM c LEFT JOIN agg a USING (doc_id)
-          ORDER BY c.doc_id"""),
+          h AS (SELECT doc_id, n, i FROM rk WHERE rk > 1)
+      """ + SPAN_ROLLUP),
     "q66_source_cap" ->
       """WITH h AS (
            SELECT doc_id, source,

@@ -105,17 +105,34 @@ object PriceSource {
     private def conform(df: DataFrame): DataFrame =
       df.select(longSchema.fieldNames.map(col).toIndexedSeq: _*)
 
+    /** Materialize a feed INSIDE the guarded scope (localCheckpoint is
+      * eager): Spark frames are lazy, so without this a flaky feed would
+      * pass the fetch "successfully" and then throw — outside every
+      * retry — at the caller's first action, or re-fetch (and possibly
+      * re-answer differently) on each downstream use. After this, the
+      * frame is pinned: retries are real, and the data returned is the
+      * data that was probed. */
+    private def materialize(df: DataFrame): DataFrame =
+      df.localCheckpoint(true)
+
     override def fetch(spark: SparkSession): DataFrame = {
-      val bulkDf =
-        try conform(bulk.fetch(spark))
-        catch { case scala.util.control.NonFatal(_) => emptyLong(spark) }
-      val present = bulkDf.select(col("ticker")).distinct()
-        .collect().map(_.getString(0)).toSet
+      // the bulk probe (distinct tickers) is the frame's first action —
+      // keep it inside the try so a feed that fails AT SCAN TIME (not
+      // just at plan construction) still degrades to per-ticker recovery
+      val (bulkDf, present) =
+        try {
+          val b = materialize(conform(bulk.fetch(spark)))
+          (b, b.select(col("ticker")).distinct()
+            .collect().map(_.getString(0)).toSet)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (emptyLong(spark), Set.empty[String])
+        }
       val recovered = expectedTickers.filterNot(present).flatMap { t =>
         def attempt(left: Int): Option[DataFrame] =
           try {
-            val one = conform(perTicker(spark, t))
-              .filter(col("ticker") === t)
+            val one = materialize(conform(perTicker(spark, t))
+              .filter(col("ticker") === t))
             // an empty per-ticker answer is a failed fetch, not a result
             if (one.isEmpty) throw new IllegalStateException(
               s"per-ticker feed returned no rows for '$t'")

@@ -20,6 +20,24 @@ class AsOfJoinSpec extends SparkSuite {
       (1, 20, "L2", Some("b")), (2, 15, "L3", None)))
   }
 
+  test("equal-time right rows resolve deterministically (greatest " +
+    "payload for backward), and map-typed payloads still join (the " +
+    "tiebreak silently drops unorderable fields)") {
+    val left = Seq((1, 10, "L")).toDF("k", "t", "tag")
+    // two right rows at the SAME (key, time): the pick must be stable
+    val right = Seq((1, 10, "aa"), (1, 10, "zz")).toDF("k", "t", "v")
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t")
+        .select("v").as[String].collect()
+      assert(out.toSeq == Seq("zz")) // backward takes greatest payload
+    }
+    // a map payload column is unorderable — it must not break analysis
+    import org.apache.spark.sql.functions.{lit, map}
+    val rightMap = right.withColumn("attrs", map(lit("a"), lit(1)))
+    val outMap = AsOfJoin.joinAsOf(left, rightMap, Seq("k"), "t")
+    assert(outMap.count() == 1 && outMap.columns.contains("attrs"))
+  }
+
   test("ties match: a right row at exactly the left time is taken") {
     val left = Seq((1, 10, "L")).toDF("k", "t", "tag")
     val right = Seq((1, 10, "same"), (1, 9, "earlier")).toDF("k", "t", "v")

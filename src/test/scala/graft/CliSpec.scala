@@ -93,6 +93,19 @@ class CliSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/models")))
   }
 
+  test("unknown verbs and rf-incompatible early stopping fail loudly " +
+    "(non-zero exit for scripted callers)") {
+    val wh = Files.createTempDirectory("graft_wh_verb").toString
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "ml-bestrun", "/root/testdata/sf0.001", wh, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, "ml-train", "/root/testdata/sf0.001", wh,
+        Map("early-stop-tol" -> "0.02")) // rf default: no boosting rounds
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$wh/models")))
+  }
+
   test("csv export sink round-trips predictions (reference predict.py:209)") {
     val wh = Files.createTempDirectory("graft_csv").toString
     import spark.implicits._

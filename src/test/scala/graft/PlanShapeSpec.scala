@@ -109,7 +109,7 @@ class PlanShapeSpec extends SparkSuite {
     // grams must never hash-shuffle by gram — a second gram exchange
     // would mean the probe degraded to a shuffle join of corpus bytes
     val gramKeyed = p.linesIterator.filter(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("gram"))
+      l.contains("Exchange hashpartitioning") && l.contains("gram")).toSeq
     assert(gramKeyed.size <= 1,
       s"corpus grams shuffled by gram:\n${gramKeyed.mkString("\n")}")
   }
