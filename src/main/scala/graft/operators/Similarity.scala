@@ -54,6 +54,45 @@ object Similarity {
       codes.as("qvec"))
   }
 
+  /** Seeded ±1 sign matrix (`outDim` rows × `dim`) for the sparse
+    * Johnson-Lindenstrauss projection (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances like Gaussian ones, and make the
+    * projection a sign-flip sum — no multiplies, and an oracle can
+    * replay it with literal signs). */
+  def jlSigns(outDim: Int, dim: Int, seed: Long = 42L): Seq[Seq[Int]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(dim)(if (rng.nextBoolean()) 1 else -1))
+  }
+
+  /** Johnson-Lindenstrauss random projection of `vecCol` to `outDim`
+    * dimensions: component j = dot(vec, signs_j) / sqrt(outDim),
+    * emitted as SCALAR columns `rp_00..` (tabular consumers sort/hash
+    * on columns — the q67 lesson). Pure map, no shuffle; distances are
+    * preserved within the JL distortion bound, so downstream ANN
+    * (bucketing, kNN re-rank) runs on 4× fewer bytes at 100 TB.
+    *
+    * Determinism: each term is ±vᵢ (sign flips are exact in IEEE), and
+    * both this implementation (left fold over the zipped arrays) and
+    * the generated oracle (explicit left-associated sum) add terms in
+    * index order — bit-equal before the 4dp round. */
+  def randomProject(df: DataFrame, outDim: Int = 16, dim: Int = 64,
+                    seed: Long = 42L, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val signs = jlSigns(outDim, dim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    // bind the cast vector once; the 16 component expressions then read
+    // the bound attribute instead of re-casting the array per component
+    val bound = df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    val comps = signs.zipWithIndex.map { case (row, j) =>
+      val signLit = array(row.map(lit): _*)
+      round(
+        aggregate(zip_with(col("_v"), signLit, (x, s) => x * s),
+          lit(0.0), (acc, t) => acc + t) / scale,
+        4).as(f"rp_$j%02d")
+    }
+    bound.select((col(idCol) +: comps): _*)
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast (small side);
     * ranking uses the ROUNDED similarity with id tiebreak so the result is

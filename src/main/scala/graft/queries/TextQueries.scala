@@ -115,6 +115,14 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Johnson-Lindenstrauss ±1 random projection 64→16 dims: the
+    // embedding-compression map for downstream ANN (seeded signs, pure
+    // map-side; oracle replays the literal sign matrix)
+    "q97_random_projection" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), outDim = 16,
+          dim = 64, seed = 42L)
+        .orderBy(col("vec_id"))),
+
     // embedding-cosine similar pairs above threshold (exact)
     "q36_cosine_pairs" -> ((s, d) =>
       Similarity.bruteForceSelfPairs(Tables.embeddings(s, d), 0.4)
@@ -515,7 +523,28 @@ object TextQueries {
      ORDER BY 1, 2"""
   }
 
+  /** q97 oracle: the seeded ±1 sign matrix is inlined; each component is
+    * an EXPLICIT left-associated sum (e[1]*s1 + e[2]*s2 + ...) so the
+    * IEEE addition sequence matches Spark's left fold term for term —
+    * bit-equal before the shared 4dp round. */
+  private val randomProjectionOracle: String = {
+    val signs = Similarity.jlSigns(16, 64, seed = 42L)
+    val comps = signs.zipWithIndex.map { case (row, j) =>
+      val terms = row.zipWithIndex.map { case (s, i) =>
+        if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
+      }.mkString(" + ").replace("+ -", "-")
+      f"round(($terms) / sqrt(16.0), 4) AS rp_$j%02d"
+    }.mkString(",\n            ")
+    s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+        SELECT vec_id,
+            $comps
+        FROM v ORDER BY vec_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q97_random_projection" -> randomProjectionOracle,
     "q93_trigram_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token,
                            unnest(range(len(w))) AS pos

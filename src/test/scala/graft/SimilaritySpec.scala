@@ -104,6 +104,33 @@ class SimilaritySpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("JL random projection preserves norms within the distortion " +
+    "bound, is a pure map, and is deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val proj = Similarity.randomProject(emb, outDim = 16, dim = 64)
+    assert(proj.columns.toSeq ==
+      "vec_id" +: (0 until 16).map(j => f"rp_$j%02d"))
+    // E||y||^2 = ||x||^2 per JL; with k=16 individual ratios are noisy
+    // (std ~ sqrt(2/k) ~ 35%) but the mean over 500 vectors is tight
+    val projNorm2 = (0 until 16).map(j => col(f"rp_$j%02d") *
+      col(f"rp_$j%02d")).reduce(_ + _)
+    val origNorm2 = aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)
+    val meanRatio = proj.join(emb, "vec_id")
+      .select((projNorm2 / nullif(origNorm2, lit(0.0))).as("r"))
+      .agg(avg("r")).head().getDouble(0)
+    assert(math.abs(meanRatio - 1.0) < 0.1, s"mean norm ratio $meanRatio")
+    // pure map: no exchange in the plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "projection must not shuffle")
+    // deterministic: two runs identical
+    val h1 = proj.orderBy("vec_id").collect().toSeq
+    val h2 = Similarity.randomProject(emb, outDim = 16, dim = 64)
+      .orderBy("vec_id").collect().toSeq
+    assert(h1 == h2)
+  }
+
   test("int8 quantization: codes bounded, reconstruction within " +
     "scale/2, quantized cosine within 0.03 of exact, zero vector safe") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
