@@ -93,6 +93,42 @@ object Similarity {
     bound.select((col(idCol) +: comps): _*)
   }
 
+  /** Two-stage retrieval: SHORTLIST on the 16-dim JL projection (4×
+    * fewer bytes per candidate comparison), then EXACT re-rank of the
+    * shortlist on the full vectors — the standard recall/cost trade of
+    * production ANN (shortlist cheap and slightly lossy, re-rank exact
+    * and tiny). Deterministic end to end: projected sims round 4dp with
+    * id tiebreaks, so shortlist membership and final ranks are
+    * total-ordered in any engine. At scale the full-vector join touches
+    * only queries×shortlist rows — the corpus's full vectors stream
+    * through the shortlist join once, never all-pairs. */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    shortlist: Int = 50, outDim: Int = 16, dim: Int = 64,
+                    seed: Long = 42L, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val projCols = (0 until outDim).map(j => col(f"rp_$j%02d"))
+    val pc = randomProject(corpus, outDim, dim, seed, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), array(projCols: _*).as("cvec"))
+    val pq = broadcast(
+      randomProject(queries, outDim, dim, seed, vecCol, idCol)
+        .select(col(idCol).as("query_id"), array(projCols: _*).as("qvec")))
+    val scored = pc.join(pq, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val short = topKPerKey(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val fullC = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val fullQ = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec")))
+    val rescored = short
+      .join(fullC, Seq("neighbor_id"))
+      .join(fullQ, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    topKPerKey(rescored, k)
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast (small side);
     * ranking uses the ROUNDED similarity with id tiebreak so the result is

@@ -123,6 +123,16 @@ object TextQueries {
           dim = 64, seed = 42L)
         .orderBy(col("vec_id"))),
 
+    // two-stage ANN: shortlist on the JL projection, exact re-rank of
+    // the shortlist — deterministic (rounded sims + id tiebreaks), so
+    // the whole projected-retrieval pipeline gets a hash oracle
+    "q98_projected_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.projectedTopK(e, e.filter(col("vec_id") < 5), k = 10,
+          shortlist = 100, outDim = 32)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine similar pairs above threshold (exact)
     "q36_cosine_pairs" -> ((s, d) =>
       Similarity.bruteForceSelfPairs(Tables.embeddings(s, d), 0.4)
@@ -543,8 +553,44 @@ object TextQueries {
         FROM v ORDER BY vec_id"""
   }
 
+  /** q98 oracle: projected components via the same literal sign sums,
+    * then shortlist-by-projected-sim and exact re-rank — every stage
+    * total-ordered (rounded sim desc, id) like the Spark pipeline. */
+  private val projectedKnnOracle: String = {
+    val signs = Similarity.jlSigns(32, 64, seed = 42L)
+    val comps = signs.map { row =>
+      val terms = row.zipWithIndex.map { case (s, i) =>
+        if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
+      }.mkString(" + ").replace("+ -", "-")
+      s"round(($terms) / sqrt(32.0), 4)"
+    }.mkString("[\n             ", ",\n             ", "]")
+    s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         p AS (SELECT vec_id, $comps AS pe FROM v),
+         q AS (SELECT vec_id AS qid, pe AS qp FROM p WHERE vec_id < 5),
+         s AS (SELECT qid, p.vec_id AS nid,
+                      round(list_cosine_similarity(qp, pe), 4) AS psim
+               FROM q, p WHERE qid <> p.vec_id),
+         sl AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY psim DESC, nid) AS rn FROM s)
+                WHERE rn <= 100),
+         r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                      round(list_cosine_similarity(vq.e, vn.e), 4) AS sim
+               FROM sl JOIN v vq ON vq.vec_id = sl.qid
+                       JOIN v vn ON vn.vec_id = sl.nid),
+         rr AS (SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS rank
+                FROM r)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+       FROM rr WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q97_random_projection" -> randomProjectionOracle,
+    "q98_projected_knn" -> projectedKnnOracle,
     "q93_trigram_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token,
                            unnest(range(len(w))) AS pos

@@ -131,6 +131,31 @@ class SimilaritySpec extends SparkSuite {
     assert(h1 == h2)
   }
 
+  test("projected two-stage kNN recalls most exact neighbors and its " +
+    "re-ranked sims are exact (not projected approximations)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val projected = Similarity.projectedTopK(emb, queries, k = 10,
+        shortlist = 100, outDim = 32)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // recall@10 with a 100-deep shortlist on 32 dims (these fixture
+    // embeddings are near-isotropic — the hardest case for JL): most
+    // exact neighbors survive; every surviving pair carries the EXACT
+    // sim (set intersection matches on the full triple incl. sim)
+    val recall = (exact intersect projected).size / exact.size.toDouble
+    assert(recall >= 0.6, s"recall@10 = $recall")
+    projected.foreach { case (q, n, sim) =>
+      val ex = exact.find(e => e._1 == q && e._2 == n)
+      ex.foreach(e => assert(e._3 == sim,
+        s"re-ranked sim must be exact for ($q,$n)"))
+    }
+  }
+
   test("int8 quantization: codes bounded, reconstruction within " +
     "scale/2, quantized cosine within 0.03 of exact, zero vector safe") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
