@@ -47,4 +47,43 @@ object TextClean {
 
   def emailCount(text: Column): Column = countMatches(text, emailRe)
   def urlCount(text: Column): Column = countMatches(text, urlRe)
+
+  // --- Unicode canonicalization (corpus-prep step 0) ------------------
+  // Web-scraped text carries C0 control chars, zero-width marks, and
+  // typographic space variants that break tokenization and dedup
+  // (visually identical docs hash differently). True NFC composition
+  // needs ICU; this is the ENGINE-PORTABLE subset — explicit codepoint
+  // ranges only (no Java-only class intersections), so the DuckDB twin
+  // runs the same patterns under RE2.
+
+  // \x{...} codepoint syntax: the one form Java regex AND RE2 share
+  // (RE2 has no \uXXXX). private[graft] so the generated DuckDB oracle
+  // interpolates the SAME patterns instead of a copy that can drift.
+  /** C0 controls minus \t\n\r, plus DEL: always garbage in text. */
+  private[graft] val controlRe =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** Zero-width space/joiners + BOM: invisible dedup poison. */
+  private[graft] val zeroWidthRe = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+  /** Unicode space variants (NBSP, en/em/thin spaces, ideographic). */
+  private[graft] val unicodeSpaceRe =
+    "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
+
+  /** Count of characters canonicalization would remove or rewrite —
+    * computed BEFORE cleaning (like the PII counts) so a gate can drop
+    * documents that are mostly invisible junk. */
+  def nonCanonicalCount(text: Column): Column =
+    when(text.isNull, 0).otherwise(
+      size(split(text, controlRe, -1)) +
+        size(split(text, zeroWidthRe, -1)) +
+        size(split(text, unicodeSpaceRe, -1)) - 3).cast("long")
+
+  /** Canonical text: controls and zero-width marks stripped, space
+    * variants mapped to plain space, whitespace collapsed + trimmed. */
+  def canonicalize(text: Column): Column =
+    normalizeWhitespace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, controlRe, ""),
+          zeroWidthRe, ""),
+        unicodeSpaceRe, " "))
 }

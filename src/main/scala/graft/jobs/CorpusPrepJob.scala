@@ -21,7 +21,14 @@ import graft.operators.{Boilerplate, Decontaminate, Dedup, Sampling}
   */
 object CorpusPrepJob {
 
-  case class Config(minQuality: Double = 0.25,
+  case class Config(
+                    // 0 disables the within-corpus exact-substring span
+                    // cut (q96 semantics); > 0 sets its minimum span
+                    // length in tokens. Off by default: it is the one
+                    // stage with a corpus-wide gram shuffle, and short
+                    // fixture docs would lose whole bodies at small L.
+                    selfSubstrMinTokens: Int = 0,
+                    minQuality: Double = 0.25,
                     // fraction of docs a line must appear in to count
                     // as boilerplate: an ABSOLUTE threshold breaks under
                     // corpus growth (every common line eventually
@@ -55,8 +62,13 @@ object CorpusPrepJob {
     val input = stage("input", docs.select(
       col("doc_id"), col("text"), col("lang"), col("source")))
 
+    // 0. Unicode canonicalization (pure map) — BEFORE anything that
+    // hashes or tokenizes, so visually identical docs dedup identically
+    val canonical = stage("canonicalized", input.withColumn("text",
+      TextClean.canonicalize(col("text"))))
+
     // 1. PII scrub + whitespace canonicalization (pure map)
-    val scrubbed = stage("scrubbed", input.withColumn("text",
+    val scrubbed = stage("scrubbed", canonical.withColumn("text",
       TextClean.scrub(col("text"))))
 
     // 2. heuristic quality gate (pure map)
@@ -91,9 +103,19 @@ object CorpusPrepJob {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi"))
 
+    // 5b. optional within-corpus exact-substring span cut (first
+    // occurrence keeps its copy; later verbatim >= L-token spans are
+    // removed from the text, docs survive)
+    val spanCut =
+      if (cfg.selfSubstrMinTokens <= 0) nearDeduped
+      else stage("span_deduped",
+        Decontaminate.selfExactSubstrClean(nearDeduped,
+            cfg.selfSubstrMinTokens)
+          .filter(length(trim(col("text"))) > 0))
+
     // 6. benchmark decontamination against the broadcast eval index
     val decontaminated = stage("decontaminated", Decontaminate.clean(
-      nearDeduped, evalSet, cfg.contaminationN,
+      spanCut, evalSet, cfg.contaminationN,
       cfg.contaminationThreshold))
 
     // 7. α-temperature mixture over languages

@@ -355,6 +355,19 @@ object TextQueries {
           graft.functions.TextClean.urlCount(col("text")).as("n_urls"))
         .orderBy(col("doc_id"))),
 
+    // Unicode canonicalization (corpus-prep step 0): control/zero-width
+    // strip, space-variant mapping, whitespace collapse — with the
+    // pre-clean junk count for gating. Fixture text is clean ASCII, so
+    // the oracle pins the identity path + zero counts; planted-unicode
+    // behavior is pinned by TextCleanSpec
+    "q99_canonicalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextClean.canonicalize(col("text"))
+            .as("clean_text"),
+          graft.functions.TextClean.nonCanonicalCount(col("text"))
+            .as("n_noncanonical"))
+        .orderBy(col("doc_id"))),
+
     // quality-aware canonical selection: the best-scored copy survives
     // each fingerprint (token-set) dup group, id tiebreak — one window
     // partition carries both the rank and the group size
@@ -805,6 +818,21 @@ object TextQueries {
           SELECT group_key, doc_id AS canonical_id,
             canonical_quality, CAST(n AS BIGINT) AS n_dups
           FROM r WHERE rk = 1 ORDER BY group_key"""),
+    "q99_canonicalize" -> {
+      import graft.functions.TextClean.{controlRe, unicodeSpaceRe, zeroWidthRe}
+      s"""SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '$controlRe', '', 'g'),
+             '$zeroWidthRe', '', 'g'),
+             '$unicodeSpaceRe', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_split_to_array(text, '$controlRe'))
+             + len(regexp_split_to_array(text, '$zeroWidthRe'))
+             + len(regexp_split_to_array(text, '$unicodeSpaceRe')) - 3
+             AS BIGINT) AS n_noncanonical
+         FROM documents ORDER BY doc_id"""
+    },
     "q74_scrub" ->
       """SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

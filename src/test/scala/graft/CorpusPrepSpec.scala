@@ -40,6 +40,31 @@ class CorpusPrepSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source"))
   }
 
+  test("with the span-cut stage enabled, a doc embedding a verbatim " +
+    "passage of an earlier doc keeps only its own words") {
+    import spark.implicits._
+    val run = ('a' to 'l').map(_.toString).mkString(" ") // 12 tokens
+    // two filler docs keep the run tokens under the boilerplate
+    // threshold (minDocs = ceil(1.0 * 4) = 4 > 2 docs carrying the run)
+    val docs = Seq(
+      (21L, "own unique words " + run + " trailing tail here", "en", "s"),
+      (22L, "borrowed passage follows " + run, "en", "s"),
+      (23L, "filler document one entirely distinct", "en", "s"),
+      (24L, "filler document two wholly separate", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = Seq((1L, "nothing shared with the corpus docs",
+      "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val (out, ledger) = CorpusPrepJob.run(docs, evalSet,
+      CorpusPrepJob.Config(selfSubstrMinTokens = 10, minQuality = 0.0,
+        boilerplateMinDocFrac = 1.0, sampleFraction = 1.0,
+        mixAlpha = 1.0))
+    assert(ledger.exists(_._1 == "span_deduped"))
+    val byId = out.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(byId(21L).contains(run))            // first occurrence kept
+    assert(byId(22L) == "borrowed passage follows") // span cut
+  }
+
   test("a planted eval-set copy and a planted duplicate both fall out") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val evalSet = docs.filter(col("doc_id") < 20)

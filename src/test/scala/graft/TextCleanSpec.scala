@@ -45,6 +45,25 @@ class TextCleanSpec extends SparkSuite {
     assert(changed == 0)
   }
 
+  test("canonicalize strips controls and zero-width marks, maps unicode " +
+    "spaces, and counts the junk before cleaning") {
+    def canonOne(s: String): (String, Long) =
+      Seq(s).toDF("text")
+        .select(TextClean.canonicalize(col("text")),
+          TextClean.nonCanonicalCount(col("text")))
+        .as[(String, Long)].head()
+    // NBSP + zero-width space + BOM + C0 control + ideographic space
+    val dirty = "a b\u00A0\u200Bc\uFEFF\u0001 de\u3000f"
+    assert(canonOne(dirty) == (("a b c de f", 5L)))
+    assert(canonOne("plain ascii text") == (("plain ascii text", 0L)))
+    assert(canonOne("tabs\tand\nnewlines survive") ==
+      (("tabs and newlines survive", 0L))) // collapsed, not stripped
+    // identical-looking docs hash identically after canonicalization
+    val a = canonOne("same​ doc")._1
+    val b = canonOne("same doc")._1
+    assert(a == b)
+  }
+
   test("stripFrequentLines removes lines shared by >= minDocs docs, " +
     "preserves order, keeps rare lines, empties all-boilerplate docs") {
     import spark.implicits._
