@@ -116,6 +116,13 @@ object Main {
             throw new IllegalArgumentException(
               s"unknown --model '$other' (rf|gbt|xgboost)")
         }
+        // validate flag combinations BEFORE any Spark work: feature
+        // engineering + the chrono split run eager jobs, and throwing
+        // after them wastes minutes of cluster time on an error that
+        // was knowable from opts alone
+        require(modelDir == "gbt" || !opts.contains("early-stop-tol"),
+          "--early-stop-tol requires --model gbt|xgboost (random " +
+            "forests have no boosting rounds to stop)")
         val labeled = features(spark, eventsDir, forPrediction = false)
         val (train, valid, test) = ChronoSplit(labeled)
         val (modelType, res) = modelDir match {
@@ -131,11 +138,6 @@ object Main {
             model.write.overwrite().save(path("models/gbt"))
             ("gbt_one_vs_rest", Train.evaluateModel(model, test))
           case _ =>
-            // early stopping is a boosting concept; silently ignoring
-            // the flag on the forest would misreport what trained
-            require(!opts.contains("early-stop-tol"),
-              "--early-stop-tol requires --model gbt|xgboost (random " +
-                "forests have no boosting rounds to stop)")
             val (model, _) = Train.fit(train,
               numTrees = opts.getOrElse("trees", "200").toInt)
             model.write.overwrite().save(path("models/rf"))

@@ -77,13 +77,19 @@ object TextClean {
         size(split(text, zeroWidthRe, -1)) +
         size(split(text, unicodeSpaceRe, -1)) - 3).cast("long")
 
+  /** The three class rewrites alone (no whitespace collapse) — for
+    * pipelines whose NEXT map stage collapses whitespace anyway
+    * (CorpusPrepJob's scrub does), saving one full-text regex pass per
+    * document in the hottest pure-map path. */
+  def canonicalizeClasses(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, controlRe, ""),
+        zeroWidthRe, ""),
+      unicodeSpaceRe, " ")
+
   /** Canonical text: controls and zero-width marks stripped, space
     * variants mapped to plain space, whitespace collapsed + trimmed. */
   def canonicalize(text: Column): Column =
-    normalizeWhitespace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, controlRe, ""),
-          zeroWidthRe, ""),
-        unicodeSpaceRe, " "))
+    normalizeWhitespace(canonicalizeClasses(text))
 }

@@ -63,9 +63,11 @@ object CorpusPrepJob {
       col("doc_id"), col("text"), col("lang"), col("source")))
 
     // 0. Unicode canonicalization (pure map) — BEFORE anything that
-    // hashes or tokenizes, so visually identical docs dedup identically
+    // hashes or tokenizes, so visually identical docs dedup identically.
+    // Classes only: the scrub stage ends with the whitespace collapse,
+    // so collapsing here too would be a redundant full-text regex pass
     val canonical = stage("canonicalized", input.withColumn("text",
-      TextClean.canonicalize(col("text"))))
+      TextClean.canonicalizeClasses(col("text"))))
 
     // 1. PII scrub + whitespace canonicalization (pure map)
     val scrubbed = stage("scrubbed", canonical.withColumn("text",

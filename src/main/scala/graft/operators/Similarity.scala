@@ -81,8 +81,17 @@ object Similarity {
     val signs = jlSigns(outDim, dim, seed)
     val scale = math.sqrt(outDim.toDouble)
     // bind the cast vector once; the 16 component expressions then read
-    // the bound attribute instead of re-casting the array per component
-    val bound = df.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+    // the bound attribute instead of re-casting the array per component.
+    // The assert_true guard fails LOUDLY on a dim mismatch — zip_with
+    // would otherwise null-pad the shorter side and every component
+    // would come out silently NULL (assert_true yields null on success,
+    // so the when() wrapper keeps it in the plan unpruned).
+    val checked = when(
+      assert_true(size(asDouble(col(vecCol))) === dim,
+        lit(s"randomProject: dim=$dim but '$vecCol' has a different " +
+          "length")).isNull,
+      asDouble(col(vecCol)))
+    val bound = df.select(col(idCol), checked.as("_v"))
     val comps = signs.zipWithIndex.map { case (row, j) =>
       val signLit = array(row.map(lit): _*)
       round(

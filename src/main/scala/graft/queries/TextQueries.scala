@@ -546,17 +546,23 @@ object TextQueries {
      ORDER BY 1, 2"""
   }
 
-  /** q97 oracle: the seeded ±1 sign matrix is inlined; each component is
-    * an EXPLICIT left-associated sum (e[1]*s1 + e[2]*s2 + ...) so the
-    * IEEE addition sequence matches Spark's left fold term for term —
-    * bit-equal before the shared 4dp round. */
+  /** Sign-sum SQL for one JL component: an EXPLICIT left-associated sum
+    * (e[1] + e[2] - e[3] ...) so the IEEE addition sequence matches
+    * Spark's left fold term for term — bit-equal before the shared 4dp
+    * round. ONE renderer for both q97 and q98: the associativity this
+    * bit-equality contract depends on must not fork. */
+  private def jlComponentSql(row: Seq[Int], outDim: Int): String = {
+    val terms = row.zipWithIndex.map { case (s, i) =>
+      if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
+    }.mkString(" + ").replace("+ -", "-")
+    s"round(($terms) / sqrt($outDim.0), 4)"
+  }
+
+  /** q97 oracle: the seeded ±1 sign matrix is inlined per component. */
   private val randomProjectionOracle: String = {
     val signs = Similarity.jlSigns(16, 64, seed = 42L)
     val comps = signs.zipWithIndex.map { case (row, j) =>
-      val terms = row.zipWithIndex.map { case (s, i) =>
-        if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
-      }.mkString(" + ").replace("+ -", "-")
-      f"round(($terms) / sqrt(16.0), 4) AS rp_$j%02d"
+      f"${jlComponentSql(row, 16)} AS rp_$j%02d"
     }.mkString(",\n            ")
     s"""WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -571,12 +577,8 @@ object TextQueries {
     * total-ordered (rounded sim desc, id) like the Spark pipeline. */
   private val projectedKnnOracle: String = {
     val signs = Similarity.jlSigns(32, 64, seed = 42L)
-    val comps = signs.map { row =>
-      val terms = row.zipWithIndex.map { case (s, i) =>
-        if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
-      }.mkString(" + ").replace("+ -", "-")
-      s"round(($terms) / sqrt(32.0), 4)"
-    }.mkString("[\n             ", ",\n             ", "]")
+    val comps = signs.map(jlComponentSql(_, 32))
+      .mkString("[\n             ", ",\n             ", "]")
     s"""WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
@@ -827,10 +829,11 @@ object TextQueries {
              '$zeroWidthRe', '', 'g'),
              '$unicodeSpaceRe', ' ', 'g'),
              '\\s+', ' ', 'g')) AS clean_text,
-           CAST(len(regexp_split_to_array(text, '$controlRe'))
+           CAST(CASE WHEN text IS NULL THEN 0 ELSE
+             len(regexp_split_to_array(text, '$controlRe'))
              + len(regexp_split_to_array(text, '$zeroWidthRe'))
              + len(regexp_split_to_array(text, '$unicodeSpaceRe')) - 3
-             AS BIGINT) AS n_noncanonical
+             END AS BIGINT) AS n_noncanonical
          FROM documents ORDER BY doc_id"""
     },
     "q74_scrub" ->
