@@ -117,6 +117,17 @@ object ScaleCheck {
       sink(Similarity.bruteForceTopK(emb,
         emb.filter(col("vec_id") < 5), k = 10))
     }
+    // the two-stage contrast at a query batch wide enough for the
+    // one-time corpus projection to amortize: shortlist on 32-dim
+    // projections (half the cosine bytes), exact re-rank of 100/query
+    val knnQueries = emb.filter(col("vec_id") < 64)
+    time("knn_bruteforce_64q", ne) {
+      sink(Similarity.bruteForceTopK(emb, knnQueries, k = 10))
+    }
+    time("knn_projected_64q", ne) {
+      sink(Similarity.projectedTopK(emb, knnQueries, k = 10,
+        shortlist = 100, outDim = 32))
+    }
     time("lsh_cosine_pairs", ne) {
       sink(Similarity.cosineSelfPairs(emb, 0.3, planesPerBand = 8,
         bands = 2))

@@ -80,26 +80,27 @@ object Similarity {
                     idCol: String = "vec_id"): DataFrame = {
     val signs = jlSigns(outDim, dim, seed)
     val scale = math.sqrt(outDim.toDouble)
-    // bind the cast vector once; the 16 component expressions then read
-    // the bound attribute instead of re-casting the array per component.
-    // The assert_true guard fails LOUDLY on a dim mismatch — zip_with
-    // would otherwise null-pad the shorter side and every component
-    // would come out silently NULL (assert_true yields null on success,
-    // so the when() wrapper keeps it in the plan unpruned).
+    // The assert_true guard fails LOUDLY on a dim mismatch — the kernel
+    // (like zip_with before it) would otherwise silently truncate to
+    // the common prefix (assert_true yields null on success, so the
+    // when() wrapper keeps it in the plan unpruned).
     val checked = when(
       assert_true(size(asDouble(col(vecCol))) === dim,
         lit(s"randomProject: dim=$dim but '$vecCol' has a different " +
           "length")).isNull,
       asDouble(col(vecCol)))
-    val bound = df.select(col(idCol), checked.as("_v"))
-    val comps = signs.zipWithIndex.map { case (row, j) =>
-      val signLit = array(row.map(lit): _*)
-      round(
-        aggregate(zip_with(col("_v"), signLit, (x, s) => x * s),
-          lit(0.0), (acc, t) => acc + t) / scale,
-        4).as(f"rp_$j%02d")
+    // all components in ONE native traversal (the HOF-per-component
+    // formulation measured ~3× slower than native cosine at 32 comps —
+    // see SignedProject scaladoc), bound so the kernel runs once per
+    // row; the scalar columns then just index the bound array
+    val signsFlat = signs.flatten.map(_.toByte).toArray
+    val projected = df.select(col(idCol),
+      graft.plans.VectorExpressions
+        .signedProject(checked, signsFlat, dim).as("_p"))
+    val comps = (0 until outDim).map { j =>
+      round(element_at(col("_p"), j + 1) / scale, 4).as(f"rp_$j%02d")
     }
-    bound.select((col(idCol) +: comps): _*)
+    projected.select((col(idCol) +: comps): _*)
   }
 
   /** Two-stage retrieval: SHORTLIST on the 16-dim JL projection (4×
@@ -115,15 +116,32 @@ object Similarity {
                     shortlist: Int = 50, outDim: Int = 16, dim: Int = 64,
                     seed: Long = 42L, vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
-    val projCols = (0 until outDim).map(j => col(f"rp_$j%02d"))
-    val pc = randomProject(corpus, outDim, dim, seed, vecCol, idCol)
-      .select(col(idCol).as("neighbor_id"), array(projCols: _*).as("cvec"))
-    val pq = broadcast(
-      randomProject(queries, outDim, dim, seed, vecCol, idCol)
-        .select(col(idCol).as("query_id"), array(projCols: _*).as("qvec")))
+    // Shortlist on the RAW kernel sums, not the rounded/scaled scalar
+    // columns: cosine is invariant to the common 1/√k scale, and the
+    // scalar-column repack (32 × round(element_at)) measured 57-63 s
+    // where the kernel array measures 2.7 s on the same 64-query × 64k
+    // corpus — the repack expressions land inside the per-pair join
+    // loop. The size() guard references each array twice so the
+    // projection stays materialized per ROW below the join (single-use
+    // non-cheap expressions get inlined into the pair loop: measured
+    // 4.0 s unguarded vs 2.7 s guarded).
+    val signsFlat = jlSigns(outDim, dim, seed).flatten.map(_.toByte).toArray
+    def proj(df: DataFrame) = {
+      val checked = when(
+        assert_true(size(asDouble(col(vecCol))) === dim,
+          lit(s"projectedTopK: dim=$dim but '$vecCol' has a different " +
+            "length")).isNull,
+        asDouble(col(vecCol)))
+      graft.plans.VectorExpressions.signedProject(checked, signsFlat, dim)
+    }
+    val pc = corpus.select(col(idCol).as("neighbor_id"),
+      proj(corpus).as("cvec"))
+    val pq = broadcast(queries.select(col(idCol).as("query_id"),
+      proj(queries).as("qvec")))
     val scored = pc.join(pq, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        when(size(col("cvec")) === outDim && size(col("qvec")) === outDim,
+          cosine(col("qvec"), col("cvec"))).as("sim"))
     val short = topKPerKey(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val fullC = corpus.select(col(idCol).as("neighbor_id"),

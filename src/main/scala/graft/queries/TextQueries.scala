@@ -547,22 +547,25 @@ object TextQueries {
   }
 
   /** Sign-sum SQL for one JL component: an EXPLICIT left-associated sum
-    * (e[1] + e[2] - e[3] ...) so the IEEE addition sequence matches
-    * Spark's left fold term for term — bit-equal before the shared 4dp
-    * round. ONE renderer for both q97 and q98: the associativity this
-    * bit-equality contract depends on must not fork. */
-  private def jlComponentSql(row: Seq[Int], outDim: Int): String = {
+    * (e[1] + e[2] - e[3] ...) so the IEEE addition sequence matches the
+    * native kernel's ascending-index loop term for term — bit-equal.
+    * ONE renderer for both q97 and q98: the associativity this
+    * bit-equality contract depends on must not fork. q97 wraps the raw
+    * sum with the /√k scale + 4dp round of its scalar columns; q98 uses
+    * the raw sums directly (its shortlist cosine is scale-invariant,
+    * mirroring [[Similarity.projectedTopK]]). */
+  private def jlRawSumSql(row: Seq[Int]): String = {
     val terms = row.zipWithIndex.map { case (s, i) =>
       if (s > 0) s"e[${i + 1}]" else s"- e[${i + 1}]"
     }.mkString(" + ").replace("+ -", "-")
-    s"round(($terms) / sqrt($outDim.0), 4)"
+    s"($terms)"
   }
 
   /** q97 oracle: the seeded ±1 sign matrix is inlined per component. */
   private val randomProjectionOracle: String = {
     val signs = Similarity.jlSigns(16, 64, seed = 42L)
     val comps = signs.zipWithIndex.map { case (row, j) =>
-      f"${jlComponentSql(row, 16)} AS rp_$j%02d"
+      f"round(${jlRawSumSql(row)} / sqrt(16.0), 4) AS rp_$j%02d"
     }.mkString(",\n            ")
     s"""WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -577,7 +580,7 @@ object TextQueries {
     * total-ordered (rounded sim desc, id) like the Spark pipeline. */
   private val projectedKnnOracle: String = {
     val signs = Similarity.jlSigns(32, 64, seed = 42L)
-    val comps = signs.map(jlComponentSql(_, 32))
+    val comps = signs.map(jlRawSumSql)
       .mkString("[\n             ", ",\n             ", "]")
     s"""WITH v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
