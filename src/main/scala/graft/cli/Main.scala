@@ -171,6 +171,10 @@ object Main {
         // [metric DESC], max_results=1): best run for --metric
         // (default accuracy), newest on ties
         val metric = opts.getOrElse("metric", "accuracy")
+        // a missing registry (never trained) should read as a usage
+        // error, not a raw path-not-found analysis exception
+        require(Files.exists(Paths.get(path("models/runs"))),
+          "no run registry yet — run ml-train first")
         val best = graft.ml.RunRegistry.bestRun(
           graft.ml.RunRegistry.runs(spark, path("models/runs")), metric)
           .collect()

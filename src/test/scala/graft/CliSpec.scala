@@ -103,6 +103,10 @@ class CliSpec extends SparkSuite {
       Main.run(spark, "ml-train", "/root/testdata/sf0.001", wh,
         Map("early-stop-tol" -> "0.02")) // rf default: no boosting rounds
     }
+    intercept[IllegalArgumentException] { // best-run before any train
+      Main.run(spark, "ml-best-run", "/root/testdata/sf0.001", wh,
+        Map.empty)
+    }
     assert(!Files.exists(java.nio.file.Paths.get(s"$wh/models")))
   }
 
