@@ -40,8 +40,13 @@ object Bench {
     // slower again (scheduling overhead past core count). Single-file
     // fixtures report the file size; directory fixtures (InflateFixtures
     // output) are summed.
+    // listFiles returns null on I/O error (a dir can vanish between the
+    // isDirectory probe and the listing) — a sizing heuristic must not
+    // NPE the driver over it
     def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+      else f.length
     val dataBytes = Tables.names.map(n =>
       sizeOf(new java.io.File(s"$sfDir/$n.parquet"))).sum
     val defaultParts = math.min(cpus.toLong,
@@ -72,7 +77,25 @@ object Bench {
     // throughput with codegen compiled, matching how the DuckDB baseline
     // is measured (warm OS cache, compiled pipelines)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = timeHeadline(spark, sfDir, runs)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val b32 = bench32(spark, cpus.toInt).map {
+      case (total32, results32, duck) =>
+        val qs32 = results32.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val duckPart = duck.map(d =>
+          s""","duckdb_sec":$d,"ratio":${total32 / d}""").getOrElse("")
+        s""","bench32":{"spark_sec":$total32$duckPart,"queries":$qs32}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"$b32}""")
+    spark.stop()
+  }
+
+  private def timeHeadline(spark: SparkSession, sfDir: String,
+                           runs: Int): Seq[(String, Double)] =
+    headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -84,10 +107,74 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+  /** Amortized-scale leg (the number that proves the 2× bar): the sf0.1
+    * fixtures are single-row-group files whose scans cannot split, so
+    * the ~0.2-0.4 s/query session floor dominates that total and the
+    * DuckDB ratio reads 6× (BASELINE.md). This leg times the same
+    * headline set on the 32×-inflated multi-file fixtures — materialized
+    * once into /tmp/graft_sf32 and reused across rounds — and, when
+    * python3+duckdb are present (driver-side tooling), replays the same
+    * oracle SQL there for the amortized ratio, folding what used to be a
+    * manual InflateFixtures + tools/duck_bench.py protocol into the
+    * driver artifact. Opt out with SPARK_GRAFT_BENCH32=0; any failure
+    * skips the leg (stderr note) rather than failing the bench. */
+  private def bench32(spark: SparkSession, cpus: Int)
+      : Option[(Double, Seq[(String, Double)], Option[Double])] = {
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH32", "1") == "0") return None
+    try {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF32_DIR", "/tmp/graft_sf32")
+      val complete = Tables.names.forall(n =>
+        new java.io.File(s"$dir/$n.parquet/_SUCCESS").exists())
+      if (!complete) {
+        System.err.println(s"[bench32] materializing $dir (one-time)")
+        InflateFixtures.materialize(spark, "/root/testdata/sf0.1", dir,
+          mult = 32, cpus = cpus)
+      }
+      // measured shape at 32× (BASELINE.md): shuffle partitions = cores
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      Tables.names.foreach { n =>
+        try Tables.table(spark, dir, n).limit(1).write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      val runs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH32_RUNS", "1").toInt
+      val results = timeHeadline(spark, dir, runs32)
+      Some((results.map(_._2).sum, results, duckdbTotal(dir, runs32)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench32] skipped: $e")
+        None
+    }
   }
+
+  /** DuckDB side of the 32× ratio via tools/duck_bench.py (driver-side
+    * python; the library itself never depends on it). None when the
+    * script/interpreter is unavailable. */
+  private def duckdbTotal(dir: String, runs: Int): Option[Double] =
+    try {
+      val script = Seq("tools/duck_bench.py", "/root/repo/tools/duck_bench.py")
+        .map(new java.io.File(_)).find(_.exists())
+        .getOrElse(return None)
+      val oracleFile = java.io.File.createTempFile("graft_oracle32", ".json")
+      oracleFile.deleteOnExit()
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => headline.contains(k) }
+        .map { case (k, v) => JsonUtil.quote(k) + ": " + JsonUtil.quote(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(oracleFile.toPath, json)
+      val pb = new ProcessBuilder("python3", script.getAbsolutePath,
+        dir, oracleFile.getAbsolutePath, runs.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val ok = proc.waitFor() == 0
+      if (!ok) { System.err.println(s"[bench32] duck_bench failed"); None }
+      else """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench32] duckdb leg skipped: $e")
+        None
+    }
 }

@@ -51,20 +51,10 @@ object InflateFixtures {
       }.toIndexedSeq: _*)
   }
 
-  def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/tmp/graft_sf32")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Write all inflated tables under `outDir` — callable from a host
+    * session (Bench's bench32 leg) as well as from [[main]]. */
+  def materialize(spark: SparkSession, sfDir: String, outDir: String,
+                  mult: Int, cpus: Int): Unit =
     Tables.names.foreach { name =>
       val base = Tables.table(spark, sfDir, name)
       val out =
@@ -79,6 +69,21 @@ object InflateFixtures {
         .parquet(s"$outDir/$name.parquet")
       println(s"[inflate] $name -> $outDir/$name.parquet")
     }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_sf32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    materialize(spark, sfDir, outDir, mult, cpus)
     spark.stop()
   }
 }

@@ -151,6 +151,33 @@ object ScaleCheck {
     time("minhash_dedup_groups", nd) {
       sink(Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2))
     }
+    // hot-shingle posting cap (VERDICT r03 #2): give every fixture doc a
+    // shared boilerplate header, so the header shingles' posting lists
+    // are the WHOLE corpus — the inverted-index self-join would produce
+    // sum(df²) rows through them. Report both cardinalities; run only
+    // the capped (linear) variant — the uncapped join-row count IS the
+    // blowup ngramJaccardPairs.maxDf exists to prevent.
+    locally {
+      val fixture = Tables.documents(spark, sfDir)
+      val nb = fixture.count()
+      val boiler = fixture.select(col("doc_id"),
+        concat(lit("terms of service apply to all content here "),
+          col("text")).as("text"))
+      val posting = boiler.select(
+          explode(graft.functions.TextFns.shingles(col("text"), 2))
+            .as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+      val agg = posting.agg(
+        sum(col("df") * col("df")),
+        sum(when(col("df") <= 1000, col("df") * col("df"))
+          .otherwise(lit(0L)))).head
+      println(s"[scale] jaccard self-join rows: uncapped=${agg.getLong(0)}" +
+        s" capped(maxDf=1000)=${agg.getLong(1)}")
+      time("ngram_jaccard_capped", nb) {
+        sink(Dedup.ngramJaccardPairs(boiler, n = 2, threshold = 0.9,
+          maxDf = 1000))
+      }
+    }
     time("simhash64", nd) {
       sink(docs.select(col("doc_id"),
         graft.functions.TextFns.simhash64(col("text"))))

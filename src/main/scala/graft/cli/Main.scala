@@ -123,15 +123,24 @@ object Main {
         require(modelDir == "gbt" || !opts.contains("early-stop-tol"),
           "--early-stop-tol requires --model gbt|xgboost (random " +
             "forests have no boosting rounds to stop)")
+        // parse the tol VALUE here too: a malformed '--early-stop-tol
+        // 0.02%' must be a usage error now, not a NumberFormatException
+        // after the eager feature/split jobs have already burned time
+        val earlyStopTol = opts.get("early-stop-tol").map { v =>
+          try v.toDouble catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"--early-stop-tol must be a number, got '$v'")
+          }
+        }
         val labeled = features(spark, eventsDir, forPrediction = false)
         val (train, valid, test) = ChronoSplit(labeled)
         val (modelType, res) = modelDir match {
           case "gbt" =>
             // --early-stop-tol enables eval-set early stopping on the
             // chronological validation split (reference train.py:95-102)
-            val validation = opts.get("early-stop-tol").map(_ => valid)
-            val tol = opts.get("early-stop-tol").map(_.toDouble)
-              .getOrElse(0.01)
+            val validation = earlyStopTol.map(_ => valid)
+            val tol = earlyStopTol.getOrElse(0.01)
             val (model, _) = Train.fitBoosted(train,
               maxIter = opts.getOrElse("trees", "200").toInt,
               validation = validation, validationTol = tol)

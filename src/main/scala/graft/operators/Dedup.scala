@@ -162,35 +162,53 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup as linear cluster LABELING: each doc maps to a
-    * canonical id (the min id reachable through shared band buckets).
+    * canonical id (the min id of its connected component in the shared-
+    * band-bucket graph).
     *
     * Scale rationale (measured): enumerating candidate PAIRS is
     * quadratic in duplicate-cluster size — a corpus where each doc has
     * 32 copies produced millions of true pairs and 160 s of runtime at
-    * 160k docs, while labeling stays linear. `iterations` label-
-    * propagation rounds approximate the transitive closure (each round
-    * is one groupBy + join; clusters of diameter ≤ 2^iterations hops
-    * collapse fully — real dup clusters converge in 1-2). */
+    * 160k docs, while labeling stays linear. Label-propagation rounds
+    * (bucket-min + id-min + pointer jump, see [[pointerJump]]) run
+    * UNTIL CONVERGED — a fixed round count silently under-merges any
+    * dup-cluster chain longer than its hop budget (correct-looking
+    * output, quietly incomplete; the sf0.01 fixture's sliding near-dup
+    * chain needs 5 jumping rounds where the old fixed-2 under-merged).
+    * Convergence is one changed-label count per round over the
+    * checkpointed label frames; the jump makes rounds O(log diameter),
+    * so `maxIterations` = 16 covers any component a real corpus can
+    * produce. */
   def minhashDedupGroups(docs: DataFrame, k: Int = 8, bands: Int = 4,
-                         n: Int = 2, iterations: Int = 2,
+                         n: Int = 2, maxIterations: Int = 16,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, k, n, textCol, idCol)
-    // null buckets (shingle-less docs) never band: they stay singletons
+    // null buckets (shingle-less docs) never band: they stay singletons.
+    // banded is read ~3× per round (two joins + the convergence count):
+    // materialize once instead of re-running the minhash scan each pass
     val banded = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b =>
         bandBucket(lit(b.toString), (b * r until (b + 1) * r)
           .map(i => col(s"sig_$i")))): _*)).as("bucket"))
       .filter(col("bucket").isNotNull)
+      .localCheckpoint()
     var labels = banded.select(col("id")).distinct()
       .withColumn("canonical", col("id")) // self-label start
-    for (_ <- 1 to iterations) {
-      val bucketMin = banded.join(labels, Seq("id"))
-        .groupBy(col("bucket")).agg(min(col("canonical")).as("bmin"))
-      labels = banded.join(bucketMin, Seq("bucket"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val hop = banded
+        .join(banded.join(labels, Seq("id"))
+          .groupBy(col("bucket")).agg(min(col("canonical")).as("bmin")),
+          Seq("bucket"))
         .groupBy(col("id")).agg(min(col("bmin")).as("canonical"))
+      val next = pointerJump(hop).localCheckpoint()
+      converged = labelsChanged(next, labels) == 0
+      labels = next
+      iter += 1
     }
     // singleton pass-through: docs that produced no band bucket
     val singletons = sigs.select(col(idCol).as("id"))
@@ -200,18 +218,63 @@ object Dedup {
       .select(col("id").as(idCol), col("canonical"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
-    * via inverted index (explode shingles → self-join on shingle →
-    * co-occurrence counts). Returns pairs with jaccard ≥ threshold.
-    * This is the verification stage LSH candidates feed at scale. */
+  /** Changed-label count between consecutive propagation rounds — the
+    * convergence test. Both sides are localCheckpoint-materialized by
+    * the callers, so this action re-reads the cached label frames, not
+    * their upstream lineage. */
+  private def labelsChanged(next: DataFrame, prev: DataFrame): Long =
+    next.as("n").join(prev.as("o"), col("n.id") === col("o.id"))
+      .filter(!(col("n.canonical") <=> col("o.canonical"))).count()
+
+  /** Pointer jump (path doubling): canonical ← canonical(canonical),
+    * composing the label map with itself. Neighbor-min alone moves a
+    * label ONE hop per round, so a duplicate CHAIN (doc i near-dups
+    * doc i+1 — exactly what sliding crawls produce) needs O(diameter)
+    * rounds; with the jump each round doubles the distance already
+    * covered, giving O(log diameter) rounds — the standard MapReduce
+    * connected-components trick (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"). One extra shuffle join per round,
+    * exponentially fewer rounds. */
+  private def pointerJump(l: DataFrame): DataFrame = {
+    val m = l.select(col("id").as("_mid"), col("canonical").as("_mcan"))
+    l.join(m, l("canonical") === m("_mid"), "left")
+      .select(l("id"),
+        coalesce(col("_mcan"), l("canonical")).as("canonical"))
+  }
+
+  /** n-gram Jaccard similarity for all pairs sharing ≥1 surviving
+    * shingle, via inverted index (explode shingles → self-join on
+    * shingle → co-occurrence counts). Returns pairs with jaccard ≥
+    * threshold. This is the verification stage LSH candidates feed at
+    * scale.
+    *
+    * `maxDf` caps posting-list length (standard inverted-index
+    * practice): shingles appearing in more than `maxDf` docs are
+    * dropped BEFORE the self-join. A corpus-frequent shingle ("of the",
+    * site boilerplate) has a posting list of length f and contributes
+    * f² join rows within that shingle — quadratic hot-key blowup at
+    * corpus scale — while carrying no near-dup discrimination.
+    * Surviving pairs count `inter`/`jaccard` over surviving shingles
+    * only (denominators keep the FULL set sizes), so capped scores are
+    * a slight underestimate for pairs that shared capped shingles; a
+    * capped shingle can only remove candidate pairs that rarer shingles
+    * still generate. The q34 oracle mirrors the cap. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+                        maxDf: Int = 1000,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val withSets = docs.select(col(idCol),
       TextFns.shingles(col(textCol), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
+    // document frequency via one window over the shingle key — the same
+    // exchange the self-join below shuffles on, so the filter costs a
+    // sort within already-shuffled partitions, not an extra shuffle
     val inverted = withSets
       .select(col(idCol), col("set_size"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     val a = inverted.select(col("shingle"), col(idCol).as("id_a"),
       col("set_size").as("size_a"))
     val b = inverted.select(col("shingle"), col(idCol).as("id_b"),
@@ -288,27 +351,44 @@ object Dedup {
         round(col("n_dup_chunks") / col("n_chunks"), 6))
   }
 
-  /** Min-label propagation over an explicit (id_a, id_b) edge list:
-    * after `iterations` rounds every node carries the smallest id
-    * within `iterations` hops, so components of diameter ≤ iterations
-    * converge to true connected components. Each round is one
-    * shuffle-by-node join + aggregation — linear in edges, never
-    * materializing a component. (The minhash variant propagates
-    * through bucket memberships instead, covering 2 hops/round.) */
+  /** Min-label propagation over an explicit (id_a, id_b) edge list,
+    * iterated UNTIL CONVERGED: every node repeatedly adopts the
+    * smallest label in its closed neighborhood, so at the fixpoint each
+    * node carries its connected component's minimum id — regardless of
+    * component diameter (a fixed round count under-merges any chain
+    * longer than its hop budget, silently). Each round is a
+    * neighbor-min (one shuffle join + aggregation) composed with a
+    * pointer jump ([[pointerJump]] — path doubling, so rounds are
+    * O(log diameter), not O(diameter)) plus one changed-label count —
+    * linear in edges, never materializing a component; label frames are
+    * localCheckpoint-materialized per round so the iterative lineage
+    * never deepens. (The minhash variant propagates through bucket
+    * memberships instead.) */
   def labelPropagate(ids: DataFrame, edges: DataFrame,
-                     iterations: Int): DataFrame = {
+                     maxIterations: Int = 16): DataFrame = {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges
         .select(col("id_b").as("src"), col("id_a").as("dst")))
+      // materialize the edge list once: every round is its own action,
+      // and re-deriving edges per round would re-run the (possibly
+      // all-pairs) pair generator each time
+      .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("canonical"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("canonical")).as("nbr"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val hop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(col("canonical"), coalesce(col("nbr"), col("canonical")))
             .as("canonical"))
+      val next = pointerJump(hop).localCheckpoint()
+      converged = labelsChanged(next, labels) == 0
+      labels = next
+      iter += 1
     }
     labels
   }
@@ -316,20 +396,30 @@ object Dedup {
   /** Embedding near-dup GROUPS: connected components of the cosine
     * pair graph, as linear cluster labels (one canonical id per
     * vector — the output shape dedup needs; see minhashDedupGroups for
-    * why pair enumeration doesn't scale). Exact edges by default; pass
-    * `lsh = true` for the bucketed candidate graph at corpus scale. */
-  def embeddingNearDupGroups(embeddings: DataFrame,
+    * why pair enumeration doesn't scale).
+    *
+    * `strategy` is REQUIRED — there is no default, so a caller cannot
+    * silently fall into the all-pairs edge generator at corpus scale:
+    *  - "lsh": bucketed candidate edges ([[Similarity.cosineSelfPairs]])
+    *    — the 100 TB path; recall is governed by the band parameters.
+    *  - "exact": brute-force O(n²) edges — the oracle/test twin, only
+    *    for corpora where all-pairs fits. */
+  def embeddingNearDupGroups(embeddings: DataFrame, strategy: String,
                              threshold: Double = 0.95,
-                             iterations: Int = 6, lsh: Boolean = false,
+                             maxIterations: Int = 16,
                              vecCol: String = "embedding",
                              idCol: String = "vec_id"): DataFrame = {
-    val edges =
-      if (lsh) Similarity.cosineSelfPairs(embeddings, threshold,
+    val edges = strategy match {
+      case "lsh" => Similarity.cosineSelfPairs(embeddings, threshold,
         vecCol = vecCol, idCol = idCol)
-      else Similarity.bruteForceSelfPairs(embeddings, threshold,
+      case "exact" => Similarity.bruteForceSelfPairs(embeddings, threshold,
         vecCol = vecCol, idCol = idCol)
+      case other => throw new IllegalArgumentException(
+        "embeddingNearDupGroups strategy must be 'lsh' (scale path) or " +
+          s"'exact' (all-pairs oracle twin), got '$other'")
+    }
     labelPropagate(embeddings.select(col(idCol).as("id")),
-      edges.select("id_a", "id_b"), iterations)
+      edges.select("id_a", "id_b"), maxIterations)
       .select(col("id").as(idCol), col("canonical"))
   }
 }

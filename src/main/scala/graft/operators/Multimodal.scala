@@ -32,6 +32,26 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col("text").cast("binary").as("payload"))
 
+  /** Decoder seam (the [[graft.operators.Enrichment.SentimentProvider]]
+    * pattern): a production codec — pandas-UDF bridge, codec-JNI —
+    * implements this ONE method and slots into [[extractFeatures]]
+    * without any plan change; the iterator-batch signature is exactly
+    * what `mapPartitions` hands a partition. Implementations must be
+    * serializable (they ship to executors) and must preserve the
+    * null-payload passthrough contract (null/empty payload → a
+    * `valid = false` row, never a throw — one corrupt blob must not
+    * fail a 100 TB scan; quarantine downstream on `valid`). */
+  trait MediaDecoder extends Serializable {
+    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
+  }
+
+  /** The container ships no codecs, so the default decoder is the
+    * deterministic stub — a DECLARED fake (see object scaladoc). */
+  object StubDecoder extends MediaDecoder {
+    override def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      decodeStub(rows)
+  }
+
   /** ??? real decoder goes here — deterministic STUB: fake
     * "decode" reads dimensions from the first payload bytes and a
     * rolling checksum, preserving the iterator-batch shape a pandas-UDF /
@@ -97,11 +117,15 @@ object Multimodal {
         nullDim.as("width"), nullDim.as("height")))
   }
 
-  /** Partition-local feature extraction over the media frame. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** Partition-local feature extraction over the media frame; the
+    * decoder is a pluggable seam ([[MediaDecoder]]), defaulting to the
+    * declared stub. */
+  def extractFeatures(media: DataFrame,
+                      decoder: MediaDecoder = StubDecoder)
+      : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(decodeStub)
+    media.as[MediaRow].mapPartitions(decoder.decode(_))
   }
 
   /** Frame-sample stub: pick every k-th byte as a "frame" digest —

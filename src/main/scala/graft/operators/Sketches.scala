@@ -65,4 +65,20 @@ object Sketches {
       .withColumn("chars_q50", element_at(col("chars_q"), 1))
       .withColumn("chars_q90", element_at(col("chars_q"), 2))
       .drop("chars_q")
+
+  /** EXACT twin of [[corpusProfile]] — same columns, exact
+    * `count(distinct)` + interpolated `percentile` (the Spark/DuckDB
+    * shared linear-interpolation definition, q63). State grows with
+    * cardinality, so this is the verification/small-SF path that
+    * anchors the sketch profile's semantics cross-engine; the sketch
+    * variant is the 100 TB path. 4dp rounding on the percentiles makes
+    * the doubles hash-exact against the oracle. */
+  def corpusProfileExact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("nd_sources"),
+        countDistinct(col("doc_id")).as("nd_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("chars_q50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("chars_q90"))
 }

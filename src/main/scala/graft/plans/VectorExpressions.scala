@@ -92,10 +92,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * oracle's left-associated SQL sum, preserving the bit-equality
   * contract. Raw sums only: the caller applies /√outDim and rounding.
   * Signs ride along flattened row-major (component-major) as ±1 bytes.
+  *
+  * CALLER-MUST-GUARD-LENGTH contract: an input vector SHORTER than
+  * `dim` is truncated to the common prefix (missing terms contribute
+  * 0) — silently wrong projections, not an error. Wrap the child in a
+  * dimension guard (`assert_true(size(v) === dim)`, as
+  * Similarity.randomProject/projectedTopK do) when the input length is
+  * not statically known. Malformed sign matrices, by contrast, fail
+  * loudly at construction.
   */
 case class SignedProject(child: Expression, signs: Array[Byte], dim: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with ExpectsInputTypes {
+
+  require(dim > 0 && signs.nonEmpty && signs.length % dim == 0,
+    s"signs.length (${signs.length}) must be a positive multiple of " +
+      s"dim ($dim) — a component-major outDim×dim ±1 matrix")
 
   private val outDim = signs.length / dim
 

@@ -80,17 +80,32 @@ object MLQueries {
         .orderBy(col("predicted_class"), col("actual_class"))
     }))
 
-  /** Per-sfDir staging dir for the persisted prediction frames: the
-    * oracle SQL (run later, in another process) must find the frames the
-    * queries wrote, and two runs against DIFFERENT fixture dirs must not
-    * overwrite each other's stage between Verify and the DuckDB compare.
-    * The oracle strings carry the [[StageToken]] placeholder; Verify
-    * substitutes this path when dumping oracle_sql.json (same sfDir). */
+  /** Per-(sfDir, process) staging dir for the persisted prediction
+    * frames: the oracle SQL (run later, in another process) must find
+    * the frames the queries wrote, and CONCURRENT runs — against
+    * different fixture dirs OR the same one — must not overwrite each
+    * other's stage between Verify and the DuckDB compare (mode is
+    * overwrite). The pid component makes the path run-private; the
+    * oracle strings carry the [[StageToken]] placeholder, and Verify
+    * substitutes this same path when dumping oracle_sql.json (same
+    * JVM, so the paths agree by construction).
+    *
+    * Exit-time cleanup is impossible — the DuckDB replay reads the
+    * stage AFTER this JVM exits — so stale stages from dead runs are
+    * garbage-collected lazily instead: any sibling stage dir untouched
+    * for 24 h is deleted on the next run's first stageDir() call. */
   def stageDir(sfDir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
-    s"/tmp/graft_ml_stage_$digest"
+    val dir = s"/tmp/graft_ml_stage_${digest}_${
+      ProcessHandle.current().pid()}"
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_ml_stage_") &&
+        f.getPath != dir && f.lastModified < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    dir
   }
 
   val StageToken = "__GRAFT_STAGE__"

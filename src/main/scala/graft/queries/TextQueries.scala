@@ -92,10 +92,14 @@ object TextQueries {
       Dedup.minhashSignatures(Tables.documents(s, d), k = 4, n = 2)
         .orderBy(col("doc_id"))),
 
-    // exact n-gram jaccard pairs via inverted index (no cross join)
+    // n-gram jaccard pairs via inverted index (no cross join), with the
+    // posting-list frequency cap BINDING: the fixture's boilerplate
+    // tokens appear in ≥450 of 500 docs (the q86 premise), so maxDf=400
+    // actually drops hot postings and the oracle checks the capped
+    // semantics, not just the happy path
     "q34_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 1,
-          threshold = 0.6)
+          threshold = 0.6, maxDf = 400)
         .orderBy(col("id_a"), col("id_b"))),
 
     // brute-force cosine top-k (exact ANN baseline), two-phase plan
@@ -182,10 +186,13 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash-LSH dedup as linear cluster labeling (the scale-correct
-    // output shape: one canonical id per doc, never pair enumeration)
+    // output shape: one canonical id per doc, never pair enumeration),
+    // propagated to convergence — the oracle is the TRUE connected
+    // components of the shared-bucket graph (recursive CTE), so a
+    // fixed-round under-merge would hash-mismatch
     "q58_dedup_groups" -> ((s, d) =>
       Dedup.minhashDedupGroups(Tables.documents(s, d), k = 8, bands = 4,
-          n = 2, iterations = 2)
+          n = 2)
         .orderBy(col("doc_id"))),
 
     // BPE-ish regex pre-tokenization stats (letter/digit/symbol runs).
@@ -377,12 +384,23 @@ object TextQueries {
         .orderBy(col("group_key"))),
 
     // embedding near-dup GROUPS: connected components of the cosine
-    // pair graph as linear labels (6 propagation rounds ≥ the fixture
-    // graph's diameter 5, so labels equal the true components the
-    // recursive-CTE oracle computes; convergence spec-pinned)
+    // pair graph as linear labels, propagated to convergence so they
+    // equal the true components the recursive-CTE oracle computes for
+    // ANY component diameter. Exact edge strategy = the oracle twin
     "q76_embed_dedup_groups" -> ((s, d) =>
       Dedup.embeddingNearDupGroups(Tables.embeddings(s, d),
-          threshold = 0.4, iterations = 6)
+          strategy = "exact", threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
+    // the same GROUPS shape on the LSH candidate graph — the 100 TB
+    // edge generator, oracle-visible: the seeded hyperplanes are
+    // replayed as SQL literals (the q40 technique) and the components
+    // come from the same recursive closure, so the scale path itself
+    // gets a hash oracle (its recall vs exact is spec-pinned, not
+    // oracle-pinned — the two graphs legitimately differ)
+    "q76b_embed_dedup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupGroups(Tables.embeddings(s, d),
+          strategy = "lsh", threshold = 0.4)
         .orderBy(col("vec_id"))),
 
     // corpus vocabulary: top-20 tokens by frequency (count desc, token
@@ -454,11 +472,19 @@ object TextQueries {
 
     // sketch-based corpus profile: HLL distincts + KLL-style quantile
     // summaries, one shuffle, fixed-size state — the 100 TB replacement
-    // for exact profiling (exact twins: q03 distincts, q63 percentiles).
-    // Rows-only: a cross-engine hash would pin sketch internals, not
-    // semantics; SketchesSpec pins the error contracts instead.
+    // for exact profiling. Rows-only: a cross-engine hash would pin
+    // sketch internals, not semantics; SketchesSpec pins the error
+    // contracts, and q67b is the exact-profile oracle twin.
     "q67_sketch_profile" -> ((s, d) =>
       graft.operators.Sketches.corpusProfile(Tables.documents(s, d))
+        .orderBy(col("lang"))),
+
+    // the EXACT twin of q67 — same output shape, exact distinct counts
+    // + interpolated percentiles, hash-oracled: anchors the sketch
+    // path's semantics cross-engine (SketchesSpec then pins the approx
+    // columns against these exact values within the error contracts)
+    "q67b_exact_profile" -> ((s, d) =>
+      graft.operators.Sketches.corpusProfileExact(Tables.documents(s, d))
         .orderBy(col("lang"))),
 
     // IVF ANN: k-means cells + nProbe search (exact when nProbe = cells;
@@ -469,7 +495,37 @@ object TextQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
           nCentroids = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the IVF code path made oracle-VISIBLE: with nProbe = nCentroids
+    // every cell is probed, so the result provably equals brute force
+    // regardless of how k-means clustered (the property SimilaritySpec
+    // pins) — and q35's SQL oracle applies verbatim. The pruned-probe
+    // q57 stays rows-only by design.
+    "q57b_ivf_knn_full" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+          nCentroids = 8, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
     }))
+
+  /** Brute-force cosine top-k oracle (q35) — shared verbatim by
+    * q57b_ivf_knn_full, whose nProbe=nCentroids degenerate is provably
+    * brute force. */
+  private val knnOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT qid, nid,
+                         round(list_cosine_similarity(qv, cv), 4) AS sim
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid) AS rank
+                  FROM s)
+         SELECT query_id, rank, neighbor_id, sim FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** q38 oracle: SimHash64 semantics replayed in SQL — per-token 64-bit
     * hash from the md5 hex halves, +1/-1 votes per bit, positive-vote
@@ -544,6 +600,47 @@ object TextQueries {
                  JOIN v vb ON vb.vec_id = c.id_b
      WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= 0.3
      ORDER BY 1, 2"""
+  }
+
+  /** q76b oracle: LSH candidate edges replayed with the seeded
+    * hyperplanes as SQL literals (the q40 technique — default band
+    * parameters planesPerBand=8, bands=4, seeds 42+band), verified with
+    * double-precision cosine at the threshold, then the TRUE connected
+    * components of that candidate graph via the same recursive closure
+    * as q76. Both engines compute components of the SAME bucketed
+    * graph, so the scale-path edge generator itself is hash-checked. */
+  private val embedLshGroupsOracle: String = {
+    val bandSelects = (0 until 4).map { bnd =>
+      val planes = Similarity.hyperplanes(8, 64, seed = 42L + bnd)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1L << i}" +
+          " ELSE 0 END"
+      }.mkString("\n           + ")
+      s"SELECT vec_id, $bnd AS band,\n           $bucket AS bucket FROM v"
+    }
+    """WITH RECURSIVE
+       v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       banded AS (
+         """ + bandSelects.mkString("\n         UNION ALL\n         ") + """),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+       p AS (
+         SELECT c.id_a, c.id_b
+         FROM cand c JOIN v va ON va.vec_id = c.id_a
+                     JOIN v vb ON vb.vec_id = c.id_b
+         WHERE round(list_cosine_similarity(va.e, vb.e), 4) >= 0.4),
+       ed AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+       reach(id, r) AS (
+         SELECT vec_id, vec_id FROM v
+         UNION
+         SELECT ed.dst, reach.r FROM reach JOIN ed ON ed.src = reach.id)
+     SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS canonical
+     FROM reach GROUP BY id ORDER BY vec_id"""
   }
 
   /** Sign-sum SQL for one JL component: an EXPLICIT left-associated sum
@@ -1156,8 +1253,14 @@ object TextQueries {
     "q34_jaccard_pairs" -> (TOKS +
       """, sets AS (
             SELECT doc_id, list_distinct(w) AS sh FROM t),
-          inv AS (
+          inv0 AS (
             SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sets),
+          inv AS (
+            SELECT doc_id, sz, shingle FROM (
+              SELECT doc_id, sz, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS df
+              FROM inv0)
+            WHERE df <= 400),
           p AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    a.sz AS sa, b.sz AS sb, count(*) AS inter
@@ -1213,36 +1316,29 @@ object TextQueries {
             SELECT doc_id, md5('2|' || s4 || '|' || s5) FROM sig
             UNION ALL
             SELECT doc_id, md5('3|' || s6 || '|' || s7) FROM sig),
-          l1 AS (
-            SELECT b.doc_id, min(bm.m) AS canonical
-            FROM banded b JOIN (SELECT bucket, min(doc_id) AS m
-                                FROM banded GROUP BY 1) bm
-              USING (bucket)
-            GROUP BY 1),
-          l2 AS (
-            SELECT b.doc_id, min(bm2.m) AS canonical
-            FROM banded b JOIN (
-              SELECT b2.bucket, min(l1.canonical) AS m
-              FROM banded b2 JOIN l1 ON b2.doc_id = l1.doc_id
-              GROUP BY 1) bm2
-              USING (bucket)
-            GROUP BY 1)
-          SELECT s.doc_id, COALESCE(l2.canonical, s.doc_id) AS canonical
-          FROM sig s LEFT JOIN l2 USING (doc_id) ORDER BY s.doc_id"""),
-    "q35_knn" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 5),
-            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
-                  FROM embeddings),
-            s AS (SELECT qid, nid,
-                         round(list_cosine_similarity(qv, cv), 4) AS sim
-                  FROM q, c WHERE qid <> nid),
-            r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
-                         row_number() OVER (PARTITION BY qid
-                           ORDER BY sim DESC, nid) AS rank
-                  FROM s)
-         SELECT query_id, rank, neighbor_id, sim FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
+          e AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM sig
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical
+          FROM reach GROUP BY id ORDER BY doc_id""")
+      .replaceFirst("WITH t", "WITH RECURSIVE t"),
+    "q35_knn" -> knnOracle,
+    // IVF with nProbe = nCentroids provably equals brute force — the
+    // q35 oracle applies VERBATIM (same queries, same k, same ordering)
+    "q57b_ivf_knn_full" -> knnOracle,
+    "q67b_exact_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+           count(DISTINCT source) AS nd_sources,
+           count(DISTINCT doc_id) AS nd_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS chars_q50,
+           round(quantile_cont(n_chars, 0.9), 4) AS chars_q90
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q76b_embed_dedup_lsh" -> embedLshGroupsOracle,
     "q92_knn_quantized" ->
       """WITH v AS (SELECT vec_id,
                     list_transform(embedding,

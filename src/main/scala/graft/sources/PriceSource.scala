@@ -91,15 +91,20 @@ object PriceSource {
     * path is unchanged. The missing-ticker probe collects only the
     * distinct ticker column of the bulk result (≤ N tickers ≪ rows).
     *
-    * `onGiveUp` observes permanently failed tickers (alerting hook);
-    * default logs to stderr. */
+    * `onGiveUp` observes permanently failed tickers, `onBulkFailure` a
+    * failed bulk feed (alerting hooks); defaults log to stderr — a
+    * completely-down bulk source that silently degraded to N per-ticker
+    * fetches would otherwise be indistinguishable from a healthy one. */
   final case class Resilient(
       bulk: PriceSource,
       perTicker: (SparkSession, String) => DataFrame,
       expectedTickers: Seq[String],
       maxRetries: Int = 3,
       onGiveUp: (String, Throwable) => Unit = (t, e) =>
-        System.err.println(s"[price-source] giving up on '$t': $e"))
+        System.err.println(s"[price-source] giving up on '$t': $e"),
+      onBulkFailure: Throwable => Unit = e =>
+        System.err.println(s"[price-source] bulk feed failed, " +
+          s"degrading to per-ticker recovery: $e"))
     extends PriceSource {
 
     private def conform(df: DataFrame): DataFrame =
@@ -125,7 +130,8 @@ object PriceSource {
           (b, b.select(col("ticker")).distinct()
             .collect().map(_.getString(0)).toSet)
         } catch {
-          case scala.util.control.NonFatal(_) =>
+          case scala.util.control.NonFatal(e) =>
+            onBulkFailure(e)
             (emptyLong(spark), Set.empty[String])
         }
       val recovered = expectedTickers.filterNot(present).flatMap { t =>

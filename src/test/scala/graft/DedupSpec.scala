@@ -82,16 +82,11 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("embedding near-dup labels have converged (an extra round " +
-    "changes nothing) and every cosine edge's endpoints share a label") {
-    import org.apache.spark.sql.functions.col
+  test("embedding near-dup labels are true components: every cosine " +
+    "edge's endpoints share a label, every label is a component min") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
-    val l6 = Dedup.embeddingNearDupGroups(emb, threshold = 0.4,
-      iterations = 6)
-    val l7 = Dedup.embeddingNearDupGroups(emb, threshold = 0.4,
-      iterations = 7)
-    assert(l6.except(l7).count() == 0 && l7.except(l6).count() == 0)
-    val labels = l6.as[(Long, Long)].collect().toMap
+    val labels = Dedup.embeddingNearDupGroups(emb, strategy = "exact",
+      threshold = 0.4).as[(Long, Long)].collect().toMap
     assert(labels.forall { case (id, c) => c <= id })
     val edges = graft.operators.Similarity
       .bruteForceSelfPairs(emb, 0.4)
@@ -100,6 +95,69 @@ class DedupSpec extends SparkSuite {
     edges.foreach { case (a, b) =>
       assert(labels(a) == labels(b), s"edge ($a,$b) split across groups")
     }
+  }
+
+  test("embeddingNearDupGroups refuses an unknown edge strategy " +
+    "instead of silently picking one") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupGroups(emb, strategy = "bruteforce")
+    }
+    assert(e.getMessage.contains("lsh") && e.getMessage.contains("exact"))
+  }
+
+  test("exact and LSH group strategies agree on planted high-sim " +
+    "clusters (the recall regime the LSH band parameters target)") {
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rng.nextGaussian())
+    val rows = for {
+      (b, ci) <- Seq.fill(8)(vec()).zipWithIndex
+      j <- 0 until 5
+    } yield ((ci * 5 + j).toLong,
+      b.map(x => x + rng.nextGaussian() * 0.01).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupGroups(emb, strategy = "exact",
+      threshold = 0.9).as[(Long, Long)].collect().toMap
+    val lsh = Dedup.embeddingNearDupGroups(emb, strategy = "lsh",
+      threshold = 0.9).as[(Long, Long)].collect().toMap
+    assert(exact == lsh)
+    assert(exact.values.toSet.size == 8) // one component per cluster
+  }
+
+  test("label propagation converges on a long chain, where a fixed " +
+    "round budget demonstrably under-merges") {
+    // a sliding near-dup chain (the crawl shape): diameter 11
+    val n = 12
+    val ids = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val converged = Dedup.labelPropagate(ids, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(converged.values.toSet == Set(1L), s"under-merged: $converged")
+    // a fixed 1-round budget covers ≤2 hops (one neighbor-min + one
+    // pointer jump) — the far end of the chain cannot reach id 1: the
+    // silent under-merge the convergence check exists to prevent
+    val truncated = Dedup.labelPropagate(ids, edges, maxIterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated.values.toSet != Set(1L))
+  }
+
+  test("ngramJaccardPairs maxDf drops corpus-frequent shingles so hot " +
+    "posting lists stay bounded") {
+    // every doc shares token "common"; only docs 1/2 share rare tokens
+    val corpus = (1 to 30).map { i =>
+      val rare = if (i <= 2) "alpha beta gamma" else s"uniq$i a$i b$i"
+      (i.toLong, s"common $rare")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(corpus, n = 1, threshold = 0.0,
+        maxDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // the hot token generates no pairs
+    // uncapped, the df=30 token alone pairs all C(30,2) docs — the
+    // quadratic hot-key shape the cap bounds
+    val uncapped = Dedup.ngramJaccardPairs(corpus, n = 1, threshold = 0.0,
+      maxDf = 1000).count()
+    assert(uncapped == 30L * 29 / 2)
   }
 
   test("canonicalByQuality keeps the best-scored copy of a fingerprint " +

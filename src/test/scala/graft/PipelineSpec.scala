@@ -142,6 +142,32 @@ class PipelineSpec extends SparkSuite {
     assert(frames.count() > media.count()) // docs are >64 bytes
   }
 
+  test("multimodal: a second decoder slots into the same plan through " +
+    "the MediaDecoder seam (the codec is pluggable, not hard-wired)") {
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    // a fake "thumbnail codec": constant 8×8 dims, byte-count checksum,
+    // same null/empty-payload contract as the stub
+    object ThumbDecoder extends Multimodal.MediaDecoder {
+      override def decode(rows: Iterator[Multimodal.MediaRow])
+          : Iterator[Multimodal.MediaFeatures] = rows.map { r =>
+        val n = Option(r.payload).map(_.length).getOrElse(0)
+        Multimodal.MediaFeatures(r.doc_id, r.media_type, n,
+          width = 8, height = 8, checksum = n.toLong, valid = n > 0)
+      }
+    }
+    val feats = Multimodal.extractFeatures(media, ThumbDecoder).cache()
+    assert(feats.count() == media.count())
+    assert(feats.filter(col("valid"))
+      .filter(col("width") =!= 8 || col("height") =!= 8).count() == 0)
+    // decoder output flows through the SAME typed schema/plan: the two
+    // decoders agree on row count and byte counts, differ only in the
+    // decoded fields
+    val stub = Multimodal.extractFeatures(media)
+    assert(stub.select("doc_id", "n_bytes").except(
+      feats.select("doc_id", "n_bytes")).count() == 0)
+  }
+
   test("multimodal: imageDims parses real PNG and GIF headers from " +
     "binary payloads with pure column functions") {
     import spark.implicits._

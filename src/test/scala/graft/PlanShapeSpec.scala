@@ -12,6 +12,38 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("array-argument native expressions compare by content, so two " +
+    "independently built identical probes canonicalize equal (the " +
+    "property CSE and exchange reuse key off)") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.plans._
+    // Bloom: two serializations of the same filter, distinct arrays
+    val df = spark.range(100).toDF("id")
+    val bf1 = df.stat.bloomFilter(xxhash64(col("id")), 100, 0.01)
+    val bf2 = df.stat.bloomFilter(xxhash64(col("id")), 100, 0.01)
+    val probe = Bridge.expression(xxhash64(col("id")))
+    val b1 = BloomMightContain(probe, BloomFns.serialize(bf1))
+    val b2 = BloomMightContain(probe, BloomFns.serialize(bf2))
+    assert(b1.filterBytes ne b2.filterBytes) // distinct array instances
+    assert(b1 == b2 && b1.hashCode == b2.hashCode)
+    // SignedProject: same seed, independently materialized sign arrays
+    val child = Bridge.expression(col("v"))
+    val s1 = SignedProject(child,
+      graft.operators.Similarity.jlSigns(4, 8).flatten.map(_.toByte).toArray, 8)
+    val s2 = SignedProject(child,
+      graft.operators.Similarity.jlSigns(4, 8).flatten.map(_.toByte).toArray, 8)
+    assert((s1.signs ne s2.signs) && s1 == s2 && s1.hashCode == s2.hashCode)
+    assert(s1.semanticEquals(s2))
+    // ZValue2: content-equal quantile edges
+    val x = Bridge.expression(col("x")); val y = Bridge.expression(col("y"))
+    val z1 = ZValue2(x, y, Array(1.0, 2.0), Array(3.0, 4.0))
+    val z2 = ZValue2(x, y, Array(1.0, 2.0), Array(3.0, 4.0))
+    assert(z1 == z2 && z1.hashCode == z2.hashCode && z1.semanticEquals(z2))
+    // and inequality still discriminates real content differences
+    assert(ZValue2(x, y, Array(1.0, 2.5), Array(3.0, 4.0)) != z1)
+  }
+
   test("q01 scan is pruned to the four referenced lineitem columns") {
     val p = plan("q01_global_agg")
     val readSchema = p.linesIterator
