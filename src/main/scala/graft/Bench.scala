@@ -81,13 +81,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val b32 = bench32(spark, cpus.toInt).map {
-      case (total32, results32, duck) =>
+    val b32 = bench32(spark, cpus.toInt, sfDir).map {
+      case (total32, results32, duck, runs32) =>
         val qs32 = results32.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val duckPart = duck.map(d =>
           s""","duckdb_sec":$d,"ratio":${total32 / d}""").getOrElse("")
-        s""","bench32":{"spark_sec":$total32$duckPart,"queries":$qs32}"""
+        // carries its OWN run count: the top-level "runs" describes the
+        // main leg only, and the two default differently (3 vs 1)
+        s""","bench32":{"spark_sec":$total32$duckPart,"runs":$runs32,"mult":32,"queries":$qs32}"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"$b32}""")
     spark.stop()
@@ -119,17 +121,28 @@ object Bench {
     * manual InflateFixtures + tools/duck_bench.py protocol into the
     * driver artifact. Opt out with SPARK_GRAFT_BENCH32=0; any failure
     * skips the leg (stderr note) rather than failing the bench. */
-  private def bench32(spark: SparkSession, cpus: Int)
-      : Option[(Double, Seq[(String, Double)], Option[Double])] = {
+  private def bench32(spark: SparkSession, cpus: Int, sfDir: String)
+      : Option[(Double, Seq[(String, Double)], Option[Double], Int)] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH32", "1") == "0") return None
     try {
       val dir = sys.env.getOrElse("SPARK_GRAFT_SF32_DIR", "/tmp/graft_sf32")
+      // inflate from the SAME fixture the main leg measures — a
+      // hardcoded source would attach a bench32 object computed on
+      // unrelated data to a JSON line whose "sf" names this one. The
+      // fingerprint check re-materializes when the source, multiplier,
+      // layout, or key-shift scheme changed, not only when files are
+      // missing — _SUCCESS-existence alone reuses stale caches built by
+      // older code.
+      val want = InflateFixtures.fingerprint(sfDir, 32, cpus)
+      val marker = new java.io.File(dir, InflateFixtures.FingerprintFile)
       val complete = Tables.names.forall(n =>
-        new java.io.File(s"$dir/$n.parquet/_SUCCESS").exists())
+        new java.io.File(s"$dir/$n.parquet/_SUCCESS").exists()) &&
+        marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == want
       if (!complete) {
         System.err.println(s"[bench32] materializing $dir (one-time)")
-        InflateFixtures.materialize(spark, "/root/testdata/sf0.1", dir,
-          mult = 32, cpus = cpus)
+        InflateFixtures.materialize(spark, sfDir, dir, mult = 32,
+          cpus = cpus)
       }
       // measured shape at 32× (BASELINE.md): shuffle partitions = cores
       spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
@@ -140,9 +153,15 @@ object Bench {
       }
       val runs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH32_RUNS", "1").toInt
       val results = timeHeadline(spark, dir, runs32)
-      Some((results.map(_._2).sum, results, duckdbTotal(dir, runs32)))
+      Some((results.map(_._2).sum, results, duckdbTotal(dir, runs32),
+        runs32))
     } catch {
-      case scala.util.control.NonFatal(e) =>
+      // Throwable, not NonFatal: the sf-dir results measured minutes
+      // earlier print only after this OPTIONAL leg, so even a
+      // memory-exhausted 600 MB materialization should degrade to
+      // "no bench32 object" rather than lose the whole bench artifact
+      // (best effort — a truly hosed JVM still dies)
+      case e: Throwable =>
         System.err.println(s"[bench32] skipped: $e")
         None
     }
@@ -163,15 +182,28 @@ object Bench {
         .map { case (k, v) => JsonUtil.quote(k) + ": " + JsonUtil.quote(v) }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(oracleFile.toPath, json)
+      // stdout goes to a file, not a pipe: the driver then waits with a
+      // TIMEOUT and reads afterwards — a blocking readAllBytes on a
+      // wedged interpreter (FS stall, hung import) would hang the bench
+      // forever with the already-measured main-leg numbers unprinted,
+      // and a file sink cannot deadlock on a full pipe buffer
+      val outFile = java.io.File.createTempFile("graft_duck32", ".out")
+      outFile.deleteOnExit()
       val pb = new ProcessBuilder("python3", script.getAbsolutePath,
         dir, oracleFile.getAbsolutePath, runs.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val ok = proc.waitFor() == 0
-      if (!ok) { System.err.println(s"[bench32] duck_bench failed"); None }
-      else """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
-        .map(_.group(1).toDouble)
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        System.err.println("[bench32] duck_bench timed out"); None
+      } else if (proc.exitValue() != 0) {
+        System.err.println(s"[bench32] duck_bench failed"); None
+      } else {
+        val out = java.nio.file.Files.readString(outFile.toPath)
+        """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench32] duckdb leg skipped: $e")

@@ -51,10 +51,29 @@ object InflateFixtures {
       }.toIndexedSeq: _*)
   }
 
+  /** What an inflated fixture dir was built from. Written to
+    * [[FingerprintFile]] at materialize time and compared by reusers
+    * (Bench's bench32 leg): a _SUCCESS-only completeness check silently
+    * reuses a stale cache after the source dir, multiplier, layout, or
+    * the key-shift scheme changes — cross-round bench ratios would then
+    * compare different inputs while claiming the same leg. */
+  def fingerprint(sfDir: String, mult: Int, cpus: Int): String =
+    s"src=$sfDir;mult=$mult;cpus=$cpus;shifts=" +
+      keyShifts.toSeq.sortBy(_._1).map { case (t, m) =>
+        t + ":" + m.toSeq.sortBy(_._1)
+          .map { case (c, s) => s"$c=$s" }.mkString(",")
+      }.mkString("|")
+
+  val FingerprintFile = "_GRAFT_FINGERPRINT"
+
   /** Write all inflated tables under `outDir` — callable from a host
-    * session (Bench's bench32 leg) as well as from [[main]]. */
+    * session (Bench's bench32 leg) as well as from [[main]]. The
+    * fingerprint marker is written LAST, so a run that dies mid-write
+    * leaves a cache that reads as incomplete, never as current. */
   def materialize(spark: SparkSession, sfDir: String, outDir: String,
-                  mult: Int, cpus: Int): Unit =
+                  mult: Int, cpus: Int): Unit = {
+    val marker = new java.io.File(outDir, FingerprintFile)
+    if (marker.exists()) marker.delete() // invalidate before rewrite
     Tables.names.foreach { name =>
       val base = Tables.table(spark, sfDir, name)
       val out =
@@ -69,6 +88,9 @@ object InflateFixtures {
         .parquet(s"$outDir/$name.parquet")
       println(s"[inflate] $name -> $outDir/$name.parquet")
     }
+    java.nio.file.Files.writeString(marker.toPath,
+      fingerprint(sfDir, mult, cpus))
+  }
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf32")

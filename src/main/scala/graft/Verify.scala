@@ -9,6 +9,11 @@ object Verify {
     // optional trailing args: run only these queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // run-private, process-STABLE ML stage key: set before any query
+    // runs so the q47/q48 staging writes and the oracle_sql.json dump
+    // below resolve the same path — and so a subset re-run into the
+    // same outDir re-points the dump at the stage the full run wrote
+    sys.props(graft.queries.MLQueries.StageKeyProp) = outDir
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -207,9 +207,11 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("bmin")).as("canonical"))
       val next = pointerJump(hop).localCheckpoint()
       converged = labelsChanged(next, labels) == 0
+      freeCheckpointed(labels) // superseded round — drop its blocks now
       labels = next
       iter += 1
     }
+    freeCheckpointed(banded)
     // singleton pass-through: docs that produced no band bucket
     val singletons = sigs.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
@@ -387,11 +389,29 @@ object Dedup {
             .as("canonical"))
       val next = pointerJump(hop).localCheckpoint()
       converged = labelsChanged(next, labels) == 0
+      freeCheckpointed(labels) // superseded round — drop its blocks now
       labels = next
       iter += 1
     }
+    freeCheckpointed(sym)
     labels
   }
+
+  /** Drop the block-manager copies behind a locally-checkpointed frame
+    * the loop no longer references: without this each round's label
+    * frame (O(n) rows) stays cached until driver GC + ContextCleaner
+    * happen to reclaim it, so a deep component pins O(rounds) copies
+    * and the propagation can evict its own working set under memory
+    * pressure. Explicit unpersist bounds live copies to two (prev is
+    * freed only AFTER the convergence count read it). The frame being
+    * freed is never read again — the final labels frame is the one
+    * returned, still materialized. */
+  private def freeCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Embedding near-dup GROUPS: connected components of the cosine
     * pair graph, as linear cluster labels (one canonical id per

@@ -107,6 +107,12 @@ object PriceSource {
           s"degrading to per-ticker recovery: $e"))
     extends PriceSource {
 
+    private def safely(hook: String)(body: => Unit): Unit =
+      try body catch {
+        case scala.util.control.NonFatal(he) =>
+          System.err.println(s"[price-source] $hook hook threw: $he")
+      }
+
     private def conform(df: DataFrame): DataFrame =
       df.select(longSchema.fieldNames.map(col).toIndexedSeq: _*)
 
@@ -131,7 +137,11 @@ object PriceSource {
             .collect().map(_.getString(0)).toSet)
         } catch {
           case scala.util.control.NonFatal(e) =>
-            onBulkFailure(e)
+            // hooks are observability, not control flow: a throwing
+            // alerting hook (correlated outage — feed AND alert endpoint
+            // down) must not abort the per-ticker recovery this wrapper
+            // exists to provide
+            safely("onBulkFailure")(onBulkFailure(e))
             (emptyLong(spark), Set.empty[String])
         }
       val recovered = expectedTickers.filterNot(present).flatMap { t =>
@@ -146,7 +156,7 @@ object PriceSource {
           } catch {
             case scala.util.control.NonFatal(e) =>
               if (left > 0) attempt(left - 1)
-              else { onGiveUp(t, e); None }
+              else { safely("onGiveUp")(onGiveUp(t, e)); None }
           }
         attempt(maxRetries)
       }
