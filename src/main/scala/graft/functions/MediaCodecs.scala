@@ -1,0 +1,338 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM media codecs — REAL decode, not stubs: these parse the
+  * actual container formats byte-for-byte using only the JDK
+  * (`java.util.zip` supplies the zlib half of PNG), so the multimodal
+  * pipeline's bytes→pixels / bytes→samples step runs for real on any
+  * executor with no native codec libraries installed.
+  *
+  * Honest scope (documented, enforced by returning None):
+  *  - PNG: 8-bit grayscale (color type 0), non-interlaced — full chunk
+  *    walk with CRC verification, IDAT reassembly, zlib inflate, and
+  *    per-scanline reconstruction of all five filter types (None / Sub /
+  *    Up / Average / Paeth). The encoder cycles the filter type per row
+  *    precisely so a round trip exercises every unfilter branch.
+  *  - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with
+  *    4-byte padding; luma is the integer mean of the three channels.
+  *  - WAV: PCM 16-bit signed little-endian mono (RIFF chunk walk; fmt
+  *    and data located by id, not fixed offset, with RIFF even-byte
+  *    chunk padding honored).
+  * Anything else (palette/RGBA PNG, compressed BMP, multi-channel or
+  * float WAV, and formats that genuinely need external codecs — JPEG
+  * pixel data, video) decodes to None and flows to the quarantine path
+  * ([[graft.operators.Multimodal.MediaDecoder]] contract); the stub
+  * decoder remains the seam for those.
+  *
+  * Decoders never throw on corrupt input: truncated payloads, bad
+  * magic, CRC mismatches, and over/under-sized pixel data all yield
+  * None — one corrupt blob must not fail a 100 TB scan.
+  */
+object MediaCodecs {
+
+  /** 8-bit grayscale raster, row-major, values 0-255. */
+  final case class GrayImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** 16-bit signed PCM mono clip. */
+  final case class PcmAudio(sampleRate: Int, samples: Array[Int])
+
+  // ------------------------------------------------------------------ PNG
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode as 8-bit grayscale PNG. The scanline filter cycles
+    * `y % 5` — a decoded round trip therefore proves every filter
+    * reconstruction (None/Sub/Up/Average/Paeth), not just the trivial
+    * one. */
+  def encodePng(img: GrayImage): Array[Byte] = {
+    require(img.width > 0 && img.height > 0 &&
+      img.pixels.length == img.width * img.height,
+      s"pixel buffer must be width*height (${img.width}x${img.height})")
+    val w = img.width
+    val raw = new Array[Byte](img.height * (w + 1))
+    var y = 0
+    while (y < img.height) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = img.pixels(y * w + x)
+        val left = if (x > 0) img.pixels(y * w + x - 1) else 0
+        val up = if (y > 0) img.pixels((y - 1) * w + x) else 0
+        val ul = if (x > 0 && y > 0) img.pixels((y - 1) * w + x - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(img.width).putInt(img.height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type 0 = grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit grayscale PNG; None for anything out of scope or
+    * corrupt (bad signature, failed chunk CRC, truncated IDAT, wrong
+    * reconstructed length, unknown filter). */
+  def decodePng(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig)) return None
+    var pos = 8
+    var w = -1; var h = -1; var bitDepth = -1
+    var colorType = -1; var interlace = -1
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 12 <= bytes.length) {
+      val len = be32(bytes, pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue != (be32(bytes, pos + 8 + len) & 0xffffffffL))
+        return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          bitDepth = bytes(pos + 16) & 0xff
+          colorType = bytes(pos + 17) & 0xff
+          interlace = bytes(pos + 20) & 0xff
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks pass through
+      }
+      pos += 12 + len
+    }
+    if (!done || w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 ||
+      interlace != 0) return None
+    // scanlines: 1 filter byte + w gray bytes each
+    val expect = h.toLong * (w + 1)
+    if (expect > Int.MaxValue) return None
+    val raw = inflate(idat.toByteArray, expect.toInt)
+    if (raw.length != expect.toInt) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val v = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) else 0
+        val up = if (y > 0) px((y - 1) * w + x) else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+          case _ => return None
+        }
+        px(y * w + x) = rec & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(w, h, px))
+  }
+
+  /** Paeth predictor (PNG spec §9.4): the neighbor closest to
+    * left + up − upleft, ties resolved left, up, upleft. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String,
+                         data: Array[Byte]): Unit = {
+    val t = typ.getBytes("US-ASCII")
+    out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+    out.write(t)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflate with a hard output cap: a corrupt stream must neither
+    * throw (DataFormatException is caught to a short result, which the
+    * caller's length check rejects) nor balloon past the expected
+    * raster size. */
+  private def inflate(comp: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(comp)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      var stalled = false
+      while (!inf.finished() && !stalled && out.size() <= expect) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true // truncated or dictionary-requiring stream
+        else out.write(buf, 0, n)
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => () // corrupt → short
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  private def be32(b: Array[Byte], pos: Int): Int =
+    ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+      ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Encode as 24-bit uncompressed BMP (gray replicated to B=G=R),
+    * bottom-up rows padded to 4 bytes — the layout every BMP reader
+    * expects. */
+  def encodeBmp(img: GrayImage): Array[Byte] = {
+    require(img.width > 0 && img.height > 0 &&
+      img.pixels.length == img.width * img.height,
+      s"pixel buffer must be width*height (${img.width}x${img.height})")
+    val rowSize = (img.width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * img.height
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    b.putInt(40).putInt(img.width).putInt(img.height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, no palette
+    var y = img.height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val v = (img.pixels(y * img.width + x) & 0xff).toByte
+        b.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var pad = rowSize - img.width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Decode a 24-bit uncompressed bottom-up BMP to grayscale (integer
+    * mean of B, G, R); None out of scope or truncated. */
+  def decodeBmp(bytes: Array[Byte]): Option[GrayImage] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte ||
+      bytes(1) != 'M'.toByte) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val offset = b.getInt(10)
+    val headerSize = b.getInt(14)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    val planes = b.getShort(26)
+    val bpp = b.getShort(28)
+    val compression = b.getInt(30)
+    if (headerSize < 40 || w <= 0 || h <= 0 || planes != 1 || bpp != 24 ||
+      compression != 0 || offset < 54) return None
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (offset.toLong + rowSize.toLong * h > bytes.length) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowStart = offset + (h - 1 - y) * rowSize // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val blue = bytes(rowStart + x * 3) & 0xff
+        val green = bytes(rowStart + x * 3 + 1) & 0xff
+        val red = bytes(rowStart + x * 3 + 2) & 0xff
+        px(y * w + x) = (blue + green + red) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(w, h, px))
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Encode as canonical 44-byte-header RIFF/WAVE, PCM 16-bit mono. */
+  def encodeWav(a: PcmAudio): Array[Byte] = {
+    require(a.sampleRate > 0, "sampleRate must be positive")
+    val dataSize = a.samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(a.sampleRate)
+      .putInt(a.sampleRate * 2)       // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    a.samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  /** Decode PCM 16-bit mono WAV via a real RIFF chunk walk (fmt/data
+    * located by id with even-byte padding, never fixed offsets — files
+    * with LIST/INFO chunks decode fine); None for non-PCM, non-mono,
+    * non-16-bit, or truncated payloads. */
+  def decodeWav(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes.length < 12) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (!chunkId(bytes, 0, "RIFF") || !chunkId(bytes, 8, "WAVE")) return None
+    var pos = 12
+    var sampleRate = -1
+    var fmtOk = false
+    var samples: Array[Int] = null
+    while (pos + 8 <= bytes.length) {
+      val size = b.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (chunkId(bytes, pos, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = b.getShort(pos + 8)
+        val channels = b.getShort(pos + 10)
+        sampleRate = b.getInt(pos + 12)
+        val bits = b.getShort(pos + 22)
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 16 &&
+          sampleRate > 0
+      } else if (chunkId(bytes, pos, "data")) {
+        val n = size / 2
+        samples = new Array[Int](n)
+        var i = 0
+        while (i < n) { samples(i) = b.getShort(pos + 8 + i * 2).toInt; i += 1 }
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks pad to even length
+    }
+    if (fmtOk && samples != null) Some(PcmAudio(sampleRate, samples))
+    else None
+  }
+
+  private def chunkId(bytes: Array[Byte], pos: Int, id: String): Boolean =
+    bytes.length >= pos + 4 &&
+      new String(bytes, pos, 4, "US-ASCII") == id
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{MediaCodecs, TextFns}
 import graft.operators.{Dedup, Multimodal, Relevance, Similarity}
 
 /** Training-data-pipeline operators (BASELINE.json north star): text
@@ -175,6 +175,60 @@ object TextQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy(col("doc_id"))),
+
+    // REAL image decode round trip (pure-JVM codec, no stub): each doc
+    // gets an actual grayscale PNG encoded from a doc_id-seeded raster
+    // (pixel(x,y) = (doc_id + 7x + 13y) mod 256, W = 4 + id%13,
+    // H = 4 + id%7; the encoder cycles all five PNG filters by row);
+    // PixelDecoder reconstructs pixels through zlib inflate + scanline
+    // unfiltering, and the emitted stats come from the DECODED raster.
+    // The oracle computes the same integer stats from the generative
+    // formula — it never touches bytes — so a hash match proves the
+    // encode→decode trip is pixel-exact. Encode+decode are one
+    // partition-local map: linear, no shuffle, scales with executors
+    "q100_decode_image" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + id % 7).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id + 7 * (i % w) + 13 * (i / w)) % 256).toInt)
+          Multimodal.MediaRow(id, "image",
+            MediaCodecs.encodePng(MediaCodecs.GrayImage(w, h, px)))
+        }).toDF()
+      Multimodal.extractFeatures(media, Multimodal.PixelDecoder)
+        .filter(col("valid")) // failed decode → row-count mismatch, loud
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (col("width") * col("height")).cast("long").as("n_pixels"),
+          col("checksum").as("luma_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio decode round trip (PCM-16 WAV): doc_id-seeded samples
+    // s(i) = ((id·97 + 31i) mod 4096) − 2048 over n = 256 + id%64,
+    // encoded as a real RIFF/WAVE payload and decoded back by the chunk
+    // walker; sum|s| and sum s² are computed from the DECODED samples
+    // as exact BIGINTs while the oracle evaluates the formula directly
+    "q101_decode_audio" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (256 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 97 + i * 31) % 4096) - 2048).toInt)
+          Multimodal.MediaRow(id, "audio",
+            MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
+        }).toDF()
+      Multimodal.audioStats(media)
+        .filter(col("valid")) // failed decode → row-count mismatch, loud
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("sum_abs"), col("sum_sq"))
+        .orderBy(col("doc_id"))
+    }),
 
     // random-hyperplane LSH bucketed cosine pairs (ANN scale path).
     // Oracle: the hyperplanes are deterministic (seeded), so their
@@ -704,6 +758,36 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q100/q101: the oracle evaluates the doc_id-seeded GENERATIVE
+    // formula (never the bytes) — matching the Spark side, which stats
+    // the DECODED raster/samples, proves the real codec round trip is
+    // value-exact. Integer stats only (BIGINT sums), so the compare is
+    // hash-safe. The i -> (x, y) unflattening mirrors the row-major
+    // Array.tabulate on the Spark side (x = i mod W, y = i div W)
+    "q100_decode_image" ->
+      """SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 7 AS BIGINT) AS height,
+           CAST((4 + doc_id % 13) * (4 + doc_id % 7) AS BIGINT)
+             AS n_pixels,
+           CAST(list_sum(list_transform(
+             range(0, (4 + doc_id % 13) * (4 + doc_id % 7)),
+             i -> (doc_id + 7 * (i % (4 + doc_id % 13))
+                   + 13 * (i // (4 + doc_id % 13))) % 256)) AS BIGINT)
+             AS luma_sum
+         FROM documents ORDER BY doc_id""",
+    "q101_decode_audio" ->
+      """SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(256 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 256 + doc_id % 64),
+             i -> abs((doc_id * 97 + i * 31) % 4096 - 2048))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_sum(list_transform(range(0, 256 + doc_id % 64),
+             i -> ((doc_id * 97 + i * 31) % 4096 - 2048)
+                  * ((doc_id * 97 + i * 31) % 4096 - 2048))) AS BIGINT)
+             AS sum_sq
+         FROM documents ORDER BY doc_id""",
     "q97_random_projection" -> randomProjectionOracle,
     "q98_projected_knn" -> projectedKnnOracle,
     "q93_trigram_perplexity" -> (TOKS +
