@@ -65,6 +65,22 @@ object ScaleCheck {
     }
     time("sessions_gap30", n) { sink(EventSeries.sessions(events, 30)) }
 
+    // JSON property extraction at volume: from_json is CodegenFallback
+    // (interpreted boundary + full Jackson parse + InternalRow alloc
+    // per value) while the native json_get_long structural scan stays
+    // inside the generated stage — same values, same oracle (q26/q26b)
+    time("json_from_json", n) {
+      sink(events.filter(col("props").isNotNull)
+        .select(col("event_id"), from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k")))
+    }
+    time("json_native_scan", n) {
+      sink(events.filter(col("props").isNotNull)
+        .select(col("event_id"),
+          graft.plans.JsonFns.jsonGetLong(col("props"), "k").as("k")))
+    }
+
     // S3 at scale: the plain insert-ignore anti-join must shuffle +
     // distinct the full existing key set per batch; the bloom variant
     // probes the existing scan map-side and broadcasts only candidates

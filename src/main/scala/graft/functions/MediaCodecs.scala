@@ -335,4 +335,315 @@ object MediaCodecs {
   private def chunkId(bytes: Array[Byte], pos: Int, id: String): Boolean =
     bytes.length >= pos + 4 &&
       new String(bytes, pos, 4, "US-ASCII") == id
+
+  // ------------------------------------------------------------------ GIF
+
+  /** One animation frame: sub-rectangle position within the logical
+    * screen, grayscale pixels (palette-mean luma on decode), delay in
+    * centiseconds from the preceding Graphic Control Extension. */
+  final case class GifFrame(x: Int, y: Int, width: Int, height: Int,
+                            pixels: Array[Int], delayCs: Int)
+
+  /** Encode an animated GIF89a: 256-entry grayscale global palette
+    * (index == gray value, so round trips are value-exact) and REAL
+    * LZW compression — full dictionary build with code-width growth
+    * and table-full reset, not a literals-only stream. Validated in
+    * MediaCodecsSpec against the JDK's independent ImageIO decoder,
+    * not only against [[decodeGif]] (a same-author round trip could
+    * mask symmetric codec bugs). */
+  def encodeGif(screenW: Int, screenH: Int,
+                frames: Seq[GifFrame]): Array[Byte] = {
+    require(screenW > 0 && screenH > 0 && frames.nonEmpty,
+      "need positive screen dims and at least one frame")
+    frames.foreach { f =>
+      require(f.width > 0 && f.height > 0 &&
+        f.pixels.length == f.width * f.height,
+        "frame pixel buffer must be width*height")
+    }
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(screenW); le16(screenH)
+    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { f =>
+      // Graphic Control Extension (delay)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0) // no disposal/transparency
+      le16(f.delayCs); out.write(0); out.write(0)
+      // Image Descriptor
+      out.write(0x2c)
+      le16(f.x); le16(f.y); le16(f.width); le16(f.height)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW minimum code size (256-entry palette)
+      writeSubBlocks(out, lzwEncode(f.pixels, minCode = 8))
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a GIF (87a or 89a) to (screenW, screenH, frames): real LZW
+    * decompression with code-width growth, table-full (deferred-clear)
+    * handling, global/local palettes, and interlace row reordering.
+    * Luma is the integer mean of the palette RGB; GCE transparency is
+    * ignored for luma (a stats decoder, not a compositor). None on
+    * anything malformed or truncated. */
+  def decodeGif(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[GifFrame])] = {
+    if (bytes.length < 13) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def le16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    val screenW = le16(6); val screenH = le16(8)
+    val packed = u8(10)
+    var pos = 13
+    var global: Array[Int] = null // luma per palette index
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (pos + 3 * n > bytes.length) return None
+      global = readPalette(bytes, pos, n)
+      pos += 3 * n
+    }
+    val frames = Seq.newBuilder[GifFrame]
+    var delayCs = 0
+    while (pos < bytes.length) {
+      u8(pos) match {
+        case 0x3b => // trailer
+          return Some((screenW, screenH, frames.result()))
+        case 0x21 => // extension: label + sub-blocks to terminator
+          if (pos + 2 > bytes.length) return None
+          val label = u8(pos + 1)
+          pos += 2
+          if (label == 0xf9 && pos + 6 <= bytes.length && u8(pos) == 4)
+            delayCs = le16(pos + 2) // GCE: size(4) packed delay(2) tidx
+          while (pos < bytes.length && u8(pos) != 0)
+            pos += 1 + u8(pos) // skip sub-block
+          if (pos >= bytes.length) return None
+          pos += 1 // terminator
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val fx = le16(pos + 1); val fy = le16(pos + 3)
+          val fw = le16(pos + 5); val fh = le16(pos + 7)
+          val fp = u8(pos + 9)
+          pos += 10
+          var palette = global
+          if ((fp & 0x80) != 0) {
+            val n = 1 << ((fp & 7) + 1)
+            if (pos + 3 * n > bytes.length) return None
+            palette = readPalette(bytes, pos, n)
+            pos += 3 * n
+          }
+          if (palette == null || fw <= 0 || fh <= 0) return None
+          if (pos >= bytes.length) return None
+          val minCode = u8(pos)
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the data sub-blocks
+          val data = new ByteArrayOutputStream()
+          while (pos < bytes.length && u8(pos) != 0) {
+            val n = u8(pos)
+            if (pos + 1 + n > bytes.length) return None
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          if (pos >= bytes.length) return None
+          pos += 1 // terminator
+          val indices = lzwDecode(data.toByteArray, minCode, fw * fh)
+          if (indices == null) return None
+          val rows =
+            if ((fp & 0x40) != 0) deinterlace(indices, fw, fh) else indices
+          val px = new Array[Int](fw * fh)
+          var i = 0
+          while (i < px.length) {
+            val idx = rows(i) & 0xff
+            if (idx >= palette.length) return None
+            px(i) = palette(idx)
+            i += 1
+          }
+          frames += GifFrame(fx, fy, fw, fh, px, delayCs)
+          delayCs = 0
+        case _ => return None // desynced block stream
+      }
+    }
+    None // ran out of bytes before the trailer
+  }
+
+  private def readPalette(b: Array[Byte], pos: Int, n: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      ((b(pos + 3 * i) & 0xff) + (b(pos + 3 * i + 1) & 0xff) +
+        (b(pos + 3 * i + 2) & 0xff)) / 3
+    }
+
+  /** GIF interlace: rows arrive in four passes (8/8 from 0, 8/8 from
+    * 4, 4/4 from 2, 2/2 from 1); reorder into display order. */
+  private def deinterlace(src: Array[Byte], w: Int, h: Int)
+      : Array[Byte] = {
+    val dst = new Array[Byte](src.length)
+    var srcRow = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(src, srcRow * w, dst, y * w, w)
+        srcRow += 1; y += step
+      }
+    }
+    dst
+  }
+
+  /** GIF-LZW compress (indices < 2^minCode): dictionary of
+    * (prefix code, next byte) → code, code width grows when the next
+    * emitted code could exceed it (encoder bumps at next == 2^width+1,
+    * the decoder — adding entries one code behind — at 2^width; the
+    * pair stays bit-synchronized), table reset via CLEAR at 4096. */
+  private def lzwEncode(pixels: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bits = new BitWriter
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    def key(prefix: Int, k: Int): Integer = (prefix << 8) | k
+    bits.write(clear, codeSize)
+    var cur = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i) & 0xff
+      val hit = dict.get(key(cur, k))
+      if (hit != null) cur = hit
+      else {
+        bits.write(cur, codeSize)
+        if (next < 4096) {
+          dict.put(key(cur, k), next)
+          next += 1
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { // table full: reset both sides
+          bits.write(clear, codeSize)
+          dict.clear()
+          codeSize = minCode + 1
+          next = eoi + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    bits.write(cur, codeSize)
+    bits.write(eoi, codeSize)
+    bits.finish()
+  }
+
+  /** GIF-LZW decompress to exactly `expect` indices; null on any
+    * malformed stream (bad code, truncation, wrong length). Handles
+    * code-width growth, KwKwK (code == next), table-full streams that
+    * defer their CLEAR, and mid-stream resets. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expect: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](expect)
+    var outPos = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val scratch = new Array[Byte](4096)
+    var prev = -1
+    val bits = new BitReader(data)
+    var code = bits.read(codeSize)
+    var done = false
+    while (!done && code >= 0) {
+      if (code == clear) {
+        codeSize = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        // expand `code` (or KwKwK) into scratch, tail-first
+        var expandCode = code
+        var firstOfPrev = 0.toByte
+        if (prev >= 0) {
+          // first byte of prev's expansion, needed for KwKwK + dict add
+          var p = prev
+          while (p >= clear) p = prefix(p)
+          firstOfPrev = p.toByte
+        }
+        var sPos = scratch.length
+        if (code == next && prev >= 0) {
+          sPos -= 1; scratch(sPos) = firstOfPrev
+          expandCode = prev
+        } else if (code >= next) return null // desynced stream
+        var c = expandCode
+        while (c >= clear) {
+          if (sPos <= 0) return null
+          sPos -= 1; scratch(sPos) = suffix(c)
+          c = prefix(c)
+        }
+        if (sPos <= 0) return null
+        sPos -= 1; scratch(sPos) = c.toByte
+        val len = scratch.length - sPos
+        if (outPos + len > expect) return null
+        System.arraycopy(scratch, sPos, out, outPos, len)
+        outPos += len
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = scratch(sPos) // first byte of this expansion
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+      if (!done) code = bits.read(codeSize)
+    }
+    if (!done || outPos != expect) return null
+    out
+  }
+
+  /** LSB-first bit packing (the GIF convention). */
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def write(code: Int, size: Int): Unit = {
+      acc |= code << nBits
+      nBits += size
+      while (nBits >= 8) {
+        out.write(acc & 0xff); acc >>>= 8; nBits -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) out.write(acc & 0xff)
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(data: Array[Byte]) {
+    private var acc = 0L
+    private var nBits = 0
+    private var pos = 0
+    /** -1 when the stream is exhausted mid-code. */
+    def read(size: Int): Int = {
+      while (nBits < size) {
+        if (pos >= data.length) return -1
+        acc |= (data(pos) & 0xffL) << nBits
+        pos += 1; nBits += 8
+      }
+      val v = (acc & ((1L << size) - 1)).toInt
+      acc >>>= size; nBits -= size
+      v
+    }
+  }
+
+  private def writeSubBlocks(out: ByteArrayOutputStream,
+                             data: Array[Byte]): Unit = {
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(255, data.length - i)
+      out.write(n)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(0) // terminator
+  }
 }

@@ -49,8 +49,10 @@ object Multimodal {
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
   }
 
-  /** The container ships no codecs, so the default decoder is the
-    * deterministic stub — a DECLARED fake (see object scaladoc). */
+  /** The default decoder stays the deterministic stub — a DECLARED
+    * fake (see object scaladoc) standing in for formats outside
+    * [[graft.functions.MediaCodecs]]' pure-JVM scope; use
+    * [[PixelDecoder]] for real PNG/BMP payloads. */
   object StubDecoder extends MediaDecoder {
     override def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       decodeStub(rows)
@@ -182,6 +184,34 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(decoder.decode(_))
+  }
+
+  /** REAL frame sampling over animated-GIF payloads: decode the
+    * container ([[graft.functions.MediaCodecs.decodeGif]] — full LZW,
+    * palettes, interlace), keep every `everyK`-th frame, and emit one
+    * row per sampled frame with its sub-rectangle dims and the luma
+    * sum over DECODED pixels. The explode-to-frames shape video
+    * pipelines use, with an actual codec behind it; payloads that fail
+    * to decode contribute no rows (quarantine upstream on
+    * [[PixelDecoder]]'s valid flag if per-doc accounting is needed).
+    * Partition-local flatMap: linear, shuffle-free. */
+  def frameSampleGif(media: DataFrame, everyK: Int = 2): DataFrame = {
+    require(everyK > 0, "everyK must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      graft.functions.MediaCodecs.decodeGif(bytes) match {
+        case Some((_, _, frames)) =>
+          frames.iterator.zipWithIndex
+            .filter(_._2 % everyK == 0)
+            .map { case (f, i) =>
+              (r.doc_id, i.toLong, f.width.toLong, f.height.toLong,
+                f.pixels.foldLeft(0L)(_ + _))
+            }
+        case None => Iterator.empty
+      }
+    }.toDF("doc_id", "frame_no", "width", "height", "luma_sum")
   }
 
   /** Frame-sample stub: pick every k-th byte as a "frame" digest —

@@ -340,6 +340,19 @@ object SeriesQueries {
               org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").cast("long")
             .as("k"))
+        .orderBy(col("event_id"))),
+
+    // same extraction through the native codegen'd structural scan
+    // (plans/JsonExpression.scala) — the 100 TB path: from_json falls
+    // back to interpreted eval with a full Jackson parse + row alloc
+    // per value, where this stays one generated-code byte scan
+    // (measured at 32× in BASELINE.md). Same oracle as q26; parity
+    // with from_json is pinned expression-level in JsonExpressionSpec
+    "q26b_json_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("props").isNotNull)
+        .select(col("event_id"),
+          graft.plans.JsonFns.jsonGetLong(col("props"), "k").as("k"))
         .orderBy(col("event_id"))))
 
   /** Gap-30min sessionization CTE shared by q62 (the sessions
@@ -647,6 +660,12 @@ object SeriesQueries {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q26_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE props IS NOT NULL
+         ORDER BY event_id""",
+    "q26b_json_native" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events

@@ -230,6 +230,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video-shaped frame sampling: each doc gets an actual
+    // animated GIF (2 + id%5 frames; frame f is a sub-rect of
+    // W = 4+(id+f)%9 by H = 3+(id+2f)%6 with pixel(x,y) =
+    // (id + 11f + 7x + 13y) mod 256, REAL LZW-compressed); the
+    // operator decodes the container (palette + LZW + sub-blocks) and
+    // keeps every 2nd frame. Stats come from DECODED pixels; the
+    // oracle unrolls the generative formula per sampled frame — a hash
+    // match proves the whole container round trip. A failed decode
+    // yields no rows → row-count mismatch, loud
+    "q102_frame_sample_gif" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (0 until (2 + id % 5).toInt).map { f =>
+            val w = (4 + (id + f) % 9).toInt
+            val h = (3 + (id + 2 * f) % 6).toInt
+            MediaCodecs.GifFrame(0, 0, w, h,
+              Array.tabulate(w * h)(i =>
+                ((id + 11 * f + 7 * (i % w) + 13 * (i / w)) % 256).toInt),
+              delayCs = 5)
+          }
+          Multimodal.MediaRow(id, "video", MediaCodecs.encodeGif(
+            frames.map(_.width).max, frames.map(_.height).max, frames))
+        }).toDF()
+      Multimodal.frameSampleGif(media, everyK = 2)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     // random-hyperplane LSH bucketed cosine pairs (ANN scale path).
     // Oracle: the hyperplanes are deterministic (seeded), so their
     // literals are inlined into the generated SQL — same buckets, same
@@ -776,6 +804,22 @@ object TextQueries {
                    + 13 * (i // (4 + doc_id % 13))) % 256)) AS BIGINT)
              AS luma_sum
          FROM documents ORDER BY doc_id""",
+    // q102: one oracle row per SAMPLED frame (every 2nd), lateral
+    // range over the per-doc frame count; same generative-formula
+    // technique as q100/q101
+    "q102_frame_sample_gif" ->
+      """SELECT doc_id, f AS frame_no,
+           CAST(4 + (doc_id + f) % 9 AS BIGINT) AS width,
+           CAST(3 + (doc_id + 2 * f) % 6 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(
+             range(0, (4 + (doc_id + f) % 9) * (3 + (doc_id + 2 * f) % 6)),
+             i -> (doc_id + 11 * f + 7 * (i % (4 + (doc_id + f) % 9))
+                   + 13 * (i // (4 + (doc_id + f) % 9))) % 256))
+             AS BIGINT) AS luma_sum
+         FROM documents,
+              LATERAL (SELECT unnest(range(0, 2 + doc_id % 5)) AS f) t
+         WHERE f % 2 = 0
+         ORDER BY doc_id, frame_no""",
     "q101_decode_audio" ->
       """SELECT doc_id,
            CAST(16000 AS BIGINT) AS sample_rate,

@@ -121,6 +121,143 @@ class MediaCodecsSpec extends SparkSuite {
     assert(!feats(3L).valid && !feats(4L).valid)
   }
 
+  // ---- independent validation: the JDK's ImageIO decoders (java.desktop)
+  // know nothing of our codec code, so agreement rules out the
+  // mirrored-bug failure mode a same-author round trip cannot catch.
+
+  private def imageioFrames(bytes: Array[Byte])
+      : Seq[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "no ImageIO reader for payload")
+      val r = readers.next()
+      r.setInput(iis)
+      (0 until r.getNumImages(true)).map(r.read(_))
+    } finally iis.close()
+  }
+
+  private def assertGrayEquals(img: java.awt.image.BufferedImage,
+                               px: Array[Int], w: Int, h: Int): Unit = {
+    assert(img.getWidth == w && img.getHeight == h)
+    // raw raster samples, NOT getRGB: on a gray BufferedImage getRGB
+    // converts linear gray → sRGB (gamma), silently changing values
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = px(y * w + x)
+      for (b <- 0 until math.min(bands, 3)) { // skip alpha band if any
+        val got = raster.getSample(x, y, b)
+        assert(got == expect,
+          s"pixel ($x,$y) band $b: imageio=$got expected=$expect")
+      }
+    }
+  }
+
+  test("PNG and BMP encoders validate against the JDK's independent " +
+    "ImageIO decoders, pixel-exact") {
+    val img = pattern(13, 7, seed = 3)
+    assertGrayEquals(imageioFrames(MediaCodecs.encodePng(img)).head,
+      img.pixels, 13, 7)
+    assertGrayEquals(imageioFrames(MediaCodecs.encodeBmp(img)).head,
+      img.pixels, 13, 7)
+  }
+
+  test("GIF round trip (own decoder) is frame- and pixel-exact across " +
+    "code-width growth AND a 4096-entry table reset") {
+    // small varied frames grow the LZW dictionary past one width bump;
+    // the 100x100 frame forces the table-full CLEAR/reset path
+    val frames = Seq(
+      MediaCodecs.GifFrame(0, 0, 11, 9,
+        pattern(11, 9, 7).pixels, delayCs = 4),
+      MediaCodecs.GifFrame(2, 1, 7, 5,
+        pattern(7, 5, 19).pixels, delayCs = 6),
+      MediaCodecs.GifFrame(0, 0, 100, 100,
+        Array.tabulate(100 * 100)(i => (i * 37 + (i / 100) * 11) % 256),
+        delayCs = 2))
+    val bytes = MediaCodecs.encodeGif(100, 100, frames)
+    val Some((sw, sh, back)) = MediaCodecs.decodeGif(bytes)
+    assert(sw == 100 && sh == 100 && back.length == 3)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(a.x == b.x && a.y == b.y && a.width == b.width &&
+        a.height == b.height && a.delayCs == b.delayCs)
+      assert(a.pixels.sameElements(b.pixels))
+    }
+  }
+
+  test("GIF encoder validates against ImageIO (cross-author decode), " +
+    "including the dictionary-heavy frame") {
+    val frames = Seq(
+      MediaCodecs.GifFrame(0, 0, 16, 12, pattern(16, 12, 31).pixels, 5),
+      MediaCodecs.GifFrame(0, 0, 100, 100,
+        Array.tabulate(100 * 100)(i => (i * 37 + (i / 100) * 11) % 256), 5))
+    val decoded = imageioFrames(
+      MediaCodecs.encodeGif(100, 100, frames))
+    assert(decoded.length == 2)
+    assertGrayEquals(decoded(0), frames(0).pixels, 16, 12)
+    assertGrayEquals(decoded(1), frames(1).pixels, 100, 100)
+  }
+
+  test("GIF decoder agrees with ImageIO on real-world third-party GIFs " +
+    "from the classpath (hadoop busy.gif, scaladoc ownerbg.gif): frame " +
+    "count and per-frame dims") {
+    for (res <- Seq("/webapps/static/busy.gif",
+      "/scala/tools/nsc/doc/html/resource/lib/ownerbg.gif")) {
+      val in = getClass.getResourceAsStream(res)
+      assert(in != null, s"classpath resource $res missing")
+      val bytes = try in.readAllBytes() finally in.close()
+      val ours = MediaCodecs.decodeGif(bytes)
+      assert(ours.isDefined, s"$res failed to decode")
+      val reference = imageioFrames(bytes)
+      val (_, _, frames) = ours.get
+      assert(frames.length == reference.length,
+        s"$res frame count: ours=${frames.length} imageio=${reference.length}")
+      frames.zip(reference).foreach { case (f, r) =>
+        assert(f.width == r.getWidth && f.height == r.getHeight,
+          s"$res frame dims: ${f.width}x${f.height} vs " +
+            s"${r.getWidth}x${r.getHeight}")
+      }
+    }
+  }
+
+  test("GIF decode quarantines corrupt input: bad magic, truncation " +
+    "mid-palette / mid-frame, desynced blocks — None, never a throw") {
+    val good = MediaCodecs.encodeGif(8, 8,
+      Seq(MediaCodecs.GifFrame(0, 0, 8, 8, pattern(8, 8, 1).pixels, 0)))
+    assert(MediaCodecs.decodeGif("GIF-not-really".getBytes).isEmpty)
+    assert(MediaCodecs.decodeGif(good.take(10)).isEmpty)
+    assert(MediaCodecs.decodeGif(good.take(good.length - 2)).isEmpty)
+    val bad = good.clone()
+    bad(781) = 0x55.toByte // stomp the image-separator region
+    // either decodes (if the stomp hit pixel data) or returns None —
+    // must not throw
+    MediaCodecs.decodeGif(bad)
+    assert(MediaCodecs.decodeGif(Array.emptyByteArray).isEmpty)
+  }
+
+  test("frameSampleGif through the plan: every-2nd-frame rows with " +
+    "luma from DECODED pixels; undecodable payloads contribute no rows") {
+    def gif(id: Long, n: Int): Array[Byte] = {
+      val frames = (0 until n).map(f => MediaCodecs.GifFrame(0, 0, 6, 4,
+        Array.tabulate(24)(i => ((id + 11 * f + i) % 256).toInt), 3))
+      MediaCodecs.encodeGif(6, 4, frames)
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif(1L, 5)),
+      Multimodal.MediaRow(2L, "video", gif(2L, 2)),
+      Multimodal.MediaRow(3L, "video", "not a gif".getBytes)
+    ).toDF()
+    val rows = Multimodal.frameSampleGif(media, everyK = 2)
+      .orderBy("doc_id", "frame_no").collect()
+    // doc 1: frames 0,2,4; doc 2: frame 0; doc 3: none
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L)))
+    val expected0 = (0 until 24).map(i => (1L + 0 + i) % 256).sum
+    assert(rows(0).getLong(4) == expected0)
+    assert(rows.forall(r => r.getLong(2) == 6L && r.getLong(3) == 4L))
+  }
+
   test("audioStats through the plan: exact integer amplitude stats from " +
     "DECODED samples; corrupt rows quarantine with zeroed stats") {
     val samples = Array.tabulate(128)(i => ((i * 97) % 4096) - 2048)
