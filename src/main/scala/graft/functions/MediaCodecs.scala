@@ -101,7 +101,10 @@ object MediaCodecs {
     var done = false
     while (!done && pos + 12 <= bytes.length) {
       val len = be32(bytes, pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return None
+      // Long arithmetic: a crafted len near Int.MaxValue wraps an Int
+      // sum negative and slips past the bound into an AIOOBE in
+      // crc.update — the never-throw contract dies with it
+      if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
       val typ = new String(bytes, pos + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(bytes, pos + 4, 4 + len)
@@ -257,8 +260,12 @@ object MediaCodecs {
     val compression = b.getInt(30)
     if (headerSize < 40 || w <= 0 || h <= 0 || planes != 1 || bpp != 24 ||
       compression != 0 || offset < 54) return None
-    val rowSize = (w * 3 + 3) / 4 * 4
-    if (offset.toLong + rowSize.toLong * h > bytes.length) return None
+    // all sizing in Long: header dims are attacker-controlled, and an
+    // Int w*3 / w*h overflow would wrap the bounds check into a
+    // NegativeArraySizeException / multi-GB allocation
+    val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
+    if (offset.toLong + rowSizeL * h > bytes.length) return None
+    val rowSize = rowSizeL.toInt // 3*w*h fits in the payload → Int-safe
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -311,7 +318,10 @@ object MediaCodecs {
     var samples: Array[Int] = null
     while (pos + 8 <= bytes.length) {
       val size = b.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Long arithmetic: a chunk size near Int.MaxValue wraps the Int
+      // sum negative, passing the check into an OOM-sized allocation,
+      // out-of-bounds reads, or a negative pos on the next iteration
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None
       if (chunkId(bytes, pos, "fmt ")) {
         if (size < 16) return None
         val audioFormat = b.getShort(pos + 8)
@@ -438,6 +448,12 @@ object MediaCodecs {
             pos += 3 * n
           }
           if (palette == null || fw <= 0 || fh <= 0) return None
+          // dims are attacker-controlled le16s: 65535×65535 wraps
+          // fw*fh negative (NegativeArraySizeException), and even
+          // non-wrapping monsters would allocate GBs before any pixel
+          // data is validated. 16M pixels (4096²) bounds every sane
+          // frame; beyond is out of scope → quarantine
+          if (fw.toLong * fh > (1 << 24)) return None
           if (pos >= bytes.length) return None
           val minCode = u8(pos)
           pos += 1

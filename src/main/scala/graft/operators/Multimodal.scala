@@ -138,13 +138,20 @@ object Multimodal {
           .orElse(graft.functions.MediaCodecs.decodeBmp(bytes)) match {
           case Some(img) =>
             MediaFeatures(r.doc_id, r.media_type, bytes.length,
-              img.width, img.height,
-              img.pixels.foldLeft(0L)(_ + _), valid = true)
+              img.width, img.height, lumaSum(img.pixels), valid = true)
           case None =>
             MediaFeatures(r.doc_id, r.media_type, bytes.length, 0, 0, 0L,
               valid = false)
         }
       }
+  }
+
+  /** Primitive accumulation — foldLeft would box every pixel on the
+    * per-row decode hot path, the explicit per-byte-cost bottleneck. */
+  private def lumaSum(px: Array[Int]): Long = {
+    var s = 0L; var i = 0
+    while (i < px.length) { s += px(i); i += 1 }
+    s
   }
 
   /** Partition-local REAL audio decode (PCM-16 WAV): per-clip sample
@@ -207,7 +214,7 @@ object Multimodal {
             .filter(_._2 % everyK == 0)
             .map { case (f, i) =>
               (r.doc_id, i.toLong, f.width.toLong, f.height.toLong,
-                f.pixels.foldLeft(0L)(_ + _))
+                lumaSum(f.pixels))
             }
         case None => Iterator.empty
       }

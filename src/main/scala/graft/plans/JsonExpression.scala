@@ -21,17 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics (the expression's OWN contract, pinned against
   * `from_json(_, "k LONG")` in JsonExpressionSpec):
   *  - returns the value of the `key` field of the TOP-LEVEL object when
-  *    that value is a JSON integer in long range; null otherwise
-  *    (missing key, nested-only occurrences, float/string/bool/null
-  *    values, long overflow, malformed document).
+  *    that value is a JSON integer in long range (Long.MinValue
+  *    included); null otherwise (missing key, nested-only occurrences,
+  *    float/string/bool/null values, long overflow, malformed or
+  *    truncated document).
   *  - string values and keys are skipped with full escape handling, so
   *    a `"k"` inside another string value never false-matches; nested
-  *    objects/arrays are skipped by depth, so only depth-1 keys match.
+  *    objects/arrays are skipped by depth, so only depth-1 keys match;
+  *    duplicate keys resolve last-PARSEABLE-wins, matching Jackson
+  *    with Spark's partial-result recovery (a later duplicate that
+  *    fails integer conversion does not erase an earlier good value).
   *  - documented divergences from `from_json` (both irrelevant to
-  *    well-formed data): the scan stops at the matched field, so
-  *    TRAILING garbage after a well-formed prefix is not rejected; and
-  *    the key is matched against its literal encoded bytes (an
-  *    escape-encoded key like `"k"` does not match `k`).
+  *    well-formed data): bytes TRAILING the complete top-level object
+  *    are not rejected; and the key is matched against its literal
+  *    encoded bytes (an escape-encoded key like `"k"` does not
+  *    match `k`).
   */
 case class JsonGetLong(child: Expression, key: String)
   extends UnaryExpression with ExpectsInputTypes {
@@ -69,13 +73,20 @@ object JsonGetLong {
     * field (see class scaladoc). Operates on the UTF8String's bytes in
     * place — no copy, no parser object. Multibyte UTF-8 sequences all
     * have the high bit set, so they can never collide with the ASCII
-    * structural bytes this scan dispatches on. */
+    * structural bytes this scan dispatches on.
+    *
+    * The scan walks the WHOLE top-level object (to its closing brace)
+    * rather than returning at the first key hit: JSON duplicate keys
+    * resolve last-wins in Jackson/from_json, and a truncated document
+    * (`{"k": 5` with no `}`) must read as malformed, not as 5 — both
+    * were silent parity breaks of an early-exit version. */
   def extract(json: UTF8String, key: UTF8String): java.lang.Long = {
     val n = json.numBytes
     var i = skipWs(json, 0, n)
     if (i >= n || json.getByte(i) != '{') return null
     i = skipWs(json, i + 1, n)
-    if (i < n && json.getByte(i) == '}') return null // {}
+    var found: java.lang.Long = null
+    if (i < n && json.getByte(i) == '}') return null // {}: key absent
     while (i < n) {
       if (json.getByte(i) != '"') return null
       val keyStart = i + 1
@@ -86,14 +97,22 @@ object JsonGetLong {
       if (i >= n || json.getByte(i) != ':') return null
       i = skipWs(json, i + 1, n)
       if (i >= n) return null
-      if (matched) return parseLong(json, i, n)
+      if (matched) {
+        // last PARSEABLE-integer occurrence wins: Jackson's partial-
+        // result recovery (PERMISSIVE from_json) keeps an earlier good
+        // value when a later duplicate fails conversion, so a plain
+        // last-wins overwrite would null where from_json returns the
+        // earlier value (pinned in JsonExpressionSpec)
+        val v = parseLong(json, i, n)
+        if (v != null) found = v
+      }
       i = skipValue(json, i, n)
       if (i < 0) return null
       i = skipWs(json, i, n)
-      if (i >= n) return null
+      if (i >= n) return null // truncated before the closing brace
       json.getByte(i) match {
         case ',' => i = skipWs(json, i + 1, n)
-        case '}' => return null // well-formed object, key absent
+        case '}' => return found // complete top-level object
         case _ => return null
       }
     }
@@ -179,18 +198,20 @@ object JsonGetLong {
   }
 
   /** Parse a JSON integer terminated by ws/','/'}' — null for floats
-    * (a '.'/'e' terminator), overflow, or a bare '-'. */
+    * (a '.'/'e' terminator), overflow, or a bare '-'. Accumulates
+    * NEGATIVE so Long.MinValue (whose magnitude exceeds MaxValue)
+    * parses exactly like from_json does. */
   private def parseLong(s: UTF8String, from: Int, n: Int)
       : java.lang.Long = {
     var i = from
     var neg = false
     if (i < n && s.getByte(i) == '-') { neg = true; i += 1 }
     if (i >= n || s.getByte(i) < '0' || s.getByte(i) > '9') return null
-    var acc = 0L
+    var acc = 0L // negative accumulator
     while (i < n && s.getByte(i) >= '0' && s.getByte(i) <= '9') {
       val d = s.getByte(i) - '0'
-      if (acc > (Long.MaxValue - d) / 10) return null // overflow
-      acc = acc * 10 + d
+      if (acc < (Long.MinValue + d) / 10) return null // overflow
+      acc = acc * 10 - d
       i += 1
     }
     // an integer ends at ws, ',' or '}' — '.'/'e' means float → null
@@ -200,7 +221,9 @@ object JsonGetLong {
         b == ',' || b == '}'
       if (!terminator) return null
     }
-    if (neg) -acc else acc
+    if (neg) acc
+    else if (acc == Long.MinValue) null // +9223372036854775808 overflows
+    else -acc
   }
 }
 

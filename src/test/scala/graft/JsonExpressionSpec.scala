@@ -36,10 +36,17 @@ class JsonExpressionSpec extends SparkSuite {
       """{}""",
       """   {"k": 4}""",
       """{"k": 9223372036854775807}""",   // long max
+      """{"k": -9223372036854775808}""",  // long min (negative-acc path)
+      """{"k": 9223372036854775808}""",   // overflow → null both sides
+      """{"k": 1, "k": 2}""",             // duplicate keys → LAST wins
+      """{"k": 9, "a": 0, "k": -4}""",
+      """{"k": 6, "k": 2.5}""",  // failed dup keeps earlier good value
+      """{"k": 1.5, "k": 3}""",  // good dup overwrites failed earlier
       """not json""",
       """[1, 2]""",                       // non-object root
       """{"k": }""",                      // malformed value
-      """{"k""",                          // truncated
+      """{"k""",                          // truncated mid-key
+      """{"k": 5""",                      // truncated after value: null
       null
     ).toDF("j")
     val rows = docs.select(native(col("j")).as("n"),
@@ -53,21 +60,17 @@ class JsonExpressionSpec extends SparkSuite {
     }
   }
 
-  test("documented own-contract edges: trailing bytes after the matched " +
-    "prefix are not rejected; escape-encoded keys do not match; " +
-    "Long.MinValue (magnitude > Long.MaxValue) parses null") {
+  test("documented own-contract edges: trailing bytes after the " +
+    "complete object are not rejected; escape-encoded keys do not " +
+    "match") {
     val r = Seq(
       """{"k": 3} trailing""",
       // JSON-escaped key k ("k"): built by concatenation because
       // scalac itself decodes \uXXXX even inside triple quotes
-      "{\"" + "\\" + "u006b\": 5}",
-      """{"k": -9223372036854775808}""",
-      """{"k": 9223372036854775808}"""
+      "{\"" + "\\" + "u006b\": 5}"
     ).toDF("j").select(native(col("j"))).collect()
     assert(!r(0).isNullAt(0) && r(0).getLong(0) == 3L)
     assert(r(1).isNullAt(0))
-    assert(r(2).isNullAt(0))
-    assert(r(3).isNullAt(0))
   }
 
   test("q26b plan: json_get_long lives INSIDE the whole-stage-codegen " +

@@ -236,6 +236,46 @@ class MediaCodecsSpec extends SparkSuite {
     assert(MediaCodecs.decodeGif(Array.emptyByteArray).isEmpty)
   }
 
+  test("overflow-crafted headers quarantine instead of throwing: " +
+    "Int-wrapping dims/chunk sizes in BMP, GIF, WAV, PNG") {
+    // BMP: width 715827883 wraps w*3 negative past the bounds check
+    val bmp = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(715827883).putInt(3).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    assert(MediaCodecs.decodeBmp(bmp.array()).isEmpty)
+
+    // GIF: descriptor claiming 65535x65535 wraps fw*fh negative
+    val gif = new java.io.ByteArrayOutputStream()
+    gif.write("GIF89a".getBytes("US-ASCII"))
+    gif.write(Array[Byte](8, 0, 8, 0)) // 8x8 screen
+    gif.write(0x80); gif.write(0); gif.write(0) // 2-entry GCT
+    gif.write(Array[Byte](0, 0, 0, -1, -1, -1))
+    gif.write(0x2c)
+    gif.write(Array[Byte](0, 0, 0, 0, -1, -1, -1, -1)) // 65535x65535
+    gif.write(0); gif.write(2); gif.write(0); gif.write(0x3b)
+    assert(MediaCodecs.decodeGif(gif.toByteArray).isEmpty)
+
+    // WAV: data chunk size near Int.MaxValue wraps the truncation check
+    val wav = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(92).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes).putInt(0x7ffffff0)
+    assert(MediaCodecs.decodeWav(wav.array()).isEmpty)
+
+    // PNG: chunk length 0x7FFFFFF6 wraps pos+12+len negative
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    png.write(java.nio.ByteBuffer.allocate(4).putInt(0x7ffffff6).array())
+    png.write("IHDR".getBytes("US-ASCII"))
+    png.write(new Array[Byte](17)) // some bytes, far short of the claim
+    assert(MediaCodecs.decodePng(png.toByteArray).isEmpty)
+  }
+
   test("frameSampleGif through the plan: every-2nd-frame rows with " +
     "luma from DECODED pixels; undecodable payloads contribute no rows") {
     def gif(id: Long, n: Int): Array[Byte] = {
