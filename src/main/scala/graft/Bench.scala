@@ -81,38 +81,59 @@ object Bench {
     // throughput with codegen compiled, matching how the DuckDB baseline
     // is measured (warm OS cache, compiled pipelines)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = timeHeadline(spark, sfDir, runs)
+    val (results, errors) = timeHeadline(spark, sfDir, runs)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val b32 = bench32(spark, cpus.toInt, sfDir).map {
-      case (total32, results32, duck, runs32) =>
+      case (total32, results32, duck, runs32, errors32) =>
         val qs32 = results32.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        val duckPart = duck.map(d =>
-          s""","duckdb_sec":$d,"ratio":${total32 / d}""").getOrElse("")
+        val duckPart = duck.map { case (d, perQ) =>
+          // per-query DuckDB times + ratios ride along so a bar
+          // judgment can name WHICH query is slow instead of guessing
+          // from two totals
+          val dq = perQ.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          val ratios = results32.flatMap { case (k, v) =>
+            perQ.get(k).filter(_ > 0).map(d32 =>
+              "\"" + k + "\":" + f"${v / d32}%.2f")
+          }.mkString("{", ",", "}")
+          s""","duckdb_sec":$d,"ratio":${total32 / d},"duckdb_queries":$dq,"ratios":$ratios"""
+        }.getOrElse("")
         // carries its OWN run count: the top-level "runs" describes the
-        // main leg only, and the two default differently (3 vs 1)
-        s""","bench32":{"spark_sec":$total32$duckPart,"runs":$runs32,"mult":32,"queries":$qs32}"""
+        // main leg only
+        s""","bench32":{"spark_sec":$total32$duckPart,"runs":$runs32,"mult":32,"queries":$qs32${errJson(errors32)}}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"$b32}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"${errJson(errors)}$b32}""")
     spark.stop()
   }
 
-  private def timeHeadline(spark: SparkSession, sfDir: String,
-                           runs: Int): Seq[(String, Double)] =
-    headline.filter(SparkEntry.queries.contains).map { name =>
+  /** A loud in-JSON marker for any failed query run — an executor error
+    * buried in the stderr tail once let a stalled sample pass as a real
+    * measurement. Empty → omitted. */
+  private def errJson(errors: Seq[String]): String =
+    if (errors.isEmpty) ""
+    else errors.map(JsonUtil.quote).mkString(""","errors":[""", ",", "]")
+
+  private def timeHeadline(spark: SparkSession, sfDir: String, runs: Int)
+      : (Seq[(String, Double)], Seq[String]) = {
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
+    (results, errors.toSeq)
+  }
 
   /** Amortized-scale leg (the number that proves the 2× bar): the sf0.1
     * fixtures are single-row-group files whose scans cannot split, so
@@ -126,7 +147,8 @@ object Bench {
     * driver artifact. Opt out with SPARK_GRAFT_BENCH32=0; any failure
     * skips the leg (stderr note) rather than failing the bench. */
   private def bench32(spark: SparkSession, cpus: Int, sfDir: String)
-      : Option[(Double, Seq[(String, Double)], Option[Double], Int)] = {
+      : Option[(Double, Seq[(String, Double)],
+        Option[(Double, Map[String, Double])], Int, Seq[String])] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH32", "1") == "0") return None
     try {
       val dir = sys.env.getOrElse("SPARK_GRAFT_SF32_DIR", "/tmp/graft_sf32")
@@ -155,10 +177,14 @@ object Bench {
           .format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      val runs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH32_RUNS", "1").toInt
-      val results = timeHeadline(spark, dir, runs32)
-      Some((results.map(_._2).sum, results, duckdbTotal(dir, runs32),
-        runs32))
+      // warm best-of-3 by default — the SAME discipline as the headline
+      // leg. A single cold sample on a shared microVM swung this leg's
+      // ratio 2.85× → 6.30× across two rounds with ZERO source changes;
+      // one-shot numbers are not evidence in either direction.
+      val runs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH32_RUNS", "3").toInt
+      val (results, errors32) = timeHeadline(spark, dir, runs32)
+      Some((results.map(_._2).sum, results, duckdbTimes(dir, runs32),
+        runs32, errors32))
     } catch {
       // Throwable, not NonFatal: the sf-dir results measured minutes
       // earlier print only after this OPTIONAL leg, so even a
@@ -172,9 +198,10 @@ object Bench {
   }
 
   /** DuckDB side of the 32× ratio via tools/duck_bench.py (driver-side
-    * python; the library itself never depends on it). None when the
-    * script/interpreter is unavailable. */
-  private def duckdbTotal(dir: String, runs: Int): Option[Double] =
+    * python; the library itself never depends on it): (total, per-query
+    * best times). None when the script/interpreter is unavailable. */
+  private def duckdbTimes(dir: String, runs: Int)
+      : Option[(Double, Map[String, Double])] =
     try {
       val script = Seq("tools/duck_bench.py", "/root/repo/tools/duck_bench.py")
         .map(new java.io.File(_)).find(_.exists())
@@ -205,8 +232,11 @@ object Bench {
         System.err.println(s"[bench32] duck_bench failed"); None
       } else {
         val out = java.nio.file.Files.readString(outFile.toPath)
+        val perQ = """"(q[0-9][0-9a-z_]+)":\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(out)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
         """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
-          .map(_.group(1).toDouble)
+          .map(m => (m.group(1).toDouble, perQ))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -41,19 +41,47 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    * the nanosAsLong legacy conf (as epoch-nanos LONG). Normalize to a
-    * microsecond TimestampType here — integer DIV, no double round-trip —
-    * so every consumer sees a plain timestamp column. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case _ => raw
+  /** `events.ts` has shipped in three parquet flavors across fixture
+    * generations: TIMESTAMP(NANOS)-annotated INT64 (readable only as an
+    * epoch-nanos LONG via the legacy nanosAsLong conf),
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=0 (arrives as
+    * TIMESTAMP_NTZ), and adjusted-UTC TIMESTAMP(MICROS). Normalize all
+    * three to the session TimestampType at this one boundary so every
+    * consumer sees a plain timestamp column. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(readEventsFlavored(s, s"$d/events.parquet"))
+
+  /** Batch read of an events parquet path (file or directory) that may
+    * carry any of the three `ts` flavors. The legacy nanosAsLong session
+    * conf is set ONLY when the footer actually declares TIMESTAMP(NANOS)
+    * — Spark 4 refuses the scan otherwise — never preemptively, so the
+    * conf cannot leak into reads of micros-flavored data. */
+  def readEventsFlavored(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Exception if causeChain(e).exists(t =>
+          t.getMessage != null && t.getMessage.contains("NANOS")) =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+
+  /** Branch on the ARRIVED type of a timestamp column and cast to the
+    * session TimestampType: LongType means epoch nanos (integer DIV, no
+    * double round-trip), TIMESTAMP_NTZ means the wall-clock micros are
+    * the intended instants (sessions run UTC, so the cast is
+    * micros-identity), TimestampType passes through. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")

@@ -11,19 +11,24 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * executor with no native codec libraries installed.
   *
   * Honest scope (documented, enforced by returning None):
-  *  - PNG: 8-bit grayscale (color type 0), non-interlaced — full chunk
-  *    walk with CRC verification, IDAT reassembly, zlib inflate, and
-  *    per-scanline reconstruction of all five filter types (None / Sub /
-  *    Up / Average / Paeth). The encoder cycles the filter type per row
-  *    precisely so a round trip exercises every unfilter branch.
+  *  - PNG: all five 8-bit color types (0 grayscale, 2 truecolor,
+  *    3 palette via PLTE, 4 gray+alpha, 6 RGBA), non-interlaced — full
+  *    chunk walk with CRC verification, IDAT reassembly, zlib inflate,
+  *    and per-scanline reconstruction of all five filter types
+  *    (None / Sub / Up / Average / Paeth) at the color type's byte
+  *    stride. The encoders cycle the filter type per row precisely so a
+  *    round trip exercises every unfilter branch. Out of scope: 1/2/4/
+  *    16-bit depths, Adam7 interlace, and tRNS palette transparency
+  *    (a tRNS chunk would silently decode with wrong alpha, so its
+  *    presence quarantines the payload instead).
   *  - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with
   *    4-byte padding; luma is the integer mean of the three channels.
   *  - WAV: PCM 16-bit signed little-endian mono (RIFF chunk walk; fmt
   *    and data located by id, not fixed offset, with RIFF even-byte
   *    chunk padding honored).
-  * Anything else (palette/RGBA PNG, compressed BMP, multi-channel or
-  * float WAV, and formats that genuinely need external codecs — JPEG
-  * pixel data, video) decodes to None and flows to the quarantine path
+  * Anything else (compressed BMP, multi-channel or float WAV, and
+  * formats that genuinely need external codecs — JPEG pixel data,
+  * video) decodes to None and flows to the quarantine path
   * ([[graft.operators.Multimodal.MediaDecoder]] contract); the stub
   * decoder remains the seam for those.
   *
@@ -89,14 +94,44 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Decode an 8-bit grayscale PNG; None for anything out of scope or
+  /** Decode an 8-bit grayscale PNG; None for anything out of scope
+    * (including color types other than 0) or corrupt. The narrow typed
+    * view over [[decodePngAny]] for gray-only consumers. */
+  def decodePng(bytes: Array[Byte]): Option[GrayImage] =
+    decodePngAny(bytes).collect {
+      case img if img.colorType == 0 =>
+        // type-0 argb packs (255, v, v, v); any channel is the gray value
+        GrayImage(img.width, img.height, img.argb.map(_ & 0xff))
+    }
+
+  /** Decoded PNG in packed ARGB (0xAARRGGBB), any supported color
+    * type. `colorType` is the source's IHDR type so callers can tell a
+    * grayscale original from truecolor. */
+  final case class PngImage(width: Int, height: Int, colorType: Int,
+                            argb: Array[Int])
+
+  /** Bytes per pixel for the supported 8-bit color types; -1 = out of
+    * scope. */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor RGB
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case _ => -1
+  }
+
+  /** Decode any supported 8-bit non-interlaced PNG (color types
+    * 0/2/3/4/6) to packed ARGB; None for anything out of scope or
     * corrupt (bad signature, failed chunk CRC, truncated IDAT, wrong
-    * reconstructed length, unknown filter). */
-  def decodePng(bytes: Array[Byte]): Option[GrayImage] = {
+    * reconstructed length, unknown filter, palette index past PLTE,
+    * tRNS present — see object scaladoc). */
+  def decodePngAny(bytes: Array[Byte]): Option[PngImage] = {
     if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig)) return None
     var pos = 8
     var w = -1; var h = -1; var bitDepth = -1
     var colorType = -1; var interlace = -1
+    var palette: Array[Int] = null
     val idat = new ByteArrayOutputStream()
     var done = false
     while (!done && pos + 12 <= bytes.length) {
@@ -117,43 +152,184 @@ object MediaCodecs {
           bitDepth = bytes(pos + 16) & 0xff
           colorType = bytes(pos + 17) & 0xff
           interlace = bytes(pos + 20) & 0xff
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 256 * 3) return None
+          palette = Array.tabulate(len / 3)(i =>
+            0xff000000 | ((bytes(pos + 8 + 3 * i) & 0xff) << 16) |
+              ((bytes(pos + 9 + 3 * i) & 0xff) << 8) |
+              (bytes(pos + 10 + 3 * i) & 0xff))
+        case "tRNS" => return None // would decode with wrong alpha
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
         case _ => () // ancillary chunks pass through
       }
       pos += 12 + len
     }
-    if (!done || w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 ||
+    val bpp = pngBpp(colorType)
+    if (!done || w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
       interlace != 0) return None
-    // scanlines: 1 filter byte + w gray bytes each
-    val expect = h.toLong * (w + 1)
+    if (colorType == 3 && palette == null) return None
+    // scanlines: 1 filter byte + w*bpp sample bytes each
+    val stride = w.toLong * bpp
+    val expect = h.toLong * (stride + 1)
     if (expect > Int.MaxValue) return None
-    val raw = inflate(idat.toByteArray, expect.toInt)
-    if (raw.length != expect.toInt) return None
+    val inflated = inflate(idat.toByteArray, expect.toInt)
+    if (inflated.length != expect.toInt) return None
+    val raw = unfilter(inflated, h, stride.toInt, bpp).getOrElse(
+      return None)
     val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val o = i * bpp
+      px(i) = colorType match {
+        case 0 =>
+          val v = raw(o) & 0xff
+          0xff000000 | (v << 16) | (v << 8) | v
+        case 2 =>
+          0xff000000 | ((raw(o) & 0xff) << 16) |
+            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+        case 3 =>
+          val idx = raw(o) & 0xff
+          if (idx >= palette.length) return None
+          palette(idx)
+        case 4 =>
+          val v = raw(o) & 0xff
+          ((raw(o + 1) & 0xff) << 24) | (v << 16) | (v << 8) | v
+        case _ => // 6
+          ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
+            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+      }
+      i += 1
+    }
+    Some(PngImage(w, h, colorType, px))
+  }
+
+  /** Reconstruct filtered scanlines (1 filter byte + `stride` sample
+    * bytes per row) at byte-pixel width `bpp` — the "left" neighbor of
+    * a sample byte is the same channel byte `bpp` positions back, per
+    * PNG spec §9. None on an unknown filter type. */
+  private def unfilter(raw: Array[Byte], h: Int, stride: Int,
+                       bpp: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
-      val f = raw(y * (w + 1)) & 0xff
-      var x = 0
-      while (x < w) {
-        val v = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) else 0
-        val up = if (y > 0) px((y - 1) * w + x) else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+      val f = raw(y * (stride + 1)) & 0xff
+      if (f > 4) return None
+      var k = 0
+      while (k < stride) {
+        val v = raw(y * (stride + 1) + 1 + k) & 0xff
+        val left = if (k >= bpp) out(y * stride + k - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + k) & 0xff else 0
+        val ul =
+          if (k >= bpp && y > 0) out((y - 1) * stride + k - bpp) & 0xff
+          else 0
         val rec = f match {
           case 0 => v
           case 1 => v + left
           case 2 => v + up
           case 3 => v + (left + up) / 2
-          case 4 => v + paeth(left, up, ul)
-          case _ => return None
+          case _ => v + paeth(left, up, ul)
         }
-        px(y * w + x) = rec & 0xff
-        x += 1
+        out(y * stride + k) = (rec & 0xff).toByte
+        k += 1
       }
       y += 1
     }
-    Some(GrayImage(w, h, px))
+    Some(out)
+  }
+
+  /** Encode packed-ARGB pixels as PNG color type 2 (truecolor), 3
+    * (palette), or 6 (RGBA). Type 2/3 require fully opaque pixels
+    * (alpha 0xff) — they cannot represent alpha; type 3 additionally
+    * requires ≤256 distinct colors. The scanline filter cycles `y % 5`
+    * (same coverage trick as [[encodePng]]). */
+  def encodePngArgb(img: PngImage): Array[Byte] = {
+    val w = img.width; val h = img.height; val ct = img.colorType
+    require(w > 0 && h > 0 && img.argb.length == w * h,
+      s"pixel buffer must be width*height (${w}x$h)")
+    require(ct == 2 || ct == 3 || ct == 6,
+      s"encodePngArgb supports color types 2/3/6, got $ct")
+    if (ct != 6) require(img.argb.forall(p => (p >>> 24) == 0xff),
+      s"color type $ct cannot represent alpha")
+    val palette: Array[Int] =
+      if (ct == 3) {
+        val distinct = scala.collection.mutable.LinkedHashSet.empty[Int]
+        img.argb.foreach(distinct += _)
+        require(distinct.size <= 256,
+          s"palette PNG needs ≤256 distinct colors, got ${distinct.size}")
+        distinct.toArray
+      } else null
+    val palIdx: java.util.HashMap[Integer, Integer] =
+      if (ct == 3) {
+        val m = new java.util.HashMap[Integer, Integer]()
+        palette.zipWithIndex.foreach { case (c, i) => m.put(c, i) }
+        m
+      } else null
+    val bpp = pngBpp(ct)
+    val stride = w * bpp
+    // unfiltered sample bytes first, then filter row-by-row
+    val plain = new Array[Byte](h * stride)
+    var i = 0
+    while (i < w * h) {
+      val p = img.argb(i); val o = i * bpp
+      ct match {
+        case 2 =>
+          plain(o) = ((p >> 16) & 0xff).toByte
+          plain(o + 1) = ((p >> 8) & 0xff).toByte
+          plain(o + 2) = (p & 0xff).toByte
+        case 3 => plain(o) = palIdx.get(p).intValue().toByte
+        case _ =>
+          plain(o) = ((p >> 16) & 0xff).toByte
+          plain(o + 1) = ((p >> 8) & 0xff).toByte
+          plain(o + 2) = (p & 0xff).toByte
+          plain(o + 3) = (p >>> 24).toByte
+      }
+      i += 1
+    }
+    val raw = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var k = 0
+      while (k < stride) {
+        val cur = plain(y * stride + k) & 0xff
+        val left = if (k >= bpp) plain(y * stride + k - bpp) & 0xff else 0
+        val up = if (y > 0) plain((y - 1) * stride + k) & 0xff else 0
+        val ul =
+          if (k >= bpp && y > 0) plain((y - 1) * stride + k - bpp) & 0xff
+          else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + k) = (filtered & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(ct.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    if (ct == 3) {
+      val plte = new Array[Byte](palette.length * 3)
+      palette.zipWithIndex.foreach { case (c, pi) =>
+        plte(3 * pi) = ((c >> 16) & 0xff).toByte
+        plte(3 * pi + 1) = ((c >> 8) & 0xff).toByte
+        plte(3 * pi + 2) = (c & 0xff).toByte
+      }
+      writeChunk(out, "PLTE", plte)
+    }
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Paeth predictor (PNG spec §9.4): the neighbor closest to

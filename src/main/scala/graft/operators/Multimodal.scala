@@ -123,27 +123,74 @@ object Multimodal {
         nullDim.as("width"), nullDim.as("height")))
   }
 
-  /** REAL pixel decoder (not a stub): sniffs PNG then BMP via
-    * [[graft.functions.MediaCodecs]] and reconstructs actual pixels —
-    * `width`/`height` come from the decoded raster and `checksum`
-    * carries the LUMA SUM over decoded pixels (the integer stat
-    * downstream quality filters aggregate). Out-of-scope or corrupt
-    * payloads (and formats needing external codecs) yield
-    * `valid = false` — quarantine, never a throw. */
+  /** REAL pixel decoder (not a stub): sniffs PNG (ALL five 8-bit color
+    * types — grayscale, truecolor, palette, gray+alpha, RGBA) then BMP
+    * via [[graft.functions.MediaCodecs]] and reconstructs actual pixels
+    * — `width`/`height` come from the decoded raster and `checksum`
+    * carries the LUMA SUM over decoded pixels (integer mean of R, G, B
+    * per pixel — for a grayscale source that IS the gray value, so the
+    * stat is color-type-independent). Out-of-scope or corrupt payloads
+    * (and formats needing external codecs) yield `valid = false` —
+    * quarantine, never a throw. */
   object PixelDecoder extends MediaDecoder {
     override def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
         val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
-        graft.functions.MediaCodecs.decodePng(bytes)
-          .orElse(graft.functions.MediaCodecs.decodeBmp(bytes)) match {
+        graft.functions.MediaCodecs.decodePngAny(bytes) match {
           case Some(img) =>
             MediaFeatures(r.doc_id, r.media_type, bytes.length,
-              img.width, img.height, lumaSum(img.pixels), valid = true)
+              img.width, img.height, argbLumaSum(img.argb), valid = true)
           case None =>
-            MediaFeatures(r.doc_id, r.media_type, bytes.length, 0, 0, 0L,
-              valid = false)
+            graft.functions.MediaCodecs.decodeBmp(bytes) match {
+              case Some(img) =>
+                MediaFeatures(r.doc_id, r.media_type, bytes.length,
+                  img.width, img.height, lumaSum(img.pixels),
+                  valid = true)
+              case None =>
+                MediaFeatures(r.doc_id, r.media_type, bytes.length, 0, 0,
+                  0L, valid = false)
+            }
         }
       }
+  }
+
+  /** Per-channel integer stats over decoded PNG rasters (any supported
+    * color type): the channel-sum profile color-balance/quality filters
+    * aggregate, exact BIGINTs. Same partition-local map shape and
+    * quarantine contract as [[audioStats]]. */
+  def colorStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      graft.functions.MediaCodecs.decodePngAny(bytes) match {
+        case Some(img) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+          var i = 0
+          while (i < img.argb.length) {
+            val p = img.argb(i)
+            sa += p >>> 24; sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          (r.doc_id, img.colorType, img.width.toLong, img.height.toLong,
+            sr, sg, sb, sa, true)
+        case None => (r.doc_id, -1, 0L, 0L, 0L, 0L, 0L, 0L, false)
+      }
+    }).toDF("doc_id", "color_type", "width", "height",
+      "sum_r", "sum_g", "sum_b", "sum_a", "valid")
+  }
+
+  /** Luma sum over packed ARGB: integer mean of R, G, B per pixel
+    * (matches the BMP decode convention; exact for gray sources). */
+  private def argbLumaSum(argb: Array[Int]): Long = {
+    var s = 0L; var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      i += 1
+    }
+    s
   }
 
   /** Primitive accumulation — foldLeft would box every pixel on the

@@ -258,6 +258,42 @@ object TextQueries {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
+    // REAL color-PNG decode round trip across ALL three color encodings
+    // (doc_id%3 rotates truecolor / palette+PLTE / RGBA): channel(i) =
+    // (c·id + k·i) mod 256 rasters of W = 4+id%11 by H = 4+id%5,
+    // encoded with the per-row filter cycle and decoded back through
+    // the bpp-aware unfilter; the emitted per-channel sums come from
+    // the DECODED ARGB raster while the oracle evaluates the generative
+    // formula (alpha is the formula channel only for RGBA, constant 255
+    // for the opaque types) — a hash match proves palette indexing,
+    // multi-byte-pixel filtering, and alpha all round-trip exactly.
+    // Encode+decode stay one partition-local map: linear, no shuffle
+    "q103_decode_color_png" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ct = (id % 3) match { case 0 => 2; case 1 => 3; case _ => 6 }
+          val w = (4 + id % 11).toInt
+          val h = (4 + id % 5).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val r = ((id + 3 * i) % 256).toInt
+            val g = ((2 * id + 5 * i) % 256).toInt
+            val b = ((3 * id + 7 * i) % 256).toInt
+            val a = if (ct == 6) ((5 * id + 11 * i) % 256).toInt else 255
+            (a << 24) | (r << 16) | (g << 8) | b
+          }
+          Multimodal.MediaRow(id, "image", MediaCodecs.encodePngArgb(
+            MediaCodecs.PngImage(w, h, ct, px)))
+        }).toDF()
+      Multimodal.colorStats(media)
+        .filter(col("valid")) // failed decode → row-count mismatch, loud
+        .select(col("doc_id"),
+          col("color_type").cast("long").as("color_type"),
+          col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // random-hyperplane LSH bucketed cosine pairs (ANN scale path).
     // Oracle: the hyperplanes are deterministic (seeded), so their
     // literals are inlined into the generated SQL — same buckets, same
@@ -820,6 +856,31 @@ object TextQueries {
               LATERAL (SELECT unnest(range(0, 2 + doc_id % 5)) AS f) t
          WHERE f % 2 = 0
          ORDER BY doc_id, frame_no""",
+    // q103: same generative-formula technique per channel; alpha is the
+    // formula channel only for the RGBA third (doc_id%3=2), constant
+    // 255 for the opaque truecolor/palette encodings
+    "q103_decode_color_png" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END
+             AS BIGINT) AS color_type,
+           CAST(4 + doc_id % 11 AS BIGINT) AS width,
+           CAST(4 + doc_id % 5 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(
+             range(0, (4 + doc_id % 11) * (4 + doc_id % 5)),
+             i -> (doc_id + 3 * i) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+             range(0, (4 + doc_id % 11) * (4 + doc_id % 5)),
+             i -> (2 * doc_id + 5 * i) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+             range(0, (4 + doc_id % 11) * (4 + doc_id % 5)),
+             i -> (3 * doc_id + 7 * i) % 256)) AS BIGINT) AS sum_b,
+           CAST(CASE WHEN doc_id % 3 = 2
+             THEN list_sum(list_transform(
+               range(0, (4 + doc_id % 11) * (4 + doc_id % 5)),
+               i -> (5 * doc_id + 11 * i) % 256))
+             ELSE 255 * (4 + doc_id % 11) * (4 + doc_id % 5) END
+             AS BIGINT) AS sum_a
+         FROM documents ORDER BY doc_id""",
     "q101_decode_audio" ->
       """SELECT doc_id,
            CAST(16000 AS BIGINT) AS sample_rate,

