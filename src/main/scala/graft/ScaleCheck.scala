@@ -202,6 +202,32 @@ object ScaleCheck {
       sink(docs.select(col("doc_id"),
         graft.functions.TextFns.rollingFingerprint(col("text"))))
     }
+    // color-PNG encode+decode at volume (the q103 path): one
+    // partition-local map, no shuffle — the row measures pure-JVM codec
+    // throughput with the color type rotating truecolor/palette/RGBA.
+    // (Formula channels cycle mod 256, so palette frames always fit
+    // the 256-entry PLTE regardless of raster size.)
+    time("png_color_roundtrip", nd) {
+      import spark.implicits._
+      import graft.functions.MediaCodecs
+      import graft.operators.Multimodal
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ct = (id % 3) match { case 0 => 2; case 1 => 3; case _ => 6 }
+          val w = (8 + id % 23).toInt
+          val h = (8 + id % 17).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val r = ((id + 3 * i) % 256).toInt
+            val g = ((2 * id + 5 * i) % 256).toInt
+            val b = ((3 * id + 7 * i) % 256).toInt
+            val a = if (ct == 6) ((5 * id + 11 * i) % 256).toInt else 255
+            (a << 24) | (r << 16) | (g << 8) | b
+          }
+          Multimodal.MediaRow(id, "image", MediaCodecs.encodePngArgb(
+            MediaCodecs.PngImage(w, h, ct, px)))
+        }).toDF()
+      sink(Multimodal.colorStats(media))
+    }
     import graft.operators.{Decontaminate, Packing, Repetition, Sampling}
     time("repetition_profile", nd) { sink(Repetition.profile(docs)) }
     time("cap_per_group", nd) {
