@@ -12,15 +12,16 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Honest scope (documented, enforced by returning None):
   *  - PNG: all five 8-bit color types (0 grayscale, 2 truecolor,
-  *    3 palette via PLTE, 4 gray+alpha, 6 RGBA), non-interlaced — full
-  *    chunk walk with CRC verification, IDAT reassembly, zlib inflate,
-  *    and per-scanline reconstruction of all five filter types
-  *    (None / Sub / Up / Average / Paeth) at the color type's byte
-  *    stride. The encoders cycle the filter type per row precisely so a
-  *    round trip exercises every unfilter branch. Out of scope: 1/2/4/
-  *    16-bit depths, Adam7 interlace, and tRNS palette transparency
-  *    (a tRNS chunk would silently decode with wrong alpha, so its
-  *    presence quarantines the payload instead).
+  *    3 palette via PLTE, 4 gray+alpha, 6 RGBA), both non-interlaced
+  *    and Adam7-interlaced — full chunk walk with CRC verification,
+  *    IDAT reassembly, zlib inflate, and per-scanline reconstruction of
+  *    all five filter types (None / Sub / Up / Average / Paeth) at the
+  *    color type's byte stride, per pass for Adam7. The encoders cycle
+  *    the filter type per row precisely so a round trip exercises
+  *    every unfilter branch. Out of scope: 1/2/4/16-bit depths and
+  *    tRNS palette transparency (a tRNS chunk would silently decode
+  *    with wrong alpha, so its presence quarantines the payload
+  *    instead).
   *  - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with
   *    4-byte padding; luma is the integer mean of the three channels.
   *  - WAV: PCM 16-bit signed little-endian mono (RIFF chunk walk; fmt
@@ -167,42 +168,68 @@ object MediaCodecs {
     }
     val bpp = pngBpp(colorType)
     if (!done || w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
-      interlace != 0) return None
+      interlace > 1 || interlace < 0) return None
     if (colorType == 3 && palette == null) return None
-    // scanlines: 1 filter byte + w*bpp sample bytes each
-    val stride = w.toLong * bpp
-    val expect = h.toLong * (stride + 1)
+    // pass layout: one full-image pass, or the seven Adam7 sub-images
+    // (each an independent group of filtered scanlines)
+    val passes = if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xo, yo, xs, ys) = p
+      (if (w > xo) (w - xo + xs - 1) / xs else 0,
+        if (h > yo) (h - yo + ys - 1) / ys else 0)
+    }
+    val expect = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) ph.toLong * (pw.toLong * bpp + 1) else 0L
+    }.sum
     if (expect > Int.MaxValue) return None
     val inflated = inflate(idat.toByteArray, expect.toInt)
     if (inflated.length != expect.toInt) return None
-    val raw = unfilter(inflated, h, stride.toInt, bpp).getOrElse(
-      return None)
     val px = new Array[Int](w * h)
-    var i = 0
-    while (i < w * h) {
-      val o = i * bpp
-      px(i) = colorType match {
-        case 0 =>
-          val v = raw(o) & 0xff
-          0xff000000 | (v << 16) | (v << 8) | v
-        case 2 =>
-          0xff000000 | ((raw(o) & 0xff) << 16) |
-            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
-        case 3 =>
-          val idx = raw(o) & 0xff
-          if (idx >= palette.length) return None
-          palette(idx)
-        case 4 =>
-          val v = raw(o) & 0xff
-          ((raw(o + 1) & 0xff) << 24) | (v << 16) | (v << 8) | v
-        case _ => // 6
-          ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
-            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+    var off = 0
+    passes.foreach { case p @ (xo, yo, xs, ys) =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val passLen = ph * (stride + 1)
+        val raw = unfilter(
+          java.util.Arrays.copyOfRange(inflated, off, off + passLen),
+          ph, stride, bpp).getOrElse(return None)
+        off += passLen
+        var i = 0
+        while (i < pw * ph) {
+          val o = i * bpp
+          val v = colorType match {
+            case 0 =>
+              val g = raw(o) & 0xff
+              0xff000000 | (g << 16) | (g << 8) | g
+            case 2 =>
+              0xff000000 | ((raw(o) & 0xff) << 16) |
+                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+            case 3 =>
+              val idx = raw(o) & 0xff
+              if (idx >= palette.length) return None
+              palette(idx)
+            case 4 =>
+              val g = raw(o) & 0xff
+              ((raw(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+            case _ => // 6
+              ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
+                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+          }
+          px((yo + (i / pw) * ys) * w + (xo + (i % pw) * xs)) = v
+          i += 1
+        }
       }
-      i += 1
     }
     Some(PngImage(w, h, colorType, px))
   }
+
+  /** Adam7 pass offsets/strides (PNG spec §8.2): (xoff, yoff, xstep,
+    * ystep) per pass, in stream order. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   /** Reconstruct filtered scanlines (1 filter byte + `stride` sample
     * bytes per row) at byte-pixel width `bpp` — the "left" neighbor of
@@ -238,12 +265,49 @@ object MediaCodecs {
     Some(out)
   }
 
+  /** Filter sample rows for encoding (the inverse of [[unfilter]]):
+    * 1 filter byte + `stride` sample bytes per row, filter type cycling
+    * `y % 5` so a decode round trip exercises every reconstruction
+    * branch. */
+  private def filterRows(plain: Array[Byte], h: Int, stride: Int,
+                         bpp: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var k = 0
+      while (k < stride) {
+        val cur = plain(y * stride + k) & 0xff
+        val left = if (k >= bpp) plain(y * stride + k - bpp) & 0xff else 0
+        val up = if (y > 0) plain((y - 1) * stride + k) & 0xff else 0
+        val ul =
+          if (k >= bpp && y > 0) plain((y - 1) * stride + k - bpp) & 0xff
+          else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + k) = (filtered & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
   /** Encode packed-ARGB pixels as PNG color type 2 (truecolor), 3
     * (palette), or 6 (RGBA). Type 2/3 require fully opaque pixels
     * (alpha 0xff) — they cannot represent alpha; type 3 additionally
     * requires ≤256 distinct colors. The scanline filter cycles `y % 5`
-    * (same coverage trick as [[encodePng]]). */
-  def encodePngArgb(img: PngImage): Array[Byte] = {
+    * (same coverage trick as [[encodePng]]). With `interlaced` the
+    * stream is written Adam7 (7 sub-image passes, each independently
+    * filtered) — the JDK's PNG writer cannot emit interlace, so this
+    * encoder is what exercises the deinterlacing decode path. */
+  def encodePngArgb(img: PngImage, interlaced: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height; val ct = img.colorType
     require(w > 0 && h > 0 && img.argb.length == w * h,
       s"pixel buffer must be width*height (${w}x$h)")
@@ -286,35 +350,34 @@ object MediaCodecs {
       }
       i += 1
     }
-    val raw = new Array[Byte](h * (stride + 1))
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      raw(y * (stride + 1)) = f.toByte
-      var k = 0
-      while (k < stride) {
-        val cur = plain(y * stride + k) & 0xff
-        val left = if (k >= bpp) plain(y * stride + k - bpp) & 0xff else 0
-        val up = if (y > 0) plain((y - 1) * stride + k) & 0xff else 0
-        val ul =
-          if (k >= bpp && y > 0) plain((y - 1) * stride + k - bpp) & 0xff
-          else 0
-        val filtered = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case _ => cur - paeth(left, up, ul)
+    val raw: Array[Byte] =
+      if (!interlaced) filterRows(plain, h, w * bpp, bpp)
+      else {
+        // Adam7: each pass is the sub-image at (xoff+j*xstep,
+        // yoff+i*ystep), filtered independently
+        val out = new ByteArrayOutputStream()
+        Adam7.foreach { case (xo, yo, xs, ys) =>
+          val pw = if (w > xo) (w - xo + xs - 1) / xs else 0
+          val ph = if (h > yo) (h - yo + ys - 1) / ys else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](ph * pw * bpp)
+            var i = 0
+            while (i < pw * ph) {
+              val src = ((yo + (i / pw) * ys) * w +
+                (xo + (i % pw) * xs)) * bpp
+              System.arraycopy(plain, src, sub, i * bpp, bpp)
+              i += 1
+            }
+            out.write(filterRows(sub, ph, pw * bpp, bpp))
+          }
         }
-        raw(y * (stride + 1) + 1 + k) = (filtered & 0xff).toByte
-        k += 1
+        out.toByteArray
       }
-      y += 1
-    }
     val ihdr = ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
       .put(8.toByte).put(ct.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .put(0.toByte).put(0.toByte) // deflate / adaptive filtering
+      .put(if (interlaced) 1.toByte else 0.toByte)
     val out = new ByteArrayOutputStream()
     out.write(PngSig)
     writeChunk(out, "IHDR", ihdr.array())

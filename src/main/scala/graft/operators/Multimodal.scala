@@ -181,6 +181,52 @@ object Multimodal {
       "sum_r", "sum_g", "sum_b", "sum_a", "valid")
   }
 
+  /** Production decoder backed by the JDK's ImageIO registry
+    * (java.desktop ships with every JRE, headless-safe): decodes
+    * whatever readers the executor JVM has — notably BASELINE JPEG
+    * pixel data, which the pure-JVM [[graft.functions.MediaCodecs]]
+    * scope excludes. Same [[MediaFeatures]] contract as
+    * [[PixelDecoder]] (luma = integer mean of R,G,B via getRGB).
+    *
+    * Why this is spec-pinned rather than oracle-checked: lossy DCT
+    * rounding is encoder-specific, so a generative SQL formula cannot
+    * reproduce JPEG pixel values the way the q100/q103 oracles do for
+    * lossless formats — MediaCodecsSpec pins JPEG round trips and
+    * PNG agreement with [[PixelDecoder]] instead. Disk caching is off
+    * (no ImageIO temp files on executor-local disks). */
+  object ImageIODecoder extends MediaDecoder {
+    override def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val img =
+          try {
+            javax.imageio.ImageIO.setUseCache(false)
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(bi) =>
+            var s = 0L
+            var y = 0
+            while (y < bi.getHeight) {
+              var x = 0
+              while (x < bi.getWidth) {
+                val p = bi.getRGB(x, y)
+                s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+                  (p & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(r.doc_id, r.media_type, bytes.length,
+              bi.getWidth, bi.getHeight, s, valid = true)
+          case None =>
+            MediaFeatures(r.doc_id, r.media_type, bytes.length, 0, 0, 0L,
+              valid = false)
+        }
+      }
+  }
+
   /** Luma sum over packed ARGB: integer mean of R, G, B per pixel
     * (matches the BMP decode convention; exact for gray sources). */
   private def argbLumaSum(argb: Array[Int]): Long = {

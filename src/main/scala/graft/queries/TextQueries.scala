@@ -259,15 +259,17 @@ object TextQueries {
     }),
 
     // REAL color-PNG decode round trip across ALL three color encodings
-    // (doc_id%3 rotates truecolor / palette+PLTE / RGBA): channel(i) =
-    // (c·id + k·i) mod 256 rasters of W = 4+id%11 by H = 4+id%5,
-    // encoded with the per-row filter cycle and decoded back through
-    // the bpp-aware unfilter; the emitted per-channel sums come from
-    // the DECODED ARGB raster while the oracle evaluates the generative
-    // formula (alpha is the formula channel only for RGBA, constant 255
-    // for the opaque types) — a hash match proves palette indexing,
-    // multi-byte-pixel filtering, and alpha all round-trip exactly.
-    // Encode+decode stay one partition-local map: linear, no shuffle
+    // (doc_id%3 rotates truecolor / palette+PLTE / RGBA) AND both
+    // stream layouts (doc_id%2 rotates linear vs Adam7 interlaced):
+    // channel(i) = (c·id + k·i) mod 256 rasters of W = 4+id%11 by
+    // H = 4+id%5, encoded with the per-row filter cycle and decoded
+    // back through the bpp-aware (per-pass, for Adam7) unfilter; the
+    // emitted per-channel sums come from the DECODED ARGB raster while
+    // the oracle evaluates the generative formula (alpha is the formula
+    // channel only for RGBA, constant 255 for the opaque types) — a
+    // hash match proves palette indexing, multi-byte-pixel filtering,
+    // deinterlacing, and alpha all round-trip exactly. Encode+decode
+    // stay one partition-local map: linear, no shuffle
     "q103_decode_color_png" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -283,7 +285,8 @@ object TextQueries {
             (a << 24) | (r << 16) | (g << 8) | b
           }
           Multimodal.MediaRow(id, "image", MediaCodecs.encodePngArgb(
-            MediaCodecs.PngImage(w, h, ct, px)))
+            MediaCodecs.PngImage(w, h, ct, px),
+            interlaced = id % 2 == 0))
         }).toDF()
       Multimodal.colorStats(media)
         .filter(col("valid")) // failed decode → row-count mismatch, loud

@@ -432,6 +432,59 @@ class MediaCodecsSpec extends SparkSuite {
     assert(MediaCodecs.decodePngAny(flipped).isEmpty)
   }
 
+  test("Adam7 interlaced PNG round trips pixel-exact for every color " +
+    "type and for dims where passes go empty (1x1, 3x2, 8x8, 13x11)") {
+    for (ct <- Seq(2, 3, 6);
+         (w, h) <- Seq((1, 1), (3, 2), (8, 8), (13, 11))) {
+      val img = colorPattern(w, h, seed = ct * 7 + w + h, alpha = ct == 6)
+        .copy(colorType = ct)
+      val bytes = MediaCodecs.encodePngArgb(img, interlaced = true)
+      val back = MediaCodecs.decodePngAny(bytes)
+      assert(back.isDefined, s"ct=$ct ${w}x$h")
+      assert(back.get.argb.sameElements(img.argb), s"ct=$ct ${w}x$h")
+      // cross-author: the JDK deinterlaces our Adam7 stream to the
+      // same raster (its writer can't EMIT interlace, so encode is
+      // covered by our decoder + ImageIO agreeing on the same bytes)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+      for (i <- 0 until w * h)
+        assert(bi.getRGB(i % w, i / w) == img.argb(i), s"ct=$ct px$i")
+    }
+  }
+
+  test("ImageIODecoder decodes baseline JPEG payloads on a bare JVM " +
+    "(the codec class MediaCodecs honestly excludes) and agrees with " +
+    "PixelDecoder on lossless PNG") {
+    // a real lossy JPEG, written by the JDK encoder
+    val w = 16; val h = 12
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, (x * 16) << 16 | (y * 20) << 8 | 0x40)
+    val jpegOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", jpegOut))
+    val png = colorPattern(7, 5, 29, alpha = false)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", jpegOut.toByteArray),
+      Multimodal.MediaRow(2L, "image", MediaCodecs.encodePngArgb(png)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes),
+      Multimodal.MediaRow(4L, "image", null)
+    ).toDF()
+    val got = Multimodal.extractFeatures(media, Multimodal.ImageIODecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    // JPEG: dims are exact; pixels are lossy so only sanity-bound luma
+    assert(got(1L).valid && got(1L).width == w && got(1L).height == h)
+    assert(got(1L).checksum > 0 && got(1L).checksum < 255L * w * h)
+    // PNG is lossless: ImageIO and our own decoder must agree exactly
+    val own = Multimodal.extractFeatures(media, Multimodal.PixelDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(2L).valid && own(2L).valid)
+    assert(got(2L).checksum == own(2L).checksum)
+    assert(got(2L).width == own(2L).width)
+    assert(!got(3L).valid && !got(4L).valid)
+  }
+
   test("colorStats through the plan: per-channel sums from DECODED " +
     "rasters across all three encodings; junk quarantines") {
     val imgs = Seq(

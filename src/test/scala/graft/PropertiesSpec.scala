@@ -129,4 +129,44 @@ class PropertiesSpec extends SparkSuite {
         s"n=$n first diff: ${bad.headOption.mkString}")
     }
   }
+
+  private val colorRasterGen: Gen[graft.functions.MediaCodecs.PngImage] =
+    for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      ct <- Gen.oneOf(2, 3, 6)
+      // palette frames draw from a 16-color pool (PLTE caps at 256
+      // distinct); opaque types force alpha 0xff, RGBA is fully random
+      pool <- Gen.listOfN(16, Gen.choose(0, 0xffffff))
+      px <- Gen.listOfN(w * h,
+        if (ct == 3) Gen.oneOf(pool).map(0xff000000 | _)
+        else if (ct == 2) Gen.choose(0, 0xffffff).map(0xff000000 | _)
+        else Gen.choose(Int.MinValue, Int.MaxValue))
+    } yield graft.functions.MediaCodecs.PngImage(w, h, ct, px.toArray)
+
+  test("property: color-PNG encode/decode is identity for random " +
+    "rasters across truecolor/palette/RGBA, and the JDK's ImageIO " +
+    "agrees on every byte stream we emit") {
+    import graft.functions.MediaCodecs
+    samples(colorRasterGen, 40).foreach { img =>
+      val bytes = MediaCodecs.encodePngArgb(img)
+      val back = MediaCodecs.decodePngAny(bytes)
+      assert(back.isDefined, s"ct=${img.colorType} ${img.width}x${img.height}")
+      assert(back.get.colorType == img.colorType)
+      assert(back.get.argb.sameElements(img.argb),
+        s"ct=${img.colorType} ${img.width}x${img.height}")
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null && bi.getWidth == img.width &&
+        bi.getHeight == img.height)
+      var i = 0
+      while (i < img.argb.length) {
+        val got = bi.getRGB(i % img.width, i / img.width)
+        assert(got == img.argb(i),
+          s"ct=${img.colorType} px $i: imageio=${got.toHexString} " +
+            s"ours=${img.argb(i).toHexString}")
+        i += 1
+      }
+    }
+  }
 }
