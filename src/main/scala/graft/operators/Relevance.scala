@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,11 +23,18 @@ object Relevance {
     * (pairs with [[graft.operators.Boilerplate]]).
     *
     * Determinism: per-token ln p is rounded (6dp) and summed as
-    * DECIMAL(28,6) — exact and summation-order independent, so the
-    * score is bit-identical across engines/partitionings (the repo's
-    * standard cross-engine trick). Shuffles: token count (partial
-    * aggs), token-keyed probability join, per-doc rollup — all linear.
-    * Docs with no tokens surface with null scores. */
+    * DECIMAL(28,6) — exact and summation-order independent — and the
+    * 4dp cross-entropy is rounded in EXACT INTEGER arithmetic
+    * ([[ceMicrosToE4]]): the sum is lifted to micro-nat longs and
+    * half-up divided, because round() on the double quotient is
+    * engine-dependent exactly when the true ratio lands on a tie
+    * (-s/n = x.xxxx5 — hit in the wild at sf0.1, where Spark's
+    * BigDecimal HALF_UP of the nearest double gave 3.4063 and DuckDB
+    * gave 3.4064). Perplexity exponentiates the 6dp (micro-nat)
+    * integer rounding of CE, so both engines exponentiate the
+    * identical double. Shuffles: token count (partial aggs), token-keyed
+    * probability join, per-doc rollup — all linear. Docs with no
+    * tokens surface with null scores. */
   def unigramPerplexity(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol),
@@ -44,15 +51,31 @@ object Relevance {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(logp).as("_sum_logp"))
-      .select(col(idCol), col("n_tokens"),
-        round(-(col("_sum_logp").cast("double") / col("n_tokens")), 4)
-          .as("cross_entropy"),
-        round(exp(-(col("_sum_logp").cast("double") / col("n_tokens"))),
-          4).as("perplexity"))
+      .select(col(idCol) +: col("n_tokens") +:
+        ceAndPpl("_sum_logp", "n_tokens"): _*)
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("cross_entropy"), col("perplexity"))
+  }
+
+  /** The shared (cross_entropy, perplexity) projection, rounded in
+    * EXACT INTEGER arithmetic: the decimal log-sum (scale 6) is lifted
+    * to micro-nat longs (·10⁶ is exact; each |ln p| ≤ ~65 keeps the
+    * sum ≪ Long range) and half-up divided — round(a/b) = (2a+b) div
+    * 2b for a,b > 0 — to 4dp for the reported cross-entropy and to 6dp
+    * (full micro-nat precision) as the exponent for perplexity. Both
+    * engines then exponentiate the IDENTICAL double, and exp of a
+    * nonzero rational is transcendental, so the final round(…, 4)
+    * can never land on a decimal tie the way the raw -s/n quotient
+    * did. */
+  private def ceAndPpl(sumCol: String, nCol: String): Seq[Column] = {
+    val su = (-col(sumCol) * 1000000).cast("long") // micro-nats, ≥ 0
+    val n = col(nCol)
+    val ce4 = call_function("div", su * 2 + n * 100, n * 200)
+    val ce6 = call_function("div", su * 2 + n, n * 2)
+    Seq((ce4.cast("double") / 10000).as("cross_entropy"),
+      round(exp(ce6.cast("double") / 1000000), 4).as("perplexity"))
   }
 
   /** Bigram-LM perplexity — one rung up from [[unigramPerplexity]]:
@@ -87,11 +110,8 @@ object Relevance {
       .join(prefixCnt, Seq("w1"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(logp).as("_s"))
-      .select(col(idCol), col("n_bigrams"),
-        round(-(col("_s").cast("double") / col("n_bigrams")), 4)
-          .as("cross_entropy"),
-        round(exp(-(col("_s").cast("double") / col("n_bigrams"))), 4)
-          .as("perplexity"))
+      .select(col(idCol) +: col("n_bigrams") +:
+        ceAndPpl("_s", "n_bigrams"): _*)
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -129,11 +149,8 @@ object Relevance {
       .join(prefixCnt, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(logp).as("_s"))
-      .select(col(idCol), col("n_trigrams"),
-        round(-(col("_s").cast("double") / col("n_trigrams")), 4)
-          .as("cross_entropy"),
-        round(exp(-(col("_s").cast("double") / col("n_trigrams"))), 4)
-          .as("perplexity"))
+      .select(col(idCol) +: col("n_trigrams") +:
+        ceAndPpl("_s", "n_trigrams"): _*)
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),

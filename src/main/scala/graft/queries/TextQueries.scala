@@ -925,9 +925,13 @@ object TextQueries {
             FROM p GROUP BY 1)
           SELECT d.doc_id,
                  coalesce(a.n_trigrams, 0) AS n_trigrams,
-                 round(-(CAST(a.s AS DOUBLE) / a.n_trigrams), 4)
+                 CAST((2 * CAST(-a.s * 1000000 AS BIGINT)
+                       + 100 * a.n_trigrams)
+                      // (200 * a.n_trigrams) AS DOUBLE) / 10000
                    AS cross_entropy,
-                 round(exp(-(CAST(a.s AS DOUBLE) / a.n_trigrams)), 4)
+                 round(exp(CAST((2 * CAST(-a.s * 1000000 AS BIGINT)
+                       + a.n_trigrams)
+                      // (2 * a.n_trigrams) AS DOUBLE) / 1000000), 4)
                    AS perplexity
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY doc_id"""),
@@ -980,9 +984,16 @@ object TextQueries {
             FROM p GROUP BY 1)
           SELECT d.doc_id,
                  coalesce(a.n_bigrams, 0) AS n_bigrams,
-                 round(-(CAST(a.s AS DOUBLE) / a.n_bigrams), 4)
+                 -- exact integer half-up at 4dp: round() on the double
+                 -- quotient is engine-dependent exactly on ties; the
+                 -- perplexity exponent is the 6dp (micro-nat) rounding
+                 CAST((2 * CAST(-a.s * 1000000 AS BIGINT)
+                       + 100 * a.n_bigrams)
+                      // (200 * a.n_bigrams) AS DOUBLE) / 10000
                    AS cross_entropy,
-                 round(exp(-(CAST(a.s AS DOUBLE) / a.n_bigrams)), 4)
+                 round(exp(CAST((2 * CAST(-a.s * 1000000 AS BIGINT)
+                       + a.n_bigrams)
+                      // (2 * a.n_bigrams) AS DOUBLE) / 1000000), 4)
                    AS perplexity
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY doc_id"""),
@@ -1003,10 +1014,14 @@ object TextQueries {
             FROM p GROUP BY 1)
           SELECT d.doc_id,
                  coalesce(a.n_tokens, 0) AS n_tokens,
-                 round(-(CAST(a.sum_logp AS DOUBLE) / a.n_tokens), 4)
+                 CAST((2 * CAST(-a.sum_logp * 1000000 AS BIGINT)
+                       + 100 * a.n_tokens)
+                      // (200 * a.n_tokens) AS DOUBLE) / 10000
                    AS cross_entropy,
-                 round(exp(-(CAST(a.sum_logp AS DOUBLE) / a.n_tokens)),
-                   4) AS perplexity
+                 round(exp(CAST((2 * CAST(-a.sum_logp * 1000000 AS BIGINT)
+                       + a.n_tokens)
+                      // (2 * a.n_tokens) AS DOUBLE) / 1000000), 4)
+                   AS perplexity
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY doc_id"""),
     "q79_tfidf" -> (TOKS +
