@@ -46,6 +46,22 @@ object TextFns {
       nullif(size(t), lit(0))
   }
 
+  /** [[stopwordRatio]] rounded 4dp in exact integer arithmetic — the
+    * reporting form (count ratios land on decimal ties where double
+    * round() is engine-dependent; [[ExactRound]] scaladoc). */
+  def stopwordRatioR4(text: Column): Column = {
+    val t = tokens(text)
+    ExactRound.ratio(hitCount(t, enStopwords), nullif(size(t), lit(0)), 4)
+  }
+
+  /** [[meanTokenLength]] rounded 4dp in exact integer arithmetic (sum
+    * of lengths over count — same tie exposure). */
+  def meanTokenLengthR4(text: Column): Column = {
+    val t = tokens(text)
+    ExactRound.ratio(aggregate(t, lit(0L), (acc, x) => acc + length(x)),
+      nullif(size(t), lit(0)), 4)
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * low punctuation density. Mirrors the shape of C4/Gopher-style filters
     * (published heuristics), kept simple and engine-portable. */

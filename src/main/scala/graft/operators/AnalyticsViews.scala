@@ -40,8 +40,13 @@ object AnalyticsViews {
     base.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_predictions"),
         sum(col("is_correct")).cast("long").as("n_correct"),
+        // the percentage rounds in exact integer arithmetic
+        // (ExactRound scaladoc): 100·correct/n is a COUNT RATIO, which
+        // can terminate exactly on the .x5 tie where double round() is
+        // engine-dependent
         concat(
-          format_number(round(avg(col("is_correct")) * 100, 1), 1),
+          format_number(graft.functions.ExactRound.ratio(
+            sum(col("is_correct")) * 100, count(lit(1)), 1), 1),
           lit("%")).as("accuracy_pct"),
         // volatility is 4dp-rounded per row; summing as DECIMAL(18,4) is
         // exact and order-independent, so it reproduces bit-exactly in any
@@ -87,19 +92,27 @@ object AnalyticsViews {
     * with zero correct predictions has no diagonal cell and is omitted;
     * the view-join emits a 0/0-guarded row.) */
   def classMetrics(base: DataFrame): DataFrame = {
+    import graft.functions.ExactRound
     val cm = confusionMatrix(base)
     val pDen = Window.partitionBy(col("predicted_class"))
     val rDen = Window.partitionBy(col("actual_class"))
-    val precision = round(col("n") / sum(col("n")).over(pDen), 4)
-    val recall = round(col("n") / sum(col("n")).over(rDen), 4)
+    // count ratios round in exact integer arithmetic (ExactRound
+    // scaladoc); the scaled e4 longs are kept so F1 — a ratio of the
+    // ROUNDED P and R — also rounds exactly: with p = p4/10⁴,
+    // r = r4/10⁴, round(2pr/(p+r)·10⁴) = round(2·p4·r4/(p4+r4))
+    val p4 = ExactRound.scaled(col("n"), sum(col("n")).over(pDen), 4)
+    val r4 = ExactRound.scaled(col("n"), sum(col("n")).over(rDen), 4)
     cm
-      .withColumn("precision", precision)
-      .withColumn("recall", recall)
+      .withColumn("_p4", p4)
+      .withColumn("_r4", r4)
       .filter(col("predicted_class") === col("actual_class"))
-      .select(col("predicted_class").as("class"), col("precision"),
-        col("recall"),
-        round(lit(2) * col("precision") * col("recall") /
-          nullif(col("precision") + col("recall"), lit(0.0)), 4).as("f1"))
+      .select(col("predicted_class").as("class"),
+        (col("_p4").cast("double") / 10000).as("precision"),
+        (col("_r4").cast("double") / 10000).as("recall"),
+        when(col("_p4") + col("_r4") === 0, lit(null).cast("double"))
+          .otherwise(ExactRound.ratio(
+            col("_p4") * col("_r4") * 2, col("_p4") + col("_r4"), 0)
+            .cast("double") / 10000).as("f1"))
   }
 
   /** Multi-model-version prediction log twin (analytics
@@ -128,7 +141,9 @@ object AnalyticsViews {
       .groupBy(col("model_version"))
       .agg(count(lit(1)).as("n_predictions"),
         sum(col("is_correct")).cast("long").as("n_correct"),
-        round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+        graft.functions.ExactRound.ratio(
+          sum(col("is_correct")) * 100, count(lit(1)), 2)
+          .as("accuracy_pct"),
         min(col("date")).as("first_date"),
         max(col("date")).as("last_date"))
 
@@ -149,7 +164,9 @@ object AnalyticsViews {
   def summary(base: DataFrame): DataFrame =
     base.agg(count(lit(1)).as("n_predictions"),
       sum(col("is_correct")).cast("long").as("n_correct"),
-      round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+      graft.functions.ExactRound.ratio(
+        sum(col("is_correct")) * 100, count(lit(1)), 2)
+        .as("accuracy_pct"),
       countDistinct(col("user_id")).as("n_keys"),
       min(col("date")).as("min_date"),
       max(col("date")).as("max_date"))

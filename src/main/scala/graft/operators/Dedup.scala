@@ -285,8 +285,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")), 6))
+      .withColumn("jaccard", graft.functions.ExactRound.ratio(
+        col("inter"), col("size_a") + col("size_b") - col("inter"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
@@ -349,8 +349,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long")
           .as("n_dup_chunks"))
-      .withColumn("dup_ratio",
-        round(col("n_dup_chunks") / col("n_chunks"), 6))
+      .withColumn("dup_ratio", graft.functions.ExactRound.ratio(
+        col("n_dup_chunks"), col("n_chunks"), 6))
   }
 
   /** Min-label propagation over an explicit (id_a, id_b) edge list,

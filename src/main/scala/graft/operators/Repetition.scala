@@ -38,15 +38,18 @@ object Repetition {
         coalesce(graft.plans.TopCountExpressions.tokenTopCount(col("w")),
           lit(0L)).as("top_cnt"))
       .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        when(col("n_tokens") > 0,
-          round(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_tokens"), 6)).otherwise(0.0).as("dup_token_frac"),
-        when(col("n_tokens") > 0,
-          round(col("top_cnt").cast("double") / col("n_tokens"), 6))
+        // count-ratio fractions round in exact integer arithmetic
+        // (ExactRound scaladoc): 1 - a/b ≡ (b-a)/b keeps it a ratio of
+        // nonnegative longs
+        when(col("n_tokens") > 0, graft.functions.ExactRound.ratio(
+          col("n_tokens") - col("n_distinct"), col("n_tokens"), 6))
+          .otherwise(0.0).as("dup_token_frac"),
+        when(col("n_tokens") > 0, graft.functions.ExactRound.ratio(
+          col("top_cnt"), col("n_tokens"), 6))
           .otherwise(0.0).as("top_token_frac"),
-        when(col("n_tokens") > 1,
-          round(lit(1.0) - col("n_bigram_distinct").cast("double") /
-            (col("n_tokens") - 1), 6)).otherwise(0.0)
+        when(col("n_tokens") > 1, graft.functions.ExactRound.ratio(
+          col("n_tokens") - 1 - col("n_bigram_distinct"),
+          col("n_tokens") - 1, 6)).otherwise(0.0)
           .as("dup_bigram_frac"))
   }
 }

@@ -141,7 +141,9 @@ object AnalyticsQueries {
           when(col("predicted_class") === col("actual_class"), 1)
             .otherwise(0))
         .groupBy(col("model_version"), col("created_at"))
-        .agg(round(avg(col("is_correct")) * 100, 2).as("accuracy_pct"),
+        .agg(graft.functions.ExactRound.ratio(
+            sum(col("is_correct")) * 100, count(lit(1)), 2)
+            .as("accuracy_pct"),
           count(lit(1)).cast("double").as("n_predictions"))
       val runsLong = rm.select(col("model_version").as("run_id"),
         lit("baseline").as("model_type"), col("created_at"),
@@ -184,7 +186,11 @@ object AnalyticsQueries {
     "q41_accuracy_by_user" -> (PRED_BASE +
       """ SELECT user_id, count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,
-            round(avg(is_correct) * 100, 1) || '%' AS accuracy_pct,
+            -- count-ratio pct rounded in exact integer arithmetic
+            -- (engine round() diverges exactly on decimal ties)
+            CAST((2000 * sum(is_correct) + count(*))
+                 // (2 * count(*)) AS DOUBLE) / 10 || '%'
+              AS accuracy_pct,
             CAST(sum(CAST(volatility AS DECIMAL(18,4))) AS DOUBLE)
               AS sum_volatility
           FROM base GROUP BY 1 ORDER BY 1"""),
@@ -204,14 +210,20 @@ object AnalyticsQueries {
             FROM base GROUP BY 1, 2),
           m AS (
             SELECT predicted_class, actual_class,
-              round(n / sum(n) OVER (PARTITION BY predicted_class), 4)
-                AS precision,
-              round(n / sum(n) OVER (PARTITION BY actual_class), 4)
-                AS recall
+              (20000 * n + sum(n) OVER (PARTITION BY predicted_class))
+                // (2 * sum(n) OVER (PARTITION BY predicted_class))
+                AS p4,
+              (20000 * n + sum(n) OVER (PARTITION BY actual_class))
+                // (2 * sum(n) OVER (PARTITION BY actual_class))
+                AS r4
             FROM cm)
-          SELECT predicted_class AS class, precision, recall,
-                 round(2 * precision * recall /
-                       nullif(precision + recall, 0.0), 4) AS f1
+          SELECT predicted_class AS class,
+                 CAST(p4 AS DOUBLE) / 10000 AS precision,
+                 CAST(r4 AS DOUBLE) / 10000 AS recall,
+                 CASE WHEN p4 + r4 = 0 THEN NULL
+                      ELSE CAST((2 * (2 * p4 * r4) + (p4 + r4))
+                           // (2 * (p4 + r4)) AS DOUBLE) / 10000
+                 END AS f1
           FROM m WHERE predicted_class = actual_class ORDER BY 1"""),
     "q53_top_movers" -> (STAGED_MOVERS +
       """ SELECT user_id, strftime(date, '%Y-%m-%d') AS date, pct_change,
@@ -240,8 +252,9 @@ object AnalyticsQueries {
           SELECT model_version, count(*) AS n_predictions,
             CAST(sum(CASE WHEN predicted_class = actual_class
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-            round(avg(CASE WHEN predicted_class = actual_class
-                           THEN 1 ELSE 0 END) * 100, 2) AS accuracy_pct,
+            CAST((20000 * sum(CASE WHEN predicted_class = actual_class
+                                   THEN 1 ELSE 0 END) + count(*))
+                 // (2 * count(*)) AS DOUBLE) / 100 AS accuracy_pct,
             strftime(min(date), '%Y-%m-%d') AS first_date,
             strftime(max(date), '%Y-%m-%d') AS last_date
           FROM preds GROUP BY 1 ORDER BY 1"""),
@@ -261,8 +274,10 @@ object AnalyticsQueries {
             FROM base),
           rm AS (
             SELECT model_version AS run_id, created_at,
-                   round(avg(CASE WHEN predicted_class = actual_class
-                                  THEN 1 ELSE 0 END) * 100, 2)
+                   CAST((20000 * sum(CASE WHEN predicted_class
+                                            = actual_class
+                                          THEN 1 ELSE 0 END) + count(*))
+                        // (2 * count(*)) AS DOUBLE) / 100
                      AS accuracy_pct,
                    CAST(count(*) AS DOUBLE) AS n_predictions
             FROM preds GROUP BY 1, 2),
@@ -282,7 +297,8 @@ object AnalyticsQueries {
     "q45_summary" -> (PRED_BASE +
       """ SELECT count(*) AS n_predictions,
             CAST(sum(is_correct) AS BIGINT) AS n_correct,
-            round(avg(is_correct) * 100, 2) AS accuracy_pct,
+            CAST((20000 * sum(is_correct) + count(*))
+                 // (2 * count(*)) AS DOUBLE) / 100 AS accuracy_pct,
             count(DISTINCT user_id) AS n_keys,
             strftime(min(date), '%Y-%m-%d') AS min_date,
             strftime(max(date), '%Y-%m-%d') AS max_date

@@ -52,8 +52,9 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
             .cast("long").as("n_big"),
-          round(sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
-            * 100.0 / count(lit(1)), 2).as("pct_big"))
+          graft.functions.ExactRound.ratio(
+            sum(when(col("o_totalprice") > 100000, 1).otherwise(0)) * 100,
+            count(lit(1)), 2).as("pct_big"))
         .orderBy(col("o_orderpriority"))),
 
     // J1 analog: left outer join preserving all left rows
@@ -180,8 +181,9 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
            AS BIGINT) AS n_big,
-         round(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
-           * 100.0 / count(*), 2) AS pct_big
+         CAST((20000 * sum(CASE WHEN o_totalprice > 100000
+                                THEN 1 ELSE 0 END) + count(*))
+              // (2 * count(*)) AS DOUBLE) / 100 AS pct_big
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q05_left_join_agg" ->
       """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders,

@@ -56,13 +56,13 @@ object TextQueries {
       Tables.documents(s, d).select(col("doc_id"),
           TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_measured"),
-          round(TextFns.meanTokenLength(col("text")), 4).as("mean_tok_len"))
+          TextFns.meanTokenLengthR4(col("text")).as("mean_tok_len"))
         .orderBy(col("doc_id"))),
 
     // quality scoring: stopword ratio, punctuation density, composite
     "q29_quality" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-          round(TextFns.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          TextFns.stopwordRatioR4(col("text")).as("stop_ratio"),
           TextFns.punctCount(col("text")).cast("long").as("n_punct"),
           TextFns.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
@@ -329,8 +329,9 @@ object TextQueries {
             .as("n_word"),
           size(filter(col("_p"), x => x.rlike("^[0-9]"))).cast("long")
             .as("n_num"),
-          round(aggregate(col("_p"), lit(0), (a, x) => a + length(x))
-            .cast("double") / nullif(size(col("_p")), lit(0)), 4)
+          graft.functions.ExactRound.ratio(
+            aggregate(col("_p"), lit(0L), (a, x) => a + length(x)),
+            nullif(size(col("_p")), lit(0)), 4)
             .as("mean_piece_len"))
         .orderBy(col("doc_id"))),
 
@@ -548,7 +549,7 @@ object TextQueries {
           count(lit(1)).as("n_types"),
           sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long")
             .as("n_hapax"),
-          round(max(col("n")).cast("double") / sum(col("n")), 6)
+          graft.functions.ExactRound.ratio(max(col("n")), sum(col("n")), 6)
             .as("top_share"))
         .orderBy(col("lang"))
     }),
@@ -1063,8 +1064,9 @@ object TextQueries {
           SELECT doc_id, count(*) AS n_chunks,
                  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_dup_chunks,
-                 round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
-                   AS DOUBLE) / count(*), 6) AS dup_ratio
+                 CAST((2000000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                       + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+                   AS dup_ratio
           FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
     "q77_vocab_topk" -> (TOKS +
       """ SELECT token, count(*) AS n
@@ -1080,7 +1082,8 @@ object TextQueries {
             count(*) AS n_types,
             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_hapax,
-            round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+            CAST((2000000 * max(n) + sum(n)) // (2 * sum(n)) AS DOUBLE)
+              / 1000000 AS top_share
           FROM per_type GROUP BY lang ORDER BY lang"""),
     "q76_embed_dedup_groups" ->
       """WITH RECURSIVE
@@ -1271,13 +1274,17 @@ object TextQueries {
             GROUP BY 1)
           SELECT b.doc_id, b.n_tokens, b.n_distinct,
             CASE WHEN b.n_tokens > 0 THEN
-              round(1.0 - b.n_distinct / b.n_tokens, 6) ELSE 0.0 END
-              AS dup_token_frac,
+              CAST((2000000 * (b.n_tokens - b.n_distinct) + b.n_tokens)
+                   // (2 * b.n_tokens) AS DOUBLE) / 1000000
+              ELSE 0.0 END AS dup_token_frac,
             CASE WHEN b.n_tokens > 0 THEN
-              round(coalesce(t2.top_cnt, 0) / b.n_tokens, 6)
+              CAST((2000000 * coalesce(t2.top_cnt, 0) + b.n_tokens)
+                   // (2 * b.n_tokens) AS DOUBLE) / 1000000
               ELSE 0.0 END AS top_token_frac,
             CASE WHEN b.n_tokens > 1 THEN
-              round(1.0 - b.n_bigram_distinct / (b.n_tokens - 1), 6)
+              CAST((2000000 * (b.n_tokens - 1 - b.n_bigram_distinct)
+                    + (b.n_tokens - 1))
+                   // (2 * (b.n_tokens - 1)) AS DOUBLE) / 1000000
               ELSE 0.0 END AS dup_bigram_frac
           FROM base b LEFT JOIN top t2 USING (doc_id)
           ORDER BY b.doc_id"""),
@@ -1372,8 +1379,10 @@ object TextQueries {
              AS BIGINT) AS n_word,
            CAST(len(list_filter(p, x -> regexp_matches(x, '^[0-9]')))
              AS BIGINT) AS n_num,
-           round(CAST(list_aggregate(list_transform(p, x -> length(x)),
-             'sum') AS DOUBLE) / nullif(len(p), 0), 4) AS mean_piece_len
+           CAST((20000 * list_aggregate(list_transform(p,
+                   x -> length(x)), 'sum') + nullif(len(p), 0))
+                // (2 * nullif(len(p), 0)) AS DOUBLE) / 10000
+             AS mean_piece_len
          FROM p ORDER BY doc_id""",
     "q61_rolling_fingerprint" ->
       """SELECT doc_id,
@@ -1389,13 +1398,16 @@ object TextQueries {
     "q28_token_stats" -> (TOKS +
       """ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
             CAST(length(text) AS BIGINT) AS n_chars_measured,
-            round(CAST(list_aggregate(list_transform(w, x -> length(x)),
-                       'sum') AS DOUBLE) / nullif(len(w), 0), 4)
+            CAST((20000 * list_aggregate(list_transform(w,
+                    x -> length(x)), 'sum') + nullif(len(w), 0))
+                 // (2 * nullif(len(w), 0)) AS DOUBLE) / 10000
               AS mean_tok_len
           FROM t ORDER BY doc_id"""),
     "q29_quality" -> (TOKS +
       """, q AS (
             SELECT doc_id, len(w) AS n_tok,
+              len(list_filter(w, x -> x IN ('the','a','an','and','of',
+                'to','in','is','it','that'))) AS hits,
               CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of',
                 'to','in','is','it','that'))) AS DOUBLE)
                 / nullif(len(w), 0) AS sr,
@@ -1404,7 +1416,10 @@ object TextQueries {
                 AS np,
               length(text) AS nc
             FROM t)
-          SELECT doc_id, round(sr, 4) AS stop_ratio,
+          SELECT doc_id,
+            CAST((20000 * hits + nullif(n_tok, 0))
+                 // (2 * nullif(n_tok, 0)) AS DOUBLE) / 10000
+              AS stop_ratio,
             CAST(np AS BIGINT) AS n_punct,
             round((CASE WHEN n_tok BETWEEN 10 AND 100000
                         THEN 0.4 ELSE 0.0 END)
@@ -1476,7 +1491,9 @@ object TextQueries {
             GROUP BY 1, 2, 3, 4),
           j AS (
             SELECT id_a, id_b, inter,
-                   round(inter / (sa + sb - inter), 6) AS jaccard
+                   CAST((2000000 * inter + (sa + sb - inter))
+                        // (2 * (sa + sb - inter)) AS DOUBLE) / 1000000
+                     AS jaccard
             FROM p)
           SELECT id_a, id_b, inter, jaccard FROM j
           WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
