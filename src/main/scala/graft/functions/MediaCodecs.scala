@@ -16,12 +16,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    and Adam7-interlaced — full chunk walk with CRC verification,
   *    IDAT reassembly, zlib inflate, and per-scanline reconstruction of
   *    all five filter types (None / Sub / Up / Average / Paeth) at the
-  *    color type's byte stride, per pass for Adam7. The encoders cycle
-  *    the filter type per row precisely so a round trip exercises
-  *    every unfilter branch. Out of scope: 1/2/4/16-bit depths and
-  *    tRNS palette transparency (a tRNS chunk would silently decode
-  *    with wrong alpha, so its presence quarantines the payload
-  *    instead).
+  *    color type's byte stride, per pass for Adam7. tRNS transparency
+  *    decodes for all three forms it exists in: palette alpha (type 3,
+  *    also emitted by the encoder when a palette frame carries alpha),
+  *    and gray/RGB color keys (types 0/2). The encoders cycle the
+  *    filter type per row precisely so a round trip exercises every
+  *    unfilter branch. Out of scope: 1/2/4/16-bit depths.
   *  - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with
   *    4-byte padding; luma is the integer mean of the three channels.
   *  - WAV: PCM 16-bit signed little-endian mono (RIFF chunk walk; fmt
@@ -133,6 +133,7 @@ object MediaCodecs {
     var w = -1; var h = -1; var bitDepth = -1
     var colorType = -1; var interlace = -1
     var palette: Array[Int] = null
+    var trns: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var done = false
     while (!done && pos + 12 <= bytes.length) {
@@ -159,7 +160,9 @@ object MediaCodecs {
             0xff000000 | ((bytes(pos + 8 + 3 * i) & 0xff) << 16) |
               ((bytes(pos + 9 + 3 * i) & 0xff) << 8) |
               (bytes(pos + 10 + 3 * i) & 0xff))
-        case "tRNS" => return None // would decode with wrong alpha
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(bytes, pos + 8,
+            pos + 8 + len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
         case _ => () // ancillary chunks pass through
@@ -170,6 +173,25 @@ object MediaCodecs {
     if (!done || w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
       interlace > 1 || interlace < 0) return None
     if (colorType == 3 && palette == null) return None
+    // tRNS validity per spec §11.3.2: palette alpha (≤ PLTE entries)
+    // for type 3, a 2-byte gray / 6-byte RGB color key for types 0/2,
+    // prohibited for the alpha-carrying types 4/6
+    if (trns != null) colorType match {
+      case 3 => if (palette == null || trns.length > palette.length)
+        return None
+      case 0 => if (trns.length != 2) return None
+      case 2 => if (trns.length != 6) return None
+      case _ => return None
+    }
+    // color keys: 16-bit samples per spec; at bit depth 8 the value is
+    // in the LOW byte of each pair
+    val grayKey =
+      if (trns != null && colorType == 0) trns(1) & 0xff else -1
+    val rgbKey =
+      if (trns != null && colorType == 2)
+        ((trns(1) & 0xff) << 16) | ((trns(3) & 0xff) << 8) |
+          (trns(5) & 0xff)
+      else -1
     // pass layout: one full-image pass, or the seven Adam7 sub-images
     // (each an independent group of filtered scanlines)
     val passes = if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
@@ -202,14 +224,19 @@ object MediaCodecs {
           val v = colorType match {
             case 0 =>
               val g = raw(o) & 0xff
-              0xff000000 | (g << 16) | (g << 8) | g
+              val a = if (g == grayKey) 0 else 0xff
+              (a << 24) | (g << 16) | (g << 8) | g
             case 2 =>
-              0xff000000 | ((raw(o) & 0xff) << 16) |
+              val rgb = ((raw(o) & 0xff) << 16) |
                 ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+              val a = if (rgb == rgbKey) 0 else 0xff
+              (a << 24) | rgb
             case 3 =>
               val idx = raw(o) & 0xff
               if (idx >= palette.length) return None
-              palette(idx)
+              val a = if (trns != null && idx < trns.length)
+                trns(idx) & 0xff else 0xff
+              (a << 24) | (palette(idx) & 0xffffff)
             case 4 =>
               val g = raw(o) & 0xff
               ((raw(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
@@ -313,8 +340,9 @@ object MediaCodecs {
       s"pixel buffer must be width*height (${w}x$h)")
     require(ct == 2 || ct == 3 || ct == 6,
       s"encodePngArgb supports color types 2/3/6, got $ct")
-    if (ct != 6) require(img.argb.forall(p => (p >>> 24) == 0xff),
-      s"color type $ct cannot represent alpha")
+    // truecolor has no alpha channel; palette carries alpha via tRNS
+    if (ct == 2) require(img.argb.forall(p => (p >>> 24) == 0xff),
+      s"color type 2 cannot represent alpha")
     val palette: Array[Int] =
       if (ct == 3) {
         val distinct = scala.collection.mutable.LinkedHashSet.empty[Int]
@@ -389,6 +417,11 @@ object MediaCodecs {
         plte(3 * pi + 2) = (c & 0xff).toByte
       }
       writeChunk(out, "PLTE", plte)
+      // palette alpha rides in tRNS (one byte per entry); omitted when
+      // every entry is opaque — entries past the chunk default to 255
+      if (palette.exists(c => (c >>> 24) != 0xff))
+        writeChunk(out, "tRNS",
+          palette.map(c => (c >>> 24).toByte))
     }
     writeChunk(out, "IDAT", deflate(raw))
     writeChunk(out, "IEND", Array.emptyByteArray)

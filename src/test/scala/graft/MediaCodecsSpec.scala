@@ -396,25 +396,94 @@ class MediaCodecsSpec extends SparkSuite {
     }
   }
 
-  test("color PNG quarantines: palette index past PLTE, tRNS presence, " +
+  /** Splice a CRC-valid chunk immediately before IDAT. */
+  private def spliceBeforeIdat(bytes: Array[Byte], typ: String,
+                               data: Array[Byte]): Array[Byte] = {
+    val idatPos = bytes.indexOfSlice("IDAT".getBytes("US-ASCII")) - 4
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(typ.getBytes("US-ASCII"))
+      .put(data).putInt(crc.getValue.toInt).array()
+    bytes.take(idatPos) ++ chunk ++ bytes.drop(idatPos)
+  }
+
+  test("tRNS transparency decodes in all three spec forms: palette " +
+    "alpha (round-tripped + ImageIO-validated), gray and RGB color " +
+    "keys; invalid tRNS placements quarantine") {
+    // palette alpha: encoder emits tRNS for an alpha-carrying palette
+    // frame; round trip is exact and ImageIO agrees pixel-for-pixel
+    val palAlpha = MediaCodecs.PngImage(6, 5, 3, Array.tabulate(30)(i =>
+      ((if (i % 3 == 0) 42 else 255) << 24) |
+        ((17 + 5 * (i % 4)) << 16) | ((29 + 7 * (i % 4)) << 8) |
+        (41 + 11 * (i % 4))))
+    val palBytes = MediaCodecs.encodePngArgb(palAlpha)
+    val palBack = MediaCodecs.decodePngAny(palBytes)
+    assert(palBack.isDefined && palBack.get.colorType == 3)
+    assert(palBack.get.argb.sameElements(palAlpha.argb))
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(palBytes))
+    for (i <- 0 until 30)
+      assert(bi.getRGB(i % 6, i / 6) == palAlpha.argb(i), s"px$i")
+
+    // splicing a SHORT tRNS onto an opaque palette frame: entry 0
+    // becomes alpha 42, entries past the chunk stay opaque
+    val opaque = colorPattern(6, 5, 9, alpha = false).copy(colorType = 3)
+    val opaqueBytes = MediaCodecs.encodePngArgb(opaque)
+    val spliced = spliceBeforeIdat(opaqueBytes, "tRNS", Array[Byte](42))
+    val got = MediaCodecs.decodePngAny(spliced)
+    assert(got.isDefined)
+    val c0 = opaque.argb(0) & 0xffffff // palette entry 0 = first color
+    got.get.argb.zip(opaque.argb).foreach { case (g, o) =>
+      val expect = if ((o & 0xffffff) == c0) (42 << 24) | c0 else o
+      assert(g == expect)
+    }
+
+    // gray color key (type 0): pixel value 10 occurs in the pattern
+    // (x=1, y=0) and goes transparent
+    val grayImg = pattern(8, 6, 3)
+    assert(grayImg.pixels.contains(10)) // the key must actually bind
+    val grayKeyed = spliceBeforeIdat(MediaCodecs.encodePng(grayImg),
+      "tRNS", Array[Byte](0, 10))
+    val gotGray = MediaCodecs.decodePngAny(grayKeyed)
+    assert(gotGray.isDefined)
+    gotGray.get.argb.zip(grayImg.pixels).foreach { case (g, v) =>
+      assert((g >>> 24) == (if (v == 10) 0 else 0xff), s"gray v=$v")
+      assert((g & 0xff) == v)
+    }
+
+    // RGB color key (type 2): one exact color goes transparent
+    val tc = colorPattern(5, 5, 7, alpha = false)
+    val key = tc.argb(3) & 0xffffff
+    val keyChunk = Array[Byte](0, ((key >> 16) & 0xff).toByte,
+      0, ((key >> 8) & 0xff).toByte, 0, (key & 0xff).toByte)
+    val gotTc = MediaCodecs.decodePngAny(
+      spliceBeforeIdat(MediaCodecs.encodePngArgb(tc), "tRNS", keyChunk))
+    assert(gotTc.isDefined)
+    gotTc.get.argb.zip(tc.argb).foreach { case (g, o) =>
+      val expectA = if ((o & 0xffffff) == key) 0 else 0xff
+      assert((g >>> 24) == expectA && (g & 0xffffff) == (o & 0xffffff))
+    }
+
+    // invalid: tRNS on the alpha-carrying type 6, oversized palette
+    // tRNS, wrong-length color keys → quarantine
+    val rgba = MediaCodecs.encodePngArgb(colorPattern(4, 4, 3,
+      alpha = true))
+    assert(MediaCodecs.decodePngAny(
+      spliceBeforeIdat(rgba, "tRNS", Array[Byte](1))).isEmpty)
+    assert(MediaCodecs.decodePngAny(spliceBeforeIdat(opaqueBytes,
+      "tRNS", new Array[Byte](200))).isEmpty) // > palette entries
+    assert(MediaCodecs.decodePngAny(spliceBeforeIdat(
+      MediaCodecs.encodePng(grayImg), "tRNS", Array[Byte](5))).isEmpty)
+  }
+
+  test("color PNG quarantines: palette index past PLTE, " +
     "unrepresentable encodes reject loudly") {
     val pal = colorPattern(6, 5, 9, alpha = false).copy(colorType = 3)
     val bytes = MediaCodecs.encodePngArgb(pal)
-    // splice a (CRC-valid) tRNS chunk before IDAT: honest scope says
-    // None rather than silently-opaque alpha
-    val idatPos = bytes.indexOfSlice("IDAT".getBytes("US-ASCII")) - 4
-    val trnsData = Array[Byte](42)
-    val crc = new java.util.zip.CRC32()
-    crc.update("tRNS".getBytes("US-ASCII")); crc.update(trnsData)
-    val trns = java.nio.ByteBuffer.allocate(12 + trnsData.length)
-      .putInt(trnsData.length).put("tRNS".getBytes("US-ASCII"))
-      .put(trnsData).putInt(crc.getValue.toInt).array()
-    val spliced = bytes.take(idatPos) ++ trns ++ bytes.drop(idatPos)
-    assert(MediaCodecs.decodePngAny(spliced).isEmpty)
-    // palette index out of range: shrink PLTE to 1 entry (re-CRC) so
-    // later indices point past it
     assert(MediaCodecs.decodePngAny(bytes).isDefined) // baseline sane
-    // encoder contract: alpha needs type 6; >256 colors can't palette
+    // encoder contract: truecolor cannot carry alpha; >256 colors
+    // cannot palette
     intercept[IllegalArgumentException] {
       MediaCodecs.encodePngArgb(
         colorPattern(4, 4, 3, alpha = true).copy(colorType = 2))
