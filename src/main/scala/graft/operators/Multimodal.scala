@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * and feature extraction run partition-local over iterator batches
   * (`mapPartitions`) so a real codec slots in without changing the plan.
   *
-  * Decode is REAL for the pure-JVM formats ([[PixelDecoder]] /
-  * [[audioStats]] over [[graft.functions.MediaCodecs]]: grayscale PNG
-  * with full zlib inflate + five-filter scanline reconstruction, 24-bit
-  * BMP, PCM-16 WAV) and a DECLARED STUB for formats that need external
-  * codec libraries this container doesn't ship (JPEG pixel data, video
-  * — `decodeStub` derives deterministic fake dimensions from header
-  * bytes). Both run through the same [[MediaDecoder]] seam, so the
+  * Decode is REAL across the media surface: [[PixelDecoder]] /
+  * [[colorStats]] / [[audioStats]] over the pure-JVM
+  * [[graft.functions.MediaCodecs]] (PNG in all five 8-bit color types,
+  * linear and Adam7-interlaced, tRNS transparency; 24-bit BMP; PCM-16
+  * WAV; animated GIF), [[ImageIODecoder]] over the JDK's ImageIO
+  * registry for baseline JPEG pixel data, and [[frameSampleAvi]] for
+  * MJPEG-in-AVI video frame extraction (RIFF walk + per-frame JPEG
+  * decode). `decodeStub` remains only as the seam DEMO for codecs that
+  * genuinely need external libraries (modern video formats) — it
+  * derives deterministic fake dimensions from header bytes. Every
+  * decoder runs through the same [[MediaDecoder]] seam, so the
   * Spark-side contract — schema, batch iteration, partition locality,
-  * null/corrupt quarantine — is identical and tested either way.
+  * null/corrupt quarantine — is identical and tested for each.
   */
 object Multimodal {
 
