@@ -11,17 +11,22 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * executor with no native codec libraries installed.
   *
   * Honest scope (documented, enforced by returning None):
-  *  - PNG: all five 8-bit color types (0 grayscale, 2 truecolor,
-  *    3 palette via PLTE, 4 gray+alpha, 6 RGBA), both non-interlaced
-  *    and Adam7-interlaced — full chunk walk with CRC verification,
-  *    IDAT reassembly, zlib inflate, and per-scanline reconstruction of
-  *    all five filter types (None / Sub / Up / Average / Paeth) at the
-  *    color type's byte stride, per pass for Adam7. tRNS transparency
-  *    decodes for all three forms it exists in: palette alpha (type 3,
-  *    also emitted by the encoder when a palette frame carries alpha),
-  *    and gray/RGB color keys (types 0/2). The encoders cycle the
-  *    filter type per row precisely so a round trip exercises every
-  *    unfilter branch. Out of scope: 1/2/4/16-bit depths.
+  *  - PNG: the COMPLETE baseline matrix — every legal (color type ×
+  *    bit depth) combination of spec Table 11.1 (grayscale 1/2/4/8/16,
+  *    palette 1/2/4/8 via PLTE, truecolor / gray+alpha / RGBA 8/16),
+  *    both non-interlaced and Adam7-interlaced — full chunk walk with
+  *    CRC verification, IDAT reassembly, zlib inflate, and
+  *    per-scanline reconstruction of all five filter types (None /
+  *    Sub / Up / Average / Paeth) at the combination's byte stride,
+  *    per pass for Adam7. Output is packed 8-bit ARGB (16-bit samples
+  *    downscale via high byte; sub-8-bit gray scales by 255/(2^d−1),
+  *    exact). tRNS transparency decodes in all three forms it exists
+  *    in: palette alpha (type 3, also emitted by the encoder when a
+  *    palette frame carries alpha), and gray/RGB color keys (types
+  *    0/2, compared at source depth). The encoders (8-bit output)
+  *    cycle the filter type per row precisely so a round trip
+  *    exercises every unfilter branch; non-8-bit depths are
+  *    decode-only, cross-validated against ImageIO-encoded streams.
   *  - BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with
   *    4-byte padding; luma is the integer mean of the three channels.
   *  - WAV: PCM 16-bit signed little-endian mono (RIFF chunk walk; fmt
@@ -122,11 +127,15 @@ object MediaCodecs {
     case _ => -1
   }
 
-  /** Decode any supported 8-bit non-interlaced PNG (color types
-    * 0/2/3/4/6) to packed ARGB; None for anything out of scope or
-    * corrupt (bad signature, failed chunk CRC, truncated IDAT, wrong
-    * reconstructed length, unknown filter, palette index past PLTE,
-    * tRNS present — see object scaladoc). */
+  /** Decode any baseline PNG — every legal (color type × bit depth)
+    * combination of spec Table 11.1 (gray 1/2/4/8/16, palette 1/2/4/8,
+    * truecolor/gray-alpha/RGBA 8/16), linear or Adam7 — to packed
+    * 8-bit ARGB (16-bit samples downscale via their high byte, the
+    * spec's sample-depth scaling; sub-8-bit gray scales by
+    * 255/(2^d −1), exact integers). None for corrupt input (bad
+    * signature, failed chunk CRC, truncated IDAT, wrong reconstructed
+    * length, unknown filter, palette index past PLTE, misplaced
+    * tRNS). */
   def decodePngAny(bytes: Array[Byte]): Option[PngImage] = {
     if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig)) return None
     var pos = 8
@@ -169,8 +178,15 @@ object MediaCodecs {
       }
       pos += 12 + len
     }
-    val bpp = pngBpp(colorType)
-    if (!done || w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 ||
+    val channels = pngBpp(colorType)
+    // legal (color type × bit depth) combinations, spec Table 11.1
+    val depthOk = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(bitDepth)
+      case 3 => Seq(1, 2, 4, 8).contains(bitDepth)
+      case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+      case _ => false
+    }
+    if (!done || w <= 0 || h <= 0 || channels < 0 || !depthOk ||
       interlace > 1 || interlace < 0) return None
     if (colorType == 3 && palette == null) return None
     // tRNS validity per spec §11.3.2: palette alpha (≤ PLTE entries)
@@ -183,15 +199,21 @@ object MediaCodecs {
       case 2 => if (trns.length != 6) return None
       case _ => return None
     }
-    // color keys: 16-bit samples per spec; at bit depth 8 the value is
-    // in the LOW byte of each pair
-    val grayKey =
-      if (trns != null && colorType == 0) trns(1) & 0xff else -1
-    val rgbKey =
-      if (trns != null && colorType == 2)
-        ((trns(1) & 0xff) << 16) | ((trns(3) & 0xff) << 8) |
-          (trns(5) & 0xff)
-      else -1
+    val mask = (1 << bitDepth) - 1 // full-depth sample mask
+    // color keys carry 2-byte samples at SOURCE depth; compare against
+    // raw (pre-scaling) samples. -1 never matches a raw sample.
+    def keyAt(o: Int): Int =
+      (((trns(o) & 0xff) << 8) | (trns(o + 1) & 0xff)) & mask
+    val grayKey = if (trns != null && colorType == 0) keyAt(0) else -1
+    val (rKey, gKey, bKey) =
+      if (trns != null && colorType == 2) (keyAt(0), keyAt(2), keyAt(4))
+      else (-1, -1, -1)
+    // geometry in BITS: a pixel is bitDepth×channels bits; the filter
+    // byte-unit is max(1, bits/8) (sub-byte pixels filter per byte,
+    // spec §9.2); scanlines pad to whole bytes per pass
+    val bitsPP = bitDepth * channels
+    val fbpp = math.max(1, bitsPP / 8)
+    def strideOf(pw: Int): Int = (pw * bitsPP + 7) / 8
     // pass layout: one full-image pass, or the seven Adam7 sub-images
     // (each an independent group of filtered scanlines)
     val passes = if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
@@ -202,7 +224,7 @@ object MediaCodecs {
     }
     val expect = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw > 0 && ph > 0) ph.toLong * (pw.toLong * bpp + 1) else 0L
+      if (pw > 0 && ph > 0) ph.toLong * (strideOf(pw) + 1L) else 0L
     }.sum
     if (expect > Int.MaxValue) return None
     val inflated = inflate(idat.toByteArray, expect.toInt)
@@ -212,37 +234,57 @@ object MediaCodecs {
     passes.foreach { case p @ (xo, yo, xs, ys) =>
       val (pw, ph) = passDims(p)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = strideOf(pw)
         val passLen = ph * (stride + 1)
         val raw = unfilter(
           java.util.Arrays.copyOfRange(inflated, off, off + passLen),
-          ph, stride, bpp).getOrElse(return None)
+          ph, stride, fbpp).getOrElse(return None)
         off += passLen
         var i = 0
         while (i < pw * ph) {
-          val o = i * bpp
+          val rowOff = (i / pw) * stride
+          // full-depth sample s of the pass pixel (big-endian bit
+          // order within bytes per spec §7.2)
+          def samp(s: Int): Int = {
+            val bitOff = (i % pw) * bitsPP + s * bitDepth
+            val o = rowOff + (bitOff >> 3)
+            bitDepth match {
+              case 16 => ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+              case 8 => raw(o) & 0xff
+              case d =>
+                ((raw(o) & 0xff) >> (8 - d - (bitOff & 7))) & mask
+            }
+          }
+          // scale a raw sample to 8 bits: high byte for 16 (the
+          // spec's depth rescale), exact ·255/(2^d−1) below 8
+          def to8(v: Int): Int = bitDepth match {
+            case 16 => v >> 8
+            case 8 => v
+            case _ => v * 255 / mask
+          }
           val v = colorType match {
             case 0 =>
-              val g = raw(o) & 0xff
-              val a = if (g == grayKey) 0 else 0xff
+              val raw0 = samp(0)
+              val g = to8(raw0)
+              val a = if (raw0 == grayKey) 0 else 0xff
               (a << 24) | (g << 16) | (g << 8) | g
             case 2 =>
-              val rgb = ((raw(o) & 0xff) << 16) |
-                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
-              val a = if (rgb == rgbKey) 0 else 0xff
-              (a << 24) | rgb
+              val (r0, g0, b0) = (samp(0), samp(1), samp(2))
+              val a = if (r0 == rKey && g0 == gKey && b0 == bKey) 0
+                else 0xff
+              (a << 24) | (to8(r0) << 16) | (to8(g0) << 8) | to8(b0)
             case 3 =>
-              val idx = raw(o) & 0xff
+              val idx = samp(0)
               if (idx >= palette.length) return None
               val a = if (trns != null && idx < trns.length)
                 trns(idx) & 0xff else 0xff
               (a << 24) | (palette(idx) & 0xffffff)
             case 4 =>
-              val g = raw(o) & 0xff
-              ((raw(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+              val g = to8(samp(0))
+              (to8(samp(1)) << 24) | (g << 16) | (g << 8) | g
             case _ => // 6
-              ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
-                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+              (to8(samp(3)) << 24) | (to8(samp(0)) << 16) |
+                (to8(samp(1)) << 8) | to8(samp(2))
           }
           px((yo + (i / pw) * ys) * w + (xo + (i % pw) * xs)) = v
           i += 1
