@@ -240,54 +240,90 @@ object MediaCodecs {
           java.util.Arrays.copyOfRange(inflated, off, off + passLen),
           ph, stride, fbpp).getOrElse(return None)
         off += passLen
-        var i = 0
-        while (i < pw * ph) {
-          val rowOff = (i / pw) * stride
-          // full-depth sample s of the pass pixel (big-endian bit
-          // order within bytes per spec §7.2)
-          def samp(s: Int): Int = {
-            val bitOff = (i % pw) * bitsPP + s * bitDepth
-            val o = rowOff + (bitOff >> 3)
-            bitDepth match {
-              case 16 => ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
-              case 8 => raw(o) & 0xff
-              case d =>
-                ((raw(o) & 0xff) >> (8 - d - (bitOff & 7))) & mask
+        if (bitDepth == 8) {
+          // FAST PATH — direct byte addressing for the dominant
+          // production depth (stride == pw·channels exactly): the
+          // generic bit-addressed sampler below measured 3× slower on
+          // the ScaleCheck png_color_roundtrip row, and depth-8 is
+          // the hot 100 TB case
+          var i = 0
+          while (i < pw * ph) {
+            val o = i * channels
+            val v = colorType match {
+              case 0 =>
+                val g = raw(o) & 0xff
+                val a = if (g == grayKey) 0 else 0xff
+                (a << 24) | (g << 16) | (g << 8) | g
+              case 2 =>
+                val r0 = raw(o) & 0xff
+                val g0 = raw(o + 1) & 0xff
+                val b0 = raw(o + 2) & 0xff
+                val a = if (r0 == rKey && g0 == gKey && b0 == bKey) 0
+                  else 0xff
+                (a << 24) | (r0 << 16) | (g0 << 8) | b0
+              case 3 =>
+                val idx = raw(o) & 0xff
+                if (idx >= palette.length) return None
+                val a = if (trns != null && idx < trns.length)
+                  trns(idx) & 0xff else 0xff
+                (a << 24) | (palette(idx) & 0xffffff)
+              case 4 =>
+                val g = raw(o) & 0xff
+                ((raw(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+              case _ => // 6
+                ((raw(o + 3) & 0xff) << 24) | ((raw(o) & 0xff) << 16) |
+                  ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
             }
+            px((yo + (i / pw) * ys) * w + (xo + (i % pw) * xs)) = v
+            i += 1
           }
-          // scale a raw sample to 8 bits: high byte for 16 (the
-          // spec's depth rescale), exact ·255/(2^d−1) below 8
-          def to8(v: Int): Int = bitDepth match {
-            case 16 => v >> 8
-            case 8 => v
-            case _ => v * 255 / mask
+        } else {
+          // generic bit-addressed path for 1/2/4/16-bit depths
+          var i = 0
+          while (i < pw * ph) {
+            val rowOff = (i / pw) * stride
+            // full-depth sample s of the pass pixel (big-endian bit
+            // order within bytes per spec §7.2)
+            def samp(s: Int): Int = {
+              val bitOff = (i % pw) * bitsPP + s * bitDepth
+              val o = rowOff + (bitOff >> 3)
+              bitDepth match {
+                case 16 => ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+                case d =>
+                  ((raw(o) & 0xff) >> (8 - d - (bitOff & 7))) & mask
+              }
+            }
+            // scale a raw sample to 8 bits: high byte for 16 (the
+            // spec's depth rescale), exact ·255/(2^d−1) below 8
+            def to8(v: Int): Int =
+              if (bitDepth == 16) v >> 8 else v * 255 / mask
+            val v = colorType match {
+              case 0 =>
+                val raw0 = samp(0)
+                val g = to8(raw0)
+                val a = if (raw0 == grayKey) 0 else 0xff
+                (a << 24) | (g << 16) | (g << 8) | g
+              case 2 =>
+                val (r0, g0, b0) = (samp(0), samp(1), samp(2))
+                val a = if (r0 == rKey && g0 == gKey && b0 == bKey) 0
+                  else 0xff
+                (a << 24) | (to8(r0) << 16) | (to8(g0) << 8) | to8(b0)
+              case 3 =>
+                val idx = samp(0)
+                if (idx >= palette.length) return None
+                val a = if (trns != null && idx < trns.length)
+                  trns(idx) & 0xff else 0xff
+                (a << 24) | (palette(idx) & 0xffffff)
+              case 4 =>
+                val g = to8(samp(0))
+                (to8(samp(1)) << 24) | (g << 16) | (g << 8) | g
+              case _ => // 6
+                (to8(samp(3)) << 24) | (to8(samp(0)) << 16) |
+                  (to8(samp(1)) << 8) | to8(samp(2))
+            }
+            px((yo + (i / pw) * ys) * w + (xo + (i % pw) * xs)) = v
+            i += 1
           }
-          val v = colorType match {
-            case 0 =>
-              val raw0 = samp(0)
-              val g = to8(raw0)
-              val a = if (raw0 == grayKey) 0 else 0xff
-              (a << 24) | (g << 16) | (g << 8) | g
-            case 2 =>
-              val (r0, g0, b0) = (samp(0), samp(1), samp(2))
-              val a = if (r0 == rKey && g0 == gKey && b0 == bKey) 0
-                else 0xff
-              (a << 24) | (to8(r0) << 16) | (to8(g0) << 8) | to8(b0)
-            case 3 =>
-              val idx = samp(0)
-              if (idx >= palette.length) return None
-              val a = if (trns != null && idx < trns.length)
-                trns(idx) & 0xff else 0xff
-              (a << 24) | (palette(idx) & 0xffffff)
-            case 4 =>
-              val g = to8(samp(0))
-              (to8(samp(1)) << 24) | (g << 16) | (g << 8) | g
-            case _ => // 6
-              (to8(samp(3)) << 24) | (to8(samp(0)) << 16) |
-                (to8(samp(1)) << 8) | to8(samp(2))
-          }
-          px((yo + (i / pw) * ys) * w + (xo + (i % pw) * xs)) = v
-          i += 1
         }
       }
     }
