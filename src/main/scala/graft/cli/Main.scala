@@ -36,8 +36,37 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, verb, eventsDir, warehouse, opts)
+    try runWithAlerts(spark, verb, eventsDir, warehouse, opts,
+      new graft.alerts.WebhookSender.Http(),
+      graft.alerts.Alerts.Config.fromEnv())
     finally spark.stop()
+  }
+
+  /** [[run]] wrapped in the reference's DAG alert callbacks (S13,
+    * airflow/utils/alerts.py): failure fires the failure fan-out and
+    * re-throws (the CLI still exits non-zero); success announces /
+    * resolves. With no channel configured (the default) this is exactly
+    * [[run]] — the reference's "webhook not set, skipping" branch. */
+  def runWithAlerts(spark: SparkSession, verb: String, eventsDir: String,
+                    warehouse: String, opts: Map[String, String],
+                    sender: graft.alerts.WebhookSender,
+                    cfg: graft.alerts.Alerts.Config): Unit = {
+    import graft.alerts.Alerts
+    val ctx = Alerts.RunContext(
+      pipelineId = "graft-cli",
+      taskId = verb,
+      executionDate = java.time.Instant.now().toString,
+      runId = java.util.UUID.randomUUID().toString,
+      tryNumber = 1)
+    try {
+      run(spark, verb, eventsDir, warehouse, opts)
+      if (!cfg.isEmpty) Alerts.notifySuccess(sender, cfg, ctx)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!cfg.isEmpty)
+          Alerts.notifyFailure(sender, cfg, ctx.copy(error = Some(e.toString)))
+        throw e
+    }
   }
 
   def run(spark: SparkSession, verb: String, eventsDir: String,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level heuristic quality rules from the published
+  * Gopher/MassiveText filtering recipe (Rae et al. 2021, "Scaling
+  * Language Models", appendix A1.1) — the standard pre-training corpus
+  * gate that [[graft.functions.TextFns.qualityScore]]'s banded score
+  * does not express rule-by-rule.
+  *
+  * Every rule emits its own flag so downstream analysis can attribute
+  * removals; `keep` is their conjunction. All ratio thresholds are
+  * evaluated in INTEGER arithmetic (`10 * symbols <= n_words` instead
+  * of `symbols / n_words <= 0.1`): no floating-point division on the
+  * keep path, so flags are exactly reproducible across engines and the
+  * DuckDB oracle (q104) hash-matches bit-for-bit.
+  *
+  * Scale shape: one whole-stage-codegen projection over the scan — no
+  * shuffle, no UDF; the word/line arrays are built once per row and
+  * shared by all rules.
+  */
+object QualityFilters {
+
+  /** Gopher's document stopword list (A1.1: "contains at least two of
+    * the following English words"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document rule flags + keep decision.
+    *
+    * Rules (document removed when a flag is 0):
+    *  1. `flag_word_count`    — word count in [minWords, maxWords]
+    *  2. `flag_mean_word_len` — mean word length in [3, 10] chars
+    *  3. `flag_symbol_ratio`  — (# of `#` + `...`) / words <= 0.1
+    *  4. `flag_bullet_lines`  — < 90% of lines start with a bullet
+    *  5. `flag_ellipsis_lines`— < 30% of lines end with `...`
+    *  6. `flag_alpha_words`   — >= 80% of words contain a letter
+    *  7. `flag_stopwords`     — >= 2 distinct Gopher stopwords present
+    *
+    * Flags are BIGINT 0/1 (not boolean) for oracle-hash portability.
+    */
+  def gopherFlags(docs: DataFrame,
+                  minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val flags = ruleFlags(col(textCol), minWords, maxWords)
+    val out = docs.select(
+      col(idCol) +:
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_words") +:
+        stopwordHits(col(textCol)).as("n_stopword_hits") +:
+        flags.map { case (name, c) => c.as(name) }: _*)
+    out.withColumn("keep",
+      flags.map { case (name, _) => col(name) }.reduce((a, b) =>
+        when(a === 1L && b === 1L, 1L).otherwise(0L)))
+  }
+
+  /** The filter itself: documents passing every Gopher rule — a pure
+    * predicate over the scan (no join, no shuffle; the word/line array
+    * exprs are evaluated once per row inside codegen). */
+  def gopherFilter(docs: DataFrame,
+                   minWords: Int = 50,
+                   maxWords: Int = 100000,
+                   textCol: String = "text"): DataFrame =
+    docs.where(
+      ruleFlags(col(textCol), minWords, maxWords)
+        .map(_._2 === 1L).reduce(_ && _))
+
+  /** Count of DISTINCT Gopher stopwords present (0..8) — exposed as a
+    * diagnostic column because the keep flag thresholds it at 2. */
+  def stopwordHits(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    GopherStopwords
+      .map(s => when(array_contains(w, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** The seven named rule expressions over a text column. */
+  private def ruleFlags(text: Column, minWords: Int,
+                        maxWords: Int): Seq[(String, Column)] = {
+    val w = split(trim(text), "\\s+")
+    val lines = split(text, "\n")
+    val nWords = size(w).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumWordLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    // non-overlapping '...' occurrences, greedy left-to-right — the
+    // same contraction replace() performs in both engines
+    val nHash = (length(text) -
+      length(replace(text, lit("#"), lit("")))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3).cast("long")
+    val bulletLines = size(filter(lines,
+      x => ltrim(x).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      x => rtrim(x).endsWith("..."))).cast("long")
+    val alphaWords = size(filter(w,
+      x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = stopwordHits(text)
+
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+
+    Seq(
+      "flag_word_count" -> flag(nWords.between(minWords, maxWords)),
+      // 3 <= sum/n <= 10  ⇔  3n <= sum AND sum <= 10n
+      "flag_mean_word_len" ->
+        flag(sumWordLen >= nWords * 3 && sumWordLen <= nWords * 10),
+      // (hash + ellipsis)/words <= 0.1  ⇔  10*(hash+ellipsis) <= words
+      "flag_symbol_ratio" -> flag((nHash + nEllipsis) * 10 <= nWords),
+      // bullets/lines < 0.9  ⇔  10*bullets < 9*lines
+      "flag_bullet_lines" -> flag(bulletLines * 10 < nLines * 9),
+      // ellipsis-ends/lines < 0.3  ⇔  10*ends < 3*lines
+      "flag_ellipsis_lines" -> flag(ellipsisLines * 10 < nLines * 3),
+      // alpha/words >= 0.8  ⇔  5*alpha >= 4*words
+      "flag_alpha_words" -> flag(alphaWords * 5 >= nWords * 4),
+      "flag_stopwords" -> flag(stopHits >= 2))
+  }
+}

@@ -497,6 +497,18 @@ object TextQueries {
             .as("n_noncanonical"))
         .orderBy(col("doc_id"))),
 
+    // Gopher/MassiveText rule-by-rule quality gate (Rae et al. 2021,
+    // A1.1): seven named flags + keep conjunction, every threshold
+    // compared in integer arithmetic (no float division on the keep
+    // path). minWords=10 so the word-count rule discriminates on the
+    // fixture's short synthetic docs; line rules (degenerate here — no
+    // newlines in fixture text) are pinned on crafted multi-line docs
+    // by QualityFiltersSpec
+    "q104_gopher_rules" -> ((s, d) =>
+      graft.operators.QualityFilters
+        .gopherFlags(Tables.documents(s, d), minWords = 10)
+        .orderBy(col("doc_id"))),
+
     // quality-aware canonical selection: the best-scored copy survives
     // each fingerprint (token-set) dup group, id tiebreak — one window
     // partition carries both the rank and the group size
@@ -1130,6 +1142,66 @@ object TextQueries {
           SELECT group_key, doc_id AS canonical_id,
             canonical_quality, CAST(n AS BIGINT) AS n_dups
           FROM r WHERE rk = 1 ORDER BY group_key"""),
+    "q104_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS w,
+                  string_split(text, chr(10)) AS ln
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(w, x -> length(x)),
+                  'sum') AS BIGINT) AS sumlen,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS nhash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS nell,
+             CAST(len(list_filter(ln,
+                  x -> regexp_matches(ltrim(x), '^[-*•]')))
+                  AS BIGINT) AS bullets,
+             CAST(len(list_filter(ln, x -> rtrim(x) LIKE '%...'))
+                  AS BIGINT) AS ells,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS alphaw,
+             CAST(list_contains(w, 'the') AS BIGINT)
+               + CAST(list_contains(w, 'be') AS BIGINT)
+               + CAST(list_contains(w, 'to') AS BIGINT)
+               + CAST(list_contains(w, 'of') AS BIGINT)
+               + CAST(list_contains(w, 'and') AS BIGINT)
+               + CAST(list_contains(w, 'that') AS BIGINT)
+               + CAST(list_contains(w, 'have') AS BIGINT)
+               + CAST(list_contains(w, 'with') AS BIGINT) AS stophits,
+             CAST(len(ln) AS BIGINT) AS n_lines
+           FROM t),
+         f AS (
+           SELECT doc_id, n_words, stophits AS n_stopword_hits,
+             CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+               AS flag_word_count,
+             CASE WHEN sumlen >= n_words * 3 AND sumlen <= n_words * 10
+               THEN 1 ELSE 0 END AS flag_mean_word_len,
+             CASE WHEN (nhash + nell) * 10 <= n_words THEN 1 ELSE 0 END
+               AS flag_symbol_ratio,
+             CASE WHEN bullets * 10 < n_lines * 9 THEN 1 ELSE 0 END
+               AS flag_bullet_lines,
+             CASE WHEN ells * 10 < n_lines * 3 THEN 1 ELSE 0 END
+               AS flag_ellipsis_lines,
+             CASE WHEN alphaw * 5 >= n_words * 4 THEN 1 ELSE 0 END
+               AS flag_alpha_words,
+             CASE WHEN stophits >= 2 THEN 1 ELSE 0 END AS flag_stopwords
+           FROM q)
+         SELECT doc_id, n_words, n_stopword_hits,
+           CAST(flag_word_count AS BIGINT) AS flag_word_count,
+           CAST(flag_mean_word_len AS BIGINT) AS flag_mean_word_len,
+           CAST(flag_symbol_ratio AS BIGINT) AS flag_symbol_ratio,
+           CAST(flag_bullet_lines AS BIGINT) AS flag_bullet_lines,
+           CAST(flag_ellipsis_lines AS BIGINT) AS flag_ellipsis_lines,
+           CAST(flag_alpha_words AS BIGINT) AS flag_alpha_words,
+           CAST(flag_stopwords AS BIGINT) AS flag_stopwords,
+           CAST(flag_word_count * flag_mean_word_len * flag_symbol_ratio
+             * flag_bullet_lines * flag_ellipsis_lines * flag_alpha_words
+             * flag_stopwords AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
     "q99_canonicalize" -> {
       import graft.functions.TextClean.{controlRe, unicodeSpaceRe, zeroWidthRe}
       s"""SELECT doc_id,

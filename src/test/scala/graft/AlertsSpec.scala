@@ -156,6 +156,36 @@ class AlertsSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("CLI verbs fire the DAG-style callbacks: failure alerts + rethrows, " +
+    "success announces, unconfigured skips") {
+    val sender = new WebhookSender.Recording
+    val cfg = Config(slackUrl = Some("https://hooks.invalid/cli"))
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_alert_wh").toString
+
+    intercept[IllegalArgumentException] {
+      cli.Main.runWithAlerts(spark, "no-such-verb",
+        "/root/testdata/sf0.001", wh, Map.empty, sender, cfg)
+    }
+    assert(sender.posts.size == 1)
+    val fail = parse(sender.posts.head.payload)
+    assert(fail.get("text").asText == "Task graft-cli.no-such-verb failed")
+    assert(fail.get("blocks").get(2).get("text").get("text").asText
+      .contains("unknown verb"))
+
+    cli.Main.runWithAlerts(spark, "status",
+      "/root/testdata/sf0.001", wh, Map.empty, sender, cfg)
+    assert(sender.posts.size == 2)
+    assert(parse(sender.posts.last.payload).get("text").asText ==
+      "Pipeline graft-cli completed successfully")
+
+    // empty config: alerts add zero behavior, the verb still runs
+    val quiet = new WebhookSender.Recording
+    cli.Main.runWithAlerts(spark, "status",
+      "/root/testdata/sf0.001", wh, Map.empty, quiet, Config())
+    assert(quiet.posts.isEmpty)
+  }
+
   test("StreamingAlertListener: clean stop announces success, crash alerts") {
     import java.nio.file.Files
     val sender = new WebhookSender.Recording

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityFilters
+
+/** Gopher/MassiveText rule gate: each rule pinned on a crafted document
+  * that violates exactly that rule (the fixture corpus has no newlines,
+  * so the line rules only bind here). */
+class QualityFiltersSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 60 words of clean prose-ish text that passes every rule
+  private val good = (("the data and model that have to work with scale " +
+    "well under load because every stage keeps its partial state " +
+    "small and mergeable across executors so a failure of one node " +
+    "never forces a global recompute of the full corpus which is " +
+    "the property that makes this able to run at volume") + "").trim
+
+  private def flagsOf(text: String): Map[String, Long] = {
+    val row = QualityFilters.gopherFlags(
+      Seq((1L, text)).toDF("doc_id", "text"), minWords = 50).head()
+    row.schema.fieldNames.zipWithIndex.collect {
+      case (n, i) if n.startsWith("flag_") || n == "keep" =>
+        n -> row.getLong(i)
+    }.toMap
+  }
+
+  test("clean document passes all seven rules") {
+    val f = flagsOf(good)
+    assert(f.values.forall(_ == 1L), s"unexpected failures: $f")
+  }
+
+  test("word-count bounds") {
+    assert(flagsOf("too short")("flag_word_count") == 0L)
+    assert(flagsOf(good)("flag_word_count") == 1L)
+  }
+
+  test("mean word length must be 3..10 chars") {
+    val shortWords = Seq.fill(60)("a b the of").mkString(" ")
+    assert(flagsOf(shortWords)("flag_mean_word_len") == 0L)
+    val longWords = Seq.fill(60)("incomprehensibilities").mkString(" ")
+    assert(flagsOf(longWords)("flag_mean_word_len") == 0L)
+  }
+
+  test("symbol-to-word ratio: # and ... both count") {
+    assert(flagsOf(good + " # # # # # # # #")("flag_symbol_ratio") == 0L)
+    assert(flagsOf(good + " ... ... ... ... ... ... ...")
+      ("flag_symbol_ratio") == 0L)
+    assert(flagsOf(good)("flag_symbol_ratio") == 1L)
+  }
+
+  test("bullet-line fraction < 90%") {
+    // 10 lines, 9 bullets → 90% exactly → fails (strict <)
+    val bullety = (Seq.fill(9)("- " + good.take(40)) :+ good).mkString("\n")
+    assert(flagsOf(bullety)("flag_bullet_lines") == 0L)
+    val some = (Seq.fill(2)("* item") ++ Seq.fill(8)(good.take(40)))
+      .mkString("\n")
+    assert(flagsOf(some)("flag_bullet_lines") == 1L)
+  }
+
+  test("ellipsis-terminated-line fraction < 30%") {
+    val elly = (Seq.fill(3)(good.take(30) + "...") ++
+      Seq.fill(7)(good.take(30))).mkString("\n")
+    assert(flagsOf(elly)("flag_ellipsis_lines") == 0L)
+    val fine = (Seq.fill(2)(good.take(30) + "...") ++
+      Seq.fill(8)(good.take(30))).mkString("\n")
+    assert(flagsOf(fine)("flag_ellipsis_lines") == 1L)
+  }
+
+  test("80% of words must contain a letter") {
+    val numeric = (good.split(" ").take(30) ++
+      Seq.fill(31)("12345")).mkString(" ")
+    assert(flagsOf(numeric)("flag_alpha_words") == 0L)
+  }
+
+  test("at least two distinct Gopher stopwords") {
+    val noStops = Seq.fill(60)("alpha beta gamma delta").mkString(" ")
+    assert(flagsOf(noStops)("flag_stopwords") == 0L)
+    val oneStop = "the " + Seq.fill(60)("alpha beta gamma").mkString(" ")
+    assert(flagsOf(oneStop)("flag_stopwords") == 0L)
+    val twoStops = "the with " + Seq.fill(60)("alpha beta gamma")
+      .mkString(" ")
+    assert(flagsOf(twoStops)("flag_stopwords") == 1L)
+  }
+
+  test("keep is the conjunction; gopherFilter applies it without a join") {
+    val docs = Seq(
+      (1L, good),                      // keeps
+      (2L, "too short"),               // word count fails
+      (3L, good + " # # # # # # # #")  // symbol ratio fails
+    ).toDF("doc_id", "text")
+    val kept = QualityFilters.gopherFilter(docs, minWords = 50)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // pure predicate over the scan: no Exchange, no join in the plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
