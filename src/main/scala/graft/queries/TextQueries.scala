@@ -509,6 +509,15 @@ object TextQueries {
         .gopherFlags(Tables.documents(s, d), minWords = 10)
         .orderBy(col("doc_id"))),
 
+    // cross-subcorpus contamination: bigram-type overlap between every
+    // source pair — the mixing-weight sanity check (two near-identical
+    // sources double-count under weighted mixing). Type-level distinct
+    // first, then a gram-keyed pair join: never all-pairs over docs
+    "q105_source_overlap" -> ((s, d) =>
+      graft.operators.CorpusOverlap
+        .sourceNgramOverlap(Tables.documents(s, d), n = 2)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // quality-aware canonical selection: the best-scored copy survives
     // each fingerprint (token-set) dup group, id tiebreak — one window
     // partition carries both the rank and the group size
@@ -1142,6 +1151,37 @@ object TextQueries {
           SELECT group_key, doc_id AS canonical_id,
             canonical_quality, CAST(n AS BIGINT) AS n_dups
           FROM r WHERE rk = 1 ORDER BY group_key"""),
+    "q105_source_overlap" ->
+      """WITH t AS (
+           SELECT source,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (
+           SELECT source,
+             list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS sh
+           FROM t),
+         g AS (
+           SELECT DISTINCT source, unnest(sh) AS gram FROM sh),
+         sz AS (SELECT source, count(*) AS sz FROM g GROUP BY 1),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS shared_grams
+           FROM g a JOIN g b
+             ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b,
+           CAST(sa.sz AS BIGINT) AS grams_a,
+           CAST(sb.sz AS BIGINT) AS grams_b,
+           CAST(shared_grams AS BIGINT) AS shared_grams,
+           CAST((2000000 * shared_grams
+                 + (sa.sz + sb.sz - shared_grams))
+                // (2 * (sa.sz + sb.sz - shared_grams)) AS DOUBLE)
+             / 1000000 AS jaccard
+         FROM p
+         JOIN sz sa ON sa.source = p.source_a
+         JOIN sz sb ON sb.source = p.source_b
+         ORDER BY source_a, source_b""",
     "q104_gopher_rules" ->
       """WITH t AS (
            SELECT doc_id, text,
