@@ -518,6 +518,17 @@ object TextQueries {
         .sourceNgramOverlap(Tables.documents(s, d), n = 2)
         .orderBy(col("source_a"), col("source_b"))),
 
+    // token-budget corpus selection: greedy prefix of the
+    // (quality DESC, doc_id) order while cumulative tokens fit. The
+    // cumsum is a distributed two-phase prefix scan (range repartition
+    // + per-partition windows + broadcast offsets) — NOT the
+    // single-partition global window the naive SQL implies; the oracle
+    // checks the two formulations agree exactly
+    "q106_budget_select" -> ((s, d) =>
+      graft.operators.BudgetSelect
+        .selectByTokenBudget(Tables.documents(s, d), tokenBudget = 3000L)
+        .orderBy(col("cum_tokens"))),
+
     // quality-aware canonical selection: the best-scored copy survives
     // each fingerprint (token-set) dup group, id tiebreak — one window
     // partition carries both the rank and the group size
@@ -1151,6 +1162,34 @@ object TextQueries {
           SELECT group_key, doc_id AS canonical_id,
             canonical_quality, CAST(n AS BIGINT) AS n_dups
           FROM r WHERE rk = 1 ORDER BY group_key"""),
+    "q106_budget_select" -> (TOKS +
+      """, q AS (
+            SELECT doc_id, len(w) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ('the','a','an','and',
+                'of','to','in','is','it','that'))) AS DOUBLE)
+                / nullif(len(w), 0) AS sr,
+              length(text)
+                - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '',
+                    'g')) AS np,
+              length(text) AS nc
+            FROM t),
+          sc AS (
+            SELECT doc_id,
+              round((CASE WHEN n_tok BETWEEN 10 AND 100000
+                          THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN sr > 0.05 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN CAST(np AS DOUBLE) / nullif(nc, 0) < 0.1
+                        THEN 0.3 ELSE 0.0 END), 4) AS quality,
+              CAST(n_tok AS BIGINT) AS n_tokens
+            FROM q),
+          cum AS (
+            SELECT doc_id, quality, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+            FROM sc)
+          SELECT doc_id, quality, n_tokens, cum_tokens
+          FROM cum WHERE cum_tokens <= 3000 ORDER BY cum_tokens"""),
     "q105_source_overlap" ->
       """WITH t AS (
            SELECT source,
