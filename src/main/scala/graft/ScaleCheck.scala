@@ -263,6 +263,39 @@ object ScaleCheck {
         graft.jobs.CorpusPrepJob.Config(boilerplateMinDocFrac = 1.0))
       println(s"[scale]   prep ledger: ${ledger.mkString(" -> ")}")
     }
+    // Gopher rule gate: pure map projection — the per-row expression
+    // cost is the whole cost
+    time("gopher_flags", nd) {
+      sink(graft.operators.QualityFilters.gopherFlags(docs))
+    }
+    // cross-source overlap: the type-level distinct bounds the pair
+    // join by gram types, so inflating docs 32× (same vocabulary)
+    // must NOT inflate the join — wall time should grow with the
+    // distinct shuffle, not quadratically
+    time("source_overlap", nd) {
+      sink(graft.operators.CorpusOverlap.sourceNgramOverlap(docs))
+    }
+    // the prefix-scan A/B (q106): identical results, one plan funnels
+    // every row through a single-partition window, the other keeps
+    // the scan parallel with a numPartitions-row offset table
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextFns.qualityScore(col("text")).as("q"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long")
+          .as("v")).cache()
+      scored.count()
+      time("prefix_scan_naive", nd) {
+        sink(scored.withColumn("cum", sum(col("v")).over(
+          Window.orderBy(col("q").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      }
+      time("prefix_scan_distributed", nd) {
+        sink(graft.operators.BudgetSelect.distributedPrefixSum(scored,
+          Seq(col("q").desc, col("doc_id").asc), col("v"), "cum"))
+      }
+      scored.unpersist()
+    }
     docs.unpersist()
     spark.stop()
   }

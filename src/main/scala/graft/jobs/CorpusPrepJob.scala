@@ -40,7 +40,17 @@ object CorpusPrepJob {
                     contaminationN: Int = 5,
                     contaminationThreshold: Double = 0.5,
                     mixAlpha: Double = 0.7,
-                    sampleFraction: Double = 1.0)
+                    sampleFraction: Double = 1.0,
+                    // 0 disables the Gopher rule gate; > 0 enables it
+                    // with that word-count floor. Off by default: the
+                    // seven published rules (QualityFilters) assume
+                    // natural-language prose and would empty a
+                    // synthetic-vocabulary corpus via the stopword rule
+                    gopherMinWords: Int = 0,
+                    // 0 disables the token-budget cap; > 0 keeps the
+                    // best-quality greedy prefix fitting that many
+                    // tokens (BudgetSelect, distributed prefix scan)
+                    tokenBudget: Long = 0L)
 
   /** Returns the prepared corpus (doc_id, text, lang, source) and the
     * per-stage surviving-row ledger. */
@@ -74,8 +84,14 @@ object CorpusPrepJob {
       TextClean.scrub(col("text"))))
 
     // 2. heuristic quality gate (pure map)
-    val qualified = stage("quality_gate", scrubbed
+    val scored = stage("quality_gate", scrubbed
       .filter(TextFns.qualityScore(col("text")) >= cfg.minQuality))
+
+    // 2b. optional Gopher rule gate (pure map predicate — q104 rules)
+    val qualified =
+      if (cfg.gopherMinWords <= 0) scored
+      else stage("gopher_gate", graft.operators.QualityFilters
+        .gopherFilter(scored, minWords = cfg.gopherMinWords))
 
     // 3. corpus-frequency boilerplate strip (token granularity — the
     // fixture corpus is single-line; real corpora pass line defaults).
@@ -125,6 +141,17 @@ object CorpusPrepJob {
       groupCol = "lang", keyCol = "doc_id",
       alpha = cfg.mixAlpha, sampleFraction = cfg.sampleFraction))
 
-    (mixed, ledger.toList)
+    // 8. optional token-budget cap: best-quality greedy prefix via the
+    // distributed prefix scan (q106) — a left-semi join back keeps the
+    // full doc rows of the selected ids
+    val budgeted =
+      if (cfg.tokenBudget <= 0L) mixed
+      else stage("budget_capped", mixed.join(
+        graft.operators.BudgetSelect
+          .selectByTokenBudget(mixed, cfg.tokenBudget)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+
+    (budgeted, ledger.toList)
   }
 }

@@ -40,6 +40,36 @@ class CorpusPrepSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source"))
   }
 
+  test("token-budget stage caps the output at the best-quality prefix") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val (out, ledger) = CorpusPrepJob.run(corpus, evalSet,
+      CorpusPrepJob.Config(tokenBudget = 1500L))
+    val byName = ledger.toMap
+    assert(byName.contains("budget_capped"))
+    assert(byName("budget_capped") <= byName("mixed"))
+    assert(byName("budget_capped") > 0)
+    val totalTokens = out.select(sum(
+      graft.functions.TextFns.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(totalTokens <= 1500L)
+  }
+
+  test("gopher gate empties a synthetic word-soup corpus without " +
+    "breaking downstream stages") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20).limit(50)
+    // fixture docs carry at most one Gopher stopword type — the
+    // >=2-distinct rule removes everything, and the pipeline must
+    // still complete with an empty (not crashed) result
+    val (out, ledger) = CorpusPrepJob.run(corpus, evalSet,
+      CorpusPrepJob.Config(gopherMinWords = 1))
+    assert(ledger.toMap.apply("gopher_gate") == 0L)
+    assert(out.count() == 0L)
+  }
+
   test("with the span-cut stage enabled, a doc embedding a verbatim " +
     "passage of an earlier doc keeps only its own words") {
     import spark.implicits._
