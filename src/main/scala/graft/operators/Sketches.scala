@@ -66,6 +66,59 @@ object Sketches {
       .withColumn("chars_q90", element_at(col("chars_q"), 2))
       .drop("chars_q")
 
+  /** Approximate heavy hitters (frequent values) of `valueCol` via a
+    * Count-Min Sketch (Cormode & Muthukrishnan 2005) — the third sketch
+    * family next to HLL (distincts) and KLL (quantiles): FREQUENCIES.
+    *
+    * Why not exact `groupBy(value).count().orderBy(desc)`: at 100 TB
+    * the shuffle carries one row per DISTINCT value (billions for
+    * tokens/URLs). The sketch path carries fixed-size state instead:
+    *  1. one `count_min_sketch` aggregate — per-partition sketches of
+    *     `depth×width` counters, map-side combined, merged to a single
+    *     bounded binary on the driver (eps→width=⌈2/eps⌉, so ~160 KB
+    *     at eps=1e-4 regardless of cardinality);
+    *  2. candidates from per-partition LOCAL exact top-`candidatesPerPartition`
+    *     (a hash map bounded by the partition, no shuffle of the tail —
+    *     any value with global share > 1/cpp must be a local top-cpp
+    *     somewhere, so true heavy hitters cannot be missed);
+    *  3. the tiny candidate set is probed against the broadcast sketch
+    *     for GLOBAL estimates and top-`k` by estimate is returned.
+    *
+    * CMS guarantees estimate ≥ true count, and ≤ true + eps·N with
+    * probability `confidence` — pinned by SketchesSpec against the
+    * exact counts. Exposed rows-only (q108): the estimates depend on
+    * Spark's CMS hash seeds, which a cross-engine oracle can't replay;
+    * the exact twin for the same question is q77 (vocab top-k). */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
+                   eps: Double = 0.0001, confidence: Double = 0.99,
+                   candidatesPerPartition: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+
+    val sketchBytes = vals
+      .agg(count_min_sketch(col("v"), lit(eps), lit(confidence),
+        lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val bc = spark.sparkContext.broadcast(sketch)
+
+    val candidates = vals.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach(v => counts.update(v, counts.getOrElse(v, 0L) + 1L))
+      counts.toSeq.sortBy { case (v, n) => (-n, v) }
+        .take(candidatesPerPartition).map(_._1).iterator
+    }.distinct()
+
+    candidates.map { v =>
+      (v, bc.value.estimateCount(v))
+    }.toDF(valueCol, "est_n")
+      .orderBy(col("est_n").desc, col(valueCol))
+      .limit(k)
+  }
+
   /** EXACT twin of [[corpusProfile]] — same columns, exact
     * `count(distinct)` + interpolated `percentile` (the Spark/DuckDB
     * shared linear-interpolation definition, q63). State grows with

@@ -557,6 +557,26 @@ object TextQueries {
           strategy = "lsh", threshold = 0.4)
         .orderBy(col("vec_id"))),
 
+    // SemDeDup (arXiv:2303.09540): cluster the embedding space, then
+    // within each cluster drop near-dups (cosine >= tau vs a
+    // clustermate), keeping the least-prototypical member of each dup
+    // neighborhood. Seed-centroid init (k smallest ids) is the
+    // oracle-replayable configuration — assignment, domination, and
+    // the keep rule are then exact relational algebra
+    "q107_semantic_dedup" -> ((s, d) =>
+      graft.operators.SemDedup
+        .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4)
+        .orderBy(col("vec_id"))),
+
+    // D4 (arXiv:2308.12284) diversification on the SemDeDup survivors:
+    // keep the half of each cluster FARTHEST from its centroid — the
+    // prototypical near-centroid tail goes first
+    "q109_diversify" -> ((s, d) =>
+      graft.operators.SemDedup.diversify(
+        graft.operators.SemDedup
+          .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
+        keepFraction = 0.5).orderBy(col("vec_id"))),
+
     // corpus vocabulary: top-20 tokens by frequency (count desc, token
     // asc tiebreak) — tokenizer-training input; explode → two-phase
     // count → TakeOrdered, no full sort of the vocabulary
@@ -632,6 +652,17 @@ object TextQueries {
     "q67_sketch_profile" -> ((s, d) =>
       graft.operators.Sketches.corpusProfile(Tables.documents(s, d))
         .orderBy(col("lang"))),
+
+    // Count-Min-Sketch heavy hitters: top tokens by ESTIMATED count —
+    // the fixed-state frequency profile (third sketch family after
+    // HLL/KLL). Rows-only: estimates depend on Spark's CMS hash seeds;
+    // q77 is the exact top-k twin and SketchesSpec pins the CMS
+    // overcount contract (exact ≤ estimate ≤ exact + eps·N)
+    "q108_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketches.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextFns.tokens(col("text"))).as("token")),
+        "token", k = 20)),
 
     // the EXACT twin of q67 — same output shape, exact distinct counts
     // + interpolated percentiles, hash-oracled: anchors the sketch
@@ -796,6 +827,30 @@ object TextQueries {
      SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS canonical
      FROM reach GROUP BY id ORDER BY vec_id"""
   }
+
+  /** q107/q109 shared prefix: seed-centroid assignment (argmax 4dp
+    * cosine over the k=8 smallest-id embeddings, ties to the smaller
+    * centroid id) + the SemDeDup domination set (a clustermate at
+    * cosine >= 0.4 with strictly lower centroid similarity, id
+    * tiebreak, marks you dropped). Mirrors SemDedup.assign /
+    * SemDedup.semanticDedup term for term. */
+  private val semDedupCtes: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+          c AS (SELECT vec_id AS cl, e AS ce FROM v WHERE vec_id < 8),
+          s AS (SELECT v.vec_id, v.e, c.cl,
+                  round(list_cosine_similarity(v.e, c.ce), 4) AS csim,
+                  row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY round(list_cosine_similarity(v.e, c.ce), 4)
+                      DESC, c.cl) AS rk
+                FROM v, c),
+          asg AS (SELECT vec_id, e, cl, csim FROM s WHERE rk = 1),
+          dropped AS (SELECT DISTINCT x.vec_id
+            FROM asg x JOIN asg y
+              ON x.cl = y.cl AND x.vec_id <> y.vec_id
+             AND (y.csim < x.csim
+                  OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4)"""
 
   /** Sign-sum SQL for one JL component: an EXPLICIT left-associated sum
     * (e[1] + e[2] - e[3] ...) so the IEEE addition sequence matches the
@@ -1714,6 +1769,23 @@ object TextQueries {
            round(quantile_cont(n_chars, 0.9), 4) AS chars_q90
          FROM documents GROUP BY lang ORDER BY lang""",
     "q76b_embed_dedup_lsh" -> embedLshGroupsOracle,
+    "q107_semantic_dedup" -> (semDedupCtes + """
+         SELECT a.vec_id, a.cl AS cluster, a.csim AS centroid_sim,
+                (d.vec_id IS NULL) AS kept
+         FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id"""),
+    "q109_diversify" -> (semDedupCtes + """
+         , kept AS (SELECT a.vec_id, a.cl, a.csim
+                    FROM asg a LEFT JOIN dropped d
+                      ON a.vec_id = d.vec_id
+                    WHERE d.vec_id IS NULL),
+           rk AS (SELECT vec_id, cl, csim,
+                    row_number() OVER (PARTITION BY cl
+                      ORDER BY csim ASC, vec_id) AS r,
+                    count(*) OVER (PARTITION BY cl) AS n
+                  FROM kept)
+         SELECT vec_id, cl AS cluster, csim AS centroid_sim
+         FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
     "q92_knn_quantized" ->
       """WITH v AS (SELECT vec_id,
                     list_transform(embedding,
