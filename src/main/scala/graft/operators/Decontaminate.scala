@@ -253,4 +253,37 @@ object Decontaminate {
     removeSpans(corpus,
       selfExactSubstrSpans(corpus, minTokens, textCol, idCol),
       textCol, idCol)
+
+  /** Embedding-space benchmark decontamination — the SEMANTIC rung of
+    * the ladder (after n-gram overlap and exact substrings): a corpus
+    * example is contaminated when its embedding lies within cosine
+    * `tau` of ANY benchmark embedding. Catches paraphrased/translated
+    * eval leakage that token-overlap probes structurally miss (the
+    * "rephrased samples" failure mode, arXiv:2311.04850).
+    *
+    * Scale shape: the benchmark set is an eval suite — thousands of
+    * rows against a 100 TB corpus — so it travels the same way the
+    * SemDeDup centroids do: collected once (bounded by construction)
+    * and inlined as a broadcast literal inside a single map-side
+    * argmax pass over the corpus. No shuffle, no join; linear in
+    * corpus rows. Output keeps every corpus row with its nearest
+    * benchmark id and similarity so the flag threshold is auditable
+    * downstream.
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+                            tau: Double,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    val bench = benchmark
+      .select(col(idCol).cast("long"), Similarity.asDouble(col(vecCol)))
+      .orderBy(col(idCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    SemDedup.assign(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol)), bench,
+        vecCol)
+      .select(col("vec_id").as(idCol),
+        col("cluster").as("nearest_bench"),
+        col("centroid_sim").as("bench_sim"),
+        (col("centroid_sim") >= tau).as("contaminated"))
+  }
 }

@@ -577,6 +577,18 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // semantic decontamination: corpus embeddings flagged when within
+    // cosine 0.5 of ANY benchmark embedding (here: vec_id < 16 plays
+    // the eval suite) — the embedding rung of the decontamination
+    // ladder; one map-side argmax pass, benchmark as broadcast literal
+    "q110_semantic_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Decontaminate.semanticContamination(
+          e.filter(col("vec_id") >= 16), e.filter(col("vec_id") < 16),
+          tau = 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
     // corpus vocabulary: top-20 tokens by frequency (count desc, token
     // asc tiebreak) — tokenizer-training input; explode → two-phase
     // count → TakeOrdered, no full sort of the vocabulary
@@ -1786,6 +1798,20 @@ object TextQueries {
                   FROM kept)
          SELECT vec_id, cl AS cluster, csim AS centroid_sim
          FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
+    "q110_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+            b AS (SELECT vec_id AS bid, e AS be FROM v
+                  WHERE vec_id < 16),
+            s AS (SELECT v.vec_id, b.bid,
+                    round(list_cosine_similarity(v.e, b.be), 4) AS sim,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY round(list_cosine_similarity(v.e, b.be),
+                        4) DESC, b.bid) AS rk
+                  FROM v, b WHERE v.vec_id >= 16)
+         SELECT vec_id, bid AS nearest_bench, sim AS bench_sim,
+                sim >= 0.5 AS contaminated
+         FROM s WHERE rk = 1 ORDER BY vec_id""",
     "q92_knn_quantized" ->
       """WITH v AS (SELECT vec_id,
                     list_transform(embedding,

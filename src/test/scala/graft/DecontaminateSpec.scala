@@ -140,4 +140,29 @@ class DecontaminateSpec extends SparkSuite {
     assert(flagged.nonEmpty) // fixture plants real near-copies
     assert(kept == all -- flagged)
   }
+
+  test("semanticContamination: an exact benchmark copy flags at sim 1.0, " +
+    "the plan is map-side (no join, no exchange before the sort)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.filter(col("vec_id") < 16)
+    val corpus = emb.filter(col("vec_id") >= 16)
+      // plant an exact copy of benchmark vector 3 as id 9001
+      .unionByName(bench.filter(col("vec_id") === 3)
+        .withColumn("vec_id", lit(9001L)))
+    val out = Decontaminate.semanticContamination(corpus, bench,
+      tau = 0.5).cache()
+    assert(out.count() == corpus.count())
+    val planted = out.filter(col("vec_id") === 9001L).head()
+    assert(planted.getAs[Long]("nearest_bench") == 3L)
+    assert(planted.getAs[Double]("bench_sim") == 1.0)
+    assert(planted.getAs[Boolean]("contaminated"))
+    // every flagged row really is within tau of its nearest benchmark
+    assert(out.filter(col("contaminated") &&
+      col("bench_sim") < 0.5).count() == 0)
+    // scale shape: the benchmark rides as a literal — no Join nodes in
+    // the executed plan at all
+    val plan = Decontaminate.semanticContamination(corpus, bench, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+  }
 }
