@@ -257,42 +257,11 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               vecCol: String = "embedding",
               idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-
-    val base = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cvec"))
-    val featurized = base.withColumn("features",
-      array_to_vector(col("cvec")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(featurized)
-    val assigned = model.transform(featurized)
-      .select(col("neighbor_id"), col("cvec"), col("cell"))
-
-    // centroid table is tiny: broadcast to rank cells per query
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }
-    val centroidDf = broadcast(corpus.sparkSession
-      .createDataFrame(centroids.toIndexedSeq).toDF("cell", "centroid"))
-
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qvec")))
-    val probes = q.crossJoin(centroidDf)
-      .withColumn("cdist", cosine(col("qvec"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cdist").desc, col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
-
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
-    topKPerKey(scored, k)
+    // build + search in one shot; [[IvfIndex]] is the persisted form
+    // (same fit, same probe ranking, same scoring — spec-pinned equal)
+    val (centroids, cells) =
+      IvfIndex.build(corpus, nCentroids, vecCol, idCol, seed)
+    IvfIndex.search(centroids, cells, queries, k, nProbe, vecCol, idCol)
   }
 
   /** Exact brute-force self-pairs above threshold (oracle-matchable
