@@ -149,6 +149,22 @@ object ScaleCheck {
         bands = 2))
     }
     time("quantize_int8", ne) { sink(Similarity.quantizeInt8(emb)) }
+    // SemDeDup: centroid assignment is the fused native argmax kernel
+    // (map-side, no shuffle); the near-dup self-join keys on
+    // (cluster, blockLo, blockHi) — blocked all-pairs by default, so
+    // a hot cluster parallelizes instead of pinning a straggler.
+    // Quadrupling k cuts TOTAL pair volume ~4× (clusters shrink);
+    // blocking bounds how that volume lands on tasks. Measured
+    // history in BASELINE.md (HOF assignment → kernel → explicit-N
+    // repartition → default blocking: k64 628 s → 94 s).
+    time("semantic_dedup_k64", ne) {
+      sink(graft.operators.SemDedup.semanticDedup(emb, k = 64,
+        tau = 0.4))
+    }
+    time("semantic_dedup_k256", ne) {
+      sink(graft.operators.SemDedup.semanticDedup(emb, k = 256,
+        tau = 0.4))
+    }
     emb.unpersist()
 
     val docs = inflate(Tables.documents(spark, sfDir), "doc_id",
@@ -267,6 +283,23 @@ object ScaleCheck {
     // cost is the whole cost
     time("gopher_flags", nd) {
       sink(graft.operators.QualityFilters.gopherFlags(docs))
+    }
+    // frequency profile A/B: exact top-k shuffles one row per DISTINCT
+    // token; the CMS path shuffles fixed sketch state + a bounded
+    // candidate set. Same head set (SketchesSpec), different state
+    // growth — the gap widens with vocabulary, not with rows
+    locally {
+      val toks = docs.select(explode(
+        graft.functions.TextFns.tokens(col("text"))).as("token"))
+      val nt = toks.count()
+      time("topk_exact_groupby", nt) {
+        sink(toks.groupBy("token").count()
+          .orderBy(col("count").desc, col("token")).limit(20))
+      }
+      time("topk_cms_sketch", nt) {
+        sink(graft.operators.Sketches.heavyHitters(toks, "token",
+          k = 20))
+      }
     }
     // cross-source overlap: the type-level distinct bounds the pair
     // join by gram types, so inflating docs 32× (same vocabulary)

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *    size (n/k expected), never in n. That is SemDeDup's own cost
   *    model; raise k (the paper runs k=11k for 100M points) to keep
   *    clusters bounded, and the per-cluster work stays flat as the
-  *    corpus grows. A pathologically hot cluster is a data smell the
-  *    cluster-size histogram in the output makes visible; the LSH
-  *    variant ([[Dedup.embeddingNearDupGroups]] strategy="lsh") is the
-  *    escape hatch if one appears.
+  *    corpus grows. By default the join is additionally BLOCKED
+  *    (`maxBlock`): a hot cluster is split into bounded blocks joined
+  *    pairwise, so one degenerate cluster parallelizes across the
+  *    fleet instead of pinning a straggler task — total pair work is
+  *    unchanged (it is inherent to the semantics), but no single task
+  *    carries more than ~2·maxBlock rows. If even the total pair
+  *    volume is unaffordable, the LSH candidate generator
+  *    ([[Dedup.embeddingNearDupGroups]] strategy="lsh") is the
+  *    recall-trading escape hatch.
   *
   * Determinism: centroid seeding is the k smallest ids (no RNG), all
   * similarity comparisons go through the 4dp-rounded fused cosine
@@ -42,6 +47,12 @@ object SemDedup {
 
   private def idCol = "vec_id"
 
+  /** The session's configured shuffle parallelism — used as an
+    * EXPLICIT repartition count where AQE's input-size coalescing
+    * would under-parallelize a high-fan-out pair join. */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Deterministic seed centroids: the embeddings of the k smallest
     * ids, labeled by their id. (SemDeDup itself is insensitive to init
     * quality — the clusters only bound the candidate search — so a
@@ -54,35 +65,24 @@ object SemDedup {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  /** Centroid array as a single literal column of
-    * `array<struct<cluster:bigint, c:array<double>>>` — the broadcast
-    * side of the map-side assignment. k×d literals in the plan; fine
-    * for the k ≤ a few thousand this operator targets per the paper. */
-  private def centroidLit(cs: Array[(Long, Array[Double])]): Column =
-    array(cs.map { case (id, v) =>
-      struct(lit(id).as("cluster"),
-        array(v.map(lit(_)).toIndexedSeq: _*).as("c"))
-    }.toIndexedSeq: _*)
-
   /** Map-side argmax assignment: for each vector, the centroid with the
-    * highest 4dp cosine, ties to the smallest cluster id. One
-    * `transform` + `array_max` over the centroid literal — no shuffle.
-    * Output: (vec_id, vec, cluster, centroid_sim). */
+    * highest 4dp cosine, ties to the smallest cluster id. The centroid
+    * matrix rides along as a reference object inside ONE fused native
+    * kernel ([[graft.plans.ArgMaxCosine]]) — no shuffle, no join, one
+    * generated loop per row (the HOF `transform`+`array_max`
+    * formulation re-read the vector k times and grew with k even as
+    * the downstream join shrank; ScaleCheck measured the kernel
+    * replacing it). Output: (vec_id, vec, cluster, centroid_sim). */
   def assign(embeddings: DataFrame, centroids: Array[(Long, Array[Double])],
-             vecCol: String = "embedding"): DataFrame = {
-    val sims = transform(centroidLit(centroids), ctr =>
-      struct(Similarity.cosine(col("vec"), ctr.getField("c")).as("sim"),
-        // struct max is lexicographic: sim first, then -cluster so the
-        // SMALLEST cluster id wins similarity ties
-        (-ctr.getField("cluster")).as("negc")))
+             vecCol: String = "embedding"): DataFrame =
     embeddings
       .select(col(idCol).cast("long").as(idCol),
         Similarity.asDouble(col(vecCol)).as("vec"))
-      .withColumn("best", array_max(sims))
+      .withColumn("best",
+        graft.plans.VectorExpressions.argMaxCosine(col("vec"), centroids))
       .select(col(idCol), col("vec"),
-        (-col("best.negc")).as("cluster"),
+        col("best.cluster").as("cluster"),
         col("best.sim").as("centroid_sim"))
-  }
 
   /** `iters` rounds of Lloyd refinement on the seed centroids.
     * Each round: map-side assignment (above), then the element-wise
@@ -132,32 +132,105 @@ object SemDedup {
     */
   def semanticDedup(embeddings: DataFrame, k: Int, tau: Double,
                     lloydIters: Int = 0,
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxBlock: Int = 2048): DataFrame = {
     val cs =
       if (lloydIters == 0) seedCentroids(embeddings, k, vecCol)
       else lloyd(embeddings, k, lloydIters, vecCol)
     val asg = assign(embeddings, cs, vecCol)
-
-    val left = asg.select(col("cluster"), col(idCol), col("vec"),
-      col("centroid_sim"))
-    val right = asg.select(col("cluster").as("other_cluster"),
-      col(idCol).as("other_id"), col("vec").as("other_vec"),
-      col("centroid_sim").as("other_sim"))
-
-    // shuffles both sides by cluster once; pair volume is Σ n_c², never n²
-    val dominated = left.join(right,
-        col("cluster") === col("other_cluster") &&
-          col(idCol) =!= col("other_id") &&
-          (col("other_sim") < col("centroid_sim") ||
-            (col("other_sim") === col("centroid_sim") &&
-              col("other_id") < col(idCol))))
-      .filter(Similarity.cosine(col("vec"), col("other_vec")) >= tau)
-      .select(col(idCol)).distinct()
-      .withColumn("dropped", lit(true))
-
+    val dominated = dominatedSet(asg, tau, maxBlock)
     asg.join(dominated, Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("centroid_sim"),
         coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** Ids with a same-cluster dominating near-dup (see
+    * [[semanticDedup]]). With `maxBlock = 0` the candidate join keys
+    * on the cluster alone: one shuffle per side, pair volume Σ n_c² —
+    * fine while k keeps clusters bounded. `maxBlock > 0` is the
+    * HOT-CLUSTER armor: rows are hashed into ⌈n_c/maxBlock⌉ blocks per
+    * cluster and the join keys on (cluster, blockLo, blockHi) over all
+    * unordered block pairs, so NO TASK ever holds more than ~2·maxBlock
+    * rows or ~4·maxBlock² candidate pairs — a million-row degenerate
+    * cluster becomes many bounded tasks instead of one 10¹²-pair
+    * straggler. Replication cost is B copies of each row (the
+    * standard blocked all-pairs trade); results are identical
+    * (spec-pinned), since every intra-cluster pair lands in exactly
+    * one block pair. */
+  private def dominatedSet(asg: DataFrame, tau: Double,
+                           maxBlock: Int): DataFrame = {
+    val domination =
+      (col("other_sim") < col("centroid_sim") ||
+        (col("other_sim") === col("centroid_sim") &&
+          col("other_id") < col(idCol)))
+
+    val pairs = if (maxBlock <= 0) {
+      // repartition by the join key BEFORE the self-join: the exchange
+      // was needed anyway, and placing it above the assignment
+      // MATERIALIZES the argmax kernel once per row. Without the
+      // boundary, whole-stage codegen defers stream-side projections
+      // referenced only by the join condition into the per-match check
+      // — re-running the k×d kernel once per candidate PAIR (measured:
+      // a k=64 run that completes in seconds map-side spun >10 min of
+      // CPU inside the join loop). The partition count is EXPLICIT:
+      // AQE's size-based coalescing sees the small pre-join input, not
+      // the quadratic pair fan-out, and would collapse the join to one
+      // task (measured 510 s single-task vs seconds wide).
+      val mat = asg.repartition(shufflePartitions(asg), col("cluster"))
+      val left = mat.select(col("cluster"), col(idCol), col("vec"),
+        col("centroid_sim"))
+      val right = mat.select(col("cluster").as("other_cluster"),
+        col(idCol).as("other_id"), col("vec").as("other_vec"),
+        col("centroid_sim").as("other_sim"))
+      left.join(right,
+        col("cluster") === col("other_cluster") &&
+          col(idCol) =!= col("other_id") && domination)
+    } else {
+      // per-cluster block count from one tiny size aggregate
+      // (k rows, broadcast back)
+      val sizes = asg.groupBy(col("cluster"))
+        .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble))
+          .cast("int").as("nb"))
+      val blocked = asg.join(broadcast(sizes), Seq("cluster"))
+        .withColumn("blk",
+          pmod(xxhash64(col(idCol)), col("nb")).cast("int"))
+      // replicate each row to every unordered block pair it is part
+      // of: (min(blk,j), max(blk,j)) for j in [0, nb)
+      val expanded = blocked.select(col("cluster"), col(idCol),
+          col("vec"), col("centroid_sim"), col("blk"),
+          explode(transform(sequence(lit(0), col("nb") - 1), j =>
+            struct(least(col("blk"), j).as("lo"),
+              greatest(col("blk"), j).as("hi")))).as("bp"))
+        .select(col("cluster"), col(idCol), col("vec"),
+          col("centroid_sim"), col("blk"),
+          col("bp.lo").as("lo"), col("bp.hi").as("hi"))
+      // same materialization discipline as the plain path: exchange by
+      // the block-pair join key sits above the kernel + explode, with
+      // the explicit partition count for the same fan-out reason
+      val expandedMat = expanded.repartition(shufflePartitions(expanded),
+        col("cluster"), col("lo"), col("hi"))
+      val right = expandedMat.select(col("cluster").as("other_cluster"),
+        col(idCol).as("other_id"), col("vec").as("other_vec"),
+        col("centroid_sim").as("other_sim"),
+        col("blk").as("other_blk"),
+        col("lo").as("other_lo"), col("hi").as("other_hi"))
+      // meeting-point discipline: a cross-block pair shares exactly
+      // ONE key — the unordered pair of its two blocks; a same-block
+      // pair would meet at EVERY key containing its block (nb× the
+      // cosine work), so it is pinned to its diagonal key (b, b)
+      expandedMat.join(right,
+          col("cluster") === col("other_cluster") &&
+            col("lo") === col("other_lo") &&
+            col("hi") === col("other_hi") &&
+            (col("blk") =!= col("other_blk") ||
+              (col("lo") === col("blk") && col("hi") === col("blk"))) &&
+            col(idCol) =!= col("other_id") && domination)
+    }
+
+    pairs
+      .filter(Similarity.cosineAtLeast(col("vec"), col("other_vec"), tau))
+      .select(col(idCol)).distinct()
+      .withColumn("dropped", lit(true))
   }
 
   /** D4-style diversification on top of the dedup: within each cluster,

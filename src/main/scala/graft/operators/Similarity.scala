@@ -33,6 +33,19 @@ object Similarity {
 
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** The predicate `round(cosine(a,b),4) >= tau`, bit-identical but
+    * cheap on the miss path: HALF_UP 4dp rounding moves a value by at
+    * most 5e-5, so `raw >= tau - 1e-4` is a strict superset guard —
+    * the BigDecimal rounding (the HOT instruction of a threshold pair
+    * join; it outweighs the 64-flop cosine itself) runs only for the
+    * tiny near/above-threshold fraction. Use when the rounded value is
+    * NOT part of the output (filters); scored outputs still pay
+    * [[cosine]] once per emitted row. */
+  def cosineAtLeast(a: Column, b: Column, tau: Double): Column = {
+    val raw = graft.plans.VectorExpressions.cosineSim(a, b)
+    (raw >= lit(tau - 1e-4)) && (round(raw, 4) >= lit(tau))
+  }
+
   /** Symmetric int8 quantization for embedding storage: per-vector
     * scale = max|v|/127, code qᵢ = round(vᵢ/scale) ∈ [-127,127] — 4×
     * smaller than float32 (the standard embedding-lake storage trade;

@@ -175,11 +175,198 @@ case class SignedProject(child: Expression, signs: Array[Byte], dim: Int)
       newChild: Expression): SignedProject = copy(child = newChild)
 }
 
+/** Native fused nearest-centroid argmax: the 4dp-rounded cosine winner
+  * over a k×dim centroid matrix in one generated loop per row.
+  *
+  * The HOF formulation (`array_max(transform(centroidLit, c ->
+  * struct(round(cosine(v,c),4), -id)))`) re-reads the input ArrayData
+  * k times, allocates k structs per row, and interprets the lambda —
+  * measured 59 s at (64k rows × k=64) in ScaleCheck, growing with k
+  * to 90 s at k=256 even though the downstream pair join SHRINKS.
+  * This kernel: the input is copied to a local double[] once, the
+  * child norm and the k centroid norms are computed once (norms at
+  * construction), and the k dot products are plain Java loops.
+  *
+  * Ranking contract (must mirror the q107/q110 oracle SQL exactly):
+  * winner = max 4dp-ROUNDED cosine, ties to the SMALLEST centroid id.
+  * Rounding is monotone, so the raw argmax bounds the winner set: only
+  * candidates within 1e-4 of the raw max can round equal to it —
+  * those few get the exact `BigDecimal.valueOf(x).setScale(4,
+  * HALF_UP)` Spark's own `round()` codegen applies, and the first
+  * (ids are REQUIRED ascending) rounded-equal candidate wins.
+  * Per-centroid accumulation is ascending-index from 0.0 — bit-equal
+  * to [[CosineSimilarity]] and to DuckDB's `list_cosine_similarity`.
+  *
+  * Null/degenerate: null input → null; zero-norm input → null; a
+  * zero-norm CENTROID never wins (cosine undefined → excluded);
+  * all-excluded → null. Output: `struct<cluster:bigint, sim:double>`
+  * with `sim` already rounded.
+  */
+case class ArgMaxCosine(child: Expression, ids: Array[Long],
+                        centroids: Array[Double], dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  require(dim > 0 && centroids.length == ids.length * dim,
+    s"centroids.length (${centroids.length}) must equal " +
+      s"ids.length (${ids.length}) × dim ($dim) — row-major k×dim")
+  require(ids.sameElements(ids.sorted),
+    "centroid ids must be ascending (the tie rule is smallest id)")
+
+  private val k = ids.length
+  // per-centroid norms, ascending-index accumulation (bit-equal to the
+  // per-row kernel's own norm loops)
+  private val norms: Array[Double] = Array.tabulate(k) { c =>
+    var s = 0.0; var i = 0
+    while (i < dim) { val v = centroids(c * dim + i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim", DoubleType,
+        nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmax_cosine"
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val x = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) { x(i) = arr.getDouble(i); nx += x(i) * x(i); i += 1 }
+    if (nx == 0.0) return null
+    val sqnx = math.sqrt(nx)
+    val sims = new Array[Double](k)
+    var rawMax = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val base = c * dim
+      i = 0
+      while (i < n) { dot += x(i) * centroids(base + i); i += 1 }
+      val denom = sqnx * norms(c)
+      val s = if (denom == 0.0) Double.NegativeInfinity else dot / denom
+      sims(c) = s
+      if (s > rawMax) rawMax = s
+      c += 1
+    }
+    if (rawMax == Double.NegativeInfinity) return null
+    val rm = round4(rawMax)
+    c = 0
+    while (c < k) {
+      if (sims(c) >= rawMax - 1e-4 && round4(sims(c)) == rm) {
+        return new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](ids(c), rm))
+      }
+      c += 1
+    }
+    null // unreachable: the raw max itself rounds to rm
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val n = ctx.freshName("n"); val x = ctx.freshName("x")
+    val nx = ctx.freshName("nx"); val i = ctx.freshName("i")
+    val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+    val base = ctx.freshName("base"); val s = ctx.freshName("s")
+    val sims = ctx.freshName("sims"); val rawMax = ctx.freshName("rawMax")
+    val denom = ctx.freshName("denom"); val rm = ctx.freshName("rm")
+    val sqnx = ctx.freshName("sqnx"); val won = ctx.freshName("won")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |int $n = java.lang.Math.min($v.numElements(), $dim);
+      |double[] $x = new double[$n];
+      |double $nx = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $x[$i] = $v.getDouble($i); $nx += $x[$i] * $x[$i];
+      |}
+      |if ($nx == 0.0) { ${ev.isNull} = true; } else {
+      |  double $sqnx = java.lang.Math.sqrt($nx);
+      |  double[] $sims = new double[$k];
+      |  double $rawMax = java.lang.Double.NEGATIVE_INFINITY;
+      |  for (int $c = 0; $c < $k; $c++) {
+      |    double $dot = 0.0;
+      |    int $base = $c * $dim;
+      |    for (int $i = 0; $i < $n; $i++) {
+      |      $dot += $x[$i] * $centsRef[$base + $i];
+      |    }
+      |    double $denom = $sqnx * $normsRef[$c];
+      |    double $s = ($denom == 0.0)
+      |      ? java.lang.Double.NEGATIVE_INFINITY : $dot / $denom;
+      |    $sims[$c] = $s;
+      |    if ($s > $rawMax) $rawMax = $s;
+      |  }
+      |  if ($rawMax == java.lang.Double.NEGATIVE_INFINITY) {
+      |    ${ev.isNull} = true;
+      |  } else {
+      |    double $rm = java.math.BigDecimal.valueOf($rawMax)
+      |      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue();
+      |    boolean $won = false;
+      |    for (int $c = 0; $c < $k && !$won; $c++) {
+      |      if ($sims[$c] >= $rawMax - 1e-4
+      |          && java.math.BigDecimal.valueOf($sims[$c])
+      |            .setScale(4, java.math.RoundingMode.HALF_UP)
+      |            .doubleValue() == $rm) {
+      |        ${ev.value} = new org.apache.spark.sql.catalyst
+      |          .expressions.GenericInternalRow(
+      |            new Object[]{ $idsRef[$c], $rm });
+      |        $won = true;
+      |      }
+      |    }
+      |    if (!$won) { ${ev.isNull} = true; }
+      |  }
+      |}
+      |""".stripMargin)
+  }
+
+  // content-based equality over the centroid payload (the Bloom/ZValue
+  // lesson): semantically equal assignments must canonicalize equal
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgMaxCosine =>
+      child == a.child && dim == a.dim &&
+        java.util.Arrays.equals(ids, a.ids) &&
+        java.util.Arrays.equals(centroids, a.centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(ids)),
+      Int.box(java.util.Arrays.hashCode(centroids)))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArgMaxCosine = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-API handle on the native kernel. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** Nearest centroid of `v` by 4dp cosine (smallest-id tiebreak) as
+    * `struct<cluster, sim>`; `centroids` is (id, vector) rows — sorted
+    * ascending by id here to honor the kernel's tie contract. */
+  def argMaxCosine(v: Column,
+                   centroids: Array[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "argMaxCosine needs >= 1 centroid")
+    val sorted = centroids.sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      "all centroids must share one dimensionality")
+    Bridge.column(ArgMaxCosine(Bridge.expression(v),
+      sorted.map(_._1), sorted.flatMap(_._2), dim))
+  }
 
   /** All JL components of `v` in one traversal; `signs` is the
     * component-major flattened ±1 matrix. */

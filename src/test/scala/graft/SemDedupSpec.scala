@@ -89,6 +89,20 @@ class SemDedupSpec extends SparkSuite {
     assert(out.count() == emb.count())
   }
 
+  test("blocked all-pairs (maxBlock) is result-identical to the plain " +
+    "cluster join at several block sizes") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id")
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val plain = rows(SemDedup.semanticDedup(emb, k = 4, tau = 0.3))
+    // maxBlock small enough to force many blocks per cluster, a
+    // mid value, and one bigger than any cluster (degenerates to nb=1)
+    for (mb <- Seq(3, 17, 100000)) {
+      assert(rows(SemDedup.semanticDedup(emb, k = 4, tau = 0.3,
+        maxBlock = mb)) == plain, s"maxBlock=$mb diverged")
+    }
+  }
+
   test("diversify: keeps ceil(n/2) least-prototypical survivors per cluster") {
     val dd = SemDedup.semanticDedup(emb, k = 8, tau = 0.4).cache()
     val kept = dd.filter(col("kept"))
