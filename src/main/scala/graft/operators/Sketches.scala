@@ -72,17 +72,17 @@ object Sketches {
     *
     * Why not exact `groupBy(value).count().orderBy(desc)`: at 100 TB
     * the shuffle carries one row per DISTINCT value (billions for
-    * tokens/URLs). The sketch path carries fixed-size state instead:
-    *  1. one `count_min_sketch` aggregate — per-partition sketches of
-    *     `depth×width` counters, map-side combined, merged to a single
-    *     bounded binary on the driver (eps→width=⌈2/eps⌉, so ~160 KB
-    *     at eps=1e-4 regardless of cardinality);
-    *  2. candidates from per-partition LOCAL exact top-`candidatesPerPartition`
-    *     (a hash map bounded by the partition, no shuffle of the tail —
-    *     any value with global share > 1/cpp must be a local top-cpp
-    *     somewhere, so true heavy hitters cannot be missed);
-    *  3. the tiny candidate set is probed against the broadcast sketch
-    *     for GLOBAL estimates and top-`k` by estimate is returned.
+    * tokens/URLs). The sketch path is ONE pass with fixed-size state:
+    * each task folds its values into a local CMS (`depth×width`
+    * counter grid — eps→width=⌈2/eps⌉, ~160 KB at eps=1e-4 regardless
+    * of cardinality) plus local exact counts; `treeAggregate` merges
+    * pairs EXECUTOR-SIDE (CMS merge is cell-wise addition; candidate
+    * maps merge by sum and re-cap to the top entries — any value with
+    * global share > 1/candidatesPerPartition is a local top-cpp
+    * somewhere, so true heavy hitters cannot be missed, and counts
+    * only grow under merge so capping after summation keeps them);
+    * the driver then probes the ONE merged sketch for global estimates
+    * of the bounded candidate set and returns top-`k` by estimate.
     *
     * CMS guarantees estimate ≥ true count, and ≤ true + eps·N with
     * probability `confidence` — pinned by SketchesSpec against the
@@ -92,31 +92,48 @@ object Sketches {
   def heavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
                    eps: Double = 0.0001, confidence: Double = 0.99,
                    candidatesPerPartition: Int = 200): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("string").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull).as[String]
 
-    val sketchBytes = vals
-      .agg(count_min_sketch(col("v"), lit(eps), lit(confidence),
-        lit(42)).as("s"))
-      .head().getAs[Array[Byte]]("s")
-    val sketch = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val bc = spark.sparkContext.broadcast(sketch)
+    // ONE pass: each task folds its values into a local sketch + local
+    // exact counts; treeAggregate merges pairs EXECUTOR-SIDE (CMS
+    // merge is cell-wise addition; candidate maps merge by sum and are
+    // re-capped to the top candidates, which preserves the recall
+    // argument because counts only grow under merge). The driver
+    // receives one sketch and one bounded candidate map — never a
+    // per-partition collect.
+    type Acc = (CountMinSketch, scala.collection.mutable.HashMap[String, Long])
+    def cap(m: scala.collection.mutable.HashMap[String, Long],
+            limit: Int): scala.collection.mutable.HashMap[String, Long] =
+      if (m.size <= limit) m
+      else scala.collection.mutable.HashMap(
+        m.toSeq.sortBy { case (v, n) => (-n, v) }.take(limit): _*)
+    val zero: Acc = (CountMinSketch.create(eps, confidence, 42),
+      new scala.collection.mutable.HashMap[String, Long]())
+    val (sketch, localTop) = vals.rdd.treeAggregate(zero)(
+      seqOp = { case ((sk, counts), v) =>
+        sk.addString(v)
+        counts.update(v, counts.getOrElse(v, 0L) + 1L)
+        (sk, counts)
+      },
+      combOp = { case ((ska, ca), (skb, cb)) =>
+        ska.mergeInPlace(skb)
+        cb.foreach { case (v, n) =>
+          ca.update(v, ca.getOrElse(v, 0L) + n) }
+        (ska, cap(ca, candidatesPerPartition * 4))
+      })
 
-    val candidates = vals.as[String].mapPartitions { it =>
-      val counts = new scala.collection.mutable.HashMap[String, Long]()
-      it.foreach(v => counts.update(v, counts.getOrElse(v, 0L) + 1L))
-      counts.toSeq.sortBy { case (v, n) => (-n, v) }
-        .take(candidatesPerPartition).map(_._1).iterator
-    }.distinct()
-
-    candidates.map { v =>
-      (v, bc.value.estimateCount(v))
-    }.toDF(valueCol, "est_n")
+    // candidate set is bounded; probe the merged sketch for GLOBAL
+    // estimates (>= the partial sums the capped map carries)
+    val top = cap(localTop, candidatesPerPartition * 4).keys.toSeq
+      .map(v => (v, sketch.estimateCount(v)))
+      .sortBy { case (v, n) => (-n, v) }
+      .take(k)
+    spark.createDataFrame(top).toDF(valueCol, "est_n")
       .orderBy(col("est_n").desc, col(valueCol))
-      .limit(k)
   }
 
   /** EXACT twin of [[corpusProfile]] — same columns, exact
