@@ -577,6 +577,26 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // BPE tokenizer TRAINING (arXiv:1508.07909): one distributed
+    // word-frequency pass + bounded driver-side merge loop. Rows-only:
+    // the iterative argmax is not SQL-expressible; BpeSpec pins the
+    // exact merge sequence on a hand-derived corpus
+    "q111_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.train(Tables.documents(s, d), nMerges = 30,
+        maxWordTypes = 10000).orderBy(col("rank"))),
+
+    // encoding the corpus with the trained merges: broadcast ranks,
+    // map-side pass, no shuffle (plan-pinned in BpeSpec). Rows-only;
+    // the spec pins greedy-by-rank semantics + decode round trip
+    "q112_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bpe.encode(docs,
+          graft.operators.Bpe.train(docs, nMerges = 30,
+            maxWordTypes = 10000))
+        .select(col("doc_id"), col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // semantic decontamination: corpus embeddings flagged when within
     // cosine 0.5 of ANY benchmark embedding (here: vec_id < 16 plays
     // the eval suite) — the embedding rung of the decontamination
