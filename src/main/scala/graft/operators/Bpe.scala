@@ -155,8 +155,12 @@ object Bpe {
       .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
     src.mapPartitions { it =>
       val r = bc.value
+      // word-level memo: natural text repeats word types heavily, and
+      // BPE encoding is a pure function of the word
+      val memo = new scala.collection.mutable.HashMap[String, Vector[String]]()
       it.map { case (id, text) =>
-        val toks = tokenize(text).flatMap(w => encodeWord(w, r))
+        val toks = tokenize(text)
+          .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, r)))
         (id, toks, toks.length.toLong)
       }
     }.toDF(idCol, "bpe_tokens", "n_bpe_tokens")
