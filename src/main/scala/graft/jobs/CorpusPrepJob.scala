@@ -8,8 +8,9 @@ import graft.operators.{Boilerplate, Decontaminate, Dedup, Sampling}
 /** End-to-end pretraining-corpus preparation: the composition a user of
   * the training-data operators actually runs, in the order the
   * literature runs it (scrub → quality gate → boilerplate strip →
-  * exact dedup → near dedup → benchmark decontamination → mixture
-  * sampling). Every stage is one of the library's tested operators;
+  * exact dedup → near dedup → optional SemDeDup → benchmark
+  * decontamination → mixture sampling → optional token budget).
+  * Every stage is one of the library's tested operators;
   * this job adds only sequencing, caching, and a per-stage row ledger.
   *
   * Scale notes: each stage's output is cached before its count (a
@@ -50,12 +51,21 @@ object CorpusPrepJob {
                     // 0 disables the token-budget cap; > 0 keeps the
                     // best-quality greedy prefix fitting that many
                     // tokens (BudgetSelect, distributed prefix scan)
-                    tokenBudget: Long = 0L)
+                    tokenBudget: Long = 0L,
+                    // SemDeDup parameters, used only when `run` is
+                    // given an embeddings frame: cluster count and the
+                    // within-cluster near-dup cosine threshold (the
+                    // paper operates at tau ~0.95+ for web text)
+                    semDedupK: Int = 64,
+                    semDedupTau: Double = 0.95)
 
   /** Returns the prepared corpus (doc_id, text, lang, source) and the
-    * per-stage surviving-row ledger. */
+    * per-stage surviving-row ledger. `embeddings` (vec_id aligned with
+    * doc_id + an `embedding` vector column) enables the SemDeDup stage
+    * between near-dedup and decontamination. */
   def run(docs: DataFrame, evalSet: DataFrame,
-          cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+          cfg: Config = Config(),
+          embeddings: Option[DataFrame] = None): (DataFrame, Seq[(String, Long)]) = {
     val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     // each stage caches for its own count + the next stage's build,
     // then the PREDECESSOR unpersists — only the live frontier (and
@@ -131,9 +141,28 @@ object CorpusPrepJob {
             cfg.selfSubstrMinTokens)
           .filter(length(trim(col("text"))) > 0))
 
+    // 5c. optional SemDeDup: embedding-space near-dup pruning among
+    // the SURVIVING docs (embeddings restricted to the current
+    // frontier first — clusters and domination must not see rows the
+    // lexical stages already dropped). Keeps the least-prototypical
+    // member of each dup neighborhood (q107 semantics).
+    val semDeduped = embeddings match {
+      case None => spanCut
+      case Some(emb) =>
+        val live = emb.join(
+          spanCut.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        stage("sem_deduped", spanCut.join(
+          graft.operators.SemDedup
+            .semanticDedup(live, cfg.semDedupK, cfg.semDedupTau)
+            .filter(col("kept"))
+            .select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+    }
+
     // 6. benchmark decontamination against the broadcast eval index
     val decontaminated = stage("decontaminated", Decontaminate.clean(
-      spanCut, evalSet, cfg.contaminationN,
+      semDeduped, evalSet, cfg.contaminationN,
       cfg.contaminationThreshold))
 
     // 7. α-temperature mixture over languages

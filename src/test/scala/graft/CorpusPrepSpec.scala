@@ -112,4 +112,35 @@ class CorpusPrepSpec extends SparkSuite {
     assert(out.filter(col("doc_id") >= 100000).count() == 0,
       "planted eval copy / duplicate must not survive")
   }
+
+  test("SemDeDup stage prunes embedding near-dups among survivors only") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    // mixAlpha 1.0: the downstream mix keeps everything, so the
+    // with/without outputs are set-comparable. The lexical stages
+    // leave only 2 fixture docs at this SF, each its own seed
+    // centroid — so the prune is forced with the k=1/tau=-1 extreme
+    // (one cluster, least-prototypical survivor). The REAL threshold
+    // semantics are SemDedupSpec's business; this test pins the
+    // wiring: restriction to the frontier, ledger, set algebra.
+    val cfg = CorpusPrepJob.Config(semDedupK = 1, semDedupTau = -1.0,
+      mixAlpha = 1.0)
+    val (without, ledgerOff) = CorpusPrepJob.run(corpus, evalSet, cfg)
+    val (withSem, ledgerOn) =
+      CorpusPrepJob.run(corpus, evalSet, cfg, Some(emb))
+    assert(ledgerOn.map(_._1).contains("sem_deduped"))
+    assert(!ledgerOff.map(_._1).contains("sem_deduped"))
+    // the stage only removes rows, and at this tau it removes SOME
+    val before = ledgerOn.takeWhile(_._1 != "sem_deduped").last._2
+    val after = ledgerOn.find(_._1 == "sem_deduped").get._2
+    assert(after > 0 && after < before,
+      s"k=1/tau=-1 must prune to one per cluster ($before -> $after)")
+    // enabling a filter stage can only shrink the final output
+    val a = withSem.select("doc_id").as[Long].collect().toSet
+    val b = without.select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(b))
+    assert(a.size < b.size)
+  }
 }
