@@ -169,4 +169,60 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: ArgMaxCosine equals a reference argmax over random " +
+    "vectors, duplicate centroids (ties), and zero vectors") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def refCos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) None else Some(dot / denom)
+    }
+    val dim = 6
+    val vecGen: Gen[Seq[Double]] = Gen.frequency(
+      9 -> Gen.listOfN(dim, Gen.oneOf(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0,
+        2.0, 3.0)).map(_.toSeq),
+      1 -> Gen.const(Seq.fill(dim)(0.0))) // zero vector → null result
+    val caseGen: Gen[(Seq[Seq[Double]], Seq[Seq[Double]])] = for {
+      k <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(k, vecGen)
+      dup <- Gen.oneOf(true, false) // duplicated centroid forces a tie
+      n <- Gen.choose(1, 8)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield ((if (dup) cs ++ cs.take(1) else cs).toSeq.map(_.toSeq),
+      vs.toSeq.map(_.toSeq))
+
+    samples(caseGen, 12).foreach { case (cs, vs) =>
+      val centroids = cs.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toArray) }.toArray
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.operators.SemDedup.assign(df, centroids)
+        .select("vec_id", "cluster", "centroid_sim")
+        .filter(col("cluster").isNotNull)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getDouble(2)))).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        // reference: 4dp-rounded max, smallest id tiebreak; zero-norm
+        // centroids excluded; zero-norm input → row dropped (null best)
+        val sims = centroids.flatMap { case (id, c) =>
+          refCos(v, c.toSeq).map(s => (id, round4(s))) }
+        if (refCos(v, v).isEmpty || sims.isEmpty) {
+          // zero-norm input (or all centroids zero): null best struct,
+          // filtered out above
+          assert(!got.contains(i.toLong))
+        } else {
+          val best = sims.maxBy { case (id, s) => (s, -id) }
+          assert(got(i.toLong) == ((best._1, best._2)),
+            s"vec $i: got ${got(i.toLong)} want $best cs=$cs v=$v")
+        }
+      }
+    }
+  }
 }
