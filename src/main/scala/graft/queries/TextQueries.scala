@@ -577,6 +577,22 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // model-based quality scoring (CCNet recipe): hashed-token
+    // logistic classifier trained against a reference register (the
+    // 'en' slice stands in for the wiki set on this fixture), scored
+    // map-side over the corpus. Rows-only: an L-BFGS optimum is not
+    // SQL-replayable; QualityClassifierSpec pins separation,
+    // determinism, and the shuffle-free scoring plan
+    "q113_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("label",
+        (col("lang") === "en").cast("double"))
+      val model = graft.ml.QualityClassifier.train(labeled)
+      graft.ml.QualityClassifier.score(docs, model)
+        .select(col("doc_id"), col("quality_prob"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer TRAINING (arXiv:1508.07909): one distributed
     // word-frequency pass + bounded driver-side merge loop. Rows-only:
     // the iterative argmax is not SQL-expressible; BpeSpec pins the
