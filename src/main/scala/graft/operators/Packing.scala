@@ -17,6 +17,38 @@ import graft.functions.TextFns
   */
 object Packing {
 
+  /** Per-document sliding-window chunking: fixed `size`-token windows
+    * every `stride` tokens (stride < size overlaps; stride == size
+    * tiles) — the chunk-for-embedding / retrieval-indexing primitive
+    * that precedes vector search over long documents.
+    *
+    * Pure map + Generate: tokenize once, explode the window-start
+    * arithmetic-progression, slice the BOUND token array per start —
+    * no shuffle, no second tokenization, linear in corpus tokens.
+    * Exact relational algebra end to end (q114 hash oracle). Output:
+    * (id, chunk_id, chunk_text, n_tokens); the tail window may be
+    * short, token-less docs emit no chunks. */
+  def chunk(docs: DataFrame, size: Int, stride: Int,
+            textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("w"),
+        explode(when(coalesce(org.apache.spark.sql.functions.size(col("w")), lit(0)) > 0,
+          sequence(lit(0),
+            org.apache.spark.sql.functions.size(col("w")) - 1,
+            lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("s"))
+      .select(col(idCol),
+        (col("s") / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("w"), col("s") + 1, lit(size)))
+          .as("chunk_text"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("w")) - col("s"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Per-doc tape coordinates: (id, shard, n_tokens, tape_start,
     * seq_start, seq_end, seq_offset) with sequences of `seqLen` tokens.
     * Token-less docs occupy zero tape and sit at their tape position. */

@@ -577,6 +577,14 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // sliding-window document chunking (size 32, stride 24 — 8-token
+    // overlap): the chunk-for-embedding primitive; Generate over the
+    // bound token array, no shuffle, exact relational algebra
+    "q114_chunk" -> ((s, d) =>
+      graft.operators.Packing.chunk(Tables.documents(s, d),
+          size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // model-based quality scoring (CCNet recipe): hashed-token
     // logistic classifier trained against a reference register (the
     // 'en' slice stands in for the wiki set on this fixture), scored
@@ -1834,6 +1842,14 @@ object TextQueries {
                   FROM kept)
          SELECT vec_id, cl AS cluster, csim AS centroid_sim
          FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
+    "q114_chunk" -> (TOKS + """
+         , s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st
+                 FROM t WHERE len(w) > 0)
+         SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(w, st + 1, st + 32), ' ')
+                  AS chunk_text,
+                CAST(least(32, len(w) - st) AS BIGINT) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_id"""),
     "q110_semantic_decontaminate" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                     FROM embeddings),

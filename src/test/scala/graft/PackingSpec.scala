@@ -48,4 +48,29 @@ class PackingSpec extends SparkSuite {
       assert(lastSeq == (tokens - 1) / 256)
     }
   }
+
+  test("chunk: windows tile with the configured overlap and " +
+    "reconstruct the document; the plan has no shuffle") {
+    val one = Seq((7L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunk(one, size = 32, stride = 24)
+      .orderBy("chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    // starts 0,24,48,72,96 → 5 chunks; tail windows clip at n=100
+    assert(out.length == 5)
+    assert(out.map(_._2).toSeq == (0L until 5L))
+    assert(out.map(_._4).toSeq == Seq(32L, 32L, 32L, 28L, 4L))
+    // consecutive chunks share exactly the tokens past the stride
+    out.sliding(2).foreach { case Array(a, b) =>
+      val at = a._3.split(" "); val bt = b._3.split(" ")
+      assert(at.drop(24).sameElements(bt.take(at.length - 24)))
+    }
+    // stride-prefix concatenation reconstructs the document
+    val rebuilt = (out.init.map(_._3.split(" ").take(24).mkString(" "))
+      :+ out.last._3).mkString(" ")
+    assert(rebuilt == one.head().getString(1))
+    val plan = Packing.chunk(docs, 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
