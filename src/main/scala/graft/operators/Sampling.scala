@@ -171,4 +171,27 @@ object Sampling {
       .when(pct < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** STRATIFIED split with EXACT proportions: within each label, rank
+    * rows in deterministic pseudo-random order (md5 of the key — the
+    * same digest both engines order identically) and cut the first
+    * ⌈fraction·n⌉ as train. Unlike [[assignSplit]]'s per-row residue
+    * (proportions only in expectation), every class lands its exact
+    * ceil count — what imbalanced-label evaluation needs. One window
+    * per label (single shuffle on the label key). */
+  def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
+                      trainFraction: Double = 0.8): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      "trainFraction must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))))
+      .withColumn("split",
+        when(col("_rk") <= ceil(col("_n") * lit(trainFraction)), "train")
+          .otherwise("test"))
+      .drop("_rk", "_n")
+  }
 }

@@ -577,6 +577,17 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // stratified split with EXACT per-label proportions: md5-ordered
+    // rank within each label, first ceil(0.8·n) rows are train —
+    // unlike q65's per-row residue, every class lands its exact count
+    "q115_stratified_split" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSplit(
+          Tables.embeddings(s, d).select(col("vec_id"),
+            col("label").cast("long").as("label")),
+          labelCol = "label", keyCol = "vec_id")
+        .select(col("vec_id"), col("label"), col("split"))
+        .orderBy(col("vec_id"))),
+
     // sliding-window document chunking (size 32, stride 24 — 8-token
     // overlap): the chunk-for-embedding primitive; Generate over the
     // bound token array, no shuffle, exact relational algebra
@@ -1842,6 +1853,19 @@ object TextQueries {
                   FROM kept)
          SELECT vec_id, cl AS cluster, csim AS centroid_sim
          FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
+    "q115_stratified_split" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            r AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY label
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                      AS rk,
+                    count(*) OVER (PARTITION BY label) AS n
+                  FROM e)
+         SELECT vec_id, label,
+                CASE WHEN rk <= ceil(n * 0.8) THEN 'train'
+                     ELSE 'test' END AS split
+         FROM r ORDER BY vec_id""",
     "q114_chunk" -> (TOKS + """
          , s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS st
                  FROM t WHERE len(w) > 0)

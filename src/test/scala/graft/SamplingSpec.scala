@@ -162,4 +162,31 @@ class SamplingSpec extends SparkSuite {
     val n = docs.count().toDouble
     assert(math.abs(counts("train") / n - 0.8) < 0.08)
   }
+
+  test("stratifiedSplit lands EXACT ceil proportions in every class " +
+    "and is deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val out = Sampling.stratifiedSplit(emb, "label", "vec_id", 0.8)
+      .cache()
+    val perClass = out.groupBy("label", "split").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        (l, rows.map(r => r._2 -> r._3).toMap) }
+    val totals = emb.groupBy("label").count()
+      .as[(Long, Long)].collect().toMap
+    perClass.foreach { case (l, m) =>
+      val want = math.ceil(totals(l) * 0.8).toLong
+      assert(m.getOrElse("train", 0L) == want,
+        s"label $l: train ${m.get("train")} want $want of ${totals(l)}")
+      assert(m.getOrElse("train", 0L) + m.getOrElse("test", 0L)
+        == totals(l))
+    }
+    // deterministic: same assignment on a second run
+    val a = out.select("vec_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.stratifiedSplit(emb, "label", "vec_id", 0.8)
+      .select("vec_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
 }
