@@ -153,8 +153,15 @@ object Dedup {
           .map(i => col(s"sig_$i"))).as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
       .filter(col("bucket").isNotNull)
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // explicit-parallelism exchange: the pair fan-out is quadratic in
+    // bucket size while the pre-join input is tiny — without this AQE
+    // coalesces the join to a few tasks (SkewTools.fanoutRepartition)
+    val bandedMat = SkewTools.fanoutRepartition(banded,
+      col("band"), col("bucket"))
+    val a = bandedMat.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"))
+    val b = bandedMat.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -277,9 +284,14 @@ object Dedup {
         Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df")
-    val a = inverted.select(col("shingle"), col(idCol).as("id_a"),
+    // explicit-parallelism exchange before the quadratic posting-list
+    // join (see SkewTools.fanoutRepartition); the window above already
+    // shuffled by shingle, so this re-pins the SAME partitioning with
+    // a user count AQE cannot coalesce
+    val invertedMat = SkewTools.fanoutRepartition(inverted, col("shingle"))
+    val a = invertedMat.select(col("shingle"), col(idCol).as("id_a"),
       col("set_size").as("size_a"))
-    val b = inverted.select(col("shingle"), col(idCol).as("id_b"),
+    val b = invertedMat.select(col("shingle"), col(idCol).as("id_b"),
       col("set_size").as("size_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   * handling covers joins; aggregation skew still needs this. */
 object SkewTools {
 
+  /** Repartition on join keys with the session's shuffle parallelism
+    * as an EXPLICIT count. For a high-fan-out self-join (candidate
+    * pair generation: quadratic output from small input), AQE's
+    * size-first coalescing reads the tiny PRE-join byte count and
+    * collapses the join to a handful of tasks that then each carry
+    * millions of pairs (measured on the SemDeDup join: 510 s
+    * single-task vs seconds wide — BASELINE.md round 6). A
+    * user-specified partition count is exempt from coalescing, and the
+    * join reuses this exchange, so the only cost is pinning the
+    * parallelism the join would have wanted anyway. */
+  def fanoutRepartition(df: org.apache.spark.sql.DataFrame,
+                        keys: Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
   /** Salted two-phase sum/count/min/max aggregation.
     * Result is identical to `df.groupBy(keys).agg(sum/count/min/max)` —
     * these aggregates are associative, so partial-then-merge is exact. */
