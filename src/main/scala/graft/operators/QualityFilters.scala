@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
+  /** Per-group length-outlier flag: a document is `within_bounds` when
+    * its `valueCol` lies inside the group's [lower, upper] exact
+    * interpolated percentiles — the winsorization gate that drops
+    * truncated fragments and concatenation accidents before training.
+    * Two passes: one tiny per-group percentile aggregate (k rows,
+    * broadcast back), one map-side compare — no per-row shuffle.
+    * Exact relational algebra (q116 hash oracle; Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation
+    * definition, the q63/q67b-established bridge). */
+  def lengthOutlierFlags(docs: DataFrame, groupCol: String = "lang",
+                         valueCol: String = "n_chars",
+                         lower: Double = 0.01,
+                         upper: Double = 0.99): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      "need 0 <= lower < upper <= 1")
+    val bounds = docs.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $lower)").as("_lo"),
+      expr(s"percentile($valueCol, $upper)").as("_hi"))
+    docs.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("within_bounds",
+        col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .withColumn("lo", round(col("_lo"), 4))
+      .withColumn("hi", round(col("_hi"), 4))
+      .drop("_lo", "_hi")
+  }
+
   /** Gopher's document stopword list (A1.1: "contains at least two of
     * the following English words"). */
   val GopherStopwords: Seq[String] =

@@ -577,6 +577,18 @@ object TextQueries {
           .semanticDedup(Tables.embeddings(s, d), k = 8, tau = 0.4),
         keepFraction = 0.5).orderBy(col("vec_id"))),
 
+    // per-language length-outlier winsorization gate: exact
+    // interpolated [p01, p99] bounds per lang (tiny aggregate,
+    // broadcast back), map-side compare — drops truncated fragments
+    // and concatenation accidents before training
+    "q116_length_outliers" -> ((s, d) =>
+      graft.operators.QualityFilters
+        .lengthOutlierFlags(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("lo"), col("hi"), col("within_bounds"))
+        .orderBy(col("doc_id"))),
+
     // stratified split with EXACT per-label proportions: md5-ordered
     // rank within each label, first ceil(0.8·n) rows are train —
     // unlike q65's per-row residue, every class lands its exact count
@@ -1853,6 +1865,17 @@ object TextQueries {
                   FROM kept)
          SELECT vec_id, cl AS cluster, csim AS centroid_sim
          FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
+    "q116_length_outliers" ->
+      """WITH b AS (SELECT lang,
+                      quantile_cont(n_chars, 0.01) AS qlo,
+                      quantile_cont(n_chars, 0.99) AS qhi
+                    FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+                round(b.qlo, 4) AS lo, round(b.qhi, 4) AS hi,
+                (d.n_chars >= b.qlo AND d.n_chars <= b.qhi)
+                  AS within_bounds
+         FROM documents d JOIN b USING (lang)
+         ORDER BY d.doc_id""",
     "q115_stratified_split" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label
                     FROM embeddings),

@@ -96,4 +96,34 @@ class QualityFiltersSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("lengthOutlierFlags: bounds are the group percentiles, flags " +
+    "match a naive recompute, broadcast join shape") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = QualityFilters.lengthOutlierFlags(docs).cache()
+    assert(out.count() == docs.count())
+    // naive per-group recompute via sorted interpolation
+    val byLang = docs.select("lang", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (l, rows) => (l, rows.map(_._2.toDouble).sorted) }
+    def interp(v: Seq[Double], p: Double): Double = {
+      val idx = p * (v.length - 1)
+      val lo = idx.floor.toInt; val hi = idx.ceil.toInt
+      v(lo) + (idx - lo) * (v(hi) - v(lo))
+    }
+    out.select("lang", "n_chars", "within_bounds")
+      .as[(String, Long, Boolean)].collect().foreach {
+        case (l, n, w) =>
+          val v = byLang(l)
+          val want = n >= interp(v, 0.01) && n <= interp(v, 0.99)
+          assert(w == want, s"lang=$l n=$n flag=$w want=$want")
+      }
+    // some rows flagged out on the fixture, most kept
+    val nOut = out.filter(!col("within_bounds")).count()
+    assert(nOut > 0 && nOut < out.count() / 10)
+    // the bounds side is a broadcast join, not a shuffle join
+    val plan = QualityFilters.lengthOutlierFlags(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
