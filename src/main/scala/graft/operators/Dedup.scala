@@ -303,6 +303,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Directed shingle-containment near-dup pairs: C(a→b) =
+    * |A∩B| / |A| — the asymmetric complement of [[ngramJaccardPairs]]
+    * (Jaccard misses subset duplication: a doc fully embedded in a 10×
+    * larger one has Jaccard ≈ 0.1 but containment 1.0 — the
+    * quote-expansion / page-concatenation dup class). One row per
+    * unordered pair carrying BOTH directions, kept when either side's
+    * containment clears `threshold`.
+    *
+    * Scale shape is identical to [[ngramJaccardPairs]] — posting-list
+    * self-join on the shingle key with the `maxDf` hot-shingle cap
+    * (df computed in the same exchange the join shuffles on) and the
+    * explicit-parallelism pin before the quadratic join. Ratios in
+    * exact integer arithmetic (half-up, 6dp) so the DuckDB oracle
+    * (q121) reproduces them bit-for-bit. */
+  def containmentPairs(docs: DataFrame, n: Int = 2,
+                       threshold: Double = 0.8, maxDf: Int = 1000,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val withSets = docs.select(col(idCol),
+      TextFns.shingles(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .filter(col("set_size") > 0)
+    val inverted = withSets
+      .select(col(idCol), col("set_size"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val invertedMat = SkewTools.fanoutRepartition(inverted, col("shingle"))
+    val a = invertedMat.select(col("shingle"), col(idCol).as("id_a"),
+      col("set_size").as("size_a"))
+    val b = invertedMat.select(col("shingle"), col(idCol).as("id_b"),
+      col("set_size").as("size_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a_in_b", graft.functions.ExactRound.ratio(
+        col("inter"), col("size_a"), 6))
+      .withColumn("cont_b_in_a", graft.functions.ExactRound.ratio(
+        col("inter"), col("size_b"), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** SimHash near-dup clusters: 64-bit simhash, pairs within `maxHamming`
     * found by 4×16-bit band bucketing (two docs within Hamming ≤3 of each
     * other share at least one exact 16-bit band — pigeonhole). */

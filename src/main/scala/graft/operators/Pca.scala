@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal component analysis over an embedding column — the
+  * dimensionality-reduction stage of a training-data pipeline
+  * (whitening before clustering/dedup, compact features for quality
+  * classifiers, the deterministic cousin of the JL projection in
+  * [[Similarity.randomProject]]: JL is data-oblivious, PCA is
+  * data-optimal for a fixed corpus).
+  *
+  * Reference scope: the reference engine ships no matrix analytics —
+  * north-star training-data surface (SURVEY §6), like PQ/IVF/JL.
+  *
+  * Scale shape: [[fit]] is ONE `treeAggregate` pass over the corpus
+  * with fixed-size state — (n, Σx, upper-triangular Σxxᵀ) is
+  * d(d+3)/2+1 doubles (d=64 → ~2 KB) regardless of corpus size;
+  * partials merge executor-side (the [[Sketches.heavyHitters]]
+  * shape). The d×d eigen-decomposition runs on the driver (cyclic
+  * Jacobi, microseconds at d=64 — NOT a corpus-scale operation), and
+  * [[project]] is a pure map with the k×d component matrix broadcast
+  * into the plan as literals. Nothing here shuffles corpus rows at
+  * all.
+  *
+  * Determinism: the aggregation is floating-point (merge order varies
+  * run to run at the 1e-13 level), so fitted components are stable
+  * only to ~1e-9 — fine for specs, not for hash oracles. The
+  * hash-oracle anchor is [[covarianceMatrix]]: the SAME covariance
+  * computed as exact relational algebra (one groupBy over per-row
+  * upper-triangle products, 6dp-rounded) with a DuckDB twin (q118).
+  * Component sign is canonicalized (largest-|loading| coordinate
+  * positive, first index on ties) so two fits of the same data agree.
+  */
+object Pca {
+
+  /** Fitted model: `components(i)` is the i-th principal axis (unit
+    * length, canonical sign), eigenvalues descending, `explained` the
+    * per-component fraction of total variance. */
+  final case class PcaModel(dim: Int, mean: Seq[Double],
+                            components: Seq[Seq[Double]],
+                            eigenvalues: Seq[Double]) {
+    def explained: Seq[Double] = {
+      val t = eigenvalues.sum
+      if (t == 0.0) eigenvalues.map(_ => 0.0)
+      else eigenvalues.map(_ / t)
+    }
+  }
+
+  /** One-pass moments: (n, Σx, upper-triangle Σxxᵀ) via
+    * treeAggregate; covariance and eigenpairs on the driver. */
+  def fit(df: DataFrame, dim: Int, k: Int,
+          vecCol: String = "embedding"): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    val vecs = df.select(Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim).as[Seq[Double]]
+    type Acc = (Long, Array[Double], Array[Double])
+    val zero: Acc = (0L, new Array[Double](dim), new Array[Double](tri))
+    val (n, sums, prods) = vecs.rdd.treeAggregate(zero)(
+      seqOp = { case ((c, s, p), v) =>
+        var i = 0
+        var t = 0
+        while (i < dim) {
+          s(i) += v(i)
+          var j = i
+          while (j < dim) { p(t) += v(i) * v(j); t += 1; j += 1 }
+          i += 1
+        }
+        (c + 1, s, p)
+      },
+      combOp = { case ((ca, sa, pa), (cb, sb, pb)) =>
+        var i = 0
+        while (i < dim) { sa(i) += sb(i); i += 1 }
+        var t = 0
+        while (t < tri) { pa(t) += pb(t); t += 1 }
+        (ca + cb, sa, pa)
+      })
+    require(n > 0, "empty corpus")
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = prods(t) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    val comps = order.take(k).map { i =>
+      val v = evecs.map(_(i)) // column i = eigenvector i
+      canonicalSign(v).toIndexedSeq
+    }
+    PcaModel(dim, mean.toIndexedSeq, comps.toIndexedSeq,
+      order.take(k).map(evals).toIndexedSeq)
+  }
+
+  /** Flip so the largest-|entry| coordinate is positive (first index
+    * wins ties) — removes the eigenvector sign ambiguity. */
+  private def canonicalSign(v: Array[Double]): Array[Double] = {
+    var best = 0
+    var i = 1
+    while (i < v.length) {
+      if (math.abs(v(i)) > math.abs(v(best))) best = i
+      i += 1
+    }
+    if (v(best) < 0) v.map(-_) else v
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix —
+    * returns (eigenvalues, V) with eigenvectors in V's COLUMNS.
+    * Textbook algorithm (Golub & Van Loan §8.5): sweep all (p,q)
+    * pairs, rotate away off-diagonal mass until convergence.
+    * Deterministic: fixed sweep order, no pivoting on data. */
+  def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 64,
+                  tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < maxSweeps && off > tol) {
+      for (p <- 0 until d - 1; q <- p + 1 until d
+           if math.abs(a(p)(q)) > tol / (d * d)) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val sgn = if (theta >= 0) 1.0 else -1.0
+        val tt = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(tt * tt + 1.0)
+        val s = tt * c
+        var i = 0
+        while (i < d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** Project vectors onto the model's components — pure map, the
+    * mean and k×d matrix ride in the plan as literals. Output:
+    * (id, proj array<double> of length k), 6dp-rounded. */
+  def project(df: DataFrame, model: PcaModel,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val meanLit = array(model.mean.map(lit): _*)
+    val centered = zip_with(Similarity.asDouble(col(vecCol)), meanLit,
+      (x, m) => x - m)
+    val proj = array(model.components.map { comp =>
+      round(Similarity.dot(centered, array(comp.map(lit): _*)), 6)
+    }: _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
+
+  /** The covariance matrix as EXACT relational algebra — the q118
+    * hash-oracle twin of [[fit]]'s aggregate: per row, the upper
+    * triangle of xxᵀ is generated map-side (d(d+1)/2 structs — no
+    * self-join), then one groupBy(i,j) computes
+    * cov = E[xy] − E[x]E[y], 6dp. Output (i, j, cov), i <= j. */
+  def covarianceMatrix(df: DataFrame, dim: Int,
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = Similarity.asDouble(col(vecCol))
+    val tri = explode(flatten(transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          element_at(v, i + 1).as("x"),
+          element_at(v, j + 1).as("y"))))))
+    df.filter(size(v) === dim)
+      .select(tri.as("t"))
+      .groupBy(col("t.i").cast("long").as("i"),
+        col("t.j").cast("long").as("j"))
+      .agg(round(avg(col("t.x") * col("t.y")) -
+        avg(col("t.x")) * avg(col("t.y")), 6).as("cov"))
+  }
+}

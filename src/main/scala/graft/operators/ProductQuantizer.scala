@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the compression layer
+  * between int8 codes ([[Similarity.quantizeInt8]], 4×) and the IVF
+  * coarse index ([[IvfIndex]]): each vector is split into `m`
+  * contiguous subvectors and every subvector is replaced by the id of
+  * its nearest centroid in a per-subspace codebook of `k` entries, so
+  * a 64-dim float32 embedding stores as `m` small ints (m=8, k=16 →
+  * 8 nibbles = 32× smaller than float32). Search never reconstructs:
+  * ADC (asymmetric distance computation) builds one m×k lookup table
+  * of exact query-subvector→centroid distances per query, and the
+  * distance to any corpus vector is `m` table lookups summed.
+  *
+  * Reference scope: the reference engine ships no ANN at all — this is
+  * part of the training-data north star surface (SURVEY §6), next to
+  * brute-force kNN (q35), IVF (q57), JL projection (q97/q98) and int8
+  * quantized search (q92).
+  *
+  * Scale shape: training touches only (subspace, subvector) rows —
+  * the Lloyd loop is a broadcast-assign (map-side, codebooks are
+  * m×k×(d/m) doubles in the plan) plus one tiny groupBy per
+  * iteration; encode is a pure map with zero shuffle; ADC search
+  * broadcasts queries (with their distance tables) against the codes
+  * table and runs the two-phase [[Similarity.topKPerKey]] merge — no
+  * reducer ever holds more than partitions×k candidates. The codes
+  * table is the only corpus-volume operand and it is m small ints per
+  * row, so the scan side of a 100 TB search is ~32× cheaper than the
+  * raw embedding scan.
+  *
+  * Determinism: codebook init is the first `k` DISTINCT subvectors per
+  * subspace in md5 order of their rendering (seeded), Lloyd
+  * assignments break distance ties on the lowest centroid id, and
+  * empty cells keep their previous centroid — every step is a pure
+  * function of (corpus, m, k, seed, iters). When `k` covers every
+  * distinct subvector the init IS the exact codebook (each subvector
+  * is its own centroid at distance 0), Lloyd is a fixed point, ADC
+  * degenerates to EXACT L2 search — the q117b hash-oracle anchor,
+  * mirroring the q57b nProbe=all pattern.
+  */
+object ProductQuantizer {
+
+  /** Trained codebooks: `books(s)(j)` is centroid `j` of subspace `s`,
+    * each of length `dim / m`. */
+  final case class Codebooks(dim: Int, m: Int,
+                             books: Seq[Seq[Seq[Double]]]) {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim: Int = dim / m
+    def k: Int = books.map(_.size).max
+  }
+
+  private def bookLit(book: Seq[Seq[Double]]): Column =
+    array(book.map(c => array(c.map(lit): _*)): _*)
+
+  private def booksLit(cb: Codebooks): Column =
+    array(cb.books.map(bookLit): _*)
+
+  /** Squared L2 distance between two double-array columns —
+    * left-to-right accumulation (the portability order every oracle
+    * bridge in this repo assumes). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (subspace, subvector) rows — the only training-side reshaping;
+    * map-side (explode of an m-element array per row). */
+  private def subvectors(corpus: DataFrame, dim: Int, m: Int,
+                         vecCol: String): DataFrame = {
+    val subDim = dim / m
+    val v = Similarity.asDouble(col(vecCol))
+    corpus
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(v, s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.sv").as("sv"))
+  }
+
+  /** Train per-subspace codebooks with Lloyd's algorithm.
+    *
+    * Init: the first `k` distinct subvectors per subspace, ordered by
+    * the md5 of `seed|subspace|rendered-subvector` — deterministic,
+    * data-independent of partitioning, and uniform-ish across the
+    * corpus. Each iteration broadcast-assigns every subvector to its
+    * nearest centroid (strict `<`, so ties keep the lowest id) and
+    * recomputes per-cell means with one small groupBy; cells that
+    * lose all members keep their previous centroid. Centroid state is
+    * m×k×subDim doubles on the driver — never corpus-sized. */
+  def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+            iters: Int = 8, seed: Long = 42L,
+            vecCol: String = "embedding"): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sub = subvectors(corpus, dim, m, vecCol)
+      .filter(size(col("sv")) === subDim)
+
+    // deterministic seeded init: first k distinct subvectors per
+    // subspace in md5 order (k×m rows collected — bounded)
+    val initRows = sub.distinct()
+      .withColumn("h", md5(concat_ws("|", lit(seed.toString), col("s"),
+        concat_ws(",", transform(col("sv"), x => x.cast("string"))))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("s"), col("rn"), col("sv"))
+      .collect()
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      initRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    }
+
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val cb = Codebooks(dim, m, books)
+      val assigned = sub.withColumn("code", nearestCode(col("sv"),
+        element_at(booksLit(cb), col("s").cast("int") + 1)))
+      val meansRows = assigned.groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until subDim).map(i =>
+            avg(col("sv")(i))): _*).as("mean"))
+        .collect()
+      val next = (0 until m).map { s =>
+        val cell = meansRows.filter(r => r.getInt(0) == s)
+          .map(r => r.getInt(1) -> r.getSeq[Double](3).toIndexedSeq)
+          .toMap
+        books(s).indices.map(j => cell.getOrElse(j, books(s)(j)))
+      }
+      moved = next != books
+      books = next
+      it += 1
+    }
+    Codebooks(dim, m, books)
+  }
+
+  /** Nearest-centroid id for a subvector against one subspace's
+    * codebook column — an `aggregate` argmin over the literal
+    * codebook, fully inside the expression tree (no UDF, no shuffle).
+    * Strict `<` keeps the lowest id on ties. */
+  private def nearestCode(sv: Column, book: Column): Column = {
+    val best = aggregate(
+      sequence(lit(0), size(book) - 1),
+      struct(lit(-1).as("j"), lit(Double.MaxValue).as("d")),
+      (acc, j) => {
+        val d = sqDist(sv, element_at(book, j + 1))
+        when(d < acc("d"),
+          struct(j.cast("int").as("j"), d.as("d"))).otherwise(acc)
+      })
+    best("j")
+  }
+
+  /** Encode every vector as its m-code array — pure map, zero
+    * shuffle; the codebooks ride in the plan as literals (the
+    * [[Similarity.jlSigns]] / BPE-ranks broadcast idiom). */
+  def encode(corpus: DataFrame, cb: Codebooks,
+             vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    val v = Similarity.asDouble(col(vecCol))
+    // each code position embeds only ITS subspace's book literal
+    val codes = array((0 until cb.m).map(s =>
+      nearestCode(slice(v, s * cb.subDim + 1, cb.subDim),
+        bookLit(cb.books(s)))): _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k: per query ONE m×k table of exact
+    * subvector→centroid squared distances (map-side over the tiny
+    * query frame, then broadcast), so scoring a corpus row is m
+    * lookups + m adds over its code array — never touches floats of
+    * the corpus. Output: (query_id, rank, neighbor_id, dist) with
+    * dist = 4dp-rounded L2, ranked ascending with id tiebreak via the
+    * two-phase [[Similarity.topKPerKey]] merge. */
+  def adcSearch(codes: DataFrame, queries: DataFrame, cb: Codebooks,
+                k: Int = 10, vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val qv = Similarity.asDouble(col(vecCol))
+    val dtab = array((0 until cb.m).map { s =>
+      val qsub = slice(qv, s * cb.subDim + 1, cb.subDim)
+      transform(bookLit(cb.books(s)), c => sqDist(qsub, c))
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      dtab.as("dtab")))
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-round(sqrt(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
+            element_at(col("codes"), s + 1) + 1))), 4)).as("sim"))
+    Similarity.topKPerKey(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(-col("sim"), 4).as("dist"))
+  }
+
+  /** Train + encode + search in one shot (the q117 entry point). With
+    * `k` ≥ the distinct subvector count per subspace this is EXACTLY
+    * brute-force L2 top-k (init covers every subvector at distance 0;
+    * Lloyd is a fixed point; ADC sums exact per-subspace distances) —
+    * the q117b oracle anchor. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+             m: Int = 8, k: Int = 16, topK: Int = 10, iters: Int = 8,
+             seed: Long = 42L, vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    val cb = train(corpus, dim, m, k, iters, seed, vecCol)
+    adcSearch(encode(corpus, cb, vecCol, idCol), queries, cb, topK,
+      vecCol, idCol)
+  }
+}

@@ -48,6 +48,39 @@ object QualityFilters {
       .drop("_lo", "_hi")
   }
 
+  /** Per-group ROBUST outlier flag via median absolute deviation —
+    * the heavy-tail-safe twin of [[lengthOutlierFlags]]'s percentile
+    * gate: median and MAD are unmoved by the outliers they hunt
+    * (percentile bounds shift when the contamination fraction nears
+    * the tail mass; median/MAD tolerate up to 50%). A value is an
+    * inlier when |x − median| ≤ nMads · MAD.
+    *
+    * Two tiny per-group aggregates (k rows each, broadcast back) +
+    * map-side compares — corpus rows never shuffle. Exact relational
+    * algebra: Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition, and over BIGINT inputs every
+    * intermediate (x.0/x.5 medians, 0.25-step MADs) is an exact
+    * binary fraction, so the q120 hash oracle is safe without the
+    * integer-rounding bridge. Flags are BIGINT 0/1 for oracle-hash
+    * portability. */
+  def madOutlierFlags(docs: DataFrame, groupCol: String = "source",
+                      valueCol: String = "n_chars",
+                      nMads: Double = 3.0): DataFrame = {
+    require(nMads > 0, "need nMads > 0")
+    val med = docs.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withDev = docs.join(broadcast(med), Seq(groupCol))
+      .withColumn("_adev", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile(_adev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_inlier",
+        (col("_adev") <= lit(nMads) * col("mad")).cast("long"))
+      .withColumn("med", round(col("med"), 4))
+      .withColumn("mad", round(col("mad"), 4))
+      .drop("_adev")
+  }
+
   /** Gopher's document stopword list (A1.1: "contains at least two of
     * the following English words"). */
   val GopherStopwords: Seq[String] =

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{MediaCodecs, TextFns}
-import graft.operators.{Dedup, Multimodal, Relevance, Similarity}
+import graft.operators.{Dedup, Multimodal, Pca, ProductQuantizer,
+  Relevance, Similarity}
 
 /** Training-data-pipeline operators (BASELINE.json north star): text
   * analysis, deduplication, similarity search over `documents` and
@@ -135,6 +136,50 @@ object TextQueries {
       Similarity.projectedTopK(e, e.filter(col("vec_id") < 5), k = 10,
           shortlist = 100, outDim = 32)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // product-quantization ADC search (m=8 subspaces, k=16 codes, L2):
+    // compressed-domain ANN — the corpus is scanned as 8 small ints
+    // per row, never floats. Rows-only: the Lloyd codebook is not
+    // oracle-replayable; q117b anchors the exact regime.
+    "q117_pq_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ProductQuantizer.pqTopK(e, e.filter(col("vec_id") < 5), dim = 64,
+          m = 8, k = 16, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // exact-regime anchor (the q57b pattern): k=256 covers every
+    // distinct subvector of the 200-vector corpus, so init IS the
+    // codebook, Lloyd is a fixed point, and ADC provably equals exact
+    // L2 top-k — hash oracle against DuckDB list_distance
+    "q117b_pq_knn_exact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ProductQuantizer.pqTopK(e.filter(col("vec_id") < 200),
+          e.filter(col("vec_id") < 5), dim = 64, m = 8, k = 256,
+          topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // full covariance matrix of the embedding corpus as exact
+    // relational algebra — upper-triangle xx^T generated map-side per
+    // row (no self-join), one groupBy(i,j); the hash-oracle twin of
+    // Pca.fit's one-pass treeAggregate moments
+    "q118_covariance" -> ((s, d) =>
+      Pca.covarianceMatrix(Tables.embeddings(s, d), dim = 64)
+        .orderBy(col("i"), col("j"))),
+
+    // PCA projection to 8 components (fit = one treeAggregate pass +
+    // driver Jacobi on the 64x64 covariance; project = pure map with
+    // the component matrix as plan literals). Rows-only: fitted
+    // components are FP-stable only to ~1e-9 (merge order), not
+    // hash-replayable; q118 anchors the covariance and PcaSpec pins
+    // the eigen property, planted-direction recovery, and
+    // reconstruction.
+    "q119_pca_project" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Pca.project(e, Pca.fit(e, dim = 64, k = 8))
+        .orderBy(col("vec_id"))
     }),
 
     // embedding-cosine similar pairs above threshold (exact)
@@ -581,6 +626,23 @@ object TextQueries {
     // interpolated [p01, p99] bounds per lang (tiny aggregate,
     // broadcast back), map-side compare — drops truncated fragments
     // and concatenation accidents before training
+    // robust per-source length outliers: median/MAD gate — the
+    // heavy-tail-safe twin of q116's percentile winsorization
+    "q120_mad_outliers" -> ((s, d) =>
+      graft.operators.QualityFilters
+        .madOutlierFlags(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("med"), col("mad"), col("is_inlier"))
+        .orderBy(col("doc_id"))),
+
+    // directed bigram-shingle containment pairs — catches subset
+    // duplication Jaccard (q34) misses; same posting-list plan shape
+    "q121_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), n = 2,
+          threshold = 0.8, maxDf = 400)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q116_length_outliers" -> ((s, d) =>
       graft.operators.QualityFilters
         .lengthOutlierFlags(Tables.documents(s, d))
@@ -1065,6 +1127,33 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "q97_random_projection" -> randomProjectionOracle,
     "q98_projected_knn" -> projectedKnnOracle,
+    // q118: covariance as E[xy] - E[x]E[y] over the dim-pair fanout,
+    // 6dp — identical formulation to Pca.covarianceMatrix
+    "q118_covariance" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE len(embedding) = 64),
+            p AS (SELECT i, j, v[i + 1] AS x, v[j + 1] AS y
+                  FROM e, range(0, 64) r1(i), range(0, 64) r2(j)
+                  WHERE j >= i)
+         SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) AS cov
+         FROM p GROUP BY i, j ORDER BY i, j""",
+    // q117b: exact-regime PQ ≡ brute-force L2 top-k over the capped
+    // corpus (k covers every distinct subvector — see the Spark side)
+    "q117b_pq_knn_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 200),
+            s AS (SELECT qid, nid,
+                         round(list_distance(qv, cv), 4) AS dist
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid AS query_id, nid AS neighbor_id, dist,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY dist, nid) AS rank
+                  FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                dist
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "q93_trigram_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token,
                            unnest(range(len(w))) AS pos
@@ -1865,6 +1954,55 @@ object TextQueries {
                   FROM kept)
          SELECT vec_id, cl AS cluster, csim AS centroid_sim
          FROM rk WHERE r <= ceil(n * 0.5) ORDER BY vec_id"""),
+    // q120: median/MAD per source — exact interpolated quantile_cont
+    // (the q116-established bridge); all intermediates are exact
+    // binary fractions over BIGINT inputs
+    "q120_mad_outliers" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                    FROM documents GROUP BY source),
+            d AS (SELECT doc_id, dd.source, dd.n_chars, m.med,
+                         abs(dd.n_chars - m.med) AS adev
+                  FROM documents dd JOIN m USING (source)),
+            md AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+                   FROM d GROUP BY source)
+         SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                round(d.med, 4) AS med, round(md.mad, 4) AS mad,
+                CAST(CASE WHEN d.adev <= 3.0 * md.mad THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_inlier
+         FROM d JOIN md USING (source) ORDER BY d.doc_id""",
+    // q121: bigram containment with the same maxDf cap and exact
+    // integer half-up ratio as the Spark side (the q34 formulation,
+    // directional denominators)
+    "q121_containment_pairs" -> (TOKS +
+      """, sets AS (
+            SELECT doc_id, list_distinct(list_transform(
+              range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS sh
+            FROM t),
+          inv0 AS (
+            SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+            FROM sets),
+          inv AS (
+            SELECT doc_id, sz, shingle FROM (
+              SELECT doc_id, sz, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS df
+              FROM inv0)
+            WHERE df <= 400),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sz AS sa, b.sz AS sb, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          j AS (
+            SELECT id_a, id_b, inter,
+                   CAST((2000000 * inter + sa) // (2 * sa) AS DOUBLE)
+                     / 1000000 AS cont_a_in_b,
+                   CAST((2000000 * inter + sb) // (2 * sb) AS DOUBLE)
+                     / 1000000 AS cont_b_in_a
+            FROM p)
+          SELECT id_a, id_b, inter, cont_a_in_b, cont_b_in_a FROM j
+          WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8
+          ORDER BY id_a, id_b"""),
     "q116_length_outliers" ->
       """WITH b AS (SELECT lang,
                       quantile_cont(n_chars, 0.01) AS qlo,

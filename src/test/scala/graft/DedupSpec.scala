@@ -211,4 +211,25 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == plain)
   }
+
+  test("containmentPairs flags subset duplication that Jaccard misses") {
+    // doc 2 is doc 1 verbatim plus 3x more novel text: containment of
+    // 1-in-2 is 1.0 while Jaccard is ~0.25
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 18).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, small), (2L, big), (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, n = 2, threshold = 0.9)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(3) == 1.0)        // cont_a_in_b: 1 inside 2
+    assert(r.getDouble(4) < 0.3)         // 2 not inside 1
+    // and the symmetric Jaccard gate would NOT have caught it
+    val jac = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
 }

@@ -126,4 +126,29 @@ class QualityFiltersSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("madOutlierFlags: hand-computed median/MAD, robust to the " +
+    "outlier itself") {
+    // group a: values 10,12,14,16,1000 -> med 14, adev {4,2,0,2,986},
+    // MAD 2 -> inliers are |x-14| <= 6: the 1000 is the only outlier.
+    // Even-count group b: 1,2,3,4 -> med 2.5, adev {1.5,.5,.5,1.5},
+    // MAD interpolates to 1.0 -> all within 3 MADs.
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 12L), (3L, "a", 14L), (4L, "a", 16L),
+      (5L, "a", 1000L),
+      (6L, "b", 1L), (7L, "b", 2L), (8L, "b", 3L), (9L, "b", 4L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = QualityFilters.madOutlierFlags(docs)
+      .select("doc_id", "med", "mad", "is_inlier")
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(5L) == ((5L, 14.0, 2.0, 0L)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._4 == 1L))
+    assert(out(6L) == ((6L, 2.5, 1.0, 1L)))
+    assert(Seq(6L, 7L, 8L, 9L).forall(out(_)._4 == 1L))
+    // both per-group aggregates come back as broadcast joins
+    val plan = QualityFilters.madOutlierFlags(docs)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
 }
