@@ -563,6 +563,14 @@ object TextQueries {
         .sourceNgramOverlap(Tables.documents(s, d), n = 2)
         .orderBy(col("source_a"), col("source_b"))),
 
+    // pairwise Jensen-Shannon divergence between source unigram
+    // DISTRIBUTIONS — the frequency-weighted complement of q105's
+    // vocabulary-set overlap; q87's decimal log-sum rigor end to end
+    "q122_js_divergence" -> ((s, d) =>
+      graft.operators.CorpusOverlap
+        .sourceJsDivergence(Tables.documents(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // token-budget corpus selection: greedy prefix of the
     // (quality DESC, doc_id) order while cumulative tokens fit. The
     // cumsum is a distributed two-phase prefix scan (range repartition
@@ -1413,6 +1421,48 @@ object TextQueries {
             FROM sc)
           SELECT doc_id, quality, n_tokens, cum_tokens
           FROM cum WHERE cum_tokens <= 3000 ORDER BY cum_tokens"""),
+    // q122: JSD over shared-token rows only — one-sided mass enters
+    // via the probability complements; decimal sums, micro-bit
+    // integer half-up halving (the q87 scheme)
+    "q122_js_divergence" -> (TOKS +
+      """, tok0 AS (SELECT source, unnest(w) AS token FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          c AS (SELECT source, token, count(*) AS cnt
+                FROM tok GROUP BY 1, 2),
+          n AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1),
+          p AS (SELECT c.source, c.token,
+                       CAST(c.cnt AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+                FROM c JOIN n USING (source)),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                        a.p AS p, b.p AS q
+                 FROM p a JOIN p b
+                   ON a.token = b.token AND a.source < b.source),
+          s AS (SELECT source_a, source_b,
+                  count(*) AS shared_tokens,
+                  sum(CAST(round(p * (ln(2 * p / (p + q)) / ln(2)), 6)
+                    AS DECIMAL(28,6))) AS sa,
+                  sum(CAST(round(q * (ln(2 * q / (p + q)) / ln(2)), 6)
+                    AS DECIMAL(28,6))) AS sb,
+                  sum(CAST(round(p, 6) AS DECIMAL(28,6))) AS pb,
+                  sum(CAST(round(q, 6) AS DECIMAL(28,6))) AS qb
+                FROM pr GROUP BY 1, 2),
+          scored AS (
+            SELECT source_a, source_b, shared_tokens,
+                   CAST((greatest(
+                       (1000000 - CAST(pb * 1000000 AS BIGINT))
+                       + CAST(sa * 1000000 AS BIGINT)
+                       + (1000000 - CAST(qb * 1000000 AS BIGINT))
+                       + CAST(sb * 1000000 AS BIGINT), 0) + 1) // 2
+                     AS DOUBLE) / 1000000 AS jsd
+            FROM s),
+          g AS (SELECT DISTINCT source FROM c)
+          SELECT a.source AS source_a, b.source AS source_b,
+                 coalesce(sc.shared_tokens, 0) AS shared_tokens,
+                 coalesce(sc.jsd, 1.0) AS jsd
+          FROM g a JOIN g b ON a.source < b.source
+          LEFT JOIN scored sc
+            ON sc.source_a = a.source AND sc.source_b = b.source
+          ORDER BY source_a, source_b"""),
     "q105_source_overlap" ->
       """WITH t AS (
            SELECT source,

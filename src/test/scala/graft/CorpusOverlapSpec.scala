@@ -48,4 +48,26 @@ class CorpusOverlapSpec extends SparkSuite {
     // the gram-keyed self-join must not be a cartesian product
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  test("sourceJsDivergence: hand-computed JSD, zero for identical " +
+    "distributions, one for disjoint support") {
+    // A=(2/3,1/3) vs B=(1/3,2/3) over {x,y}:
+    // JSD = 2/3*log2(4/3) + 1/3*log2(2/3) = 0.081704 bits (symmetric)
+    // C is a verbatim copy of A -> JSD 0; D shares no tokens -> JSD 1
+    val docs = Seq(
+      (1L, "x x y", "A"), (2L, "x y y", "B"),
+      (3L, "x x y", "C"), (4L, "p q r", "D")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOverlap.sourceJsDivergence(docs)
+      .select("source_a", "source_b", "jsd")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out(("A", "B")) - 0.081704) < 1e-5)
+    assert(out(("A", "C")) == 0.0)
+    assert(math.abs(out(("B", "C")) - 0.081704) < 1e-5)
+    // disjoint support: no shared tokens, maximal divergence — the
+    // pair must still be emitted (it is the most alarming case)
+    assert(out(("A", "D")) == 1.0)
+    assert(out.size == 6) // every unordered pair of the 4 sources
+  }
 }
