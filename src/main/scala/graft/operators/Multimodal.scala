@@ -314,6 +314,57 @@ object Multimodal {
       "sum_abs", "sum_sq", "valid")
   }
 
+  /** Frame-level audio activity features over REAL decoded PCM — the
+    * speech/music filtering stage one rung above [[audioStats]]'
+    * clip-level energy: zero-crossing count (noisiness), peak
+    * amplitude (clipping detection), and a frame-energy profile
+    * (`frameLen`-sample frames; a frame is ACTIVE when its energy
+    * exceeds `activeEnergyPerSample`·len — integer voice-activity
+    * gating). Every feature is exact BIGINT arithmetic over the int16
+    * samples, so the whole row is engine-portable (q123 hash oracle
+    * replays the generative fixture formula, the q100/q101 pattern).
+    * Pure map over partitions: linear, no shuffle. Corrupt clips
+    * quarantine as `valid = false` with zeroed stats. */
+  def audioActivity(media: DataFrame, frameLen: Int = 256,
+                    activeEnergyPerSample: Long = 500000L): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      graft.functions.MediaCodecs.decodeWav(bytes) match {
+        case Some(clip) =>
+          val s = clip.samples
+          var zc = 0L; var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+            val a = math.abs(s(i).toLong)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          var maxE = 0L; var active = 0L
+          var f = 0
+          while (f < nFrames) {
+            val from = f * frameLen
+            val until = math.min(from + frameLen, s.length)
+            var e = 0L
+            var j = from
+            while (j < until) { e += s(j).toLong * s(j); j += 1 }
+            if (e > maxE) maxE = e
+            if (e >= activeEnergyPerSample * (until - from)) active += 1
+            f += 1
+          }
+          (r.doc_id, s.length.toLong, zc, peak,
+            nFrames.toLong, maxE, active, true)
+        case None =>
+          (r.doc_id, 0L, 0L, 0L, 0L, 0L, 0L, false)
+      }
+    }).toDF("doc_id", "n_samples", "zero_crossings", "peak_abs",
+      "n_frames", "max_frame_energy", "n_active_frames", "valid")
+  }
+
   /** Partition-local feature extraction over the media frame; the
     * decoder is a pluggable seam ([[MediaDecoder]]) — [[PixelDecoder]]
     * for the real pure-JVM formats, [[StubDecoder]] (the default) for

@@ -194,4 +194,32 @@ object Sampling {
           .otherwise("test"))
       .drop("_rk", "_n")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): each row
+    * draws u ∈ (0,1] from the md5 of (seed|key) and the sample is the
+    * global top-`k` by u^(1/w) — here ranked by the monotone-equivalent
+    * ln(u)/w DESC, so a row's selection odds are proportional to its
+    * weight without replacement. The pretraining use case: subsample a
+    * corpus length-proportionally (weight = token count) so the byte
+    * budget lands on long documents without keeping them all.
+    *
+    * Deterministic and engine-portable: u is (52-bit md5 prefix + 1) /
+    * 2⁵², an exact power-of-two division both engines represent
+    * identically; ln is the q87-established cross-engine bridge; ties
+    * break on the key. The plan is Spark's TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort.
+    * Rows with weight <= 0 are excluded (E-S requires w > 0). */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String,
+                     keyCol: String, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat_ws("|", lit(seed.toString),
+      col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double") + 1) /
+      lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol) > 0)
+      .withColumn("_es", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_es").desc, col(keyCol))
+      .limit(k)
+      .drop("_es")
+  }
 }

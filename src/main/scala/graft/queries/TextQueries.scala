@@ -275,6 +275,60 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // frame-level audio activity over the same REAL WAV round trip:
+    // zero crossings, peak, 256-sample frame energies + integer
+    // voice-activity gate — all exact BIGINTs from DECODED samples
+    // while the oracle evaluates the generative formula
+    "q123_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (256 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 97 + i * 31) % 4096) - 2048).toInt)
+          Multimodal.MediaRow(id, "audio",
+            MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
+        }).toDF()
+      Multimodal.audioActivity(media, frameLen = 256,
+          activeEnergyPerSample = 1400000L)
+        .filter(col("valid"))
+        .select(col("doc_id"), col("n_samples"), col("zero_crossings"),
+          col("peak_abs"), col("n_frames"), col("max_frame_energy"),
+          col("n_active_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Efraimidis-Spirakis weighted sample without replacement:
+    // length-proportional corpus subsample (weight = n_chars), 100
+    // rows, deterministic md5 keys — exact oracle replays the ranking
+    "q124_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars")),
+          k = 100, weightCol = "n_chars", keyCol = "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // dedup-rate report per source: docs vs distinct content
+    // fingerprints — the corpus-report rollup over q32's fingerprint
+    "q125_dup_rate_by_source" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), TextFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("dup_rate", graft.functions.ExactRound.ratio(
+          col("n_docs") - col("n_unique"), col("n_docs"), 6))
+        .orderBy(col("source"))),
+
+    // language-ID confusion matrix: declared lang × q30's n-gram
+    // heuristic guess — the langid quality report
+    "q126_langid_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFns.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))),
+
     // REAL video-shaped frame sampling: each doc gets an actual
     // animated GIF (2 + id%5 frames; frame f is a sub-rect of
     // W = 4+(id+f)%9 by H = 3+(id+2f)%6 with pixel(x,y) =
@@ -1135,6 +1189,88 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "q97_random_projection" -> randomProjectionOracle,
     "q98_projected_knn" -> projectedKnnOracle,
+    // q123: generative-formula replay (the q100/q101 pattern) of the
+    // frame-level activity features — all-integer, hash-safe
+    "q123_audio_features" ->
+      """SELECT doc_id,
+           CAST(256 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(1, 256 + doc_id % 64),
+             i -> CASE WHEN
+                    ((doc_id * 97 + (i - 1) * 31) % 4096 - 2048 < 0)
+                    <> ((doc_id * 97 + i * 31) % 4096 - 2048 < 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+           CAST(list_max(list_transform(range(0, 256 + doc_id % 64),
+             i -> abs((doc_id * 97 + i * 31) % 4096 - 2048)))
+             AS BIGINT) AS peak_abs,
+           CAST((256 + doc_id % 64 + 255) // 256 AS BIGINT) AS n_frames,
+           CAST(list_max(list_transform(
+             range(0, (256 + doc_id % 64 + 255) // 256), f ->
+               list_sum(list_transform(
+                 range(f * 256, least((f + 1) * 256, 256 + doc_id % 64)),
+                 i -> ((doc_id * 97 + i * 31) % 4096 - 2048)
+                      * ((doc_id * 97 + i * 31) % 4096 - 2048)))))
+             AS BIGINT) AS max_frame_energy,
+           CAST(list_sum(list_transform(
+             range(0, (256 + doc_id % 64 + 255) // 256), f ->
+               CASE WHEN list_sum(list_transform(
+                 range(f * 256, least((f + 1) * 256, 256 + doc_id % 64)),
+                 i -> ((doc_id * 97 + i * 31) % 4096 - 2048)
+                      * ((doc_id * 97 + i * 31) % 4096 - 2048)))
+                 >= 1400000 * (least((f + 1) * 256, 256 + doc_id % 64)
+                               - f * 256)
+               THEN 1 ELSE 0 END)) AS BIGINT) AS n_active_frames
+         FROM documents ORDER BY doc_id""",
+    // q124: E-S ranking replayed — u from the 52-bit md5 prefix, the
+    // exact power-of-two division, ln via the established bridge
+    "q124_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                  ln((CAST(concat('0x', substr(
+                        md5('42|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) + 1) / 4503599627370496.0)
+                    / n_chars AS es
+           FROM documents WHERE n_chars > 0),
+         top AS (SELECT doc_id, n_chars FROM s
+                 ORDER BY es DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_chars FROM top ORDER BY doc_id""",
+    // q125: per-source dedup-rate rollup over the q32 fingerprint,
+    // exact integer half-up ratio
+    "q125_dup_rate_by_source" ->
+      """WITH f AS (
+           SELECT source, md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+           FROM documents),
+         a AS (SELECT source, count(*) AS n_docs,
+                      count(DISTINCT fp) AS n_unique
+               FROM f GROUP BY 1)
+         SELECT source, n_docs, n_unique,
+                CAST((2000000 * (n_docs - n_unique) + n_docs)
+                     // (2 * n_docs) AS DOUBLE) / 1000000 AS dup_rate
+         FROM a ORDER BY source""",
+    // q126: q30's langid heuristic grouped into a confusion matrix
+    "q126_langid_confusion" -> (TOKS +
+      """, h AS (
+            SELECT lang,
+              len(list_filter(w, x -> x IN ('the','a','and','of','is',
+                'to'))) AS h_en,
+              len(list_filter(w, x -> x IN ('el','la','y','de','es',
+                'que'))) AS h_es,
+              len(list_filter(w, x -> x IN ('der','die','und','das',
+                'ist','nicht'))) AS h_de,
+              len(list_filter(w, x -> x IN ('le','la','et','les','est',
+                'une'))) AS h_fr
+            FROM t),
+          g AS (
+            SELECT lang,
+              CASE WHEN greatest(h_en, h_es, h_de, h_fr) <= 0 THEN 'und'
+                   WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                   WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                   WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                   WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                   ELSE 'und' END AS lang_guess
+            FROM h)
+          SELECT lang, lang_guess, count(*) AS n
+          FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
     // q118: covariance as E[xy] - E[x]E[y] over the dim-pair fanout,
     // 6dp — identical formulation to Pca.covarianceMatrix
     "q118_covariance" ->

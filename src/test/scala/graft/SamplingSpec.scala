@@ -189,4 +189,27 @@ class SamplingSpec extends SparkSuite {
       .select("vec_id", "split").as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("weightedSample: k rows, deterministic, weight-proportional " +
+    "inclusion, zero-weight rows excluded") {
+    // 200 light rows (w=1) vs 50 heavy rows (w=100): heavy rows carry
+    // ~96% of total weight and must dominate a k=50 sample
+    val rows = (0L until 200L).map(i => (i, 1L)) ++
+      (200L until 250L).map(i => (i, 100L)) :+ (999L, 0L)
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, k = 50, weightCol = "w",
+      keyCol = "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(got.size == 50)
+    assert(!got.contains(999L)) // w=0 never sampled
+    val heavy = got.count(_ >= 200L)
+    assert(heavy >= 35, s"heavy rows in sample: $heavy of 50")
+    // deterministic replay
+    val again = Sampling.weightedSample(df, 50, "w", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == again)
+    // different seed -> (almost surely) different light-row picks
+    val other = Sampling.weightedSample(df, 50, "w", "doc_id",
+      seed = 7L).select("doc_id").as[Long].collect().toSet
+    assert(got != other)
+  }
 }
