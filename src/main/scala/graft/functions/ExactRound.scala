@@ -33,4 +33,16 @@ object ExactRound {
     val p = math.pow(10, dp).toLong
     call_function("div", num * (2 * p) + den, den * 2)
   }
+
+  /** [[ratio]] for SIGNED numerators (den > 0): rounds half away from
+    * zero — the semantics both engines' round() applies to doubles —
+    * by running the nonnegative scheme on |num| and restoring the
+    * sign. Needed because Spark `div` truncates and DuckDB `//`
+    * floors on negatives: the two disagree exactly on the tie the
+    * scheme exists to fix. */
+  def signedRatio(num: Column, den: Column, dp: Int): Column = {
+    val p = math.pow(10, dp).toLong
+    val mag = scaled(abs(num), den, dp)
+    (when(num < 0, -mag).otherwise(mag)).cast("double") / p
+  }
 }

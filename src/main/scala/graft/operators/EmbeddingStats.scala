@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-level embedding-space diagnostics: per-group centroids and
+  * their pairwise geometry — the embedding-drift report next to the
+  * token-space [[CorpusOverlap]] (two sources can share vocabulary yet
+  * embed far apart, and a label whose centroid wanders between corpus
+  * versions signals an upstream encoder change).
+  *
+  * Scale shape: the centroid aggregate is a partial-agg groupBy over
+  * (group, dim) rows — map-side combine reduces each task to
+  * groups×dim partials, so the shuffle carries kilobytes regardless of
+  * corpus size. The pairwise stage runs on the k centroids only
+  * (broadcast self-join).
+  *
+  * Determinism (the q87 decimal scheme): per-element values are
+  * 6dp-rounded into DECIMAL(28,6) and summed exactly; the mean is then
+  * one double division of identical inputs on both engines — the q128
+  * hash oracle replays it in SQL.
+  */
+object EmbeddingStats {
+
+  private def dec6(c: Column): Column = round(c, 6).cast("decimal(28,6)")
+
+  /** Element-wise mean vector per group, exploded as (group, i, c):
+    * exact decimal sums, one double division, 6dp. */
+  def groupCentroids(df: DataFrame, groupCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    df.select(col(groupCol).as("g"),
+        posexplode(Similarity.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("g"), col("i").cast("long").as("i"))
+      .agg(count(lit(1)).as("n"), sum(dec6(col("x"))).as("_sx"))
+      // mean in exact integer arithmetic: the micro-lifted decimal sum
+      // divided half-away-from-zero (round() of the double quotient is
+      // engine-dependent when sum/n terminates on the 7th-decimal tie
+      // — hit at sf0.1)
+      .select(col("g"), col("i"), col("n"),
+        graft.functions.ExactRound.signedRatio(
+          (col("_sx") * 1000000).cast("long"), col("n"), 0)
+          .divide(lit(1000000.0)).as("c"))
+  }
+
+  /** Pairwise cosine similarity between group centroids — k² rows on
+    * k groups, computed after [[groupCentroids]] collapses the corpus.
+    * Not oracle-registered (the centroid assembly into arrays is
+    * position-sensitive); EmbeddingStatsSpec pins it against a driver
+    * computation. */
+  def centroidSimilarities(df: DataFrame, groupCol: String = "label",
+                           vecCol: String = "embedding"): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("_p"))
+      .select(col("g"), transform(col("_p"), p => p("c")).as("vec"))
+    val a = cents.select(col("g").as("g_a"), col("vec").as("vec_a"))
+    val b = cents.select(col("g").as("g_b"), col("vec").as("vec_b"))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("sim"))
+  }
+}

@@ -179,4 +179,47 @@ object Relevance {
         col("token"), col("tf").cast("long").as("tf"),
         round(col("score"), 6).as("tfidf"))
   }
+
+  /** Per-group Zipf fit: least-squares slope of ln(freq) on ln(rank)
+    * over the group's token frequency table — the vocabulary-health
+    * diagnostic (natural language sits near slope −1; machine-generated
+    * or template text flattens toward 0, token soup steepens). Output:
+    * `(group, n_types, slope, intercept)`, 4dp.
+    *
+    * Scale shape: token counting is a partial-agg groupBy; ranking is
+    * one window per group keyed (cnt DESC, token) — deterministic; the
+    * regression is a per-group aggregate of four sums. Determinism is
+    * the q87 scheme: per-point ln values are 6dp-rounded into DECIMAL
+    * before summation (order-independent exact sums — products are
+    * exact 12dp DECIMALs), then the closed-form slope runs in double
+    * arithmetic on those identical inputs, so both engines emit the
+    * identical 4dp value (q127 hash oracle). Single-type groups have
+    * no slope (null). */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+                groupCol: String = "source"): DataFrame = {
+    val counts = docs.select(col(groupCol).as("g"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank", row_number().over(
+      Window.partitionBy(col("g"))
+        .orderBy(col("cnt").desc, col("token"))))
+    def dec6(c: Column): Column = round(c, 6).cast("decimal(28,6)")
+    val x = dec6(log(col("rank").cast("double")))
+    val y = dec6(log(col("cnt").cast("double")))
+    val agg = ranked.groupBy(col("g").as("source")).agg(
+      count(lit(1)).as("n_types"),
+      sum(x).as("_sx"), sum(y).as("_sy"),
+      sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+    // closed form in double arithmetic over the exact decimal sums —
+    // identical inputs and op order on both engines
+    val n = col("n_types").cast("double")
+    val (sx, sy) = (col("_sx").cast("double"), col("_sy").cast("double"))
+    val (sxy, sxx) = (col("_sxy").cast("double"), col("_sxx").cast("double"))
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / nullif(den, lit(0.0))
+    agg.select(col("source"), col("n_types"),
+      round(slope, 4).as("slope"),
+      round((sy - slope * sx) / n, 4).as("intercept"))
+  }
 }

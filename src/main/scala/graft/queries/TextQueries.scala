@@ -617,6 +617,21 @@ object TextQueries {
         .sourceNgramOverlap(Tables.documents(s, d), n = 2)
         .orderBy(col("source_a"), col("source_b"))),
 
+    // per-source Zipf fit: ln(freq)-on-ln(rank) least squares — the
+    // vocabulary-health diagnostic (natural text ≈ slope −1)
+    "q127_zipf_slope" -> ((s, d) =>
+      Relevance.zipfSlope(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
+    // per-label embedding centroids: exact decimal element sums, one
+    // double division — the embedding-drift report's anchor table
+    "q128_label_centroids" -> ((s, d) =>
+      graft.operators.EmbeddingStats
+        .groupCentroids(Tables.embeddings(s, d))
+        .select(col("g").cast("long").as("label"), col("i"), col("n"),
+          col("c"))
+        .orderBy(col("label"), col("i"))),
+
     // pairwise Jensen-Shannon divergence between source unigram
     // DISTRIBUTIONS — the frequency-weighted complement of q105's
     // vocabulary-set overlap; q87's decimal log-sum rigor end to end
@@ -1557,6 +1572,54 @@ object TextQueries {
             FROM sc)
           SELECT doc_id, quality, n_tokens, cum_tokens
           FROM cum WHERE cum_tokens <= 3000 ORDER BY cum_tokens"""),
+    // q127: Zipf regression — decimal-exact sums, closed-form slope in
+    // identical double arithmetic (unrounded slope reused in the
+    // intercept, mirroring the Spark expression tree)
+    "q127_zipf_slope" -> (TOKS +
+      """, tok0 AS (SELECT source, unnest(w) AS token FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          c AS (SELECT source, token, count(*) AS cnt
+                FROM tok GROUP BY 1, 2),
+          r AS (SELECT source, cnt, row_number() OVER (
+                  PARTITION BY source ORDER BY cnt DESC, token) AS rank
+                FROM c),
+          v AS (SELECT source,
+                  CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS x,
+                  CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS y
+                FROM r),
+          a AS (SELECT source, count(*) AS n_types,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx
+                FROM v GROUP BY 1)
+          SELECT source, n_types,
+                 round((n_types * sxy - sx * sy)
+                   / nullif(n_types * sxx - sx * sx, 0), 4) AS slope,
+                 round((sy - ((n_types * sxy - sx * sy)
+                   / nullif(n_types * sxx - sx * sx, 0)) * sx)
+                   / n_types, 4) AS intercept
+          FROM a ORDER BY source"""),
+    // q128: element-wise centroid per label — exact decimal sums over
+    // the dim fanout, one double division (the q87 bridge)
+    "q128_label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS g,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+            x AS (SELECT g, i, v[i + 1] AS x
+                  FROM e, range(0, 64) r(i)),
+            a AS (SELECT g, i, count(*) AS n,
+                         CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)))
+                           * 1000000 AS BIGINT) AS sxu
+                  FROM x GROUP BY 1, 2)
+         SELECT g AS label, CAST(i AS BIGINT) AS i, n,
+                CAST(CASE WHEN sxu < 0
+                       THEN -((2 * (-sxu) + n) // (2 * n))
+                       ELSE (2 * sxu + n) // (2 * n) END AS DOUBLE)
+                  / 1000000 AS c
+         FROM a ORDER BY label, i""",
     // q122: JSD over shared-token rows only — one-sided mass enters
     // via the probability complements; decimal sums, micro-bit
     // integer half-up halving (the q87 scheme)

@@ -110,4 +110,22 @@ class RelevanceSpec extends SparkSuite {
       .as[(Long, Long, Option[Double], Option[Double])].head()
     assert(s == (1L, 0L, None, None))
   }
+
+  test("zipfSlope: exactly zipfian counts fit slope -1; single-type " +
+    "group has no slope") {
+    // counts 12/rank: a=12, b=6, c=4, d=3 -> ln(cnt) = ln 12 - ln(rank)
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq((1L, text, "zipf"), (2L, "solo solo solo", "mono"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Relevance.zipfSlope(docs)
+      .select("source", "n_types", "slope")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (nz, sz) = got("zipf")
+    assert(nz == 4L)
+    assert(math.abs(sz.get - (-1.0)) < 0.01, s"slope $sz")
+    // one type -> zero-variance x -> null slope, not a crash
+    assert(got("mono") == ((1L, None)))
+  }
 }
