@@ -176,4 +176,50 @@ class PlanShapeSpec extends SparkSuite {
     // the union's two branches share one hash exchange each at most
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
+
+  test("PQ encode is a pure map: no exchange, no join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val cb = graft.operators.ProductQuantizer.train(
+      e.filter(col("vec_id") < 30), dim = 64, m = 8, k = 4, iters = 2)
+    val p = graft.operators.ProductQuantizer.encode(e, cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("PQ ADC search broadcasts the query tables and never " +
+    "shuffles corpus floats") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val cb = graft.operators.ProductQuantizer.train(
+      e.filter(col("vec_id") < 30), dim = 64, m = 8, k = 4, iters = 2)
+    val codes = graft.operators.ProductQuantizer.encode(e, cb)
+    val p = graft.operators.ProductQuantizer.adcSearch(
+        codes, e.filter(col("vec_id") < 3), cb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q118 covariance is a two-phase partial aggregate over the " +
+    "map-side pair fanout — no self-join") {
+    val p = plan("q118_covariance")
+    assert(!p.contains("Join"), s"covariance must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q124 weighted sample plans as TakeOrderedAndProject, not a " +
+    "global sort") {
+    val p = plan("q124_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q120 MAD gate joins both per-group aggregates by broadcast") {
+    val p = plan("q120_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
