@@ -170,4 +170,49 @@ object Bpe {
     * identity (`decode(encode(w)) == w`) the spec pins. */
   def decode(tokens: Seq[String]): String =
     tokens.mkString("").replace(EndMarker, " ").trim
+
+  /** Tokenizer-fit report per document: word count, BPE token count,
+    * fully-merged ("in-vocab") words, and the two curation ratios —
+    * fertility (BPE tokens per word; high → the tokenizer fragments
+    * this text, the sequence budget balloons) and split rate (share of
+    * words NOT merged to a single token). Same broadcast-ranks
+    * map-side pass as [[encode]] (word-level memo, no shuffle); ratios
+    * in exact integer arithmetic. Rows-only surface (BPE state is not
+    * SQL-replayable) — BpeSpec pins the counts on a hand-built merge
+    * table. */
+  def fertilityStats(docs: DataFrame, mergeTable: DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = mergeTable
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)].collect()
+      .map { case (r, a, b) => ((a, b), r) }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val src = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    val counted = src.mapPartitions { it =>
+      val r = bc.value
+      val memo = new scala.collection.mutable.HashMap[String, Int]()
+      it.map { case (id, text) =>
+        val words = tokenize(text)
+        var toks = 0L
+        var merged = 0L
+        words.foreach { w =>
+          val n = memo.getOrElseUpdate(w, encodeWord(w, r).length)
+          toks += n
+          if (n == 1) merged += 1
+        }
+        (id, words.length.toLong, toks, merged)
+      }
+    }.toDF(idCol, "n_words", "n_bpe_tokens", "n_merged_words")
+    counted.select(col(idCol), col("n_words"), col("n_bpe_tokens"),
+      col("n_merged_words"),
+      when(col("n_words") > 0, graft.functions.ExactRound.ratio(
+        col("n_bpe_tokens"), col("n_words"), 6)).as("fertility"),
+      when(col("n_words") > 0, graft.functions.ExactRound.ratio(
+        col("n_words") - col("n_merged_words"), col("n_words"), 6))
+        .as("split_rate"))
+  }
 }

@@ -298,6 +298,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // spectral shape over the same WAV round trip via the pure-JVM
+    // FFT — rows-only (double-precision DSP has no SQL replay);
+    // DspSpec pins the kernel on analytically-known signals
+    "q129_spectral" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (256 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 97 + i * 31) % 4096) - 2048).toInt)
+          Multimodal.MediaRow(id, "audio",
+            MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
+        }).toDF()
+      Multimodal.audioSpectral(media)
+        .filter(col("valid"))
+        .select(col("doc_id"), col("n_samples"), col("centroid_hz"),
+          col("rolloff_hz"), col("flatness"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Efraimidis-Spirakis weighted sample without replacement:
     // length-proportional corpus subsample (weight = n_chars), 100
     // rows, deterministic md5 keys — exact oracle replays the ranking
@@ -780,6 +800,16 @@ object TextQueries {
           graft.operators.Bpe.train(docs, nMerges = 30,
             maxWordTypes = 10000))
         .select(col("doc_id"), col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer-fit report with the trained merges: fertility + split
+    // rate per doc — rows-only (BPE state is not SQL-replayable)
+    "q130_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bpe.fertilityStats(docs,
+          graft.operators.Bpe.train(docs, nMerges = 30,
+            maxWordTypes = 10000))
         .orderBy(col("doc_id"))
     }),
 

@@ -74,4 +74,33 @@ class BpeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("fertilityStats counts merged words and exact ratios") {
+    // with the full 4-merge table: "low" -> l o w</w> with (l,o)->lo
+    // merged: lo w</w> = 2 tokens; "newest" -> n ew est</w> = ... walk
+    // is involved, so pin against encode itself instead of by hand
+    val merges = Bpe.train(tiny, nMerges = 4)
+    val enc = Bpe.encode(tiny, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val got = Bpe.fertilityStats(tiny, merges)
+      .select("doc_id", "n_words", "n_bpe_tokens", "n_merged_words",
+        "fertility")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    got.foreach { case (id, nw, nt, nm, fert) =>
+      assert(nt == enc(id), s"doc $id token count")
+      assert(nm <= nw)
+      assert(fert == math.rint(1e6 * nt.toDouble / nw) / 1e6 ||
+        math.abs(fert - nt.toDouble / nw) < 1e-6)
+    }
+    // doc 0 is "low"x5: every word encodes identically, so merged is
+    // 0 or 5, never partial
+    val d0 = got.find(_._1 == 0L).get
+    assert(d0._4 == 0L || d0._4 == 5L)
+    // empty doc: null ratios, zero counts
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val e = Bpe.fertilityStats(empty, merges)
+      .select("n_words", "fertility")
+      .as[(Long, Option[Double])].head()
+    assert(e == ((0L, None)))
+  }
 }
