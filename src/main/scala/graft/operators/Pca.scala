@@ -161,15 +161,27 @@ object Pca {
 
   /** Project vectors onto the model's components — pure map, the
     * mean and k×d matrix ride in the plan as literals. Output:
-    * (id, proj array<double> of length k), 6dp-rounded. */
+    * (id, proj array<double> of length k), 6dp-rounded. With
+    * `whiten`, each coordinate is scaled by 1/√λᵢ so every component
+    * has unit variance — the preprocessing k-means/cosine stages want
+    * when leading components would otherwise dominate distance.
+    * Components with λ ≤ 0 (numerically dead directions) whiten to
+    * 0 rather than blowing up. */
   def project(df: DataFrame, model: PcaModel,
               vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
+              idCol: String = "vec_id",
+              whiten: Boolean = false): DataFrame = {
     val meanLit = array(model.mean.map(lit): _*)
     val centered = zip_with(Similarity.asDouble(col(vecCol)), meanLit,
       (x, m) => x - m)
-    val proj = array(model.components.map { comp =>
-      round(Similarity.dot(centered, array(comp.map(lit): _*)), 6)
+    val proj = array(model.components.zip(model.eigenvalues).map {
+      case (comp, lambda) =>
+        val raw = Similarity.dot(centered, array(comp.map(lit): _*))
+        val scaled =
+          if (!whiten) raw
+          else if (lambda <= 0.0) lit(0.0)
+          else raw / lit(math.sqrt(lambda))
+        round(scaled, 6)
     }: _*)
     df.select(col(idCol), proj.as("proj"))
   }

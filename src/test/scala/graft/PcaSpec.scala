@@ -98,6 +98,18 @@ class PcaSpec extends SparkSuite {
       assert(math.abs(a - b) < 1e-4, s"$a vs $b") }
   }
 
+  test("whitened projection has unit variance per component") {
+    val m = Pca.fit(corpus, dim = 6, k = 2)
+    val projs = Pca.project(corpus, m, whiten = true)
+      .select("proj").as[Seq[Double]].collect()
+    for (c <- 0 until 2) {
+      val xs = projs.map(_(c))
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(v - 1.0) < 0.01, s"component $c variance $v")
+    }
+  }
+
   test("covarianceMatrix emits the full upper triangle with exact " +
     "diagonal variance") {
     val rows = Pca.covarianceMatrix(corpus, 6).collect()
