@@ -355,18 +355,27 @@ object Dedup {
     * other share at least one exact 16-bit band — pigeonhole). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
-    val hashed = docs.select(col(idCol),
-      TextFns.simhash64(col(textCol)).as("simhash"))
-    val banded = hashed.select(col(idCol), col("simhash"),
+                   idCol: String = "doc_id"): DataFrame =
+    hammingBandPairs(docs.select(col(idCol),
+      TextFns.simhash64(col(textCol)).as("simhash")),
+      "simhash", idCol, maxHamming)
+
+  /** Banded-Hamming candidate join over ANY 64-bit fingerprint column
+    * (SimHash text prints, pHash image prints): 4×16-bit pigeonhole
+    * banding, exact Hamming verification within buckets. The shared
+    * core [[simhashPairs]] and [[graft.operators.Multimodal]]'s image
+    * pipeline both ride. */
+  def hammingBandPairs(hashed: DataFrame, hashCol: String,
+                       idCol: String, maxHamming: Int): DataFrame = {
+    val banded = hashed.select(col(idCol), col(hashCol),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+        shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
           .as("bucket"))): _*)).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol), col(hashCol), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+      col(idCol).as("id_a"), col(hashCol).as("sim_a"))
     val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+      col(idCol).as("id_b"), col(hashCol).as("sim_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

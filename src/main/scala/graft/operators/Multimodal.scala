@@ -393,6 +393,28 @@ object Multimodal {
       "flatness", "valid")
   }
 
+  /** Perceptual hash per image (REAL PNG/BMP decode → 32×32 box pool
+    * → 8×8 DCT sign bits, [[graft.functions.ImageHash]]): the 64-bit
+    * fingerprint that makes image near-dup detection the same
+    * banded-Hamming join as text SimHash —
+    * [[Dedup.hammingBandPairs]] over the output. Pure map; corrupt
+    * payloads quarantine as `valid = false`. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      val img = graft.functions.MediaCodecs.decodePng(bytes)
+        .orElse(graft.functions.MediaCodecs.decodeBmp(bytes))
+      img match {
+        case Some(g) =>
+          (r.doc_id, graft.functions.ImageHash
+            .phash64(g.pixels, g.width, g.height), true)
+        case None => (r.doc_id, 0L, false)
+      }
+    }).toDF("doc_id", "phash", "valid")
+  }
+
   /** Partition-local feature extraction over the media frame; the
     * decoder is a pluggable seam ([[MediaDecoder]]) — [[PixelDecoder]]
     * for the real pure-JVM formats, [[StubDecoder]] (the default) for

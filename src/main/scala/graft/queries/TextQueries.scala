@@ -275,6 +275,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // image near-dup pairs via perceptual hash: REAL PNG round trip →
+    // 32×32 pool → 8×8 DCT sign bits → the SAME banded-Hamming join
+    // as text SimHash. Fixture plants sibling pairs (odd id = its
+    // even sibling's image with one perturbed pixel). Rows-only
+    // (double-precision DCT has no SQL replay); ImageHashSpec pins
+    // hash stability, perturbation tolerance, and discrimination.
+    "q131_image_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = id / 2
+          val w = (16 + base % 13).toInt
+          val h = (16 + base % 7).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((base * 3 + 7 * (i % w) + 13 * (i / w)) % 256).toInt)
+          if (id % 2 == 1) px(0) = (px(0) + 8) % 256
+          Multimodal.MediaRow(id, "image",
+            MediaCodecs.encodePng(MediaCodecs.GrayImage(w, h, px)))
+        }).toDF()
+      val hashed = Multimodal.imagePhash(media).filter(col("valid"))
+      Dedup.hammingBandPairs(hashed, "phash", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // frame-level audio activity over the same REAL WAV round trip:
     // zero crossings, peak, 256-sample frame energies + integer
     // voice-activity gate — all exact BIGINTs from DECODED samples
