@@ -133,6 +133,35 @@ object Writes {
   def cdcLiveView(state: DataFrame, opCol: String = "op"): DataFrame =
     state.filter(!(col(opCol) <=> "D"))
 
+  /** SCD type-2 history from a change stream: each upsert becomes a
+    * validity interval [its change time, the key's NEXT change time);
+    * the key's latest interval stays open (`is_current`) unless a
+    * delete closed it — deletes emit no row of their own, they only
+    * terminate the predecessor via the same `lead`. The dimension-
+    * history view every warehouse keeps next to [[applyCdc]]'s
+    * point-in-time state.
+    *
+    * One window per key (single shuffle on the key columns), ordered
+    * by (`tsCol`, `tieCol`) so same-timestamp changes resolve
+    * deterministically. Output: the change columns minus `opCol`,
+    * plus `valid_from_us` / `valid_to_us` (epoch micros; open
+    * intervals have null `valid_to_us`) and BIGINT `is_current` —
+    * engine-portable, exact (q132 hash oracle). */
+  def scd2History(changes: DataFrame, keys: Seq[String],
+                  tsCol: String, tieCol: String,
+                  opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("_to", lead(unix_micros(col(tsCol)), 1).over(w))
+      .filter(!(col(opCol) <=> "D"))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", col("_to"))
+      .withColumn("is_current", col("_to").isNull.cast("long"))
+      .drop("_to", opCol, tsCol)
+  }
+
   /** Scan-pruning layout: range-partition on the dominant filter
     * column(s) and sort within partitions before writing. Each parquet
     * file (and each row group inside it) then covers a narrow, disjoint

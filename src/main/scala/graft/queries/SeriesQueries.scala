@@ -280,6 +280,19 @@ object SeriesQueries {
     // per-session aggregates; epoch-micro bounds + decimal value sum
     // keep it oracle-exact. The streaming twin (flatMapGroupsWithState,
     // graft.streaming.Sessionize) is equivalence-tested in PipelineSpec.
+    // SCD2 dimension history from the event change stream: upserts
+    // become validity intervals, 'error' events play deletes (they
+    // close the predecessor and emit nothing). Interval bounds as
+    // epoch micros — engine-portable BIGINTs.
+    "q132_scd2_history" -> ((s, d) => {
+      val ch = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("ts"), round(col("value"), 4).as("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.operators.Writes.scd2History(ch, Seq("user_id"), "ts",
+          "event_id")
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
     "q62_sessions" -> ((s, d) =>
       graft.operators.EventSeries.sessions(Tables.events(s, d),
           gapMinutes = 30)
@@ -654,6 +667,25 @@ object SeriesQueries {
          FROM sess se JOIN events e ON e.user_id = se.user_id
            AND epoch_us(e.ts) BETWEEN se.start_us AND se.end_us
          GROUP BY 1, 2, 3 ORDER BY 1, 2"""),
+    // q132: same lead() interval construction; deletes filtered after
+    // the window so they still close predecessors
+    "q132_scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  round(value, 4) AS value,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                    AS op
+           FROM events),
+         w AS (
+           SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS valid_to_us
+           FROM c)
+         SELECT user_id, event_id, value, ts_us AS valid_from_us,
+                valid_to_us,
+                CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_current
+         FROM w WHERE op <> 'D'
+         ORDER BY user_id, valid_from_us, event_id""",
     "q52_stream_daily_counts" ->
       """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
          count(*) AS n_events,

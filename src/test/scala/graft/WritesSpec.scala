@@ -235,4 +235,26 @@ class WritesSpec extends SparkSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 1, s"expected at most the batch-dedup shuffle:\n$p")
   }
+
+  test("scd2History: upserts become intervals, a delete closes its " +
+    "predecessor and emits nothing, latest upsert stays open") {
+    import org.apache.spark.sql.functions._
+    val ch = Seq(
+      // key 1: v=10 @t1, v=20 @t3, delete @t5 -> two closed intervals
+      (1L, 1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1)), 10.0, "U"),
+      (1L, 2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3)), 20.0, "U"),
+      (1L, 3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5)), 0.0, "D"),
+      // key 2: one upsert -> open and current
+      (2L, 4L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2)), 7.0, "U")
+    ).toDF("k", "eid", "ts", "v", "op")
+    val out = Writes.scd2History(ch, Seq("k"), "ts", "eid")
+      .select("k", "eid", "v", "valid_from_us", "valid_to_us",
+        "is_current")
+      .as[(Long, Long, Double, Long, Option[Long], Long)]
+      .collect().sortBy(r => (r._1, r._4))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10.0, 1000000L, Some(3000000L), 0L),
+      (1L, 2L, 20.0, 3000000L, Some(5000000L), 0L),
+      (2L, 4L, 7.0, 2000000L, None, 1L)))
+  }
 }
