@@ -55,9 +55,6 @@ object ProductQuantizer {
   private def bookLit(book: Seq[Seq[Double]]): Column =
     array(book.map(c => array(c.map(lit): _*)): _*)
 
-  private def booksLit(cb: Codebooks): Column =
-    array(cb.books.map(bookLit): _*)
-
   /** Squared L2 distance between two double-array columns —
     * left-to-right accumulation (the portability order every oracle
     * bridge in this repo assumes). */
@@ -66,12 +63,14 @@ object ProductQuantizer {
       lit(0.0), (acc, v) => acc + v)
 
   /** (subspace, subvector) rows — the only training-side reshaping;
-    * map-side (explode of an m-element array per row). */
+    * map-side (explode of an m-element array per row). Vectors shorter
+    * than `dim` quarantine whole (matching [[encode]]'s null rule). */
   private def subvectors(corpus: DataFrame, dim: Int, m: Int,
                          vecCol: String): DataFrame = {
     val subDim = dim / m
     val v = Similarity.asDouble(col(vecCol))
     corpus
+      .filter(size(v) >= dim)
       .select(explode(array((0 until m).map(s =>
         struct(lit(s).as("s"),
           slice(v, s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
@@ -112,12 +111,21 @@ object ProductQuantizer {
         .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
     }
 
+    // Lloyd assignment via the fused native kernel (one generated
+    // m×k×subDim loop per row — the composed aggregate/zip_with argmin
+    // evaluates interpreted and measured ~6× slower at 32×); the
+    // per-cell means are a tiny groupBy on (subspace, code)
+    val vbase = corpus.select(Similarity.asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) >= dim)
     var it = 0
     var moved = true
     while (it < iters && moved) {
       val cb = Codebooks(dim, m, books)
-      val assigned = sub.withColumn("code", nearestCode(col("sv"),
-        element_at(booksLit(cb), col("s").cast("int") + 1)))
+      val assigned = vbase
+        .select(col("v"), posexplode(graft.plans.PqExpressions
+          .pqEncode(col("v"), cb.books, subDim)).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sv"))
       val meansRows = assigned.groupBy(col("s"), col("code"))
         .agg(count(lit(1)).as("n"),
           array((0 until subDim).map(i =>
@@ -136,34 +144,17 @@ object ProductQuantizer {
     Codebooks(dim, m, books)
   }
 
-  /** Nearest-centroid id for a subvector against one subspace's
-    * codebook column — an `aggregate` argmin over the literal
-    * codebook, fully inside the expression tree (no UDF, no shuffle).
-    * Strict `<` keeps the lowest id on ties. */
-  private def nearestCode(sv: Column, book: Column): Column = {
-    val best = aggregate(
-      sequence(lit(0), size(book) - 1),
-      struct(lit(-1).as("j"), lit(Double.MaxValue).as("d")),
-      (acc, j) => {
-        val d = sqDist(sv, element_at(book, j + 1))
-        when(d < acc("d"),
-          struct(j.cast("int").as("j"), d.as("d"))).otherwise(acc)
-      })
-    best("j")
-  }
-
   /** Encode every vector as its m-code array — pure map, zero
-    * shuffle; the codebooks ride in the plan as literals (the
-    * [[Similarity.jlSigns]] / BPE-ranks broadcast idiom). */
+    * shuffle; the codebooks ride in the plan inside the fused
+    * [[graft.plans.PqEncode]] kernel (strict `<` argmin, lowest code
+    * on ties — identical to the Lloyd assignment). Vectors shorter
+    * than the trained dim yield null codes (quarantine). */
   def encode(corpus: DataFrame, cb: Codebooks,
              vecCol: String = "embedding",
              idCol: String = "vec_id"): DataFrame = {
     val v = Similarity.asDouble(col(vecCol))
-    // each code position embeds only ITS subspace's book literal
-    val codes = array((0 until cb.m).map(s =>
-      nearestCode(slice(v, s * cb.subDim + 1, cb.subDim),
-        bookLit(cb.books(s)))): _*)
-    corpus.select(col(idCol), codes.as("codes"))
+    corpus.select(col(idCol), graft.plans.PqExpressions
+      .pqEncode(v, cb.books, cb.subDim).as("codes"))
   }
 
   /** ADC top-k: per query ONE m×k table of exact
@@ -183,13 +174,15 @@ object ProductQuantizer {
     }: _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       dtab.as("dtab")))
+    // scoring = the fused table-lookup sum (same left-to-right order
+    // as the composed aggregate it replaced — q117b stays bit-equal)
     val scored = codes
       .select(col(idCol).as("neighbor_id"), col("codes"))
+      .filter(col("codes").isNotNull)
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (-round(sqrt(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
-          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
-            element_at(col("codes"), s + 1) + 1))), 4)).as("sim"))
+        (-round(sqrt(graft.plans.PqExpressions
+          .adcSqDist(col("codes"), col("dtab"))), 4)).as("sim"))
     Similarity.topKPerKey(scored, k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(-col("sim"), 4).as("dist"))

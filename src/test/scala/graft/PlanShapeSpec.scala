@@ -42,6 +42,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(z1 == z2 && z1.hashCode == z2.hashCode && z1.semanticEquals(z2))
     // and inequality still discriminates real content differences
     assert(ZValue2(x, y, Array(1.0, 2.5), Array(3.0, 4.0)) != z1)
+    // PqEncode: independently materialized identical codebooks
+    val q1 = PqEncode(child, Array(1.0, 2.0, 3.0, 4.0), Array(2), 2)
+    val q2 = PqEncode(child, Array(1.0, 2.0, 3.0, 4.0), Array(2), 2)
+    assert((q1.books ne q2.books) && q1 == q2 &&
+      q1.hashCode == q2.hashCode && q1.semanticEquals(q2))
+    assert(PqEncode(child, Array(1.0, 2.0, 3.0, 4.5), Array(2), 2) != q1)
   }
 
   test("q01 scan is pruned to the four referenced lineitem columns") {
