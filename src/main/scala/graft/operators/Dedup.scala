@@ -143,10 +143,17 @@ object Dedup {
     * no cross join. Returns (id_a, id_b, n_shared_bands), id_a < id_b. */
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
                       n: Int = 2, textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    lshCandidates(minhashSignatures(docs, k, n, textCol, idCol),
+      k, bands, idCol)
+
+  /** The band-bucket candidate join over a signature frame — shared by
+    * [[minhashLshPairs]] and [[containmentEstimatePairs]] so the
+    * signatures compute once per caller. */
+  private def lshCandidates(sigs: DataFrame, k: Int, bands: Int,
+                            idCol: String): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k, n, textCol, idCol)
     val banded = sigs.select(col(idCol),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         bandBucket(lit(b.toString), (b * r until (b + 1) * r)
@@ -166,6 +173,55 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Containment ESTIMATE pairs — the LSH scale path of
+    * [[containmentPairs]] (the q76/q76b strategy split applied to
+    * containment): candidates from the banded signature join, then
+    * containment estimated from signature agreement + EXACT set
+    * sizes with zero posting-list work. With Ĵ = matches/k,
+    * |A∪B| = (|A|+|B|)/(1+Ĵ) and |A∩B| = Ĵ·|A∪B| give
+    * Ĉ(a→b) = matches·(|A|+|B|) / ((k+matches)·|A|) — all-integer, so
+    * the estimate is EXACTLY reproducible cross-engine (q133 hash
+    * oracle) even though it is statistically approximate. Shuffles:
+    * the band join (bounded buckets, explicit parallelism) and three
+    * id-keyed joins — never a posting-list fan-out, so a hot shingle
+    * cannot blow it up (the q121 `maxDf` trade disappears instead of
+    * being capped). */
+  def containmentEstimatePairs(docs: DataFrame, k: Int = 8,
+                               bands: Int = 4, n: Int = 2,
+                               threshold: Double = 0.8,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(docs, k, n, textCol, idCol)
+    val cand = lshCandidates(sigs, k, bands, idCol)
+      .select(col("id_a"), col("id_b"))
+    val sizes = docs.select(col(idCol),
+      size(TextFns.shingles(col(textCol), n)).cast("long").as("sz"))
+    val sigA = sigs.select(col(idCol).as("id_a") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"_a$i")): _*)
+    val sigB = sigs.select(col(idCol).as("id_b") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"_b$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sa")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sb")),
+        Seq("id_b"))
+      .withColumn("matches", matches)
+      .withColumn("cont_a_est", graft.functions.ExactRound.ratio(
+        col("matches") * (col("sa") + col("sb")),
+        (lit(k.toLong) + col("matches")) * col("sa"), 6))
+      .withColumn("cont_b_est", graft.functions.ExactRound.ratio(
+        col("matches") * (col("sa") + col("sb")),
+        (lit(k.toLong) + col("matches")) * col("sb"), 6))
+    est.filter(greatest(col("cont_a_est"), col("cont_b_est"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("matches"),
+        col("cont_a_est"), col("cont_b_est"))
   }
 
   /** MinHash-LSH dedup as linear cluster LABELING: each doc maps to a
@@ -364,17 +420,35 @@ object Dedup {
     * (SimHash text prints, pHash image prints): 4×16-bit pigeonhole
     * banding, exact Hamming verification within buckets. The shared
     * core [[simhashPairs]] and [[graft.operators.Multimodal]]'s image
-    * pipeline both ride. */
+    * pipeline both ride.
+    *
+    * Scale guards, same pair as [[ngramJaccardPairs]]: the
+    * explicit-parallelism pin before the quadratic bucket join (AQE
+    * sees the small banded input, not the pair fan-out), and an
+    * optional `maxBucket` cap — a bucket holding b fingerprints emits
+    * b² candidate rows, so one degenerate value (an all-identical
+    * boilerplate image/template) turns the join cartesian; capped
+    * buckets drop out like capped postings (dedup of a value that
+    * common belongs to the GROUP path, not pair enumeration). The
+    * default keeps every bucket — q38/q131 semantics unchanged. */
   def hammingBandPairs(hashed: DataFrame, hashCol: String,
-                       idCol: String, maxHamming: Int): DataFrame = {
-    val banded = hashed.select(col(idCol), col(hashCol),
+                       idCol: String, maxHamming: Int,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded0 = hashed.select(col(idCol), col(hashCol),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
           .as("bucket"))): _*)).as("bb"))
       .select(col(idCol), col(hashCol), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0.withColumn("_df", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("_df") <= maxBucket).drop("_df")
+    val bandedMat = SkewTools.fanoutRepartition(banded,
+      col("band"), col("bucket"))
+    val a = bandedMat.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col(hashCol).as("sim_a"))
-    val b = banded.select(col("band"), col("bucket"),
+    val b = bandedMat.select(col("band"), col("bucket"),
       col(idCol).as("id_b"), col(hashCol).as("sim_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -764,6 +764,14 @@ object TextQueries {
           threshold = 0.8, maxDf = 400)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // containment via MinHash estimation — the LSH scale path of
+    // q121 (no posting-list fan-out at all); the all-integer estimator
+    // is exactly reproducible cross-engine despite being statistical
+    "q133_containment_lsh" -> ((s, d) =>
+      Dedup.containmentEstimatePairs(Tables.documents(s, d), k = 8,
+          bands = 4, n = 2, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q116_length_outliers" -> ((s, d) =>
       graft.operators.QualityFilters
         .lengthOutlierFlags(Tables.documents(s, d))
@@ -2305,6 +2313,55 @@ object TextQueries {
             FROM p)
           SELECT id_a, id_b, inter, cont_a_in_b, cont_b_in_a FROM j
           WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8
+          ORDER BY id_a, id_b"""),
+    // q133: bigram minhash sigs (the q33/q39 md5 construction),
+    // band-bucket candidates, all-integer containment estimator with
+    // the exact half-up ratio
+    "q133_containment_lsh" -> (TOKS +
+      """, sh0 AS (
+            SELECT doc_id, list_distinct(list_transform(
+              range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS sh
+            FROM t),
+          sz AS (SELECT doc_id, len(sh) AS sz FROM sh0),
+          sig AS (SELECT doc_id, """ +
+      (0 until 8).map(i =>
+        s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), " +
+          s"'min') AS s$i").mkString(",\n            ") + """
+            FROM sh0),
+          banded AS (
+            """ + (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1}" +
+          " AS bucket FROM sig").mkString("\n            UNION ALL ") + """),
+          cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          m AS (
+            SELECT id_a, id_b,
+                   (""" + (0 until 8).map(i =>
+        s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+        .mkString("\n                    + ") + """) AS matches,
+                   za.sz AS sa, zb.sz AS sb
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            JOIN sz za ON za.doc_id = id_a
+            JOIN sz zb ON zb.doc_id = id_b),
+          e AS (
+            SELECT id_a, id_b, CAST(matches AS BIGINT) AS matches,
+                   CAST((2000000 * matches * (sa + sb)
+                         + (8 + matches) * sa)
+                        // (2 * (8 + matches) * sa) AS DOUBLE) / 1000000
+                     AS cont_a_est,
+                   CAST((2000000 * matches * (sa + sb)
+                         + (8 + matches) * sb)
+                        // (2 * (8 + matches) * sb) AS DOUBLE) / 1000000
+                     AS cont_b_est
+            FROM m)
+          SELECT id_a, id_b, matches, cont_a_est, cont_b_est FROM e
+          WHERE greatest(cont_a_est, cont_b_est) >= 0.8
           ORDER BY id_a, id_b"""),
     "q116_length_outliers" ->
       """WITH b AS (SELECT lang,

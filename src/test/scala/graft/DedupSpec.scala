@@ -232,4 +232,30 @@ class DedupSpec extends SparkSuite {
       .collect()
     assert(jac.isEmpty)
   }
+
+  test("containmentEstimatePairs: LSH estimator finds prefix " +
+    "containment without posting lists, estimate is directional") {
+    // doc 2 = doc 1 plus a short suffix: true cont(1 in 2) = 1.0,
+    // Jaccard 5/7 — high enough that bands collide
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    // bands of 1 sig: candidate probability per band = J itself, so
+    // a J = 5/7 pair misses all 8 bands with probability ~0.004%
+    val got = Dedup.containmentEstimatePairs(docs, k = 8, bands = 8,
+        n = 2, threshold = 0.5)
+      .select("id_a", "id_b", "matches", "cont_a_est", "cont_b_est")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val pair = got.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"sibling pair missing: ${got.toSeq}")
+    val (_, _, m, ca, cb) = pair.get
+    assert(m >= 1) // a shared band implies >= k/bands matching sigs
+    // the small doc is contained in the big one, not vice versa
+    assert(ca > cb)
+    assert(ca >= 0.5, s"cont_a_est $ca")
+    // the unrelated doc never pairs
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
+  }
 }
