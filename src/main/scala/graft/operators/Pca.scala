@@ -55,8 +55,10 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val tri = dim * (dim + 1) / 2
+    // primitive-array encoder: the Seq[Double] decoder dominated the
+    // aggregate pass at 32× (boxing one java.lang.Double per element)
     val vecs = df.select(Similarity.asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim).as[Seq[Double]]
+      .filter(size(col("v")) === dim).as[Array[Double]]
     type Acc = (Long, Array[Double], Array[Double])
     val zero: Acc = (0L, new Array[Double](dim), new Array[Double](tri))
     val (n, sums, prods) = vecs.rdd.treeAggregate(zero)(

