@@ -175,6 +175,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Near-dup GROUPS over any 64-bit fingerprint column: verified
+    * banded-Hamming edges ([[hammingBandPairs]]) fed to the converged
+    * min-label propagation ([[labelPropagate]]) — the component view
+    * image/text fingerprint dedup deduplicates BY (keep one canonical
+    * per group), with unmatched fingerprints as singletons. */
+  def hammingDedupGroups(hashed: DataFrame, hashCol: String,
+                         idCol: String, maxHamming: Int = 3,
+                         maxBucket: Int = Int.MaxValue,
+                         maxIterations: Int = 16): DataFrame = {
+    val edges = hammingBandPairs(hashed, hashCol, idCol, maxHamming,
+      maxBucket)
+    labelPropagate(hashed.select(col(idCol).as("id")), edges,
+        maxIterations)
+      .select(col("id").as(idCol), col("canonical"))
+  }
+
   /** Containment ESTIMATE pairs — the LSH scale path of
     * [[containmentPairs]] (the q76/q76b strategy split applied to
     * containment): candidates from the banded signature join, then

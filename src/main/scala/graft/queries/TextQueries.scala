@@ -299,6 +299,28 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // image near-dup GROUPS: the q131 verified edges fed to converged
+    // min-label propagation — each image labeled with its component's
+    // canonical id (rows-only; the DCT hashes have no SQL replay)
+    "q134_image_dedup_groups" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = id / 2
+          val w = (16 + base % 13).toInt
+          val h = (16 + base % 7).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((base * 3 + 7 * (i % w) + 13 * (i / w)) % 256).toInt)
+          if (id % 2 == 1) px(0) = (px(0) + 8) % 256
+          Multimodal.MediaRow(id, "image",
+            MediaCodecs.encodePng(MediaCodecs.GrayImage(w, h, px)))
+        }).toDF()
+      val hashed = Multimodal.imagePhash(media).filter(col("valid"))
+      Dedup.hammingDedupGroups(hashed, "phash", "doc_id",
+          maxHamming = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // frame-level audio activity over the same REAL WAV round trip:
     // zero crossings, peak, 256-sample frame energies + integer
     // voice-activity gate — all exact BIGINTs from DECODED samples

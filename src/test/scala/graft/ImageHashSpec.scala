@@ -68,5 +68,12 @@ class ImageHashSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     for (b <- 0L until 4L)
       assert(pairs.contains((2 * b, 2 * b + 1)), s"sibling pair $b")
+    // groups: each odd id labels with its even sibling's canonical
+    val groups = Dedup.hammingDedupGroups(hashed, "phash", "doc_id", 3)
+      .select("doc_id", "canonical").as[(Long, Long)].collect().toMap
+    assert(groups.size == 8)
+    for (b <- 0L until 4L)
+      assert(groups(2 * b + 1) == groups(2 * b),
+        s"siblings of base $b in different groups")
   }
 }
