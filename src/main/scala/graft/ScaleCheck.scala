@@ -149,6 +149,27 @@ object ScaleCheck {
         bands = 2))
     }
     time("quantize_int8", ne) { sink(Similarity.quantizeInt8(emb)) }
+    // PQ: Lloyd iterations see only (subspace, subvector) aggregates;
+    // encode is a zero-shuffle map; ADC search scans 8 ints per row
+    time("pq_train_encode_search64q", ne) {
+      import graft.operators.ProductQuantizer
+      val cb = ProductQuantizer.train(emb, dim = 64, m = 8, k = 16,
+        iters = 4)
+      val codes = ProductQuantizer.encode(emb, cb)
+      sink(ProductQuantizer.adcSearch(codes, knnQueries, cb, k = 10))
+    }
+    // PCA: the fit is ONE treeAggregate pass (fixed d(d+3)/2 state);
+    // projection is a pure map with literal components
+    time("pca_fit_project", ne) {
+      import graft.operators.Pca
+      sink(Pca.project(emb, Pca.fit(emb, dim = 64, k = 8)))
+    }
+    time("covariance_relational", ne) {
+      sink(graft.operators.Pca.covarianceMatrix(emb, 64))
+    }
+    time("label_centroids", ne) {
+      sink(graft.operators.EmbeddingStats.groupCentroids(emb))
+    }
     // SemDeDup: centroid assignment is the fused native argmax kernel
     // (map-side, no shuffle); the near-dup self-join keys on
     // (cluster, blockLo, blockHi) — blocked all-pairs by default, so
@@ -213,6 +234,59 @@ object ScaleCheck {
     time("simhash64", nd) {
       sink(docs.select(col("doc_id"),
         graft.functions.TextFns.simhash64(col("text"))))
+    }
+    // containment: same posting-list shape as jaccard (maxDf-capped)
+    time("containment_pairs_capped", nd) {
+      sink(Dedup.containmentPairs(docs, n = 2, threshold = 0.9,
+        maxDf = 1000))
+    }
+    // distribution diagnostics: token-keyed joins/windows, group-count
+    // outputs — sources stay fixture-cardinality while docs inflate
+    time("js_divergence", nd) {
+      sink(graft.operators.CorpusOverlap.sourceJsDivergence(docs))
+    }
+    time("zipf_slope", nd) {
+      sink(graft.operators.Relevance.zipfSlope(docs))
+    }
+    // image near-dup at volume: real PNG encode+decode+pool+DCT per
+    // row (pure map), then the banded-Hamming join with the hot-bucket
+    // cap binding (constant-gradient fixtures collide by design — the
+    // cap is what keeps the bucket join linear; siblings still pair)
+    time("image_phash_pairs_capped", nd) {
+      import spark.implicits._
+      import graft.functions.MediaCodecs
+      import graft.operators.Multimodal
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = id / 2
+          val w = (16 + base % 13).toInt
+          val h = (16 + base % 7).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((base * 3 + 7 * (i % w) + 13 * (i / w)) % 256).toInt)
+          if (id % 2 == 1) px(0) = (px(0) + 8) % 256
+          Multimodal.MediaRow(id, "image", MediaCodecs.encodePng(
+            MediaCodecs.GrayImage(w, h, px)))
+        }).toDF()
+      val hashed = Multimodal.imagePhash(media).filter(col("valid"))
+      sink(Dedup.hammingBandPairs(hashed, "phash", "doc_id",
+        maxHamming = 3, maxBucket = 1000))
+    }
+    // audio DSP at volume: decode + integer activity + FFT spectral,
+    // both pure maps
+    time("audio_activity_spectral", nd) {
+      import spark.implicits._
+      import graft.functions.MediaCodecs
+      import graft.operators.Multimodal
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (256 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 97 + i * 31) % 4096) - 2048).toInt)
+          Multimodal.MediaRow(id, "audio",
+            MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
+        }).toDF()
+      sink(Multimodal.audioActivity(media))
+      sink(Multimodal.audioSpectral(media))
     }
     time("rolling_fingerprint", nd) {
       sink(docs.select(col("doc_id"),
