@@ -145,4 +145,58 @@ object EventSeries {
     p.join(broadcast(g), Seq("user_id", "date"), "left")
       .withColumn("move_category", Indicators.moveCategory(col("pct_change")))
   }
+
+  /** Ordered conversion funnel per (user, day): `t_i` is the earliest
+    * `steps(i)` event AT OR AFTER the previous step's time, so a day
+    * counts for stage i only when the steps happened IN ORDER (a
+    * purchase before the first view does not convert). `reached` is
+    * the completed prefix length — null steps cascade by
+    * construction (the ts ≥ t_{i-1} filter drops on null).
+    *
+    * Each stage is one (user, date)-keyed aggregate + equi-join — all
+    * stages co-partition on the same key, linear in events. Epoch-
+    * micros BIGINT times + ISO date keep it hash-portable (q136). */
+  def dailyFunnel(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase"),
+                  tsCol: String = "ts", userCol: String = "user_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val e = events.select(col(userCol).as("user_id"),
+      graft.queries.iso(col(tsCol)).as("date"),
+      unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("_t"))
+    var acc = e.groupBy(col("user_id"), col("date"))
+      .agg(count(lit(1)).as("n_events"))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val stepEvents = e.filter(col("_t") === st)
+      val joined =
+        if (i == 0) stepEvents.join(acc.select("user_id", "date"),
+          Seq("user_id", "date"))
+        else stepEvents.join(
+          acc.select(col("user_id"), col("date"),
+            col(s"t${i}_us").as("_prev")),
+          Seq("user_id", "date"))
+          .filter(col("ts_us") >= col("_prev"))
+      val t = joined.groupBy(col("user_id"), col("date"))
+        .agg(min(col("ts_us")).as(s"t${i + 1}_us"))
+      acc = acc.join(t, Seq("user_id", "date"), "left")
+    }
+    acc.withColumn("reached",
+      steps.indices.map(i =>
+        col(s"t${i + 1}_us").isNotNull.cast("long")).reduce(_ + _))
+  }
+
+  /** Cohort retention: users grouped by their FIRST active day; for
+    * every (cohort day, day offset) the distinct users active again.
+    * Two aggregates (first-day per user, distinct user-days) and one
+    * user-keyed join — the classic warehouse rollup, linear (q137). */
+  def cohortRetention(events: DataFrame, tsCol: String = "ts",
+                      userCol: String = "user_id"): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("d")).distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    e.join(first, Seq("user_id"))
+      .groupBy(graft.queries.iso(col("c")).as("cohort_date"),
+        datediff(col("d"), col("c")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

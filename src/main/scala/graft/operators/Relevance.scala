@@ -180,6 +180,49 @@ object Relevance {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets"): per language,
+    * documents split into head/middle/tail by LM-perplexity quantiles
+    * — the standard curation move that keeps the cleanest slice and
+    * discards or down-weights the tail. Quantile cut points default
+    * to exact quartiles (0.25/0.75 are exact binary fractions, so the
+    * cross-engine `percentile`/`quantile_cont` bridge has no literal
+    * drift). Docs with no tokens (null perplexity) bucket as "empty".
+    *
+    * Shuffles: the perplexity ladder's (linear, see
+    * [[unigramPerplexity]]) plus one tiny per-group quantile aggregate
+    * broadcast back — the q116/q120 gate shape. Exact relational
+    * algebra end to end (q135 hash oracle). */
+  def perplexityBuckets(docs: DataFrame, groupCol: String = "lang",
+                        lowQ: Double = 0.25, highQ: Double = 0.75,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(lowQ > 0 && highQ < 1 && lowQ < highQ,
+      "need 0 < lowQ < highQ < 1")
+    val ppl = unigramPerplexity(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    // quantiles over the e4-SCALED INTEGER perplexities: interpolating
+    // the 4dp doubles directly lands on the 2.5e-5 grid, where a
+    // final round(_, 4) ties (hit at sf0.1: hi 30.06885). Integer
+    // inputs make the interpolated value an exact binary quarter, so
+    // the /1e4 bounds are bit-identical cross-engine UNROUNDED, and
+    // the bucket comparisons are exact.
+    val bounds = ppl.filter(col("perplexity").isNotNull)
+      .withColumn("_p4",
+        round(col("perplexity") * 10000, 0).cast("long"))
+      .groupBy(col(groupCol))
+      .agg((expr(s"percentile(_p4, $lowQ)") / 10000.0).as("_lo"),
+        (expr(s"percentile(_p4, $highQ)") / 10000.0).as("_hi"))
+    ppl.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("bucket",
+        when(col("perplexity").isNull, "empty")
+          .when(col("perplexity") <= col("_lo"), "head")
+          .when(col("perplexity") <= col("_hi"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(groupCol), col("perplexity"),
+        col("_lo").as("lo"), col("_hi").as("hi"), col("bucket"))
+  }
+
   /** Per-group Zipf fit: least-squares slope of ln(freq) on ln(rank)
     * over the group's token frequency table — the vocabulary-health
     * diagnostic (natural language sits near slope −1; machine-generated

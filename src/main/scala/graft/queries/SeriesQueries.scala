@@ -293,6 +293,18 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     }),
 
+    // ordered conversion funnel per (user, day): view → click →
+    // purchase with in-order timestamps; reached = prefix length
+    "q136_daily_funnel" -> ((s, d) =>
+      EventSeries.dailyFunnel(Tables.events(s, d))
+        .orderBy(col("user_id"), col("date"))),
+
+    // cohort retention: users keyed by first active day, distinct
+    // actives per (cohort, day offset)
+    "q137_cohort_retention" -> ((s, d) =>
+      EventSeries.cohortRetention(Tables.events(s, d))
+        .orderBy(col("cohort_date"), col("day_offset"))),
+
     "q62_sessions" -> ((s, d) =>
       graft.operators.EventSeries.sessions(Tables.events(s, d),
           gapMinutes = 30)
@@ -667,6 +679,46 @@ object SeriesQueries {
          FROM sess se JOIN events e ON e.user_id = se.user_id
            AND epoch_us(e.ts) BETWEEN se.start_us AND se.end_us
          GROUP BY 1, 2, 3 ORDER BY 1, 2"""),
+    // q136: each stage = min ts of its step AT OR AFTER the previous
+    // stage, per (user, day); cascading nulls via the join filters
+    "q136_daily_funnel" ->
+      """WITH e AS (
+           SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                    AS date,
+                  epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         base AS (SELECT user_id, date, count(*) AS n_events
+                  FROM e GROUP BY 1, 2),
+         s1 AS (SELECT user_id, date, min(ts_us) AS t1_us
+                FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, e.date, min(ts_us) AS t2_us
+                FROM e JOIN s1 USING (user_id, date)
+                WHERE event_type = 'click' AND ts_us >= t1_us
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, e.date, min(ts_us) AS t3_us
+                FROM e JOIN s2 USING (user_id, date)
+                WHERE event_type = 'purchase' AND ts_us >= t2_us
+                GROUP BY 1, 2)
+         SELECT b.user_id, b.date, b.n_events, t1_us, t2_us, t3_us,
+                CAST((CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS reached
+         FROM base b
+         LEFT JOIN s1 USING (user_id, date)
+         LEFT JOIN s2 USING (user_id, date)
+         LEFT JOIN s3 USING (user_id, date)
+         ORDER BY user_id, date""",
+    // q137: first active day per user, distinct actives per offset
+    "q137_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+            f AS (SELECT user_id, min(d) AS c FROM e GROUP BY 1)
+         SELECT strftime(c, '%Y-%m-%d') AS cohort_date,
+                CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q132: same lead() interval construction; deletes filtered after
     // the window so they still close predecessors
     "q132_scd2_history" ->

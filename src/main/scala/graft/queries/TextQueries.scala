@@ -940,6 +940,12 @@ object TextQueries {
       Relevance.trigramPerplexity(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // CCNet-style perplexity bucketing: per-lang head/middle/tail at
+    // exact quartiles of the LM perplexity — the curation slice gate
+    "q135_perplexity_buckets" -> ((s, d) =>
+      Relevance.perplexityBuckets(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // C4-style span dedup signal: 20-token non-overlapping chunks,
     // duplicated fraction per doc (chunk seen earlier in corpus order)
     "q80_chunk_dedup" -> ((s, d) =>
@@ -1523,6 +1529,45 @@ object TextQueries {
                    AS perplexity
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY doc_id"""),
+    // q135: the q87 perplexity ladder + per-lang exact-quartile cut
+    // points (0.25/0.75 are exact binary fractions — no literal drift)
+    "q135_perplexity_buckets" -> (TOKS +
+      """, tok0 AS (SELECT doc_id, unnest(w) AS token FROM t),
+          tok AS (SELECT * FROM tok0 WHERE token <> ''),
+          vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+          tot AS (SELECT sum(cnt) AS total FROM vocab),
+          p AS (
+            SELECT tok.doc_id,
+                   CAST(round(ln(CAST(vocab.cnt AS DOUBLE) /
+                     CAST(tot.total AS DOUBLE)), 6)
+                     AS DECIMAL(28,6)) AS logp
+            FROM tok JOIN vocab USING (token) CROSS JOIN tot),
+          agg AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(logp) AS sum_logp
+            FROM p GROUP BY 1),
+          ppl AS (
+            SELECT d.doc_id, d.lang,
+                   round(exp(CAST((2 * CAST(-a.sum_logp * 1000000
+                         AS BIGINT) + a.n_tokens)
+                      // (2 * a.n_tokens) AS DOUBLE) / 1000000), 4)
+                     AS perplexity
+            FROM documents d LEFT JOIN agg a USING (doc_id)),
+          b AS (
+            SELECT lang,
+                   quantile_cont(CAST(round(perplexity * 10000, 0)
+                     AS BIGINT), 0.25) / 10000 AS qlo,
+                   quantile_cont(CAST(round(perplexity * 10000, 0)
+                     AS BIGINT), 0.75) / 10000 AS qhi
+            FROM ppl WHERE perplexity IS NOT NULL GROUP BY 1)
+          SELECT pp.doc_id, pp.lang, pp.perplexity,
+                 b.qlo AS lo, b.qhi AS hi,
+                 CASE WHEN pp.perplexity IS NULL THEN 'empty'
+                      WHEN pp.perplexity <= b.qlo THEN 'head'
+                      WHEN pp.perplexity <= b.qhi THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM ppl pp LEFT JOIN b USING (lang)
+          ORDER BY pp.doc_id"""),
     "q79_tfidf" -> (TOKS +
       """, tok AS (SELECT doc_id, unnest(w) AS token FROM t),
           tf AS (SELECT doc_id, token, count(*) AS tf
