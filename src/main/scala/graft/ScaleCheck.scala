@@ -149,14 +149,27 @@ object ScaleCheck {
         bands = 2))
     }
     time("quantize_int8", ne) { sink(Similarity.quantizeInt8(emb)) }
-    // PQ: Lloyd iterations see only (subspace, subvector) aggregates;
-    // encode is a zero-shuffle map; ADC search scans 8 ints per row
-    time("pq_train_encode_search64q", ne) {
+    // PQ, staged: train amortizes across query batches (the IvfIndex
+    // ops shape); encode is a zero-shuffle map; the ADC search scans
+    // 8 ints per corpus row — the leg to compare against
+    // knn_bruteforce_64q above
+    locally {
       import graft.operators.ProductQuantizer
-      val cb = ProductQuantizer.train(emb, dim = 64, m = 8, k = 16,
-        iters = 4)
-      val codes = ProductQuantizer.encode(emb, cb)
-      sink(ProductQuantizer.adcSearch(codes, knnQueries, cb, k = 10))
+      var cb: ProductQuantizer.Codebooks = null
+      time("pq_train", ne) {
+        cb = ProductQuantizer.train(emb, dim = 64, m = 8, k = 16,
+          iters = 4)
+      }
+      var codes: org.apache.spark.sql.DataFrame = null
+      time("pq_encode", ne) {
+        codes = ProductQuantizer.encode(emb, cb)
+          .filter(col("codes").isNotNull).cache()
+        codes.count()
+      }
+      time("pq_adc_search64q", ne) {
+        sink(ProductQuantizer.adcSearch(codes, knnQueries, cb, k = 10))
+      }
+      codes.unpersist()
     }
     // PCA: the fit is ONE treeAggregate pass (fixed d(d+3)/2 state);
     // projection is a pure map with literal components

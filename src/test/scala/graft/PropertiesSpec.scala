@@ -225,4 +225,77 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: PqEncode equals a reference per-subspace argmin " +
+    "(strict <, lowest code on ties) over random vectors/codebooks") {
+    val dim = 8; val m = 4; val subDim = 2
+    val vecGen = Gen.listOfN(dim, Gen.choose(-4.0, 4.0))
+    val caseGen = for {
+      k <- Gen.choose(1, 5)
+      books <- Gen.listOfN(m,
+        Gen.listOfN(k, Gen.listOfN(subDim, Gen.choose(-4.0, 4.0))))
+      n <- Gen.choose(1, 6)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield (books.map(_.map(_.toSeq).toSeq).toSeq, vs.map(_.toSeq))
+
+    samples(caseGen, 12).foreach { case (books, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+      val cb = graft.operators.ProductQuantizer
+        .Codebooks(dim, m, books)
+      val got = graft.operators.ProductQuantizer.encode(df, cb)
+        .select("vec_id", "codes").as[(Long, Seq[Int])]
+        .collect().toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val vd = v.map(_.toFloat.toDouble) // the engine casts via float
+        val want = (0 until m).map { s =>
+          val sub = vd.slice(s * subDim, (s + 1) * subDim)
+          books(s).zipWithIndex.map { case (c, j) =>
+            (c.zip(sub).map { case (a, b) =>
+              (b - a) * (b - a) }.sum, j)
+          }.minBy { case (d, j) => (d, j) }._2
+        }
+        assert(got(i.toLong) == want,
+          s"vec $i: got ${got(i.toLong)} want $want")
+      }
+    }
+  }
+
+  test("property: Int8Quantize round-trips within scale/2 per element " +
+    "and matches the reference formula") {
+    val vecGen = Gen.listOfN(6, Gen.choose(-100.0, 100.0))
+    samples(Gen.listOfN(4, vecGen), 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.quantizeInt8(df)
+        .select("vec_id", "scale", "qvec")
+        .as[(Long, Double, Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val vd = v.map(_.toFloat.toDouble)
+        val maxAbs = vd.map(math.abs).max
+        val (scale, codes) =
+          if (maxAbs == 0.0) (0.0, vd.map(_ => 0L))
+          else {
+            // valueOf (shortest-repr), NOT new BigDecimal(double) —
+            // the exact contract of Spark's round and the kernel
+            val raw = maxAbs / 127.0
+            (java.math.BigDecimal.valueOf(raw).setScale(6,
+              java.math.RoundingMode.HALF_UP).doubleValue,
+              vd.map(x => java.math.BigDecimal.valueOf(x / raw)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+                .longValue))
+          }
+        val (gs, gq) = (got(i.toLong)._1, got(i.toLong)._2)
+        assert(gs == scale && gq == codes,
+          s"vec $i: got ($gs, $gq) want ($scale, $codes)")
+        // reconstruction error bound: |x - q*rawScale| <= rawScale/2
+        if (maxAbs > 0) {
+          val raw = maxAbs / 127.0
+          vd.zip(gq).foreach { case (x, q) =>
+            assert(math.abs(x - q * raw) <= raw / 2 + 1e-12) }
+        }
+      }
+    }
+  }
 }
