@@ -316,9 +316,10 @@ trait WebhookSender {
 object WebhookSender {
 
   /** Live JDK-HttpClient sender (30 s timeout, JSON content type —
-    * alerts.py:19-40). Not exercised by the test suite: this build
-    * environment has no egress; the class exists so a deployment needs
-    * no extra code. */
+    * alerts.py:19-40). Proven over REAL loopback HTTP in
+    * HttpSeamsSpec (payload + content type received verbatim, status
+    * codes honored, channel fan-out reports only acceptors) — the
+    * strongest exercise possible in this egress-less build. */
   final class Http(timeoutSeconds: Long = 30L) extends WebhookSender {
     private lazy val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))

@@ -47,17 +47,53 @@ object PriceSource {
       .filter(col("close").isNotNull && !isnan(col("close")))
   }
 
+  private def wideSchema(tickers: Seq[String]): StructType =
+    StructType.fromDDL(("date DATE" +: tickers.flatMap(
+      t => fields.map(f =>
+        if (f == "volume") s"${t}_$f BIGINT" else s"${t}_$f DOUBLE"))
+      .toSeq).mkString(", "))
+
   /** CSV fixture feed: a wide CSV (header `date,<t>_open,...`) read with
     * an explicit schema — the batch-download stand-in. */
   final case class WideCsv(path: String, tickers: Seq[String])
     extends PriceSource {
-    override def fetch(spark: SparkSession): DataFrame = {
-      val wideSchema = StructType.fromDDL(("date DATE" +: tickers.flatMap(
-        t => fields.map(f =>
-          if (f == "volume") s"${t}_$f BIGINT" else s"${t}_$f DOUBLE"))
-        .toSeq).mkString(", "))
+    override def fetch(spark: SparkSession): DataFrame =
       unpivotWide(
-        spark.read.schema(wideSchema).option("header", "true").csv(path),
+        spark.read.schema(wideSchema(tickers))
+          .option("header", "true").csv(path),
+        tickers)
+  }
+
+  /** LIVE HTTP bulk feed: GET one wide CSV (the yfinance bulk-download
+    * shape, stock_grok_pipeline.py:67-74) and parse it through the
+    * exact [[WideCsv]] schema/unpivot path, so live and fixture feeds
+    * are indistinguishable downstream. The GET is one driver-side
+    * request per run — a bulk daily quote file, not a corpus-scale
+    * transfer. Non-2xx raises (the retry/fallback ladder above this
+    * seam decides what to do); proven over real loopback HTTP in
+    * HttpSeamsSpec (this build has no egress). */
+  final case class HttpWideCsv(url: String, tickers: Seq[String],
+                               timeoutSeconds: Long = 30L)
+    extends PriceSource {
+    override def fetch(spark: SparkSession): DataFrame = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .build()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"feed GET $url -> HTTP ${resp.statusCode()}")
+      import spark.implicits._
+      val lines = resp.body().split("\r?\n", -1).toIndexedSeq
+        .filter(_.nonEmpty)
+      unpivotWide(
+        spark.read.schema(wideSchema(tickers)).option("header", "true")
+          .csv(spark.createDataset(lines)),
         tickers)
     }
   }
