@@ -146,6 +146,35 @@ object EventSeries {
       .withColumn("move_category", Indicators.moveCategory(col("pct_change")))
   }
 
+  /** Weekly OHLCV bars — the pandas `resample('W')` analog one rung
+    * above [[dailyBars]]: per (user, ISO week) the first/last values
+    * by (ts, event_id) play open/close (the tiebreak makes same-
+    * timestamp events deterministic, unlike bare min_by/max_by),
+    * high/low/volume aggregate directly, and the value sum runs in
+    * DECIMAL(18,2) for cross-engine exactness. Two windows + one
+    * aggregate, all keyed (user, week) — co-partitioned, linear. */
+  def weeklyBars(events: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id",
+                 valueCol: String = "value"): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      date_trunc("week", col(tsCol)).as("wk"),
+      unix_micros(col(tsCol)).as("ts_us"), col("event_id"),
+      col(valueCol).as("v"))
+    val asc = Window.partitionBy(col("user_id"), col("wk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val desc = Window.partitionBy(col("user_id"), col("wk"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("_r1", row_number().over(asc))
+      .withColumn("_r2", row_number().over(desc))
+      .groupBy(col("user_id"), graft.queries.iso(col("wk")).as("week"))
+      .agg(max(when(col("_r1") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("_r2") === 1, col("v"))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("v").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Ordered conversion funnel per (user, day): `t_i` is the earliest
     * `steps(i)` event AT OR AFTER the previous step's time, so a day
     * counts for stage i only when the steps happened IN ORDER (a

@@ -293,6 +293,12 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     }),
 
+    // weekly OHLCV resample — pandas resample('W') over the event
+    // series, deterministic open/close via (ts, event_id) tiebreak
+    "q138_weekly_bars" -> ((s, d) =>
+      EventSeries.weeklyBars(Tables.events(s, d))
+        .orderBy(col("user_id"), col("week"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -679,6 +685,28 @@ object SeriesQueries {
          FROM sess se JOIN events e ON e.user_id = se.user_id
            AND epoch_us(e.ts) BETWEEN se.start_us AND se.end_us
          GROUP BY 1, 2, 3 ORDER BY 1, 2"""),
+    // q138: identical two-window + aggregate construction; DECIMAL sum
+    "q138_weekly_bars" ->
+      """WITH e AS (
+           SELECT user_id,
+                  strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                  epoch_us(ts) AS ts_us, event_id, value AS v
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY user_id, week
+                    ORDER BY ts_us, event_id) AS r1,
+                  row_number() OVER (PARTITION BY user_id, week
+                    ORDER BY ts_us DESC, event_id DESC) AS r2
+           FROM e)
+         SELECT user_id, week,
+                max(CASE WHEN r1 = 1 THEN v END) AS open,
+                max(v) AS high, min(v) AS low,
+                max(CASE WHEN r2 = 1 THEN v END) AS close,
+                count(*) AS volume,
+                CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM r GROUP BY 1, 2 ORDER BY user_id, week""",
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->
