@@ -293,6 +293,39 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     }),
 
+    // event-type transition matrix (first-order Markov counts): lag
+    // over the per-user (ts, event_id) order, corpus-wide pair counts
+    "q139_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // inter-event gap profile per user: median/p75 of the micro-second
+    // gaps (exact interpolation over BIGINTs — halves/quarters are
+    // exact binary, so the UNROUNDED values are hash-safe) + max
+    "q140_event_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("_gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(_gap, 0.5)").as("gap_p50_us"),
+          expr("percentile(_gap, 0.75)").as("gap_p75_us"),
+          max(col("_gap")).as("gap_max_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // weekly OHLCV resample — pandas resample('W') over the event
     // series, deterministic open/close via (ts, event_id) tiebreak
     "q138_weekly_bars" -> ((s, d) =>
@@ -685,6 +718,29 @@ object SeriesQueries {
          FROM sess se JOIN events e ON e.user_id = se.user_id
            AND epoch_us(e.ts) BETWEEN se.start_us AND se.end_us
          GROUP BY 1, 2, 3 ORDER BY 1, 2"""),
+    // q139/q140: the same per-user (ts, event_id) lag ordering
+    "q139_event_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events)
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM e WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q140_event_gaps" ->
+      """WITH e AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+                quantile_cont(gap, 0.5) AS gap_p50_us,
+                quantile_cont(gap, 0.75) AS gap_p75_us,
+                max(gap) AS gap_max_us
+         FROM e WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     // q138: identical two-window + aggregate construction; DECIMAL sum
     "q138_weekly_bars" ->
       """WITH e AS (
