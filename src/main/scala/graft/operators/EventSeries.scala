@@ -164,15 +164,22 @@ object EventSeries {
       .orderBy(col("ts_us"), col("event_id"))
     val desc = Window.partitionBy(col("user_id"), col("wk"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
+    // group on the RAW week key the windows already partitioned by —
+    // grouping on the formatted string would re-shuffle; this way the
+    // aggregate reuses the window exchange (one Exchange total before
+    // the output sort, plan-checked via Explain)
     e.withColumn("_r1", row_number().over(asc))
       .withColumn("_r2", row_number().over(desc))
-      .groupBy(col("user_id"), graft.queries.iso(col("wk")).as("week"))
+      .groupBy(col("user_id"), col("wk"))
       .agg(max(when(col("_r1") === 1, col("v"))).as("open"),
         max(col("v")).as("high"), min(col("v")).as("low"),
         max(when(col("_r2") === 1, col("v"))).as("close"),
         count(lit(1)).as("volume"),
         sum(col("v").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
+      .select(col("user_id"), graft.queries.iso(col("wk")).as("week"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("sum_value"))
   }
 
   /** Ordered conversion funnel per (user, day): `t_i` is the earliest
