@@ -674,6 +674,28 @@ object TextQueries {
         .gopherFlags(Tables.documents(s, d), minWords = 10)
         .orderBy(col("doc_id"))),
 
+    // per-source corpus quality report: the Gopher keep rate and the
+    // fingerprint dup rate rolled into one dashboard row per source —
+    // the composition a corpus report page renders
+    "q141_source_quality_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val flags = graft.operators.QualityFilters
+        .gopherFlags(docs, minWords = 10)
+        .select(col("doc_id"), col("keep"))
+      docs.select(col("doc_id"), col("source"),
+          TextFns.fingerprint(col("text")).as("fp"))
+        .join(flags, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_keep"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("keep_rate", graft.functions.ExactRound.ratio(
+          col("n_keep"), col("n_docs"), 6))
+        .withColumn("dup_rate", graft.functions.ExactRound.ratio(
+          col("n_docs") - col("n_unique"), col("n_docs"), 6))
+        .orderBy(col("source"))
+    }),
+
     // cross-subcorpus contamination: bigram-type overlap between every
     // source pair — the mixing-weight sanity check (two near-identical
     // sources double-count under weighted mixing). Type-level distinct
@@ -1822,6 +1844,67 @@ object TextQueries {
          JOIN sz sa ON sa.source = p.source_a
          JOIN sz sb ON sb.source = p.source_b
          ORDER BY source_a, source_b""",
+    // q141: the q104 flag pipeline rolled up per source + the q32
+    // fingerprint distinct — exact integer keep/dup rates
+    "q141_source_quality_report" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+                  regexp_split_to_array(trim(text), '\s+') AS w,
+                  string_split(text, chr(10)) AS ln
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(w, x -> length(x)),
+                  'sum') AS BIGINT) AS sumlen,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS nhash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS nell,
+             CAST(len(list_filter(ln,
+                  x -> regexp_matches(ltrim(x), '^[-*•]')))
+                  AS BIGINT) AS bullets,
+             CAST(len(list_filter(ln, x -> rtrim(x) LIKE '%...'))
+                  AS BIGINT) AS ells,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS alphaw,
+             CAST(list_contains(w, 'the') AS BIGINT)
+               + CAST(list_contains(w, 'be') AS BIGINT)
+               + CAST(list_contains(w, 'to') AS BIGINT)
+               + CAST(list_contains(w, 'of') AS BIGINT)
+               + CAST(list_contains(w, 'and') AS BIGINT)
+               + CAST(list_contains(w, 'that') AS BIGINT)
+               + CAST(list_contains(w, 'have') AS BIGINT)
+               + CAST(list_contains(w, 'with') AS BIGINT) AS stophits,
+             CAST(len(ln) AS BIGINT) AS n_lines
+           FROM t),
+         k AS (
+           SELECT doc_id, source,
+             (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+             * (CASE WHEN sumlen >= n_words * 3
+                  AND sumlen <= n_words * 10 THEN 1 ELSE 0 END)
+             * (CASE WHEN (nhash + nell) * 10 <= n_words
+                  THEN 1 ELSE 0 END)
+             * (CASE WHEN bullets * 10 < n_lines * 9 THEN 1 ELSE 0 END)
+             * (CASE WHEN ells * 10 < n_lines * 3 THEN 1 ELSE 0 END)
+             * (CASE WHEN alphaw * 5 >= n_words * 4 THEN 1 ELSE 0 END)
+             * (CASE WHEN stophits >= 2 THEN 1 ELSE 0 END) AS keep
+           FROM q),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+           FROM documents),
+         a AS (
+           SELECT k.source, count(*) AS n_docs,
+                  CAST(sum(k.keep) AS BIGINT) AS n_keep,
+                  count(DISTINCT fp.fp) AS n_unique
+           FROM k JOIN fp USING (doc_id) GROUP BY 1)
+         SELECT source, n_docs, n_keep, n_unique,
+                CAST((2000000 * n_keep + n_docs) // (2 * n_docs)
+                  AS DOUBLE) / 1000000 AS keep_rate,
+                CAST((2000000 * (n_docs - n_unique) + n_docs)
+                  // (2 * n_docs) AS DOUBLE) / 1000000 AS dup_rate
+         FROM a ORDER BY source""",
     "q104_gopher_rules" ->
       """WITH t AS (
            SELECT doc_id, text,
