@@ -235,4 +235,124 @@ object EventSeries {
         datediff(col("d"), col("c")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Recursive (pandas `adjust=False`) EMA fast/slow + MACD + signal +
+    * histogram per key, the `ewm(span=..).mean()` family the reference's
+    * indicator set sits next to (ml/feature_engineering.py's rolling
+    * block). The recurrence `e_t = α·x_t + (1-α)·e_{t-1}`, seeded at the
+    * first close, cannot be a Catalyst window aggregate (each output
+    * depends on the previous OUTPUT, not a frame of inputs), so this is
+    * the sorted-scan pattern: one Exchange on the key, sort within
+    * partitions, a single O(n) `mapPartitions` pass holding constant
+    * per-key state. Signal is the same recurrence over the UNROUNDED macd
+    * stream, seeded at the first macd value; rounding happens only on the
+    * output columns so the oracle (a per-row `list_reduce` left fold over
+    * the same doubles) performs the bit-identical arithmetic sequence.
+    *
+    * α must be α = 2/(span+1) evaluated in double EXACTLY as the oracle
+    * writes it (`2e0/(span+1)`), and the recurrence must multiply-add in
+    * the same shape `α*x + (1-α)*e` — both pinned in EventSeriesSpec.
+    *
+    * Scale: identical plan to sessions/sessionize — repartition by key,
+    * linear scan, O(1) state per key; series length never materializes. */
+  def emaMacd(bars: DataFrame, fast: Int = 12, slow: Int = 26,
+              signalSpan: Int = 9): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val aF = 2.0 / (fast + 1);   val bF = 1.0 - aF
+    val aS = 2.0 / (slow + 1);   val bS = 1.0 - aS
+    val aG = 2.0 / (signalSpan + 1); val bG = 1.0 - aG
+    val src = bars
+      .select(col("user_id").cast("long"), col("date").cast("date"),
+        col("close").cast("double"))
+      .as[(Long, java.sql.Date, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("date"))
+    val scanned = src.mapPartitions { it =>
+      var cur = Long.MinValue
+      var e12 = 0.0; var e26 = 0.0; var sig = 0.0
+      it.map { case (u, dt, close) =>
+        if (u != cur) {
+          cur = u; e12 = close; e26 = close; sig = e12 - e26
+        } else {
+          e12 = aF * close + bF * e12
+          e26 = aS * close + bS * e26
+          sig = aG * (e12 - e26) + bG * sig
+        }
+        val macd = e12 - e26
+        (u, dt, close, e12, e26, macd, sig, macd - sig)
+      }
+    }.toDF("user_id", "date", "close", "ema_fast", "ema_slow", "macd",
+      "macd_signal", "macd_hist")
+    scanned.select(col("user_id"), col("date"), col("close"),
+      round(col("ema_fast"), 4).as("ema_fast"),
+      round(col("ema_slow"), 4).as("ema_slow"),
+      round(col("macd"), 4).as("macd"),
+      round(col("macd_signal"), 4).as("macd_signal"),
+      round(col("macd_hist"), 4).as("macd_hist"))
+  }
+
+  /** Running peak / drawdown-from-peak / running max drawdown per key —
+    * the risk lens every price dashboard puts beside returns. Pure
+    * window algebra (cummax, then cummin of the ratio) over the SAME
+    * (user_id × date-order) window the other series stages use, so at
+    * scale it shares their one Exchange. Drawdown ratios round through
+    * double division; peaks/closes are already 4dp bar outputs. */
+  def drawdown(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col("close")).over(w)
+    val dd = round((col("close") - peak) / peak * 100, 4)
+    bars.select(col("user_id"), col("date"), col("close"))
+      .withColumn("peak", peak)
+      .withColumn("drawdown_pct", dd)
+      .withColumn("max_drawdown_pct", min(dd).over(w))
+  }
+
+  /** Pairwise Pearson correlation of daily returns between keys — the
+    * cross-ticker co-movement matrix (upper triangle, keys joined on
+    * shared dates). The date-keyed self-join fans out |users_active|²
+    * per date — bounded by the universe size (tickers), NOT the row
+    * count, so at 100 TB the fan-out stays |U|²·days while the join
+    * itself co-partitions on date. `minDays` guards the estimator
+    * against noise pairs. */
+  def pairCorrelation(staged: DataFrame, minDays: Int = 10): DataFrame = {
+    val r = staged.select(col("user_id"), col("date"),
+        col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val a = r.select(col("user_id").as("user_a"), col("date"),
+      col("ret").as("ret_a"))
+    val b = r.select(col("user_id").as("user_b"), col("date"),
+      col("ret").as("ret_b"))
+    a.join(b, Seq("date"))
+      .where(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("ret_a"), col("ret_b")), 4).as("ret_corr"))
+      .where(col("n_days") >= minDays)
+  }
+
+  /** Per-key beta/alpha against the equal-weight market return (the
+    * cross-sectional mean of that day's returns, all keys included).
+    * β = covar_pop(r_u, r_m)/var_pop(r_m) per key, α = mean(r_u) −
+    * β·mean(r_m). Two aggregates — one tiny per-date mean (broadcast
+    * back), one per-key moment pass — both two-phase partial; the
+    * market frame is |days| rows regardless of volume. */
+  def marketBeta(staged: DataFrame, minDays: Int = 10): DataFrame = {
+    val r = staged.select(col("user_id"), col("date"),
+        col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val market = r.groupBy(col("date"))
+      .agg(avg(col("ret")).as("mkt_ret"))
+    val joined = r.join(broadcast(market), Seq("date"))
+    joined.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        (covar_pop(col("ret"), col("mkt_ret")) /
+          var_pop(col("mkt_ret"))).as("_beta"),
+        avg(col("ret")).as("_mu"), avg(col("mkt_ret")).as("_mum"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        round(col("_beta"), 4).as("beta"),
+        round(col("_mu") - col("_beta") * col("_mum"), 4).as("alpha"))
+  }
 }

@@ -332,6 +332,29 @@ object SeriesQueries {
       EventSeries.weeklyBars(Tables.events(s, d))
         .orderBy(col("user_id"), col("week"))),
 
+    // recursive EMA(12/26) + MACD + signal(9) + histogram — the sorted
+    // mapPartitions scan; oracle folds the same doubles per row
+    "q142_ema_macd" -> ((s, d) =>
+      EventSeries.emaMacd(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // running peak / drawdown-from-peak / running max drawdown
+    "q143_drawdown" -> ((s, d) =>
+      EventSeries.drawdown(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // pairwise Pearson correlation of daily returns (upper triangle)
+    "q144_pair_corr" -> ((s, d) =>
+      EventSeries.pairCorrelation(staged(s, d))
+        .orderBy(col("user_a"), col("user_b"))),
+
+    // per-key beta/alpha vs the equal-weight market return
+    "q145_beta" -> ((s, d) =>
+      EventSeries.marketBeta(staged(s, d))
+        .orderBy(col("user_id"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -763,6 +786,84 @@ object SeriesQueries {
                 CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM r GROUP BY 1, 2 ORDER BY user_id, week""",
+    // q142: per-row left fold over the close prefix — the recursive
+    // adjust=False EMA; DOUBLE literals (2e0/…) keep the lambda in
+    // IEEE double so the fold is bit-identical to the engine's scan.
+    // Signal folds the UNROUNDED macd prefix exactly like the engine.
+    "q142_ema_macd" -> (BARS +
+      """, l AS (
+            SELECT user_id, date, close,
+                   list(close) OVER (PARTITION BY user_id ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cs
+            FROM bars),
+          e AS (
+            SELECT user_id, date, close,
+                   list_reduce(cs, (a, b) ->
+                     (2e0/13e0)*b + (1e0 - 2e0/13e0)*a) AS e12,
+                   list_reduce(cs, (a, b) ->
+                     (2e0/27e0)*b + (1e0 - 2e0/27e0)*a) AS e26
+            FROM l),
+          m AS (
+            SELECT user_id, date, close, e12, e26, e12 - e26 AS macd
+            FROM e),
+          sg AS (
+            SELECT user_id, date, close, e12, e26, macd,
+                   list_reduce(list(macd) OVER (PARTITION BY user_id
+                       ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW),
+                     (a, b) -> (2e0/10e0)*b + (1e0 - 2e0/10e0)*a)
+                     AS sig
+            FROM m)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 round(e12, 4) AS ema_fast, round(e26, 4) AS ema_slow,
+                 round(macd, 4) + 0 AS macd,
+                 round(sig, 4) + 0 AS macd_signal,
+                 round(macd - sig, 4) + 0 AS macd_hist
+          FROM sg ORDER BY 1, 2"""),
+    // q143: cummax peak, drawdown, cummin of the ROUNDED drawdown
+    "q143_drawdown" -> (BARS +
+      """, dd AS (
+            SELECT user_id, date, close,
+                   max(close) OVER w AS peak,
+                   round((close - max(close) OVER w)
+                         / max(close) OVER w * 100, 4) AS drawdown_pct
+            FROM bars
+            WINDOW w AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 peak, drawdown_pct,
+                 min(drawdown_pct) OVER (PARTITION BY user_id
+                   ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS max_drawdown_pct
+          FROM dd ORDER BY 1, 2"""),
+    // q144: date-keyed self-join (upper triangle), Pearson corr of the
+    // 4dp staged returns
+    "q144_pair_corr" -> (STAGED +
+      """ SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 count(*) AS n_days,
+                 round(corr(a.pct_change, b.pct_change), 4) + 0
+                   AS ret_corr
+          FROM staged a JOIN staged b USING (date)
+          WHERE a.user_id < b.user_id
+            AND a.pct_change IS NOT NULL AND b.pct_change IS NOT NULL
+          GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2"""),
+    // q145: equal-weight market return per date, then per-key
+    // covar_pop/var_pop beta and the implied alpha
+    "q145_beta" -> (STAGED +
+      """, r AS (
+            SELECT user_id, date, pct_change AS ret FROM staged
+            WHERE pct_change IS NOT NULL),
+          mkt AS (
+            SELECT date, avg(ret) AS mkt_ret FROM r GROUP BY 1)
+          SELECT user_id, count(*) AS n_days,
+                 round(covar_pop(ret, mkt_ret) / var_pop(mkt_ret), 4)
+                   + 0 AS beta,
+                 round(avg(ret) - covar_pop(ret, mkt_ret)
+                       / var_pop(mkt_ret) * avg(mkt_ret), 4) + 0
+                   AS alpha
+          FROM r JOIN mkt USING (date)
+          GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

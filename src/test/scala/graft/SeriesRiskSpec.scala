@@ -1,0 +1,147 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventSeries
+
+/** Round-7 series pack: recursive EMA/MACD, drawdown, pairwise return
+  * correlation, market beta (q142-q145). */
+class SeriesRiskSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private def barsDf(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+
+  /** The reference recurrence, folded sequentially — the semantics both
+    * the engine scan and the DuckDB list_reduce oracle must agree with. */
+  private def refEmaMacd(closes: Seq[Double], fast: Int = 12,
+                         slow: Int = 26, sig: Int = 9)
+      : Seq[(Double, Double, Double, Double, Double)] = {
+    val aF = 2.0 / (fast + 1); val bF = 1.0 - aF
+    val aS = 2.0 / (slow + 1); val bS = 1.0 - aS
+    val aG = 2.0 / (sig + 1); val bG = 1.0 - aG
+    var e12 = 0.0; var e26 = 0.0; var s9 = 0.0
+    closes.zipWithIndex.map { case (c, i) =>
+      if (i == 0) { e12 = c; e26 = c; s9 = 0.0 }
+      else {
+        e12 = aF * c + bF * e12
+        e26 = aS * c + bS * e26
+        s9 = aG * (e12 - e26) + bG * s9
+      }
+      val macd = e12 - e26
+      (e12, e26, macd, s9, macd - s9)
+    }
+  }
+
+  private def r4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("emaMacd matches the sequential reference fold per key, on " +
+    "shuffled input order") {
+    val aCloses = Seq(100.0, 102.0, 101.0, 105.0, 104.0, 108.0, 107.5)
+    val bCloses = Seq(50.0, 49.0, 52.0)
+    val rows = (aCloses.zipWithIndex.map { case (c, i) =>
+      (1L, f"2024-01-${i + 1}%02d", c)
+    } ++ bCloses.zipWithIndex.map { case (c, i) =>
+      (2L, f"2024-01-${i + 1}%02d", c)
+    })
+    val shuffled = scala.util.Random.shuffle(rows)
+    val out = EventSeries.emaMacd(barsDf(shuffled))
+      .orderBy("user_id", "date")
+      .select("user_id", "ema_fast", "ema_slow", "macd", "macd_signal",
+        "macd_hist")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+
+    val expA = refEmaMacd(aCloses)
+    val expB = refEmaMacd(bCloses)
+    val exp = expA.map(t => (1L, r4(t._1), r4(t._2), r4(t._3), r4(t._4),
+      r4(t._5))) ++ expB.map(t => (2L, r4(t._1), r4(t._2), r4(t._3),
+      r4(t._4), r4(t._5)))
+    assert(out.toSeq == exp)
+  }
+
+  test("emaMacd seeds each key at its first close: macd/signal/hist 0") {
+    val out = EventSeries.emaMacd(barsDf(Seq(
+        (7L, "2024-03-01", 42.5), (7L, "2024-03-02", 43.0))))
+      .orderBy("date").collect()
+    val first = out.head
+    assert(first.getDouble(3) == 42.5 && first.getDouble(4) == 42.5)
+    assert(first.getDouble(5) == 0.0 && first.getDouble(6) == 0.0 &&
+      first.getDouble(7) == 0.0)
+  }
+
+  test("drawdown: peak is the running max, max_drawdown the running " +
+    "min of the rounded drawdown") {
+    val out = EventSeries.drawdown(barsDf(Seq(
+        (1L, "2024-01-01", 100.0), (1L, "2024-01-02", 110.0),
+        (1L, "2024-01-03", 99.0), (1L, "2024-01-04", 104.5),
+        (1L, "2024-01-05", 88.0))))
+      .orderBy("date")
+      .select("peak", "drawdown_pct", "max_drawdown_pct")
+      .as[(Double, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      (100.0, 0.0, 0.0),
+      (110.0, 0.0, 0.0),
+      (110.0, -10.0, -10.0),
+      (110.0, -5.0, -10.0),
+      (110.0, -20.0, -20.0)))
+  }
+
+  test("pairCorrelation: perfectly correlated and anti-correlated " +
+    "pairs hit ±1; minDays drops thin overlaps") {
+    val staged = Seq(
+      (1L, "2024-01-01", 1.0), (1L, "2024-01-02", 2.0),
+      (1L, "2024-01-03", 3.0),
+      (2L, "2024-01-01", 2.0), (2L, "2024-01-02", 4.0),
+      (2L, "2024-01-03", 6.0),
+      (3L, "2024-01-01", -1.0), (3L, "2024-01-02", -2.0),
+      (3L, "2024-01-03", -3.0),
+      (4L, "2024-01-01", 9.0) // one day only — below minDays
+    ).toDF("user_id", "date_s", "pct_change")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("pct_change"))
+    val out = EventSeries.pairCorrelation(staged, minDays = 2)
+      .orderBy("user_a", "user_b")
+      .select("user_a", "user_b", "n_days", "ret_corr")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 1.0), (1L, 3L, 3L, -1.0), (2L, 3L, 3L, -1.0)))
+  }
+
+  test("marketBeta: a key moving at 2x an equal-weight market of two " +
+    "symmetric keys gets beta 2 against it") {
+    // market = avg(a, b); construct b = -a so market ≡ 0? that kills
+    // var_pop. Instead: a = 2m, b = 0 with market m = (a+b)/2 = a/2.
+    // a's beta vs m: cov(2m, m)/var(m) = 2; b's beta: 0.
+    val staged = Seq(
+      (1L, "2024-01-01", 2.0), (1L, "2024-01-02", 4.0),
+      (1L, "2024-01-03", -2.0),
+      (2L, "2024-01-01", 0.0), (2L, "2024-01-02", 0.0),
+      (2L, "2024-01-03", 0.0)
+    ).toDF("user_id", "date_s", "pct_change")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("pct_change"))
+    val out = EventSeries.marketBeta(staged, minDays = 3)
+      .orderBy("user_id")
+      .select("user_id", "n_days", "beta", "alpha")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.forall(_._2 == 3L))
+    assert(math.abs(out(0)._3 - 2.0) < 1e-9 &&
+      math.abs(out(0)._4) < 1e-9)
+    assert(math.abs(out(1)._3) < 1e-9 && math.abs(out(1)._4) < 1e-9)
+  }
+
+  test("emaMacd plan: exactly one Exchange (the key repartition) " +
+    "before the scan") {
+    val plan = EventSeries.emaMacd(barsDf(Seq((1L, "2024-01-01", 1.0))))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
+  }
+}
