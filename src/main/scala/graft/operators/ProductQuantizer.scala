@@ -52,7 +52,7 @@ object ProductQuantizer {
     def k: Int = books.map(_.size).max
   }
 
-  private def bookLit(book: Seq[Seq[Double]]): Column =
+  private[operators] def bookLit(book: Seq[Seq[Double]]): Column =
     array(book.map(c => array(c.map(lit): _*)): _*)
 
   /** Squared L2 distance between two double-array columns —

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{MediaCodecs, TextFns}
-import graft.operators.{Dedup, Multimodal, Pca, ProductQuantizer,
-  Relevance, Similarity}
+import graft.operators.{Dedup, IvfPq, Multimodal, Pca,
+  ProductQuantizer, Relevance, Similarity}
 
 /** Training-data-pipeline operators (BASELINE.json north star): text
   * analysis, deduplication, similarity search over `documents` and
@@ -158,6 +158,30 @@ object TextQueries {
       ProductQuantizer.pqTopK(e.filter(col("vec_id") < 200),
           e.filter(col("vec_id") < 5), dim = 64, m = 8, k = 256,
           topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ: coarse inverted file → residual PQ codes → ADC
+    // shortlist → exact re-rank (FAISS IndexIVFPQ+RefineFlat shape).
+    // Rows-only: the ANN regime prunes cells, so the top-k is
+    // approximate by design; q146b anchors the lossless regime.
+    "q146_ivfpq_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      IvfPq.ivfPqTopK(e, e.filter(col("vec_id") < 5), dim = 64,
+          nCentroids = 16, m = 8, k = 16, topK = 10, nProbe = 4,
+          refine = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // lossless-regime anchor (the q57b/q117b pattern): probe-all over
+    // the capped corpus and a shortlist covering every candidate
+    // (10×20 ≥ 199), so the exact re-rank IS brute-force L2 — hash
+    // oracle against DuckDB list_distance
+    "q146b_ivfpq_exact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      IvfPq.ivfPqTopK(e.filter(col("vec_id") < 200),
+          e.filter(col("vec_id") < 5), dim = 64, nCentroids = 8,
+          m = 8, k = 16, topK = 10, nProbe = 8, refine = 20)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1411,6 +1435,23 @@ object TextQueries {
     // q117b: exact-regime PQ ≡ brute-force L2 top-k over the capped
     // corpus (k covers every distinct subvector — see the Spark side)
     "q117b_pq_knn_exact" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 200),
+            s AS (SELECT qid, nid,
+                         round(list_distance(qv, cv), 4) AS dist
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid AS query_id, nid AS neighbor_id, dist,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY dist, nid) AS rank
+                  FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                dist
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q146b: probe-all + full-cover shortlist → the exact re-rank is
+    // brute-force L2 over the original vectors (same bridge as q117b)
+    "q146b_ivfpq_exact" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
