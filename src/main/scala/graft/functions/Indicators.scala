@@ -109,4 +109,37 @@ object Indicators {
         .when(sentiment === "negative", -1)
         .when(sentiment === "neutral", 0),
       lit(0))
+
+  /** Stochastic oscillator %K(period): `(close − min low) / (max high
+    * − min low) · 100` over the trailing `period` rows, pandas-default
+    * min_periods=period warm-up nulls, flat-range (hi == lo) → null via
+    * NULLIF — the indicator family's next rung after RSI/ATR/Bollinger
+    * (same rolling-frame shape, SURVEY §2.5 W8-W10). */
+  def stochasticK(high: Column, low: Column, close: Column,
+                  w: WindowSpec, period: Int = 14): Column = {
+    val f = trailing(w, period)
+    val gate = count(low).over(f) >= period
+    val lo = when(gate, min(low).over(f))
+    val hi = when(gate, max(high).over(f))
+    round((close - lo) / nullif(hi - lo, lit(0)) * 100, 4)
+  }
+
+  /** %D(smooth): SMA of the ROUNDED %K (both engines smooth the same
+    * 4dp values — keeps the oracle fold identical), min_periods=smooth
+    * so warm-up and flat-range nulls cascade. */
+  def stochasticD(k: Column, w: WindowSpec, smooth: Int = 3): Column =
+    round(rollingMean(k, smooth, smooth, w), 4)
+
+  /** On-balance volume: cumulative signed volume, +v on an up-close,
+    * −v on a down-close, 0 on the first/flat row. All-integer window
+    * arithmetic (volume is a count) — no fp rounding anywhere. */
+  def obv(close: Column, volume: Column, w: WindowSpec): Column = {
+    val d = diff(close, w)
+    val signed = when(d > 0, volume).when(d < 0, -volume)
+      .otherwise(lit(0L))
+    sum(signed).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow))
+  }
 }

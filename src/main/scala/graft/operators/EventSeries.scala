@@ -332,6 +332,58 @@ object EventSeries {
       .where(col("n_days") >= minDays)
   }
 
+  /** Distinct active users over a trailing `windowDays` calendar window
+    * ending at each observed activity date — rolling WAU. Each distinct
+    * (user, day) contributes to the `windowDays` dates it can be seen
+    * from (a `sequence` explode — map-side, bounded ×windowDays
+    * fan-out), then one distinct-count keyed by date; a semi-join on
+    * observed dates drops phantom trailing dates. Linear in user-days
+    * at any volume — never a per-date rescan of the window. */
+  def rollingActiveUsers(events: DataFrame,
+                         windowDays: Int = 7): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dates = ud.select(col("d").as("date")).distinct()
+    val contrib = ud.select(col("user_id"),
+      explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+        .as("date"))
+    contrib.join(dates, Seq("date"), "left_semi")
+      .groupBy(col("date"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(graft.queries.iso(col("date")).as("date"),
+        col("active_users"))
+  }
+
+  /** RFM segmentation: per-user recency (days since last activity,
+    * against the corpus max date), frequency (event count), monetary
+    * (exact DECIMAL value sum), each ntile-bucketed 1..`buckets` with
+    * a user-id tiebreak so the ordering is total and the buckets are
+    * engine-portable. The per-user rollup is one hash aggregate; the
+    * three global ntiles sort the BOUNDED per-user frame (one row per
+    * customer). At extreme user cardinality the scores would come from
+    * broadcast approx-quantile thresholds instead — the exact ntile is
+    * the oracle-matching reference semantics. */
+  def rfmSegments(events: DataFrame, buckets: Int = 5): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).as("mon"))
+    val anchor = events.agg(max(to_date(col("ts"))).as("anchor"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("recency",
+        datediff(col("anchor"), col("last_d")).cast("long"))
+    val rW = Window.orderBy(col("recency"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("mon").desc, col("user_id"))
+    scored.select(col("user_id"), col("recency"), col("frequency"),
+        col("mon").cast("double").as("monetary"),
+        ntile(buckets).over(rW).cast("long").as("r_score"),
+        ntile(buckets).over(fW).cast("long").as("f_score"),
+        ntile(buckets).over(mW).cast("long").as("m_score"))
+      .withColumn("segment",
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Per-key beta/alpha against the equal-weight market return (the
     * cross-sectional mean of that day's returns, all keys included).
     * β = covar_pop(r_u, r_m)/var_pop(r_m) per key, α = mean(r_u) −

@@ -355,6 +355,37 @@ object SeriesQueries {
       EventSeries.marketBeta(staged(s, d))
         .orderBy(col("user_id"))),
 
+    // stochastic oscillator %K(14) + %D(3) over the daily bars
+    "q147_stochastic" -> ((s, d) => {
+      val k = Indicators.stochasticK(col("high"), col("low"),
+        col("close"), seriesW, 14)
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          k.as("pct_k"))
+        .withColumn("pct_d",
+          Indicators.stochasticD(col("pct_k"), seriesW, 3))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // on-balance volume: cumulative signed volume, exact integers
+    "q148_obv" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          col("volume"),
+          Indicators.obv(col("close"), col("volume"), seriesW)
+            .as("obv"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // rolling 7-day distinct active users per observed date
+    "q149_rolling_active" -> ((s, d) =>
+      EventSeries.rollingActiveUsers(Tables.events(s, d), 7)
+        .orderBy(col("date"))),
+
+    // RFM segmentation: recency/frequency/monetary ntile(5) scores
+    "q150_rfm" -> ((s, d) =>
+      EventSeries.rfmSegments(Tables.events(s, d), 5)
+        .orderBy(col("user_id"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -864,6 +895,86 @@ object SeriesQueries {
                    AS alpha
           FROM r JOIN mkt USING (date)
           GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1"""),
+    // q147: %K gated at min_periods=14; %D = 3-row SMA of the ROUNDED
+    // %K (both engines smooth identical 4dp values)
+    "q147_stochastic" -> (BARS +
+      """, k AS (
+            SELECT user_id, date, close,
+                   CASE WHEN count(low) OVER f >= 14 THEN
+                     round((close - min(low) OVER f)
+                           / nullif(max(high) OVER f
+                                    - min(low) OVER f, 0)
+                           * 100, 4) END AS pct_k
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 pct_k,
+                 CASE WHEN count(pct_k) OVER g >= 3
+                      THEN round(avg(pct_k) OVER g, 4) END AS pct_d
+          FROM k
+          WINDOW g AS (PARTITION BY user_id ORDER BY date
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+    // q148: cumulative signed volume — all-integer arithmetic
+    "q148_obv" -> (BARS +
+      """, sv AS (
+            SELECT user_id, date, close, volume,
+                   CASE WHEN close - lag(close) OVER w > 0 THEN volume
+                        WHEN close - lag(close) OVER w < 0
+                          THEN -volume
+                        ELSE 0 END AS s
+            FROM bars
+            WINDOW w AS (PARTITION BY user_id ORDER BY date))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 CAST(volume AS BIGINT) AS volume,
+                 CAST(sum(s) OVER c AS BIGINT) AS obv
+          FROM sv
+          WINDOW c AS (PARTITION BY user_id ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+    // q149: each distinct user-day joined to the observed dates it is
+    // visible from (trailing 7-day window)
+    "q149_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+            ds AS (SELECT DISTINCT d AS date FROM ud)
+         SELECT strftime(ds.date, '%Y-%m-%d') AS date,
+                count(DISTINCT ud.user_id) AS active_users
+         FROM ds JOIN ud ON ud.d BETWEEN ds.date - 6 AND ds.date
+         GROUP BY ds.date ORDER BY 1""",
+    // q150: exact DECIMAL monetary sum; every ntile ordering carries a
+    // user_id tiebreak so the buckets are engine-portable
+    "q150_rfm" ->
+      """WITH per AS (
+            SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+                   count(*) AS frequency,
+                   sum(CAST(value AS DECIMAL(18,2))) AS mon
+            FROM events GROUP BY 1),
+          a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+          s AS (
+            SELECT user_id,
+                   CAST(date_diff('day', last_d, anchor) AS BIGINT)
+                     AS recency,
+                   CAST(frequency AS BIGINT) AS frequency, mon
+            FROM per, a)
+         SELECT user_id, recency, frequency,
+                CAST(mon AS DOUBLE) AS monetary,
+                CAST(ntile(5) OVER (ORDER BY recency, user_id)
+                     AS BIGINT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                     AS BIGINT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY mon DESC, user_id)
+                     AS BIGINT) AS m_score,
+                CAST(ntile(5) OVER (ORDER BY recency, user_id)
+                     AS VARCHAR)
+                  || '-' ||
+                CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                     AS VARCHAR)
+                  || '-' ||
+                CAST(ntile(5) OVER (ORDER BY mon DESC, user_id)
+                     AS VARCHAR) AS segment
+         FROM s ORDER BY user_id""",
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

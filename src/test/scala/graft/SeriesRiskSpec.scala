@@ -137,6 +137,82 @@ class SeriesRiskSpec extends SparkSuite {
     assert(math.abs(out(1)._3) < 1e-9 && math.abs(out(1)._4) < 1e-9)
   }
 
+  test("stochastic %K: warm-up nulls until the period fills, then " +
+    "(close-lo)/(hi-lo); flat range -> null") {
+    import graft.functions.{Indicators, WindowFns}
+    val df = Seq(
+      (1L, 1, 10.0, 10.0, 10.0), (1L, 2, 20.0, 12.0, 18.0),
+      (1L, 3, 18.0, 14.0, 16.0), (1L, 4, 19.0, 15.0, 19.0),
+      (2L, 1, 5.0, 5.0, 5.0), (2L, 2, 5.0, 5.0, 5.0),
+      (2L, 3, 5.0, 5.0, 5.0)
+    ).toDF("user_id", "t", "high", "low", "close")
+    val w = WindowFns.series(col("user_id"), col("t"))
+    val out = df.withColumn("k",
+        Indicators.stochasticK(col("high"), col("low"), col("close"),
+          w, period = 3))
+      .orderBy("user_id", "t").select("k")
+      .as[Option[Double]].collect().toSeq
+    // key 1: rows 1-2 warm up; row 3: lo=10 hi=20 c=16 -> 60; row 4:
+    // lo=12 hi=20 c=19 -> 87.5. key 2: flat range -> null after warmup
+    assert(out == Seq(None, None, Some(60.0), Some(87.5),
+      None, None, None))
+  }
+
+  test("obv accumulates signed volume with a 0 seed and flat days") {
+    import graft.functions.{Indicators, WindowFns}
+    val df = Seq(
+      (1L, 1, 10.0, 100L), (1L, 2, 12.0, 50L), (1L, 3, 12.0, 70L),
+      (1L, 4, 11.0, 30L), (1L, 5, 13.0, 20L)
+    ).toDF("user_id", "t", "close", "volume")
+    val w = WindowFns.series(col("user_id"), col("t"))
+    val out = df.withColumn("obv",
+        Indicators.obv(col("close"), col("volume"), w))
+      .orderBy("t").select("obv").as[Long].collect().toSeq
+    assert(out == Seq(0L, 50L, 50L, 20L, 40L))
+  }
+
+  test("rollingActiveUsers counts distinct users visible in the " +
+    "trailing window, only for observed dates") {
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (1L, "2024-01-03"), (3L, "2024-01-03"),
+      (2L, "2024-01-10")
+    ).map { case (u, dt) =>
+      (u, java.sql.Timestamp.valueOf(dt + " 12:00:00"))
+    }.toDF("user_id", "ts")
+    val out = EventSeries.rollingActiveUsers(ev, windowDays = 7)
+      .orderBy("date").as[(String, Long)].collect().toSeq
+    // 01-01: {1,2}; 01-03: {1,2,3} (01-01 within 7d); 01-10: {2} only
+    // (01-03 activity is 7 days back, outside [01-04, 01-10])
+    assert(out == Seq(("2024-01-01", 2L), ("2024-01-03", 3L),
+      ("2024-01-10", 1L)))
+  }
+
+  test("rfmSegments: exact decimal monetary, total-order ntiles, " +
+    "segment string") {
+    val ev = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-05", 10.0),
+      (2L, "2024-01-10", 1.0),
+      (3L, "2024-01-02", 100.0), (3L, "2024-01-02", 100.0),
+      (3L, "2024-01-02", 100.0)
+    ).map { case (u, dt, v) =>
+      (u, java.sql.Timestamp.valueOf(dt + " 12:00:00"), v)
+    }.toDF("user_id", "ts", "value")
+    val out = EventSeries.rfmSegments(ev, buckets = 2)
+      .orderBy("user_id")
+      .select("user_id", "recency", "frequency", "monetary", "segment")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    // anchor 01-10. u1: recency 5, f 2, m 20; u2: 0, 1, 1; u3: 8, 3, 300
+    // r ntile2 order (0,u2),(5,u1),(8,u3) -> u2=1,u1=1? ntile(2) over 3
+    // rows: first 2 rows bucket 1 -> u2,u1 =1; u3=2
+    // f desc: u3(3),u1(2),u2(1) -> u3=1,u1=1,u2=2
+    // m desc: u3,u1,u2 -> u3=1,u1=1,u2=2
+    assert(out == Seq(
+      (1L, 5L, 2L, 20.0, "1-1-1"),
+      (2L, 0L, 1L, 1.0, "1-2-2"),
+      (3L, 8L, 3L, 300.0, "2-1-1")))
+  }
+
   test("emaMacd plan: exactly one Exchange (the key repartition) " +
     "before the scan") {
     val plan = EventSeries.emaMacd(barsDf(Seq((1L, "2024-01-01", 1.0))))
