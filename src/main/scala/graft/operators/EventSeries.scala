@@ -332,6 +332,57 @@ object EventSeries {
       .where(col("n_days") >= minDays)
   }
 
+  /** Calendar gap-fill with forward-fill — pandas
+    * `asfreq('D').ffill()`: every key's bar series is re-indexed onto
+    * its full [min(date), max(date)] calendar (a per-key `sequence`
+    * explode — map-side, bounded by the span), missing days join as
+    * null and `close_ffill` carries the last observed close forward
+    * (`last(_, ignoreNulls)` over the cumulative frame). `volume`
+    * coalesces to 0 and `is_gap` flags synthesized rows. The grid
+    * join and the window share the (user_id, date) key — co-
+    * partitioned, linear in grid rows at any volume. */
+  def gapFill(bars: DataFrame): DataFrame = {
+    val spans = bars.groupBy(col("user_id"))
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("date"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bars.select(col("user_id"), col("date"), col("close"),
+        col("volume")), Seq("user_id", "date"), "left")
+      .select(col("user_id"), col("date"), col("close"),
+        last(col("close"), ignoreNulls = true).over(w)
+          .as("close_ffill"),
+        coalesce(col("volume"), lit(0L)).as("volume"),
+        col("close").isNull.cast("long").as("is_gap"))
+  }
+
+  /** Cross-sectional momentum quintiles — the factor-analysis shape:
+    * per date, rank every key by its trailing `lookback`-day return
+    * (4dp, user-id tiebreak → engine-portable ntiles), then the mean
+    * NEXT-day return per (date, bucket). The ranking window partitions
+    * by date (bounded by the universe per day) and the rollup is one
+    * two-phase aggregate on the same rows. */
+  def momentumQuintiles(bars: DataFrame, lookback: Int = 5,
+                        buckets: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val prevN = lag(col("close"), lookback).over(w)
+    val mom = round((col("close") - prevN)
+      / nullif(prevN, lit(0)) * 100, 4)
+    val nextClose = lead(col("close"), 1).over(w)
+    val nextRet = round((nextClose - col("close"))
+      / nullif(col("close"), lit(0)) * 100, 4)
+    val scored = bars.select(col("user_id"), col("date"),
+        mom.as("mom"), nextRet.as("next_ret"))
+      .where(col("mom").isNotNull)
+    val qW = Window.partitionBy(col("date"))
+      .orderBy(col("mom").desc, col("user_id"))
+    scored.withColumn("quintile", ntile(buckets).over(qW).cast("long"))
+      .groupBy(col("date"), col("quintile"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("next_ret")), 4).as("avg_next_ret"))
+  }
+
   /** Distinct active users over a trailing `windowDays` calendar window
     * ending at each observed activity date — rolling WAU. Each distinct
     * (user, day) contributes to the `windowDays` dates it can be seen

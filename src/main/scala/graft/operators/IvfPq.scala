@@ -60,6 +60,43 @@ object IvfPq {
     (centroids, codes, cb)
   }
 
+  /** Persist an index: centroids + codebooks as tiny parquets, codes
+    * PARTITIONED BY cell — the directory layout IS the inverted file,
+    * so a probed search reads only the probed cells' directories
+    * ([[IvfIndex.save]] layout, with the codebook rows alongside). */
+  def save(centroids: DataFrame, codes: DataFrame, cb: Codebooks,
+           dir: String): Unit = {
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("s", "j", "sub").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Reopen a saved index. The codes scan stays lazy — `cell` filters
+    * prune whole directories. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, Codebooks) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s").cast("int"), col("j").cast("int"), col("sub"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    }
+    val subDim = books.head.head.size
+    (centroids, codes, Codebooks(m * subDim, m, books))
+  }
+
   /** Search: rank cells per query by exact centroid L2 (ascending,
     * cell-id tiebreak), residualize the query against each probed
     * centroid, ADC-score that cell's codes with the per-(query, cell)
@@ -71,8 +108,8 @@ object IvfPq {
   def search(centroids: DataFrame, codes: DataFrame, cb: Codebooks,
              queries: DataFrame, corpus: DataFrame, topK: Int = 10,
              nProbe: Int = 4, refine: Int = 4,
-             vecCol: String = "embedding",
-             idCol: String = "vec_id"): DataFrame = {
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             pruneCells: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("qvec"))
 
@@ -99,9 +136,21 @@ object IvfPq {
     val ptab = broadcast(probes.withColumn("dtab", dtab)
       .select(col("query_id"), col("cell"), col("dtab")))
 
+    // with pruneCells (on-disk index): the probed cell ids — bounded
+    // by queries×nProbe — become a literal IN filter on the partition
+    // column, so only probed directories are read ([[IvfIndex.search]]
+    // pattern)
+    val candidateCodes =
+      if (!pruneCells) codes
+      else {
+        val probed = ptab.select("cell").distinct()
+          .collect().map(_.get(0))
+        codes.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      }
+
     // ADC scoring: the codes scan joins the broadcast tables on cell —
     // no shuffle of the codes table; candidates are probed cells only
-    val scored = codes.filter(col("codes").isNotNull)
+    val scored = candidateCodes.filter(col("codes").isNotNull)
       .join(ptab, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

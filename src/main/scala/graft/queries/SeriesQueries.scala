@@ -386,6 +386,19 @@ object SeriesQueries {
       EventSeries.rfmSegments(Tables.events(s, d), 5)
         .orderBy(col("user_id"))),
 
+    // calendar gap-fill + forward-fill (pandas asfreq('D').ffill())
+    "q151_gapfill" -> ((s, d) =>
+      EventSeries.gapFill(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // cross-sectional momentum quintiles: per-date ntile on trailing
+    // 5d return, mean next-day return per bucket
+    "q152_momentum_quintiles" -> ((s, d) =>
+      EventSeries.momentumQuintiles(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("date"), col("quintile"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -975,6 +988,51 @@ object SeriesQueries {
                 CAST(ntile(5) OVER (ORDER BY mon DESC, user_id)
                      AS VARCHAR) AS segment
          FROM s ORDER BY user_id""",
+    // q151: per-key full-calendar grid, left join, IGNORE NULLS ffill
+    "q151_gapfill" -> (BARS +
+      """, spans AS (
+            SELECT user_id, min(date) AS d0, max(date) AS d1
+            FROM bars GROUP BY 1),
+          grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1,
+                     INTERVAL 1 DAY))::DATE AS date
+            FROM spans),
+          j AS (
+            SELECT g.user_id, g.date, b.close, b.volume
+            FROM grid g LEFT JOIN bars b
+              ON g.user_id = b.user_id AND g.date = b.date)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 last_value(close IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS close_ffill,
+                 CAST(coalesce(volume, 0) AS BIGINT) AS volume,
+                 CAST(close IS NULL AS BIGINT) AS is_gap
+          FROM j ORDER BY 1, 2"""),
+    // q152: 4dp momentum + user_id tiebreak make the per-date ntile
+    // engine-portable; avg(next_ret) guarded against -0.0
+    "q152_momentum_quintiles" -> (BARS +
+      """, m AS (
+            SELECT user_id, date,
+                   round((close - lag(close, 5) OVER w)
+                         / nullif(lag(close, 5) OVER w, 0) * 100, 4)
+                     AS mom,
+                   round((lead(close) OVER w - close)
+                         / nullif(close, 0) * 100, 4) AS next_ret
+            FROM bars
+            WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          s AS (SELECT * FROM m WHERE mom IS NOT NULL),
+          qq AS (
+            SELECT date, user_id, next_ret,
+                   ntile(5) OVER (PARTITION BY date
+                     ORDER BY mom DESC, user_id) AS quintile
+            FROM s)
+          SELECT strftime(date, '%Y-%m-%d') AS date,
+                 CAST(quintile AS BIGINT) AS quintile,
+                 count(*) AS n_users,
+                 round(avg(next_ret), 4) + 0 AS avg_next_ret
+          FROM qq GROUP BY 1, 2 ORDER BY 1, 2"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

@@ -77,6 +77,28 @@ class IvfPqSpec extends SparkSuite {
     }
   }
 
+  test("save/load round trip searches bit-equal, and pruneCells " +
+    "scans only probed cell directories with the result unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx").toString
+    val (centroids, codes, cb) = IvfPq.build(corpus, dim = 64,
+      nCentroids = 8, m = 8, k = 16)
+    val inMem = rows(IvfPq.search(centroids, codes, cb, queries,
+      corpus, topK = 10, nProbe = 3, refine = 4))
+    IvfPq.save(centroids, codes, cb, dir)
+    val (lc, lcodes, lcb) = IvfPq.load(spark, dir)
+    assert(lcb == cb)
+    assert(rows(IvfPq.search(lc, lcodes, lcb, queries, corpus,
+      topK = 10, nProbe = 3, refine = 4)) == inMem)
+    val pruned = IvfPq.search(lc, lcodes, lcb, queries, corpus,
+      topK = 10, nProbe = 3, refine = 4, pruneCells = true)
+    assert(rows(pruned) == inMem)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell partition pruning in plan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("search plan: the codes scan joins broadcast tables — no " +
     "hash-partition Exchange on cell") {
     val (centroids, codes, cb) = IvfPq.build(corpus, dim = 64,

@@ -213,6 +213,48 @@ class SeriesRiskSpec extends SparkSuite {
       (3L, 8L, 3L, 300.0, "2-1-1")))
   }
 
+  test("gapFill synthesizes missing calendar days, forward-fills " +
+    "close, zeroes volume, flags gaps") {
+    val in = Seq((1L, "2024-01-01", 10.0), (1L, "2024-01-02", 12.0),
+        (1L, "2024-01-04", 14.0))
+      .toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+      .withColumn("volume", lit(7L))
+    val out = EventSeries.gapFill(in).orderBy("date")
+      .select("close_ffill", "volume", "is_gap")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(out == Seq((10.0, 7L, 0L), (12.0, 7L, 0L), (12.0, 0L, 1L),
+      (14.0, 7L, 0L)))
+  }
+
+  test("momentumQuintiles buckets per date by trailing return and " +
+    "averages the next-day return per bucket") {
+    // 4 users, 3 days, lookback 1, 2 buckets. Day-2 momentum ranks
+    // u1..u4 by day1->day2 return; day-3 returns are the next_ret.
+    val in = Seq(
+      (1L, "2024-01-01", 100.0), (1L, "2024-01-02", 120.0), // +20%
+      (2L, "2024-01-01", 100.0), (2L, "2024-01-02", 110.0), // +10%
+      (3L, "2024-01-01", 100.0), (3L, "2024-01-02", 105.0), // +5%
+      (4L, "2024-01-01", 100.0), (4L, "2024-01-02", 90.0),  // -10%
+      (1L, "2024-01-03", 132.0), // next_ret day2 u1 = +10%
+      (2L, "2024-01-03", 132.0), // u2 = +20%
+      (3L, "2024-01-03", 84.0),  // u3 = -20%
+      (4L, "2024-01-03", 99.0)   // u4 = +10%
+    ).toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+    val out = EventSeries.momentumQuintiles(in, lookback = 1,
+        buckets = 2)
+      .where(col("date") === "2024-01-02")
+      .orderBy("quintile")
+      .select("quintile", "n_users", "avg_next_ret")
+      .as[(Long, Long, Double)].collect().toSeq
+    // bucket 1 = {u1 (+20%), u2 (+10%)} -> avg(10, 20) = 15
+    // bucket 2 = {u3 (+5%), u4 (-10%)} -> avg(-20, 10) = -5
+    assert(out == Seq((1L, 2L, 15.0), (2L, 2L, -5.0)))
+  }
+
   test("emaMacd plan: exactly one Exchange (the key repartition) " +
     "before the scan") {
     val plan = EventSeries.emaMacd(barsDf(Seq((1L, "2024-01-01", 1.0))))
