@@ -161,4 +161,31 @@ object TextFns {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so a
+    * fragment still reads as one sentence (the convention readability
+    * formulas assume). Engine-portable regex (simple ASCII class). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L))
+
+  /** Syllable estimate: lowercase vowel-group runs — the standard
+    * cheap proxy (each maximal `[aeiouy]+` run ≈ one syllable). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Flesch reading ease from the integer counts:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * All three counts are exact integers computed identically in both
+    * engines, so the double arithmetic (two divisions, two multiplies,
+    * two subtractions, in this exact shape) is bit-portable; empty
+    * text (0 words) → null via NULLIF. */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    round(lit(206.835) - lit(1.015) * (w / s)
+      - lit(84.6) * (sy / nullif(w, lit(0.0))), 4)
+  }
 }

@@ -320,9 +320,14 @@ object EventSeries {
     val r = staged.select(col("user_id"), col("date"),
         col("pct_change").as("ret"))
       .where(col("ret").isNotNull)
-    val a = r.select(col("user_id").as("user_a"), col("date"),
+    // explicit-parallelism exchange: the self-join fans out |users|²
+    // rows per date from a tiny input — without a user-pinned count
+    // AQE coalesces the join to a few tasks that then carry the whole
+    // quadratic fan-out (the SkewTools.fanoutRepartition lesson)
+    val rm = SkewTools.fanoutRepartition(r, col("date"))
+    val a = rm.select(col("user_id").as("user_a"), col("date"),
       col("ret").as("ret_a"))
-    val b = r.select(col("user_id").as("user_b"), col("date"),
+    val b = rm.select(col("user_id").as("user_b"), col("date"),
       col("ret").as("ret_b"))
     a.join(b, Seq("date"))
       .where(col("user_a") < col("user_b"))
@@ -381,6 +386,50 @@ object EventSeries {
       .groupBy(col("date"), col("quintile"))
       .agg(count(lit(1)).as("n_users"),
         round(avg(col("next_ret")), 4).as("avg_next_ret"))
+  }
+
+  /** Lag-k autocorrelation of daily returns per key, k = 1..`maxLag` —
+    * the mean-reversion/trending diagnostic. All lag columns share ONE
+    * (key, date) window Exchange; the lag unpivot is a map-side array
+    * explode; then one (key, lag) Pearson aggregate. `minN` gates thin
+    * estimates. */
+  def returnAutocorr(staged: DataFrame, maxLag: Int = 3,
+                     minN: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val r = staged.select(col("user_id"), col("date"),
+        col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val withLags = r.select(Seq(col("user_id"), col("ret")) ++
+      (1 to maxLag).map(k => lag(col("ret"), k).over(w).as(s"l$k")): _*)
+    withLags
+      .select(col("user_id"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag"), col("ret"),
+          col(s"l$k").as("lret"))): _*)).as("e"))
+      .select(col("user_id"), col("e.lag"), col("e.ret"),
+        col("e.lret"))
+      .where(col("lret").isNotNull)
+      .groupBy(col("user_id"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("ret"), col("lret")), 4).as("autocorr"))
+      .where(col("n") >= minN)
+  }
+
+  /** Volume-spike anomalies: each day's volume z-scored against the
+    * PRIOR `period` days (frame excludes the current row — an anomaly
+    * must not dampen its own baseline), gated at a full window. One
+    * window Exchange on the series key; flags are pure column algebra. */
+  def volumeAnomalies(bars: DataFrame, period: Int = 14,
+                      zThreshold: Double = 3.0): DataFrame = {
+    val f = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      .rowsBetween(-period, -1)
+    val gate = count(col("volume")).over(f) >= period
+    val mu = when(gate, avg(col("volume")).over(f))
+    val sd = when(gate, stddev_samp(col("volume")).over(f))
+    val z = round((col("volume") - mu) / nullif(sd, lit(0)), 4)
+    bars.select(col("user_id"), col("date"), col("volume"))
+      .withColumn("vol_z", z)
+      .withColumn("is_anomaly",
+        (abs(col("vol_z")) >= zThreshold).cast("long"))
   }
 
   /** Distinct active users over a trailing `windowDays` calendar window

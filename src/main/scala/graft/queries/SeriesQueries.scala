@@ -399,6 +399,17 @@ object SeriesQueries {
         .withColumn("date", iso(col("date")))
         .orderBy(col("date"), col("quintile"))),
 
+    // lag-1..3 autocorrelation of daily returns per key
+    "q153_autocorr" -> ((s, d) =>
+      EventSeries.returnAutocorr(staged(s, d))
+        .orderBy(col("user_id"), col("lag"))),
+
+    // volume spikes z-scored against the prior 14 days
+    "q154_volume_anomaly" -> ((s, d) =>
+      EventSeries.volumeAnomalies(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -1033,6 +1044,43 @@ object SeriesQueries {
                  count(*) AS n_users,
                  round(avg(next_ret), 4) + 0 AS avg_next_ret
           FROM qq GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // q153: shared lag window, UNION-ALL unpivot, Pearson per (key,lag)
+    "q153_autocorr" -> (STAGED +
+      """, r AS (
+            SELECT user_id, date, pct_change AS ret FROM staged
+            WHERE pct_change IS NOT NULL),
+          l AS (
+            SELECT user_id, ret, lag(ret, 1) OVER w AS l1,
+                   lag(ret, 2) OVER w AS l2, lag(ret, 3) OVER w AS l3
+            FROM r WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          u AS (
+            SELECT user_id, 1 AS lag, ret, l1 AS lret FROM l
+            WHERE l1 IS NOT NULL
+            UNION ALL SELECT user_id, 2, ret, l2 FROM l
+            WHERE l2 IS NOT NULL
+            UNION ALL SELECT user_id, 3, ret, l3 FROM l
+            WHERE l3 IS NOT NULL)
+          SELECT user_id, CAST(lag AS BIGINT) AS lag,
+                 count(*) AS n,
+                 round(corr(ret, lret), 4) + 0 AS autocorr
+          FROM u GROUP BY 1, 2 HAVING count(*) >= 10
+          ORDER BY 1, 2"""),
+    // q154: z-score against the PRIOR 14 days (frame excludes the
+    // current row), full-window gate; null z -> null flag in both
+    "q154_volume_anomaly" -> (BARS +
+      """, z AS (
+            SELECT user_id, date, volume,
+                   CASE WHEN count(volume) OVER f >= 14 THEN
+                     round((volume - avg(volume) OVER f)
+                           / nullif(stddev_samp(volume) OVER f, 0), 4)
+                   END AS vol_z
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 CAST(volume AS BIGINT) AS volume, vol_z,
+                 CAST(abs(vol_z) >= 3.0 AS BIGINT) AS is_anomaly
+          FROM z ORDER BY 1, 2"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

@@ -161,6 +161,16 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // readability: Flesch reading ease from engine-portable integer
+    // counts (whitespace words, [.!?]+ sentences, vowel-run syllables)
+    "q155_readability" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_words"),
+          TextFns.sentenceCount(col("text")).as("n_sentences"),
+          TextFns.syllableCount(col("text")).as("n_syllables"),
+          TextFns.fleschReadingEase(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))),
+
     // IVF-PQ: coarse inverted file → residual PQ codes → ADC
     // shortlist → exact re-rank (FAISS IndexIVFPQ+RefineFlat shape).
     // Rows-only: the ANN regime prunes cells, so the top-k is
@@ -1449,6 +1459,23 @@ object TextQueries {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
                 dist
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q155: identical integer counts then the same double arithmetic
+    // shape on both sides; empty text floors sentences at 1
+    "q155_readability" -> (TOKS +
+      """ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syllables,
+                 round(206.835
+                       - 1.015 * (CAST(len(w) AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(text,
+                             '[.!?]+')) AS DOUBLE), 1.0))
+                       - 84.6 * (CAST(len(regexp_extract_all(
+                             lower(text), '[aeiouy]+')) AS DOUBLE)
+                         / nullif(CAST(len(w) AS DOUBLE), 0.0)), 4)
+                   AS flesch
+          FROM t ORDER BY doc_id"""),
     // q146b: probe-all + full-cover shortlist → the exact re-rank is
     // brute-force L2 over the original vectors (same bridge as q117b)
     "q146b_ivfpq_exact" ->

@@ -255,6 +255,57 @@ class SeriesRiskSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 15.0), (2L, 2L, -5.0)))
   }
 
+  test("returnAutocorr: an alternating-sign series has lag-1 " +
+    "autocorr -1 and lag-2 autocorr +1") {
+    val rets = Seq.tabulate(12)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val staged = rets.zipWithIndex.map { case (r, i) =>
+      (1L, f"2024-01-${i + 1}%02d", r)
+    }.toDF("user_id", "date_s", "pct_change")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("pct_change"))
+    val out = EventSeries.returnAutocorr(staged, maxLag = 2, minN = 5)
+      .orderBy("lag").select("lag", "autocorr")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, -1.0), (2L, 1.0)))
+  }
+
+  test("volumeAnomalies: the baseline excludes the current row, so a " +
+    "single spike after a flat run flags itself") {
+    // 4-day baseline of 10s (sd 0 -> null z), then jitter so sd>0,
+    // then a spike
+    val vols = Seq(10L, 10L, 12L, 10L, 11L, 10L, 50L)
+    val bars = vols.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-01-${i + 1}%02d", 100.0, v)
+    }.toDF("user_id", "date_s", "close", "volume")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"), col("volume"))
+    val out = EventSeries.volumeAnomalies(bars, period = 4,
+        zThreshold = 3.0)
+      .orderBy("date").select("vol_z", "is_anomaly")
+      .as[(Option[Double], Option[Long])].collect().toSeq
+    // rows 1-4: warm-up (count < 4) -> null; row 5: baseline
+    // {10,10,12,10} sd>0 -> small z; row 7: baseline {12,10,11,10}
+    // mean 10.75 sd ~0.957 -> z ~41 -> anomaly
+    assert(out.take(4).forall(_._1.isEmpty))
+    assert(out(4)._2.contains(0L))
+    assert(out(6)._1.exists(_ > 3.0) && out(6)._2.contains(1L))
+  }
+
+  test("flesch reading ease: hand-computed counts on a known sentence") {
+    import graft.functions.TextFns
+    val df = Seq((1L, "The cat sat. The dog ran!")).toDF("id", "text")
+    val out = df.select(
+        TextFns.tokenCount(col("text")).as("w"),
+        TextFns.sentenceCount(col("text")).as("s"),
+        TextFns.syllableCount(col("text")).as("sy"),
+        TextFns.fleschReadingEase(col("text")).as("f"))
+      .as[(Int, Long, Long, Double)].head()
+    // words 6, sentences 2, syllables: e,a,a,e,o,a = 6
+    assert(out._1 == 6 && out._2 == 2L && out._3 == 6L)
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(out._4 - 119.19) < 1e-9)
+  }
+
   test("emaMacd plan: exactly one Exchange (the key repartition) " +
     "before the scan") {
     val plan = EventSeries.emaMacd(barsDf(Seq((1L, "2024-01-01", 1.0))))
