@@ -265,4 +265,47 @@ object Relevance {
       round(slope, 4).as("slope"),
       round((sy - slope * sx) / n, 4).as("intercept"))
   }
+
+  /** Pointwise mutual information over within-document token
+    * co-occurrence: for token pair (a, b),
+    * `pmi = ln(n_docs · df_ab / (df_a · df_b))` on DOCUMENT
+    * frequencies (binary per doc — the collocation-mining convention).
+    *
+    * Plan: distinct (doc, token) → doc-keyed self-join (a < b) for
+    * pair document counts — the pair fan-out is quadratic in DISTINCT
+    * TOKENS PER DOC (bounded by doc length, never corpus size), pinned
+    * at explicit parallelism like every pair generator; token df is a
+    * vocabulary-sized aggregate broadcast onto the pair frame.
+    * `minPairDocs` keeps the tail out (and at volume it is also the
+    * correctness gate a collocation miner needs anyway). The single
+    * `ln` of an integer ratio rounds at 4dp with no decimal-tie
+    * exposure (log of a rational is irrational except ratio=1). */
+  def pmiPairs(docs: DataFrame, minPairDocs: Int = 5,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol)))
+          .as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tokMat = SkewTools.fanoutRepartition(tok, col(idCol))
+    val a = tokMat.select(col(idCol), col("token").as("token_a"))
+    val b = tokMat.select(col(idCol), col("token").as("token_b"))
+    a.join(b, Seq(idCol))
+      .where(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .where(col("df_ab") >= minPairDocs)
+      .join(broadcast(dfreq.select(col("token").as("token_a"),
+        col("df").as("df_a"))), Seq("token_a"))
+      .join(broadcast(dfreq.select(col("token").as("token_b"),
+        col("df").as("df_b"))), Seq("token_b"))
+      .crossJoin(broadcast(n))
+      .select(col("token_a"), col("token_b"),
+        col("df_ab"), col("df_a"), col("df_b"),
+        round(log(col("n_docs").cast("double") * col("df_ab")
+          / (col("df_a") * col("df_b"))), 4).as("pmi"))
+  }
 }

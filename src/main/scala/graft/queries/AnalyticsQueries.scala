@@ -58,6 +58,14 @@ object AnalyticsQueries {
          QUALIFY actual_class IS NOT NULL)"""
 
   val queries: Map[String, Q] = Map(
+    // one-pass column profile of the events table (DESCRIBE-grade
+    // dashboard rollup: rows / nulls / exact distincts per column)
+    "q159_profile" -> ((s, d) =>
+      graft.operators.Profiling.profile(Tables.events(s, d),
+          Seq("event_id", "ts", "user_id", "event_type", "value",
+            "props"))
+        .orderBy(col("col_name"))),
+
     // A4 + F-CONCAT: accuracy by key with percent-string rendering
     "q41_accuracy_by_user" -> ((s, d) =>
       AnalyticsViews.accuracyByKey(base(s, d)).orderBy(col("user_id"))),
@@ -174,6 +182,12 @@ object AnalyticsQueries {
         .orderBy(col("lvl"), col("lang"), col("source"))))
 
   val oracle: Map[String, String] = Map(
+    "q159_profile" -> (Seq("event_id", "ts", "user_id", "event_type",
+        "value", "props").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct FROM events"""
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
     "q68_rollup" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
            coalesce(source, 'ALL') AS source,

@@ -100,6 +100,25 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // the TPC-H Q5 join-pipeline shape: fact-to-fact shuffles on the
+    // shared keys, dimension hops broadcast (nation/region are tiny at
+    // any SF); revenue sums exactly in DECIMAL before the double cast
+    "q156_revenue_by_nation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))),
+
     // J5/O4: scalar-subquery semi-filter — rows at the global max date
     "q09_latest_orders" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -162,6 +181,16 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q156_revenue_by_nation" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q01_global_agg" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty,
          round(avg(l_extendedprice),4) AS avg_price,

@@ -161,6 +161,27 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hybrid (filtered) vector search: a metadata predicate narrows
+    // the corpus BEFORE the ANN scan — the filtered-vector-store op;
+    // here the filter is a doc-table semi-join (lang = 'en') and the
+    // search is exact cosine top-k over the survivors
+    "q157_hybrid_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val enDocs = Tables.documents(s, d)
+        .where(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val filtered = e.join(enDocs, Seq("vec_id"), "left_semi")
+      Similarity.bruteForceTopK(filtered, e.filter(col("vec_id") < 5),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PMI collocations over within-doc co-occurrence (document
+    // frequencies, min-support gated)
+    "q158_pmi_pairs" -> ((s, d) =>
+      Relevance.pmiPairs(Tables.documents(s, d), minPairDocs = 5)
+        .orderBy(col("token_a"), col("token_b"))),
+
     // readability: Flesch reading ease from engine-portable integer
     // counts (whitespace words, [.!?]+ sentences, vowel-run syllables)
     "q155_readability" -> ((s, d) =>
@@ -1476,6 +1497,49 @@ object TextQueries {
                          / nullif(CAST(len(w) AS DOUBLE), 0.0)), 4)
                    AS flesch
           FROM t ORDER BY doc_id"""),
+    // q157: the q35 oracle with the corpus side semi-filtered by the
+    // doc-table predicate
+    "q157_hybrid_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM documents
+                                   WHERE lang = 'en')),
+            s AS (SELECT qid, nid,
+                         round(list_cosine_similarity(qv, cv), 4)
+                           AS sim
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid) AS rank
+                  FROM s)
+         SELECT query_id, rank, neighbor_id, sim FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q158: distinct per-doc tokens → pair doc counts → PMI on
+    // document frequencies; ln of an integer ratio, no tie exposure
+    "q158_pmi_pairs" -> (TOKS +
+      """, tok AS (
+            SELECT DISTINCT doc_id, unnest(w) AS token FROM t),
+          tok2 AS (SELECT * FROM tok WHERE token <> ''),
+          dfreq AS (
+            SELECT token, count(*) AS df FROM tok2 GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b,
+                   count(*) AS df_ab
+            FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id
+            WHERE a.token < b.token
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+          SELECT token_b, token_a, df_ab,
+                 fa.df AS df_a, fb.df AS df_b,
+                 round(ln(CAST(n_docs AS DOUBLE) * df_ab
+                       / (fa.df * fb.df)), 4) AS pmi
+          FROM pairs
+          JOIN dfreq fa ON fa.token = pairs.token_a
+          JOIN dfreq fb ON fb.token = pairs.token_b
+          CROSS JOIN n
+          ORDER BY token_a, token_b"""),
     // q146b: probe-all + full-cover shortlist → the exact re-rank is
     // brute-force L2 over the original vectors (same bridge as q117b)
     "q146b_ivfpq_exact" ->
