@@ -65,6 +65,48 @@ object ScaleCheck {
     }
     time("sessions_gap30", n) { sink(EventSeries.sessions(events, 30)) }
 
+    // round-7 series pack. The production axis for per-key series ops
+    // is LONGER HISTORY over a FIXED universe (a market has bounded
+    // tickers), so the bars are inflated along time: each copy shifts
+    // dates by 40 days, multiplying series length, not key count.
+    locally {
+      val tmult = math.min(mult, 8)
+      val bars0 = EventSeries.dailyBars(
+        Tables.events(spark, sfDir))
+      val barsT = bars0
+        .crossJoin(spark.range(tmult).select(col("id").as("_c")))
+        .withColumn("date",
+          date_add(col("date"), (col("_c") * 40).cast("int")))
+        .drop("_c").cache()
+      val nb = barsT.count()
+      time("ema_macd_scan", nb) { sink(EventSeries.emaMacd(barsT)) }
+      time("drawdown", nb) { sink(EventSeries.drawdown(barsT)) }
+      time("gap_fill_ffill", nb) { sink(EventSeries.gapFill(barsT)) }
+      time("volume_anomalies", nb) {
+        sink(EventSeries.volumeAnomalies(barsT))
+      }
+      time("momentum_quintiles", nb) {
+        sink(EventSeries.momentumQuintiles(barsT))
+      }
+      // quadratic-in-universe pair join: candidate volume is
+      // |users|²/2 per date × days — linear in HISTORY, quadratic
+      // only in the bounded universe; the explicit-N repartition
+      // keeps the fan-out spread across tasks
+      val stagedT = EventSeries.stgDailyPrices(barsT)
+      time("pair_correlation", nb) {
+        sink(EventSeries.pairCorrelation(stagedT))
+      }
+      time("market_beta", nb) { sink(EventSeries.marketBeta(stagedT)) }
+      time("return_autocorr", nb) {
+        sink(EventSeries.returnAutocorr(stagedT))
+      }
+      barsT.unpersist()
+    }
+    time("rolling_active_users", n) {
+      sink(EventSeries.rollingActiveUsers(events))
+    }
+    time("rfm_segments", n) { sink(EventSeries.rfmSegments(events)) }
+
     // JSON property extraction at volume: from_json is CodegenFallback
     // (interpreted boundary + full Jackson parse + InternalRow alloc
     // per value) while the native json_get_long structural scan stays
@@ -170,6 +212,25 @@ object ScaleCheck {
         sink(ProductQuantizer.adcSearch(codes, knnQueries, cb, k = 10))
       }
       codes.unpersist()
+    }
+    // IVF-PQ: build once (coarse fit + residual codebook + codes),
+    // then the probed search scans only nProbe/nCentroids of the
+    // 8-int-per-row codes table and re-ranks a bounded shortlist
+    locally {
+      import graft.operators.IvfPq
+      var idx: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame,
+        graft.operators.ProductQuantizer.Codebooks) = null
+      time("ivfpq_build", ne) {
+        idx = IvfPq.build(emb, dim = 64, nCentroids = 16, m = 8,
+          k = 16, iters = 4)
+        idx._2.cache().count()
+      }
+      time("ivfpq_search64q_probe4", ne) {
+        sink(IvfPq.search(idx._1, idx._2, idx._3, knnQueries, emb,
+          topK = 10, nProbe = 4, refine = 4))
+      }
+      idx._2.unpersist()
     }
     // PCA: the fit is ONE treeAggregate pass (fixed d(d+3)/2 state);
     // projection is a pure map with literal components

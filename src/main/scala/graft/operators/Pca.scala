@@ -192,21 +192,41 @@ object Pca {
     * hash-oracle twin of [[fit]]'s aggregate: per row, the upper
     * triangle of xxᵀ is generated map-side (d(d+1)/2 structs — no
     * self-join), then one groupBy(i,j) computes
-    * cov = E[xy] − E[x]E[y], 6dp. Output (i, j, cov), i <= j. */
+    * cov = E[xy] − E[x]E[y], 6dp. Output (i, j, cov), i <= j.
+    *
+    * The pair rows are produced by two NESTED `posexplode` generators
+    * (row → (i, x) → (i, j, x, y) via a column-arg `slice`), which
+    * stay inside whole-stage codegen, behind an explicit round-robin
+    * repartition so the d(d+1)/2 fan-out never serializes on a
+    * few-partition upstream. The original nested `transform(sequence…)`
+    * HOF built the 2080 structs through one interpreted lambda frame
+    * per pair per row AND inherited the input's partitioning —
+    * measured 554 s at the 32× ScaleCheck (single cached partition).
+    * Isolated A/B at 32×/64k rows on identical 32-partition frames:
+    * HOF 24.1 s vs this plan 3.45 s (~7× from codegen alone, the rest
+    * was the partition collapse). A literal-unrolled 2080-element
+    * array was rejected too — the ~8000-node expression tree stalls
+    * driver-side planning. Same (i, j, x, y) multiset into the same
+    * aggregate, so the q118 hash oracle is unchanged (re-verified at
+    * both SFs). */
   def covarianceMatrix(df: DataFrame, dim: Int,
                        vecCol: String = "embedding"): DataFrame = {
     val v = Similarity.asDouble(col(vecCol))
-    val tri = explode(flatten(transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          element_at(v, i + 1).as("x"),
-          element_at(v, j + 1).as("y"))))))
+    // pre-fan-out explicit parallelism (the fanoutRepartition lesson,
+    // round-robin flavor): each input row becomes d(d+1)/2 pair rows,
+    // so a few-partition upstream (a cache, a coalesced scan) would
+    // serialize the whole expansion
     df.filter(size(v) === dim)
-      .select(tri.as("t"))
-      .groupBy(col("t.i").cast("long").as("i"),
-        col("t.j").cast("long").as("j"))
-      .agg(round(avg(col("t.x") * col("t.y")) -
-        avg(col("t.x")) * avg(col("t.y")), 6).as("cov"))
+      .select(v.as("v"))
+      .repartition(df.sparkSession.sessionState.conf
+        .numShufflePartitions)
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("i"), col("x"),
+        posexplode(slice(col("v"), col("i") + 1, lit(dim) - col("i")))
+          .as(Seq("jr", "y")))
+      .groupBy(col("i").cast("long").as("i"),
+        (col("i") + col("jr")).cast("long").as("j"))
+      .agg(round(avg(col("x") * col("y")) -
+        avg(col("x")) * avg(col("y")), 6).as("cov"))
   }
 }
