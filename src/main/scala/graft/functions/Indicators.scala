@@ -130,6 +130,24 @@ object Indicators {
   def stochasticD(k: Column, w: WindowSpec, smooth: Int = 3): Column =
     round(rollingMean(k, smooth, smooth, w), 4)
 
+  /** Donchian channel(period): highest high / lowest low over the
+    * PRIOR `period` rows (frame excludes the current row, so a new
+    * extreme reads as a breakout of the previous channel), with
+    * breakout flags close > upper (+1) / close < lower (−1) / else 0.
+    * Warm-up rows (fewer than `period` prior rows) are null, pandas
+    * min_periods-style. Returns (upper, lower, signal). */
+  def donchian(high: Column, low: Column, close: Column,
+               w: WindowSpec, period: Int = 20)
+      : (Column, Column, Column) = {
+    val f = w.rowsBetween(-period, -1)
+    val gate = count(high).over(f) >= period
+    val upper = when(gate, max(high).over(f))
+    val lower = when(gate, min(low).over(f))
+    val signal = when(close > upper, 1L).when(close < lower, -1L)
+      .otherwise(lit(0L))
+    (upper, lower, when(gate, signal))
+  }
+
   /** On-balance volume: cumulative signed volume, +v on an up-close,
     * −v on a down-close, 0 on the first/flat row. All-integer window
     * arithmetic (volume is a count) — no fp rounding anywhere. */

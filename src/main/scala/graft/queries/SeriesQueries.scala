@@ -410,6 +410,35 @@ object SeriesQueries {
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
+    // Donchian channel(20) on the prior window + breakout signal
+    "q160_donchian" -> ((s, d) => {
+      val (u, l, sig) = Indicators.donchian(col("high"), col("low"),
+        col("close"), seriesW, 20)
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          u.as("upper"), l.as("lower"), sig.as("signal"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // weekly VWAP: volume-weighted close per (user, week). The 4dp
+    // closes lift to exact scaled longs so the weighted-mean round is
+    // integer-exact — the double form hit real …5 decimal ties at
+    // sf0.01 (the q88/ExactRound class)
+    "q161_weekly_vwap" -> ((s, d) => {
+      val cScaled = round(col("close") * 10000).cast("long")
+      bars(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("date")).as("wk"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("volume")).as("volume"),
+          (graft.functions.ExactRound.scaled(
+            sum(cScaled * col("volume")), sum(col("volume")), 0)
+            .cast("double") / 10000).as("vwap"))
+        .select(col("user_id"), iso(col("wk")).as("week"),
+          col("n_days"), col("volume"), col("vwap"))
+        .orderBy(col("user_id"), col("week"))
+    }),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -1081,6 +1110,40 @@ object SeriesQueries {
                  CAST(volume AS BIGINT) AS volume, vol_z,
                  CAST(abs(vol_z) >= 3.0 AS BIGINT) AS is_anomaly
           FROM z ORDER BY 1, 2"""),
+    // q160: prior-window channel (a new extreme breaks the PREVIOUS
+    // channel), gated nulls cascade into the signal
+    "q160_donchian" -> (BARS +
+      """, ch AS (
+            SELECT user_id, date, close,
+                   CASE WHEN count(high) OVER f >= 20
+                        THEN max(high) OVER f END AS upper,
+                   CASE WHEN count(low) OVER f >= 20
+                        THEN min(low) OVER f END AS lower
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 upper, lower,
+                 CASE WHEN upper IS NULL THEN NULL
+                      WHEN close > upper THEN 1
+                      WHEN close < lower THEN -1
+                      ELSE 0 END::BIGINT AS signal
+          FROM ch ORDER BY 1, 2"""),
+    // q161: weekly volume-weighted close, scaled-long half-up round
+    // (the ExactRound bridge — the double ratio hits …5 ties)
+    "q161_weekly_vwap" -> (BARS +
+      """, a AS (
+            SELECT user_id, date_trunc('week', date) AS wk,
+                   count(*) AS n_days,
+                   CAST(sum(volume) AS BIGINT) AS volume,
+                   sum(CAST(round(close * 10000) AS BIGINT) * volume)
+                     AS num
+            FROM bars GROUP BY 1, 2)
+          SELECT user_id, strftime(wk, '%Y-%m-%d') AS week, n_days,
+                 volume,
+                 CAST((2 * num + volume) // (2 * volume) AS DOUBLE)
+                   / 10000 AS vwap
+          FROM a ORDER BY 1, 2"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

@@ -306,6 +306,48 @@ class SeriesRiskSpec extends SparkSuite {
     assert(math.abs(out._4 - 119.19) < 1e-9)
   }
 
+  test("donchian: prior-window channel, breakout signals, warm-up " +
+    "nulls") {
+    import graft.functions.{Indicators, WindowFns}
+    val df = Seq(
+      (1L, 1, 10.0, 8.0, 9.0), (1L, 2, 11.0, 9.0, 10.0),
+      (1L, 3, 12.0, 10.0, 11.5), // channel {rows 1,2}: up 11, lo 8
+      (1L, 4, 12.5, 7.0, 7.5)    // channel {rows 2,3}: up 12, lo 9
+    ).toDF("user_id", "t", "high", "low", "close")
+    val w = WindowFns.series(col("user_id"), col("t"))
+    val (u, l, s) = Indicators.donchian(col("high"), col("low"),
+      col("close"), w, period = 2)
+    val out = df.select(u.as("u"), l.as("l"), s.as("s"))
+      .orderBy(col("u").asc_nulls_first)
+      .collect()
+    val byT = df.withColumn("u", u).withColumn("l", l)
+      .withColumn("s", s).orderBy("t")
+      .select("u", "l", "s")
+      .as[(Option[Double], Option[Double], Option[Long])]
+      .collect().toSeq
+    assert(byT(0) == ((None, None, None)))
+    assert(byT(1) == ((None, None, None)))
+    assert(byT(2) == ((Some(11.0), Some(8.0), Some(1L))))  // breakout up
+    assert(byT(3) == ((Some(12.0), Some(9.0), Some(-1L)))) // breakdown
+    assert(out.nonEmpty)
+  }
+
+  test("weekly vwap equals sum(close*volume)/sum(volume) per week") {
+    val in = Seq(
+      (1L, "2024-01-01", 10.0, 2L), (1L, "2024-01-03", 20.0, 6L),
+      (1L, "2024-01-08", 30.0, 4L))
+      .toDF("user_id", "date_s", "close", "volume")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"), col("volume"))
+    val out = in.groupBy(col("user_id"),
+        date_trunc("week", col("date")).as("wk"))
+      .agg(round(sum(col("close") * col("volume"))
+        / sum(col("volume")), 4).as("vwap"))
+      .orderBy("wk").select("vwap").as[Double].collect().toSeq
+    // week of 01-01: (10*2 + 20*6)/8 = 17.5; week of 01-08: 30
+    assert(out == Seq(17.5, 30.0))
+  }
+
   test("emaMacd plan: exactly one Exchange (the key repartition) " +
     "before the scan") {
     val plan = EventSeries.emaMacd(barsDf(Seq((1L, "2024-01-01", 1.0))))
