@@ -298,4 +298,102 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  private val barsGen: Gen[List[(Long, Int, Double)]] = for {
+    n <- Gen.choose(2, 14)
+    keys <- Gen.listOfN(n, Gen.oneOf(1L, 2L))
+    vals <- Gen.listOfN(n, Gen.choose(1.0, 1000.0))
+  } yield keys.zip(1 to n).zip(vals)
+    .map { case ((k, t), v) => (k, t, v) }
+    .distinctBy(r => (r._1, r._2))
+
+  private def barsDfOf(rows: Seq[(Long, Int, Double)]) =
+    rows.toDF("user_id", "t", "close")
+      .select(col("user_id"),
+        to_date(concat(lit("2024-01-"),
+          format_string("%02d", col("t")))).as("date"),
+        col("close"))
+
+  test("property: emaMacd equals the sequential reference recurrence " +
+    "for random series (bit-exact before rounding envelope)") {
+    import graft.operators.EventSeries
+    samples(barsGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val got = EventSeries.emaMacd(barsDfOf(rows))
+        .orderBy("user_id", "date")
+        .select("user_id", "ema_fast", "ema_slow", "macd",
+          "macd_signal", "macd_hist")
+        .as[(Long, Double, Double, Double, Double, Double)]
+        .collect().toSeq
+      val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (k, series) =>
+          val closes = series.sortBy(_._2).map(_._3)
+          val (aF, bF) = (2.0 / 13, 1.0 - 2.0 / 13)
+          val (aS, bS) = (2.0 / 27, 1.0 - 2.0 / 27)
+          val (aG, bG) = (2.0 / 10, 1.0 - 2.0 / 10)
+          var e12 = 0.0; var e26 = 0.0; var sg = 0.0
+          closes.zipWithIndex.map { case (c, i) =>
+            if (i == 0) { e12 = c; e26 = c; sg = 0.0 }
+            else {
+              e12 = aF * c + bF * e12; e26 = aS * c + bS * e26
+              sg = aG * (e12 - e26) + bG * sg
+            }
+            def r4(v: Double) = BigDecimal(v)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (k, r4(e12), r4(e26), r4(e12 - e26), r4(sg),
+              r4((e12 - e26) - sg))
+          }
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("property: drawdown is never positive, peak is monotone " +
+    "non-decreasing, max_drawdown is the running min") {
+    import graft.operators.EventSeries
+    samples(barsGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val out = EventSeries.drawdown(barsDfOf(rows))
+        .orderBy("user_id", "date")
+        .select("user_id", "peak", "drawdown_pct", "max_drawdown_pct")
+        .as[(Long, Double, Double, Double)].collect().toSeq
+      out.groupBy(_._1).values.foreach { series =>
+        series.foreach { case (_, _, dd, mdd) =>
+          assert(dd <= 0.0 && mdd <= 0.0)
+        }
+        series.map(_._2).sliding(2).foreach {
+          case Seq(a, b) => assert(b >= a); case _ =>
+        }
+        val runMin = series.map(_._3).scanLeft(Double.MaxValue)(_ min _)
+          .tail
+        assert(series.map(_._4) == runMin)
+      }
+    }
+  }
+
+  test("property: obv telescopes — the final obv equals the sum of " +
+    "signed volumes, and |obv step| <= volume") {
+    import graft.functions.{Indicators, WindowFns}
+    samples(barsGen, 5).filter(_.size >= 2).foreach { rows =>
+      val df = rows.toDF("user_id", "t", "close")
+        .withColumn("volume", (col("t") % 5 + 1).cast("long"))
+      val w = WindowFns.series(col("user_id"), col("t"))
+      val out = df.withColumn("obv",
+          Indicators.obv(col("close"), col("volume"), w))
+        .orderBy("user_id", "t")
+        .select("user_id", "close", "volume", "obv")
+        .as[(Long, Double, Long, Long)].collect().toSeq
+      out.groupBy(_._1).values.foreach { series =>
+        var prev = Option.empty[(Double, Long)]
+        series.foreach { case (_, c, v, o) =>
+          val expStep = prev match {
+            case None => 0L
+            case Some((pc, po)) =>
+              if (c > pc) v else if (c < pc) -v else 0L
+          }
+          val expected = prev.map(_._2).getOrElse(0L) + expStep
+          assert(o == expected)
+          prev = Some((c, o))
+        }
+      }
+    }
+  }
 }
