@@ -182,6 +182,13 @@ object TextQueries {
       Relevance.pmiPairs(Tables.documents(s, d), minPairDocs = 5)
         .orderBy(col("token_a"), col("token_b"))),
 
+    // DSIR importance resampling: hashed-unigram target-vs-raw LM
+    // log ratio per doc, deterministic top-k keep (target = English)
+    "q162_dsir" -> ((s, d) =>
+      graft.operators.Dsir.dsirScores(Tables.documents(s, d),
+          isTarget = col("lang") === "en", buckets = 256, topK = 100)
+        .orderBy(col("doc_id"))),
+
     // readability: Flesch reading ease from engine-portable integer
     // counts (whitespace words, [.!?]+ sentences, vowel-run syllables)
     "q155_readability" -> ((s, d) =>
@@ -1497,6 +1504,46 @@ object TextQueries {
                          / nullif(CAST(len(w) AS DOUBLE), 0.0)), 4)
                    AS flesch
           FROM t ORDER BY doc_id"""),
+    // q162: md5-bucketed unigram models, micro-nat DECIMAL log-ratio
+    // sums (the perplexity bridge), deterministic top-100 keep
+    "q162_dsir" -> (TOKS +
+      """, tok AS (
+            SELECT doc_id, (lang = 'en') AS tgt, unnest(w) AS token
+            FROM t),
+          tok2 AS (
+            SELECT doc_id, tgt, token,
+                   CAST(concat('0x', substr(md5(token), 1, 8))
+                     AS BIGINT) % 256 AS bucket
+            FROM tok WHERE token <> ''),
+          counts AS (
+            SELECT bucket, count(*) AS c_r,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t
+            FROM tok2 GROUP BY 1),
+          tot AS (
+            SELECT count(*) AS n_r,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t
+            FROM tok2),
+          model AS (
+            SELECT bucket,
+                   CAST(round(ln(CAST(c_t + 1 AS DOUBLE)
+                       / (n_t + 256)), 6) AS DECIMAL(28,6))
+                   - CAST(round(ln(CAST(c_r + 1 AS DOUBLE)
+                       / (n_r + 256)), 6) AS DECIMAL(28,6)) AS lr
+            FROM counts, tot),
+          per AS (
+            SELECT doc_id, count(*) AS n_tokens, sum(lr) AS lw
+            FROM tok2 JOIN model USING (bucket) GROUP BY 1),
+          r AS (
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens, per.lw,
+                   row_number() OVER (ORDER BY per.lw DESC NULLS LAST,
+                     d.doc_id) AS rk
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(lw AS DOUBLE) AS log_weight,
+                 CAST((lw IS NOT NULL AND rk <= 100) AS BIGINT)
+                   AS kept
+          FROM r ORDER BY doc_id"""),
     // q157: the q35 oracle with the corpus side semi-filtered by the
     // doc-table predicate
     "q157_hybrid_search" ->
