@@ -266,6 +266,108 @@ object Relevance {
       round((sy - slope * sx) / n, 4).as("intercept"))
   }
 
+  /** Okapi BM25 retrieval scoring against a literal query (the
+    * ranking function behind classic text search; Robertson &
+    * Zaragoza 2009). The query is a compile-time token list, so every
+    * per-token term is a NAMED COLUMN and the final score is a
+    * fixed-order expression chain — no aggregation over
+    * nondeterministically-ordered doubles, hence hash-portable.
+    * idf uses the +1 form `ln(1 + (N − df + ½)/(df + ½))` (always
+    * positive). `avgdl` is total tokens / total docs.
+    *
+    * Plan: one token explode → one per-doc aggregate (dl + one
+    * conditional tf per query token) → one global stats row broadcast
+    * back → pure-map scoring → top-k rank over the matching docs.
+    * Linear in tokens; the stats row is O(|query|). */
+  def bm25(docs: DataFrame, query: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20, textCol: String = "text",
+           idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty, "need at least one query token")
+    val tok = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol)))
+          .as("token"))
+      .where(col("token") =!= "")
+    val perDoc = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"),
+        query.zipWithIndex.map { case (q, i) =>
+          sum(when(col("token") === q, 1L).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = perDoc.agg(
+      sum(col("dl")).as("total_tokens"),
+      query.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+        : _*)
+      .crossJoin(broadcast(nDocs))
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val terms = query.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    scored
+      .withColumn("score", round(terms.reduce(_ + _), 4))
+      .where(col("score") > 0)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("score").desc, col(idCol))).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("score"),
+        col("dl").as("doc_len"))
+  }
+
+  /** Per-document lexical diversity: type/token ratio, hapax ratio
+    * (both in ExactRound integer arithmetic) and the unigram
+    * self-entropy of the document — Σ c/n·ln(n/c) computed with the
+    * micro-nat DECIMAL bridge and exact half-up division (the
+    * perplexity-family rounding scheme, so the reported 4dp entropy
+    * cannot land on an engine-dependent tie). Two aggregates, both
+    * keyed by doc — linear, co-partitioned. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol)))
+          .as("token"))
+      .where(col("token") =!= "")
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    // width-safe decimal product: DECIMAL(12,0) × DECIMAL(10,6) =
+    // DECIMAL(22,6) — exact in BOTH engines (a 28,6×28,6 product
+    // overflows DuckDB's 38-digit multiply)
+    val term = (col("c").cast("decimal(12,0)") *
+      round(log(col("c").cast("double") / col("n")), 6)
+        .cast("decimal(10,6)")).cast("decimal(28,6)")
+    val summed = tf.join(totals, Seq(idCol))
+      .withColumn("_t", term)
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n"), max(col("n_types")).as("n_types"),
+        max(col("n_hapax")).as("n_hapax"), sum(col("_t")).as("_s"))
+    val su = (-col("_s") * 1000000).cast("long") // micro-nats, ≥ 0
+    val h4 = call_function("div", su * 2 + col("n") * 100,
+      col("n") * 200)
+    val scoredAll = summed.select(col(idCol),
+      col("n").cast("long").as("n_tokens"), col("n_types"),
+      col("n_hapax"),
+      graft.functions.ExactRound.ratio(col("n_types"), col("n"), 6)
+        .as("ttr"),
+      graft.functions.ExactRound.ratio(col("n_hapax"),
+        col("n_types"), 6).as("hapax_ratio"),
+      (h4.cast("double") / 10000).as("entropy"))
+    docs.select(col(idCol)).join(scoredAll, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        col("ttr"), col("hapax_ratio"), col("entropy"))
+  }
+
   /** Pointwise mutual information over within-document token
     * co-occurrence: for token pair (a, b),
     * `pmi = ln(n_docs · df_ab / (df_a · df_b))` on DOCUMENT

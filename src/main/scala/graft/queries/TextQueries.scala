@@ -189,6 +189,19 @@ object TextQueries {
           isTarget = col("lang") === "en", buckets = 256, topK = 100)
         .orderBy(col("doc_id"))),
 
+    // Okapi BM25 against a literal query — fixed-order per-token
+    // terms keep the double arithmetic hash-portable
+    "q163_bm25" -> ((s, d) =>
+      Relevance.bm25(Tables.documents(s, d),
+          query = Seq("spark", "join", "window"), topK = 20)
+        .orderBy(col("rank"))),
+
+    // per-doc lexical diversity: TTR/hapax in exact integer rounding,
+    // unigram self-entropy via the micro-nat DECIMAL bridge
+    "q164_lexical_diversity" -> ((s, d) =>
+      Relevance.lexicalDiversity(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // readability: Flesch reading ease from engine-portable integer
     // counts (whitespace words, [.!?]+ sentences, vowel-run syllables)
     "q155_readability" -> ((s, d) =>
@@ -1504,6 +1517,99 @@ object TextQueries {
                          / nullif(CAST(len(w) AS DOUBLE), 0.0)), 4)
                    AS flesch
           FROM t ORDER BY doc_id"""),
+    // q163: DOUBLE literals (e-notation) + the engine's exact
+    // expression shape so every per-token term folds identically
+    "q163_bm25" -> (TOKS +
+      """, tok2 AS (
+            SELECT doc_id, unnest(w) AS token FROM t),
+          tok3 AS (SELECT * FROM tok2 WHERE token <> ''),
+          per AS (
+            SELECT doc_id, count(*) AS dl,
+              sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS tf0,
+              sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf1,
+              sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS tf2
+            FROM tok3 GROUP BY 1),
+          st AS (
+            SELECT sum(dl) AS total_tokens,
+              sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              (SELECT count(*) FROM documents) AS n_docs
+            FROM per),
+          sc AS (
+            SELECT doc_id, dl,
+              round(
+                (CASE WHEN tf0 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df0 AS DOUBLE) + 0.5e0)
+                      / (CAST(df0 AS DOUBLE) + 0.5e0))
+                   * CAST(tf0 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf0 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END)
+                + (CASE WHEN tf1 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df1 AS DOUBLE) + 0.5e0)
+                      / (CAST(df1 AS DOUBLE) + 0.5e0))
+                   * CAST(tf1 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf1 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END)
+                + (CASE WHEN tf2 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df2 AS DOUBLE) + 0.5e0)
+                      / (CAST(df2 AS DOUBLE) + 0.5e0))
+                   * CAST(tf2 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf2 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END), 4) AS score
+            FROM per, st),
+          r AS (
+            SELECT doc_id, dl, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank
+            FROM sc WHERE score > 0)
+          SELECT doc_id, CAST(rank AS BIGINT) AS rank, score,
+                 CAST(dl AS BIGINT) AS doc_len
+          FROM r WHERE rank <= 20 ORDER BY rank"""),
+    // q164: width-safe decimal entropy product, ExactRound ratios,
+    // micro-nat half-up entropy division
+    "q164_lexical_diversity" -> (TOKS +
+      """, tok2 AS (
+            SELECT doc_id, unnest(w) AS token FROM t),
+          tok3 AS (SELECT * FROM tok2 WHERE token <> ''),
+          tf AS (
+            SELECT doc_id, token, count(*) AS c
+            FROM tok3 GROUP BY 1, 2),
+          tot AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS n_types,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+            FROM tf GROUP BY 1),
+          sm AS (
+            SELECT tf.doc_id, max(n) AS n, max(n_types) AS n_types,
+                   max(n_hapax) AS n_hapax,
+                   CAST(sum(CAST(c AS DECIMAL(12,0))
+                     * CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+                       AS DECIMAL(10,6))) AS DECIMAL(38,6)) AS s6
+            FROM tf JOIN tot USING (doc_id) GROUP BY 1),
+          r AS (
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
+                   CAST((2000000 * n_types + n) // (2 * n) AS DOUBLE)
+                     / 1000000 AS ttr,
+                   CAST((2000000 * n_hapax + n_types)
+                     // (2 * n_types) AS DOUBLE) / 1000000
+                     AS hapax_ratio,
+                   CAST((2 * CAST(-s6 * 1000000 AS BIGINT) + n * 100)
+                     // (n * 200) AS DOUBLE) / 10000 AS entropy
+            FROM sm)
+          SELECT d.doc_id, coalesce(r.n_tokens, 0) AS n_tokens,
+                 coalesce(r.n_types, 0) AS n_types,
+                 coalesce(r.n_hapax, 0) AS n_hapax,
+                 r.ttr, r.hapax_ratio, r.entropy
+          FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+          ORDER BY d.doc_id"""),
     // q162: md5-bucketed unigram models, micro-nat DECIMAL log-ratio
     // sums (the perplexity bridge), deterministic top-100 keep
     "q162_dsir" -> (TOKS +

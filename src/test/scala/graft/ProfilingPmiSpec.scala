@@ -48,6 +48,42 @@ class ProfilingPmiSpec extends SparkSuite {
     assert(!m.contains(("rare1", "rare2")))
   }
 
+  test("bm25: a doc matching more query tokens outranks one matching " +
+    "fewer; non-matching docs are absent; idf favors rare terms") {
+    val docs = Seq(
+      (1L, "spark join window extra pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"),
+      (4L, "join spark pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = Relevance.bm25(docs, Seq("spark", "join", "window"),
+        topK = 10)
+      .orderBy("rank").select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 4L, 2L)) // 3 matches > 2 > 1
+    assert(!out.exists(_._1 == 3L))
+    assert(out.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    })
+  }
+
+  test("lexicalDiversity: hand-computed TTR/hapax/entropy on a " +
+    "2-type doc; empty doc yields zero counts and null scores") {
+    val docs = Seq((1L, "a a a b"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Relevance.lexicalDiversity(docs).orderBy("doc_id")
+      .collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 2L &&
+      r1.getLong(3) == 1L)
+    assert(r1.getDouble(4) == 0.5)      // ttr = 2/4
+    assert(r1.getDouble(5) == 0.5)      // hapax = 1/2
+    // H = -(3/4 ln 3/4 + 1/4 ln 1/4) = 0.5623 (4dp)
+    assert(math.abs(r1.getDouble(6) - 0.5623) < 1e-9)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(6))
+  }
+
   test("pmiPairs counts DOCUMENT frequency: repeated tokens within a " +
     "doc count once") {
     val docs = Seq((1L, "a b a b a b"), (2L, "a b"), (3L, "a"),
