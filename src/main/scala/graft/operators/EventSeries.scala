@@ -221,6 +221,26 @@ object EventSeries {
         col(s"t${i + 1}_us").isNotNull.cast("long")).reduce(_ + _))
   }
 
+  /** Funnel latency profile: for every (user, day) that completed the
+    * whole ordered funnel, the view→purchase latency, rolled up per
+    * date as exact count + interpolated p50/p90 (the q67b
+    * percentile bridge: 4dp rounding on the interpolated value).
+    * Builds on [[dailyFunnel]]'s one-aggregate-per-stage plan; the
+    * rollup is one per-date aggregate over the completed rows. */
+  def funnelLatency(events: DataFrame,
+                    steps: Seq[String] = Seq("view", "click",
+                      "purchase")): DataFrame = {
+    val f = dailyFunnel(events, steps)
+    val last = s"t${steps.size}_us"
+    f.where(col("reached") === steps.size)
+      .withColumn("lat_s",
+        (col(last) - col("t1_us")).cast("double") / 1000000)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_s, 0.5)"), 4).as("lat_p50"),
+        round(expr("percentile(lat_s, 0.9)"), 4).as("lat_p90"))
+  }
+
   /** Cohort retention: users grouped by their FIRST active day; for
     * every (cohort day, day offset) the distinct users active again.
     * Two aggregates (first-day per user, distinct user-days) and one

@@ -100,6 +100,18 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // CUBE marginals with grouping ids — the full 2-dim rollup
+    // lattice in ONE pass (Expand), DECIMAL-exact totals
+    "q165_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy(col("gid"), col("o_orderstatus"),
+          col("o_orderpriority"))),
+
     // the TPC-H Q5 join-pipeline shape: fact-to-fact shuffles on the
     // shared keys, dimension hops broadcast (nation/region are tiny at
     // any SF); revenue sums exactly in DECIMAL before the double cast
@@ -181,6 +193,16 @@ object RelationalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q165_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority)
+                  AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS total
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, 1, 2""",
     "q156_revenue_by_nation" ->
       """SELECT r_name, n_name, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

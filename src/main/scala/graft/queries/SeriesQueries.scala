@@ -451,6 +451,12 @@ object SeriesQueries {
       EventSeries.cohortRetention(Tables.events(s, d))
         .orderBy(col("cohort_date"), col("day_offset"))),
 
+    // funnel latency: per-date view->purchase p50/p90 for completed
+    // funnels (the q67b interpolated-percentile bridge)
+    "q166_funnel_latency" -> ((s, d) =>
+      EventSeries.funnelLatency(Tables.events(s, d))
+        .orderBy(col("date"))),
+
     "q62_sessions" -> ((s, d) =>
       graft.operators.EventSeries.sessions(Tables.events(s, d),
           gapMinutes = 30)
@@ -1174,6 +1180,34 @@ object SeriesQueries {
          LEFT JOIN s2 USING (user_id, date)
          LEFT JOIN s3 USING (user_id, date)
          ORDER BY user_id, date""",
+    // q166: completed funnels only (inner joins), exact seconds from
+    // micros, interpolated percentiles rounded 4dp
+    "q166_funnel_latency" ->
+      """WITH e AS (
+           SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                    AS date,
+                  epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         s1 AS (SELECT user_id, date, min(ts_us) AS t1_us
+                FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, e.date, min(ts_us) AS t2_us
+                FROM e JOIN s1 USING (user_id, date)
+                WHERE event_type = 'click' AND ts_us >= t1_us
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, e.date, min(ts_us) AS t3_us
+                FROM e JOIN s2 USING (user_id, date)
+                WHERE event_type = 'purchase' AND ts_us >= t2_us
+                GROUP BY 1, 2),
+         conv AS (
+           SELECT s1.date,
+                  CAST(t3_us - t1_us AS DOUBLE) / 1000000 AS lat_s
+           FROM s1
+           JOIN s2 USING (user_id, date)
+           JOIN s3 USING (user_id, date))
+         SELECT date, count(*) AS n_converted,
+                round(quantile_cont(lat_s, 0.5), 4) AS lat_p50,
+                round(quantile_cont(lat_s, 0.9), 4) AS lat_p90
+         FROM conv GROUP BY 1 ORDER BY 1""",
     // q137: first active day per user, distinct actives per offset
     "q137_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
