@@ -57,7 +57,14 @@ object CorpusPrepJob {
                     // within-cluster near-dup cosine threshold (the
                     // paper operates at tau ~0.95+ for web text)
                     semDedupK: Int = 64,
-                    semDedupTau: Double = 0.95)
+                    semDedupTau: Double = 0.95,
+                    // DSIR importance selection (q162): 0 disables;
+                    // > 0 keeps that many top-weighted docs against
+                    // the target predicate below. Runs AFTER dedup so
+                    // duplicates cannot vote up their own buckets.
+                    dsirTopK: Int = 0,
+                    dsirTargetLang: String = "en",
+                    dsirBuckets: Int = 256)
 
   /** Returns the prepared corpus (doc_id, text, lang, source) and the
     * per-stage surviving-row ledger. `embeddings` (vec_id aligned with
@@ -160,9 +167,23 @@ object CorpusPrepJob {
           Seq("doc_id"), "left_semi"))
     }
 
+    // 5d. optional DSIR importance selection against the target
+    // distribution (q162) — after dedup, so duplicates cannot vote up
+    // their own hashed buckets; before decontamination/mixing so the
+    // budgeted slice is the target-shaped one
+    val selected =
+      if (cfg.dsirTopK <= 0) semDeduped
+      else stage("dsir_selected", semDeduped.join(
+        graft.operators.Dsir.dsirScores(semDeduped,
+            isTarget = col("lang") === cfg.dsirTargetLang,
+            buckets = cfg.dsirBuckets, topK = cfg.dsirTopK)
+          .filter(col("kept") === 1L)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+
     // 6. benchmark decontamination against the broadcast eval index
     val decontaminated = stage("decontaminated", Decontaminate.clean(
-      semDeduped, evalSet, cfg.contaminationN,
+      selected, evalSet, cfg.contaminationN,
       cfg.contaminationThreshold))
 
     // 7. α-temperature mixture over languages

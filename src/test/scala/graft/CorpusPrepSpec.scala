@@ -40,6 +40,33 @@ class CorpusPrepSpec extends SparkSuite {
       Seq("doc_id", "text", "lang", "source"))
   }
 
+  test("DSIR stage keeps exactly topK target-shaped survivors and " +
+    "the keep set skews toward the target language") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val (base, _) = CorpusPrepJob.run(corpus, evalSet)
+    val nBase = base.count()
+    val k = (nBase / 3).toInt.max(1)
+    val (out, ledger) = CorpusPrepJob.run(corpus, evalSet,
+      cfg = CorpusPrepJob.Config(dsirTopK = k))
+    val m = ledger.toMap
+    assert(m("dsir_selected") == k.toLong)
+    // downstream stages only remove rows
+    assert(m("decontaminated") <= k.toLong && out.count() <= k.toLong)
+    // the selected slice is more English than the pre-selection pool
+    val enBase = base.filter(col("lang") === "en").count().toDouble /
+      nBase
+    val dsirFrame = base // same survivors feed the stage
+    val keptIds = graft.operators.Dsir.dsirScores(dsirFrame,
+        col("lang") === "en", topK = k)
+      .filter(col("kept") === 1L).select("doc_id")
+    val enKept = dsirFrame.join(keptIds, Seq("doc_id"), "left_semi")
+      .filter(col("lang") === "en").count().toDouble / k
+    assert(enKept > enBase,
+      s"DSIR keep set not target-skewed: $enKept <= $enBase")
+  }
+
   test("token-budget stage caps the output at the best-quality prefix") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val evalSet = docs.filter(col("doc_id") < 20)
