@@ -148,6 +148,62 @@ object Indicators {
     (upper, lower, when(gate, signal))
   }
 
+  /** Williams %R(period): `(max high − close) / (max high − min low)
+    * · −100` over the trailing `period` rows INCLUDING the current row
+    * (the classic lookback), pandas-default min_periods=period warm-up
+    * nulls, flat range → null via NULLIF. The bounded-[−100,0] mirror
+    * of stochastic %K. */
+  def williamsR(high: Column, low: Column, close: Column,
+                w: WindowSpec, period: Int = 14): Column = {
+    val f = trailing(w, period)
+    val gate = count(high).over(f) >= period
+    val hi = when(gate, max(high).over(f))
+    val lo = when(gate, min(low).over(f))
+    round((hi - close) / nullif(hi - lo, lit(0)) * -100, 4)
+  }
+
+  /** Commodity Channel Index(period): `(tp − SMA(tp)) / (0.015 · MD)`
+    * where tp = (high+low+close)/3 and MD is the mean ABSOLUTE deviation
+    * of the window's tp values from the window's OWN SMA (Lambert's
+    * original definition). MD is not a decomposable rolling aggregate
+    * (each |tp_i − sma_t| depends on the current row's sma), so the
+    * window's tp values are gathered with collect_list over the bounded
+    * `period`-row frame and folded with the `aggregate` HOF — O(period)
+    * per row, codegen'd, no UDF. Warm-up rows and zero-MD windows → null. */
+  def cci(high: Column, low: Column, close: Column,
+          w: WindowSpec, period: Int = 20): Column = {
+    val tp = (high + low + close) / 3
+    val f = trailing(w, period)
+    val gate = count(high).over(f) >= period
+    val sma = avg(tp).over(f)
+    val window = collect_list(tp).over(f)
+    val md = aggregate(window, lit(0.0),
+      (acc, x) => acc + abs(x - sma)) / period
+    round(when(gate, (tp - sma) / nullif(lit(0.015) * md, lit(0))), 4)
+  }
+
+  /** Money Flow Index(period): volume-weighted RSI analogue. Typical
+    * price tp = (high+low+close)/3; raw flow tp·volume splits positive /
+    * negative on tp vs the PREVIOUS tp (flat → neither); MFI = 100 −
+    * 100/(1 + Σpos/Σneg) over the trailing `period` rows. Warm-up needs
+    * `period` rows that HAVE a previous tp (the first diff is undefined),
+    * zero negative flow → 100 explicitly (the RSI avg_loss==0 case). */
+  def mfi(high: Column, low: Column, close: Column, volume: Column,
+          w: WindowSpec, period: Int = 14): Column = {
+    val tp = (high + low + close) / 3
+    val prevTp = lagBy(tp, 1, w)
+    val flow = tp * volume
+    val pos = when(prevTp.isNotNull && tp > prevTp, flow).otherwise(0.0)
+    val neg = when(prevTp.isNotNull && tp < prevTp, flow).otherwise(0.0)
+    val f = trailing(w, period)
+    val gate = count(prevTp).over(f) >= period
+    val sPos = sum(pos).over(f)
+    val sNeg = sum(neg).over(f)
+    val mfiVal = when(sNeg === 0, 100.0)
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sPos / sNeg))
+    round(when(gate, mfiVal), 4)
+  }
+
   /** On-balance volume: cumulative signed volume, +v on an up-close,
     * −v on a down-close, 0 on the first/flat row. All-integer window
     * arithmetic (volume is a count) — no fp rounding anywhere. */

@@ -312,6 +312,111 @@ object EventSeries {
       round(col("macd_hist"), 4).as("macd_hist"))
   }
 
+  /** Keltner channels: recursive EMA(emaSpan) of typical price
+    * (high+low+close)/3 as the center line, banded at ±mult·ATR(atrPeriod).
+    * Same recurrence constraint as [[emaMacd]] (each EMA output depends on
+    * the previous OUTPUT), so the whole thing is ONE sorted scan per key —
+    * the ATR rolling mean rides in the same pass via a bounded ring buffer
+    * of true ranges instead of a second Window exchange. O(1) state per
+    * key (`atrPeriod` doubles), one Exchange total at any scale.
+    *
+    * ATR matches [[graft.functions.Indicators.atr]] exactly: TR =
+    * greatest(h−l, |h−prev_c|, |l−prev_c|) with the null prev ignored
+    * (first row TR = h−l), min_periods=atrPeriod, rounded 4dp BEFORE the
+    * band arithmetic so the oracle adds the identical 4dp ATR. */
+  def keltner(bars: DataFrame, emaSpan: Int = 20, atrPeriod: Int = 10,
+              mult: Double = 2.0): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val a = 2.0 / (emaSpan + 1); val b = 1.0 - a
+    val src = bars
+      .select(col("user_id").cast("long"), col("date").cast("date"),
+        col("high").cast("double"), col("low").cast("double"),
+        col("close").cast("double"))
+      .as[(Long, java.sql.Date, Double, Double, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("date"))
+    val scanned = src.mapPartitions { it =>
+      var cur = Long.MinValue
+      var e = 0.0
+      var prevClose = Double.NaN
+      val ring = new Array[Double](atrPeriod)
+      var seen = 0; var head = 0
+      it.map { case (u, dt, high, low, close) =>
+        val tp = (high + low + close) / 3
+        if (u != cur) {
+          cur = u; e = tp; prevClose = Double.NaN
+          seen = 0; head = 0
+          java.util.Arrays.fill(ring, 0.0)
+        } else {
+          e = a * tp + b * e
+        }
+        val tr =
+          if (prevClose.isNaN) high - low
+          else math.max(high - low,
+            math.max(math.abs(high - prevClose), math.abs(low - prevClose)))
+        prevClose = close
+        ring(head) = tr
+        head = (head + 1) % atrPeriod
+        if (seen < atrPeriod) seen += 1
+        // recompute the bounded sum each row in arrival order (oldest
+        // first) — a running add/subtract sum drifts over long series
+        // and could flip 4dp rounding ties against the oracle's avg
+        var trSum = 0.0
+        var i = 0
+        while (i < seen) {
+          trSum += ring((head + atrPeriod - seen + i) % atrPeriod)
+          i += 1
+        }
+        // round through BigDecimal half-up like Spark's round()
+        val atr4 = if (seen >= atrPeriod)
+          BigDecimal(trSum / atrPeriod)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else Double.NaN
+        (u, dt, close, e, if (atr4.isNaN) None else Some(atr4))
+      }
+    }.toDF("user_id", "date", "close", "ema_tp", "atr")
+    scanned.select(col("user_id"), col("date"), col("close"),
+      round(col("ema_tp"), 4).as("center"),
+      round(col("ema_tp") + lit(mult) * col("atr"), 4).as("upper"),
+      round(col("ema_tp") - lit(mult) * col("atr"), 4).as("lower"),
+      col("atr").as(s"atr_$atrPeriod"))
+  }
+
+  /** Per-key risk/performance summary over the daily pct-return stream:
+    * annualized Sharpe (mean/σ·√252), Sortino against a 0% MAR (downside
+    * deviation = √(Σ min(r,0)² / n) over ALL n returns, the standard
+    * full-count convention), and the return/volatility inputs. One hash
+    * aggregate over the staged frame — partial-aggregated map-side,
+    * linear at any scale. `minDays` keeps noise keys out of the ratio. */
+  def riskSummary(staged: DataFrame, minDays: Int = 10,
+                  periodsPerYear: Int = 252): DataFrame = {
+    val r = staged.select(col("user_id"), col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val ann = math.sqrt(periodsPerYear.toDouble)
+    r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        avg(col("ret")).as("mean_ret"),
+        // the returns are exact 4dp decimals, so their mean can land on
+        // a true …5 tie at the 4th decimal (hit at sf0.1) — the output
+        // column goes through the scaled-long half-up bridge while the
+        // Sharpe/Sortino ratios keep the double mean (their σ/√ terms
+        // are irrational, tie-free)
+        sum(round(col("ret") * 10000).cast("long")).as("_sr"),
+        stddev_samp(col("ret")).as("vol"),
+        sum(pow(least(col("ret"), lit(0.0)), 2)).as("down_ss"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        graft.functions.ExactRound.signedRatio(col("_sr"),
+          col("n_days"), 0).divide(lit(10000.0)).as("mean_ret"),
+        round(col("vol"), 4).as("vol"),
+        round(col("mean_ret") / nullif(col("vol"), lit(0)) * ann, 4)
+          .as("sharpe"),
+        round(col("mean_ret")
+            / nullif(sqrt(col("down_ss") / col("n_days")), lit(0)) * ann, 4)
+          .as("sortino"))
+  }
+
   /** Running peak / drawdown-from-peak / running max drawdown per key —
     * the risk lens every price dashboard puts beside returns. Pure
     * window algebra (cummax, then cummin of the ratio) over the SAME

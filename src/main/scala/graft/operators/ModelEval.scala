@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Threshold-free model-evaluation curves over a scored frame
+  * `(key, score DOUBLE, label INT 0/1)` — the evaluation stage the
+  * reference runs after ml/train.py's accuracy/F1 block (ml/train.py's
+  * metric set stops at confusion-matrix statistics; these are the
+  * ranking-quality metrics a score-producing model needs next).
+  *
+  * All three are exact relational computations, no sampling:
+  *   - [[rocAuc]]: Mann-Whitney rank-sum AUC with midrank tie handling —
+  *     one sort-window per key plus one hash aggregate; at scale each
+  *     key's eval series sorts inside its own window partition (no
+  *     global order).
+  *   - [[liftGain]]: cumulative-gains / lift table over score deciles.
+  *     The ntile ranking is a TOTAL order by construction (deciles of
+  *     the whole eval set); bounded by the holdout size, which is the
+  *     frame model evaluation runs on — not the 100 TB corpus.
+  *   - [[logLoss]]: per-key logistic log-loss + Brier score of the
+  *     sigmoid-calibrated score — pure map + hash aggregate.
+  */
+object ModelEval {
+
+  /** Exact ROC-AUC per key via the rank-sum identity
+    * `AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻)`, with ties resolved
+    * by midranks (rank() + (tie_count−1)/2) — identical to the
+    * trapezoidal ROC integral. Keys whose eval window lacks both
+    * classes are dropped (AUC undefined). */
+  def rocAuc(scored: DataFrame, key: String = "user_id"): DataFrame = {
+    val byScore = Window.partitionBy(col(key)).orderBy(col("score"))
+    val ties = Window.partitionBy(col(key), col("score"))
+    val midrank = rank().over(byScore) +
+      (count(lit(1)).over(ties) - 1) / 2.0
+    scored.withColumn("midrank", midrank)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(when(col("label") === 1, col("midrank"))).as("pos_rank_sum"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col(key), col("n"), col("n_pos"), col("n_neg"),
+        round((col("pos_rank_sum")
+            - col("n_pos") * (col("n_pos") + lit(1)) / 2.0)
+          / (col("n_pos") * col("n_neg")), 4).as("auc"))
+  }
+
+  /** Cumulative-gains / lift table: rank the whole eval set by score
+    * descending (deterministic `tiebreak` columns make the ntile
+    * assignment engine-independent), split into `buckets`, and report
+    * per-bucket positives, cumulative capture rate, and lift vs the
+    * base rate. */
+  def liftGain(scored: DataFrame, buckets: Int = 10,
+               tiebreak: Seq[String] = Seq("user_id", "date")): DataFrame = {
+    val order = col("score").desc +: tiebreak.map(col)
+    val w = Window.orderBy(order: _*)
+    val bucketed = scored.withColumn("bucket",
+      ntile(buckets).over(w).cast("long"))
+    val perBucket = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("n_pos"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perBucket
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("total_pos", sum(col("n_pos")).over(tot))
+      .withColumn("total_n", sum(col("n")).over(tot))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 4).as("pos_rate"),
+        round(col("cum_pos") / col("total_pos").cast("double"), 4)
+          .as("cum_gain"),
+        round((col("n_pos") / col("n").cast("double"))
+          / (col("total_pos") / col("total_n").cast("double")), 4)
+          .as("lift"))
+  }
+
+  /** Per-key logistic log-loss and Brier score: p = σ(score/scale),
+    * clamped away from {0,1} by `eps` so a confident miss stays finite
+    * (the standard sklearn-style clip). */
+  def logLoss(scored: DataFrame, key: String = "user_id",
+              scale: Double = 1.0, eps: Double = 1e-15): DataFrame = {
+    val p0 = lit(1.0) / (lit(1.0) + exp(-col("score") / scale))
+    val p = least(greatest(p0, lit(eps)), lit(1.0 - eps))
+    val y = col("label").cast("double")
+    scored
+      .withColumn("ll", -(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+      .withColumn("sq", pow(p - y, 2))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("ll")), 4).as("log_loss"),
+        round(avg(col("sq")), 4).as("brier"))
+  }
+}

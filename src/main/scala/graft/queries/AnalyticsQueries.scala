@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AnalyticsViews, EventSeries}
+import graft.operators.{AnalyticsViews, EventSeries, ModelEval}
 
 /** The reference's stacked dashboard views (SURVEY §2.4 A4-A11, J2/J3,
   * F-CONCAT/F-EMOJI) over the deterministic persistence-baseline
@@ -57,7 +57,46 @@ object AnalyticsQueries {
          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY date)
          QUALIFY actual_class IS NOT NULL)"""
 
+  /** Scored eval frame for the ranking-metric queries: score = today's
+    * pct return, label = next-day up move (the same persistence-baseline
+    * convention `predictionBase` uses for the class metrics). */
+  private def scoredFrame(s: SparkSession, d: String): DataFrame = {
+    val staged = EventSeries.stgDailyPrices(
+      EventSeries.dailyBars(Tables.events(s, d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("date"))
+    val nc = lead(col("close"), 1).over(w)
+    staged.select(col("user_id"), col("date"),
+        col("pct_change").as("score"),
+        when(nc > col("close"), 1).otherwise(0).as("label"), nc.as("nc"))
+      .where(col("score").isNotNull && col("nc").isNotNull)
+      .drop("nc")
+  }
+
+  /** staged + scored CTE, oracle twin of [[scoredFrame]]. */
+  private val SCORED: String = SeriesQueries.STAGED +
+    """, scored AS (
+         SELECT user_id, date, pct_change AS score,
+                CASE WHEN lead(close) OVER w > close THEN 1 ELSE 0 END
+                  AS label
+         FROM staged WINDOW w AS (PARTITION BY user_id ORDER BY date)
+         QUALIFY pct_change IS NOT NULL
+             AND lead(close) OVER w IS NOT NULL)"""
+
   val queries: Map[String, Q] = Map(
+    // exact per-key ROC-AUC (Mann-Whitney rank sum, midrank ties) of
+    // the persistence score vs next-day direction
+    "q172_roc_auc" -> ((s, d) =>
+      ModelEval.rocAuc(scoredFrame(s, d)).orderBy(col("user_id"))),
+
+    // cumulative-gains / lift deciles over the same scored eval set
+    "q173_lift_gain" -> ((s, d) =>
+      ModelEval.liftGain(scoredFrame(s, d), 10).orderBy(col("bucket"))),
+
+    // per-key logistic log-loss + Brier of the sigmoid-calibrated score
+    "q174_log_loss" -> ((s, d) =>
+      ModelEval.logLoss(scoredFrame(s, d)).orderBy(col("user_id"))),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -182,6 +221,63 @@ object AnalyticsQueries {
         .orderBy(col("lvl"), col("lang"), col("source"))))
 
   val oracle: Map[String, String] = Map(
+    // q172: midrank = rank() + (ties-1)/2 — the exact Mann-Whitney
+    // statistic; keys lacking a class are dropped (AUC undefined)
+    "q172_roc_auc" -> (SCORED +
+      """, mr AS (
+            SELECT user_id, label,
+                   rank() OVER (PARTITION BY user_id ORDER BY score)
+                     + (count(*) OVER (PARTITION BY user_id, score) - 1)
+                       / 2e0 AS midrank
+            FROM scored),
+          a AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   sum(CASE WHEN label = 1 THEN midrank END)
+                     AS pos_rank_sum
+            FROM mr GROUP BY 1)
+          SELECT user_id, n, n_pos, n - n_pos AS n_neg,
+                 round((pos_rank_sum - n_pos * (n_pos + 1) / 2e0)
+                       / (n_pos * (n - n_pos)), 4) AS auc
+          FROM a WHERE n_pos > 0 AND n - n_pos > 0 ORDER BY 1"""),
+    // q173: deterministic ntile order (score DESC, user, date) so the
+    // bucket assignment is engine-independent
+    "q173_lift_gain" -> (SCORED +
+      """, b AS (
+            SELECT label,
+                   ntile(10) OVER (ORDER BY score DESC, user_id, date)
+                     AS bucket
+            FROM scored),
+          pb AS (
+            SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos
+            FROM b GROUP BY 1),
+          c AS (
+            SELECT *,
+                   sum(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+                   sum(n_pos) OVER () AS total_pos,
+                   sum(n) OVER () AS total_n
+            FROM pb)
+          SELECT bucket, n, n_pos,
+                 round(n_pos / CAST(n AS DOUBLE), 4) AS pos_rate,
+                 round(cum_pos / CAST(total_pos AS DOUBLE), 4)
+                   AS cum_gain,
+                 round((n_pos / CAST(n AS DOUBLE))
+                       / (total_pos / CAST(total_n AS DOUBLE)), 4)
+                   AS lift
+          FROM c ORDER BY 1"""),
+    // q174: p = sigmoid(score) clipped to [eps, 1-eps]; ln = Spark log
+    "q174_log_loss" -> (SCORED +
+      """, p AS (
+            SELECT user_id, CAST(label AS DOUBLE) AS y,
+                   least(greatest(1e0 / (1e0 + exp(-score)), 1e-15),
+                         1e0 - 1e-15) AS p
+            FROM scored)
+          SELECT user_id, count(*) AS n,
+                 round(avg(-(y * ln(p) + (1e0 - y) * ln(1e0 - p))), 4)
+                   AS log_loss,
+                 round(avg(power(p - y, 2)), 4) AS brier
+          FROM p GROUP BY 1 ORDER BY 1"""),
     "q159_profile" -> (Seq("event_id", "ts", "user_id", "event_type",
         "value", "props").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -439,6 +439,45 @@ object SeriesQueries {
         .orderBy(col("user_id"), col("week"))
     }),
 
+    // Williams %R(14): bounded [-100,0] overbought/oversold gauge,
+    // the lookback INCLUDES the current row (classic definition)
+    "q167_williams_r" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"), col("close"),
+          Indicators.williamsR(col("high"), col("low"), col("close"),
+            seriesW, 14).as("wr_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // CCI(20): Lambert mean-absolute-deviation indicator — the MD term
+    // folds the bounded window list against the window's own SMA
+    "q168_cci" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.cci(col("high"), col("low"), col("close"),
+            seriesW, 20).as("cci_20"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // MFI(14): volume-weighted RSI analogue over typical-price flows
+    "q169_mfi" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.mfi(col("high"), col("low"), col("close"),
+            col("volume"), seriesW, 14).as("mfi_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // Keltner channels: recursive EMA(20) of typical price ± 2·ATR(10),
+    // EMA + ring-buffer ATR fused into one sorted scan (one Exchange)
+    "q170_keltner" -> ((s, d) =>
+      EventSeries.keltner(bars(s, d), emaSpan = 20, atrPeriod = 10,
+          mult = 2.0)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // per-key annualized Sharpe/Sortino risk summary over daily returns
+    "q171_risk_summary" -> ((s, d) =>
+      EventSeries.riskSummary(staged(s, d), minDays = 10)
+        .orderBy(col("user_id"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -1150,6 +1189,123 @@ object SeriesQueries {
                  CAST((2 * num + volume) // (2 * volume) AS DOUBLE)
                    / 10000 AS vwap
           FROM a ORDER BY 1, 2"""),
+    // q167: trailing window includes the current row; -0.0 (close at
+    // the window high) normalized by + 0 on both sides
+    "q167_williams_r" -> (BARS +
+      """, wr AS (
+            SELECT user_id, date, close,
+                   CASE WHEN count(high) OVER f >= 14
+                        THEN max(high) OVER f END AS hi,
+                   CASE WHEN count(low) OVER f >= 14
+                        THEN min(low) OVER f END AS lo
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 round((hi - close) / nullif(hi - lo, 0) * -100, 4) + 0
+                   AS wr_14
+          FROM wr ORDER BY 1, 2"""),
+    // q168: the MD term is a per-row fold of the window list against
+    // the window's own SMA — same fold order (date asc) as Spark's
+    // collect_list + aggregate HOF
+    "q168_cci" -> (BARS +
+      """, t AS (
+            SELECT user_id, date, (high + low + close) / 3 AS tp
+            FROM bars),
+          c AS (
+            SELECT user_id, date, tp,
+                   CASE WHEN count(tp) OVER f >= 20
+                        THEN avg(tp) OVER f END AS sma,
+                   list(tp) OVER f AS win
+            FROM t
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round((tp - sma) / nullif(0.015e0 *
+                     (list_reduce(list_transform(win, x -> abs(x - sma)),
+                        (a, b) -> a + b) / 20), 0), 4) + 0 AS cci_20
+          FROM c ORDER BY 1, 2"""),
+    // q169: positive/negative typical-price flows vs the PREVIOUS tp;
+    // warm-up requires 14 rows that HAVE a previous tp; zero negative
+    // flow -> 100 explicitly
+    "q169_mfi" -> (BARS +
+      """, t AS (
+            SELECT user_id, date, (high + low + close) / 3 AS tp, volume
+            FROM bars),
+          fl AS (
+            SELECT user_id, date, tp, lag(tp) OVER w AS ptp,
+                   tp * volume AS flow
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          s AS (
+            SELECT user_id, date, ptp,
+                   CASE WHEN ptp IS NOT NULL AND tp > ptp
+                        THEN flow ELSE 0e0 END AS pos,
+                   CASE WHEN ptp IS NOT NULL AND tp < ptp
+                        THEN flow ELSE 0e0 END AS neg
+            FROM fl),
+          agg AS (
+            SELECT user_id, date,
+                   CASE WHEN count(ptp) OVER f >= 14
+                        THEN sum(pos) OVER f END AS sp,
+                   sum(neg) OVER f AS sn
+            FROM s
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(CASE WHEN sp IS NULL THEN NULL
+                            WHEN sn = 0 THEN 100e0
+                            ELSE 100e0 - 100e0 / (1e0 + sp / sn)
+                       END, 4) AS mfi_14
+          FROM agg ORDER BY 1, 2"""),
+    // q170: EMA(20) of typical price via the q142 list_reduce fold;
+    // the band adds the 4dp-ROUNDED ATR(10) exactly as the scan does
+    "q170_keltner" -> (BARS +
+      """, t AS (
+            SELECT user_id, date, close,
+                   (high + low + close) / 3 AS tp,
+                   greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) AS tr
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          e AS (
+            SELECT user_id, date, close,
+                   list_reduce(list(tp) OVER pw, (a, b) ->
+                     (2e0/21e0)*b + (1e0 - 2e0/21e0)*a) AS ema,
+                   round(CASE WHEN count(tr) OVER f >= 10
+                              THEN avg(tr) OVER f END, 4) AS atr4
+            FROM t
+            WINDOW pw AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 round(ema, 4) AS center,
+                 round(ema + 2e0 * atr4, 4) AS upper,
+                 round(ema - 2e0 * atr4, 4) AS lower,
+                 atr4 AS atr_10
+          FROM e ORDER BY 1, 2"""),
+    // q171: annualized Sharpe/Sortino; downside deviation uses the
+    // full-count convention sqrt(sum(min(r,0)^2)/n)
+    "q171_risk_summary" -> (STAGED +
+      """, r AS (
+            SELECT user_id, pct_change AS ret FROM staged
+            WHERE pct_change IS NOT NULL),
+          a AS (
+            SELECT user_id, count(*) AS n_days, avg(ret) AS m,
+                   sum(CAST(round(ret * 10000) AS BIGINT)) AS sru,
+                   stddev_samp(ret) AS v,
+                   sum(power(least(ret, 0e0), 2)) AS dss
+            FROM r GROUP BY 1 HAVING count(*) >= 10)
+          SELECT user_id, n_days,
+                 CAST(CASE WHEN sru < 0
+                        THEN -((2 * (-sru) + n_days) // (2 * n_days))
+                        ELSE (2 * sru + n_days) // (2 * n_days) END
+                      AS DOUBLE) / 10000 AS mean_ret,
+                 round(v, 4) AS vol,
+                 round(m / nullif(v, 0) * sqrt(252e0), 4) + 0 AS sharpe,
+                 round(m / nullif(sqrt(dss / n_days), 0) * sqrt(252e0), 4)
+                   + 0 AS sortino
+          FROM a ORDER BY 1"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

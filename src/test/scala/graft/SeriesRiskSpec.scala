@@ -355,4 +355,86 @@ class SeriesRiskSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
   }
+
+  private def hlcDf(rows: Seq[(Long, String, Double, Double, Double)]) =
+    rows.toDF("user_id", "date_s", "high", "low", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("high"), col("low"), col("close"))
+
+  test("keltner matches a sequential reference scan (EMA of typical " +
+    "price, ring-buffer ATR), per key, on shuffled input") {
+    val emaSpan = 3; val atrP = 2; val mult = 2.0
+    val hlc = Seq((10.0, 8.0, 9.0), (11.0, 9.0, 10.5), (12.0, 10.0, 11.0),
+      (11.5, 10.5, 10.8), (12.5, 11.0, 12.0))
+    val rows = hlc.zipWithIndex.map { case ((h, l, c), i) =>
+      (3L, f"2024-05-${i + 1}%02d", h, l, c)
+    } ++ Seq((4L, "2024-05-01", 5.0, 4.0, 4.5)) // 1-row key: no ATR
+    val out = EventSeries.keltner(hlcDf(scala.util.Random.shuffle(rows)),
+        emaSpan, atrP, mult)
+      .orderBy("user_id", "date")
+      .select("user_id", "center", "upper", "lower")
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+
+    // reference scan
+    val a = 2.0 / (emaSpan + 1); val b = 1.0 - a
+    var e = 0.0; var prevC = Double.NaN
+    val trs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val exp = hlc.zipWithIndex.map { case ((h, l, c), i) =>
+      val tp = (h + l + c) / 3
+      if (i == 0) { e = tp } else { e = a * tp + b * e }
+      val tr = if (prevC.isNaN) h - l
+               else math.max(h - l,
+                 math.max(math.abs(h - prevC), math.abs(l - prevC)))
+      prevC = c
+      trs += tr
+      val atr4 = if (trs.size >= atrP)
+        Some(r4(trs.takeRight(atrP).sum / atrP)) else None
+      (3L, r4(e), atr4.map(x => r4(e + mult * x)),
+        atr4.map(x => r4(e - mult * x)))
+    } :+ { val tp0 = (5.0 + 4.0 + 4.5) / 3
+      (4L, r4(tp0), None: Option[Double], None: Option[Double]) }
+    assert(out.toSeq == exp)
+  }
+
+  test("keltner plan: one Exchange total (ATR rides the EMA scan)") {
+    val plan = EventSeries.keltner(hlcDf(Seq(
+        (1L, "2024-01-01", 2.0, 1.0, 1.5))))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
+  }
+
+  test("riskSummary: hand-computed Sharpe/Sortino on a tiny return " +
+    "stream; minDays filter binds; all-positive returns null out " +
+    "sortino's downside deviation") {
+    val rets = Seq(1.0, -2.0, 0.5, 3.0, -1.5, 0.0, 2.0, -0.5, 1.0, 0.5)
+    val staged = rets.zipWithIndex.map { case (r, i) =>
+      (1L, f"2024-06-${i + 2}%02d", 100.0, r)
+    } ++ Seq((2L, "2024-06-02", 50.0, 1.0)) // below minDays
+    val df = staged.toDF("user_id", "date_s", "close", "pct_change")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"), col("pct_change"))
+    val out = EventSeries.riskSummary(df, minDays = 10)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(out.length == 1 && out.head._1 == 1L)
+    val n = rets.size
+    val m = rets.sum / n
+    val v = math.sqrt(rets.map(r => (r - m) * (r - m)).sum / (n - 1))
+    val dd = math.sqrt(rets.map(r => math.min(r, 0.0))
+      .map(x => x * x).sum / n)
+    val ann = math.sqrt(252.0)
+    val (_, nd, mr, vol, sharpe, sortino) = out.head
+    assert(nd == n.toLong && mr == r4(m) && vol == r4(v))
+    assert(sharpe.contains(r4(m / v * ann)))
+    assert(sortino.contains(r4(m / dd * ann)))
+    // all-positive returns: downside deviation 0 -> sortino null
+    val pos = (1 to 10).map(i => (9L, f"2024-07-${i + 1}%02d", 1.0, 0.5))
+      .toDF("user_id", "date_s", "close", "pct_change")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"), col("pct_change"))
+    val posOut = EventSeries.riskSummary(pos, minDays = 10)
+      .select("sortino").as[Option[Double]].collect()
+    assert(posOut.toSeq == Seq(None))
+  }
 }
