@@ -78,6 +78,66 @@ object ModelEval {
           .as("lift"))
   }
 
+  /** Per-key average precision (the exact PR-curve area under the
+    * step interpolation): rank by score descending with a deterministic
+    * `tiebreak` (AP is order-dependent within a tie run, so both
+    * engines must break ties identically), then
+    * `AP = (1/n⁺) Σ_{k: label_k=1} precision@k`. One sort-window per
+    * key + one hash aggregate; keys with no positives are dropped
+    * (AP undefined). */
+  def averagePrecision(scored: DataFrame, key: String = "user_id",
+                       tiebreak: Seq[String] = Seq("date")): DataFrame = {
+    val order = col("score").desc +: tiebreak.map(col)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = row_number().over(w)
+    val cumPos = sum(col("label")).over(cum)
+    scored
+      .withColumn("prec_at_k",
+        when(col("label") === 1, cumPos.cast("double") / k))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(col("prec_at_k")).as("ap_sum"))
+      .where(col("n_pos") > 0)
+      .select(col(key), col("n"), col("n_pos"),
+        round(col("ap_sum") / col("n_pos"), 4).as("ap"))
+  }
+
+  /** Reliability table: bucket p = σ(score) into `bins` equal-width
+    * probability bins and report per-bin support, mean predicted
+    * probability, and observed positive rate (the two curves a
+    * calibration plot draws). `frac_pos` is an integer-count ratio, so
+    * it rounds through the exact scaled-long bridge ([[graft.functions
+    * .ExactRound]]) — `n/bin-count` ratios are the decimal-tie class.
+    * Bounded output (`bins` rows); one hash aggregate. */
+  def calibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-col("score")))
+    val bin = least(floor(p * bins), lit(bins - 1)).cast("long")
+    scored.withColumn("bin", bin).withColumn("p", p)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("n_pos"),
+        round(avg(col("p")), 4).as("mean_p"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_p"),
+        graft.functions.ExactRound.ratio(col("n_pos"), col("n"), 4)
+          .as("frac_pos"))
+  }
+
+  /** Per-key Spearman rank correlation of two columns: Pearson `corr`
+    * of midranks (rank() + (ties−1)/2 — the tie-correct definition).
+    * Two sort-windows + one hash aggregate per key; keys where either
+    * column is constant yield null (zero rank variance). */
+  def spearman(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    def midrank(c: String) =
+      rank().over(Window.partitionBy(col(key)).orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(key), col(c))) - 1) / 2.0
+    df.withColumn("rx", midrank(x)).withColumn("ry", midrank(y))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("rx"), col("ry")), 4).as("rho"))
+  }
+
   /** Per-key logistic log-loss and Brier score: p = σ(score/scale),
     * clamped away from {0,1} by `eps` so a confident miss stays finite
     * (the standard sklearn-style clip). */

@@ -97,6 +97,17 @@ object AnalyticsQueries {
     "q174_log_loss" -> ((s, d) =>
       ModelEval.logLoss(scoredFrame(s, d)).orderBy(col("user_id"))),
 
+    // per-key average precision (exact step-interpolated PR area,
+    // deterministic tie order)
+    "q175_avg_precision" -> ((s, d) =>
+      ModelEval.averagePrecision(scoredFrame(s, d))
+        .orderBy(col("user_id"))),
+
+    // reliability / calibration table of the sigmoid score in 10
+    // probability bins
+    "q176_calibration" -> ((s, d) =>
+      ModelEval.calibration(scoredFrame(s, d), 10).orderBy(col("bin"))),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -266,6 +277,42 @@ object AnalyticsQueries {
                        / (total_pos / CAST(total_n AS DOUBLE)), 4)
                    AS lift
           FROM c ORDER BY 1"""),
+    // q175: AP = mean over positives of precision@rank, ranked by
+    // (score DESC, date) so tie runs resolve identically in both engines
+    "q175_avg_precision" -> (SCORED +
+      """, r AS (
+            SELECT user_id, label,
+                   row_number() OVER w AS k,
+                   sum(label) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_pos
+            FROM scored
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY score DESC, date)),
+          a AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   sum(CASE WHEN label = 1
+                            THEN CAST(cum_pos AS DOUBLE) / k END) AS ap_sum
+            FROM r GROUP BY 1)
+          SELECT user_id, n, n_pos, round(ap_sum / n_pos, 4) AS ap
+          FROM a WHERE n_pos > 0 ORDER BY 1"""),
+    // q176: equal-width probability bins of sigmoid(score); frac_pos
+    // rounds through the exact scaled-long bridge on both sides
+    "q176_calibration" -> (SCORED +
+      """, p AS (
+            SELECT label, 1e0 / (1e0 + exp(-score)) AS p,
+                   CAST(least(floor((1e0 / (1e0 + exp(-score))) * 10),
+                              9) AS BIGINT) AS bin
+            FROM scored),
+          a AS (
+            SELECT bin, count(*) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   round(avg(p), 4) AS mean_p
+            FROM p GROUP BY 1)
+          SELECT bin, n, n_pos, mean_p,
+                 CAST((2 * n_pos * 10000 + n) // (2 * n) AS DOUBLE)
+                   / 10000 AS frac_pos
+          FROM a ORDER BY 1"""),
     // q174: p = sigmoid(score) clipped to [eps, 1-eps]; ln = Spark log
     "q174_log_loss" -> (SCORED +
       """, p AS (

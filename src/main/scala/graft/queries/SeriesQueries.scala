@@ -478,6 +478,16 @@ object SeriesQueries {
       EventSeries.riskSummary(staged(s, d), minDays = 10)
         .orderBy(col("user_id"))),
 
+    // Spearman rank correlation of volume vs |daily return| per key
+    // (the volume-volatility stylized fact), tie-correct midranks
+    "q177_vol_volume_rank_corr" -> ((s, d) =>
+      graft.operators.ModelEval.spearman(
+          staged(s, d).where(col("pct_change").isNotNull)
+            .select(col("user_id"), col("volume").cast("double").as("v"),
+              abs(col("pct_change")).as("a")),
+          "user_id", "v", "a")
+        .orderBy(col("user_id"))),
+
     // ordered conversion funnel per (user, day): view → click →
     // purchase with in-order timestamps; reached = prefix length
     "q136_daily_funnel" -> ((s, d) =>
@@ -1306,6 +1316,31 @@ object SeriesQueries {
                  round(m / nullif(sqrt(dss / n_days), 0) * sqrt(252e0), 4)
                    + 0 AS sortino
           FROM a ORDER BY 1"""),
+    // q177: Pearson corr of midranks — both engines evaluate corr()
+    // over identical rational midrank inputs
+    "q177_vol_volume_rank_corr" -> (BARS +
+      """, st AS (
+            SELECT user_id, volume,
+                   round((close - lag(close) OVER w)
+                         / nullif(lag(close) OVER w, 0) * 100, 4)
+                     AS pct_change
+            FROM bars
+            WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          s AS (
+            SELECT user_id, CAST(volume AS DOUBLE) AS v,
+                   abs(pct_change) AS a
+            FROM st WHERE pct_change IS NOT NULL),
+          mr AS (
+            SELECT user_id,
+                   rank() OVER (PARTITION BY user_id ORDER BY v)
+                     + (count(*) OVER (PARTITION BY user_id, v) - 1) / 2e0
+                     AS rx,
+                   rank() OVER (PARTITION BY user_id ORDER BY a)
+                     + (count(*) OVER (PARTITION BY user_id, a) - 1) / 2e0
+                     AS ry
+            FROM s)
+          SELECT user_id, count(*) AS n, round(corr(rx, ry), 4) AS rho
+          FROM mr GROUP BY 1 ORDER BY 1"""),
     // q136: each stage = min ts of its step AT OR AFTER the previous
     // stage, per (user, day); cascading nulls via the join filters
     "q136_daily_funnel" ->

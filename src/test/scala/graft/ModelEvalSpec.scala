@@ -77,6 +77,59 @@ class ModelEvalSpec extends SparkSuite {
     assert(out.head._3 == 2L)
   }
 
+  test("averagePrecision matches the brute-force ranked scan with the " +
+    "deterministic (score desc, date) tie order; no-positive keys drop") {
+    val out = ModelEval.averagePrecision(scored)
+      .select("user_id", "ap").as[(Long, Double)].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, xs) =>
+      val ranked = xs.sortBy(t => (-t._3, t._2)).map(_._4)
+      var cum = 0; var apSum = 0.0
+      ranked.zipWithIndex.foreach { case (y, i) =>
+        if (y == 1) { cum += 1; apSum += cum.toDouble / (i + 1) }
+      }
+      assert(out(k) == r4(apSum / ranked.count(_ == 1)), s"key $k")
+    }
+    val negOnly = Seq((8L, "2024-01-01", 0.3, 0))
+      .toDF("user_id", "date_s", "score", "label")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("score"), col("label"))
+    assert(ModelEval.averagePrecision(negOnly).count() == 0)
+  }
+
+  test("calibration: rows conserved across bins, frac_pos is the exact " +
+    "count ratio, mean_p sits inside its bin") {
+    val out = ModelEval.calibration(scored, 10)
+      .select("bin", "n", "n_pos", "mean_p", "frac_pos")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.map(_._2).sum == rows.size)
+    assert(out.map(_._3).sum == rows.count(_._4 == 1))
+    out.foreach { case (bin, n, nPos, meanP, fracPos) =>
+      assert(meanP >= bin / 10.0 - 1e-9 && meanP < (bin + 1) / 10.0 + 1e-9)
+      assert(fracPos == r4(nPos.toDouble / n))
+    }
+  }
+
+  test("spearman: +1 on any monotone pair, -1 inverted, midrank ties " +
+    "match the hand-computed Pearson-of-ranks") {
+    val mono = (1 to 8).map(i => (1L, i.toDouble, math.exp(i.toDouble))) ++
+      (1 to 8).map(i => (2L, i.toDouble, -math.log(i.toDouble)))
+    val m = ModelEval.spearman(mono.toDF("k", "x", "y"), "k", "x", "y")
+      .select("k", "rho").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 1.0 && m(2L) == -1.0)
+    // tied x values -> midranks; reference Pearson on ranks
+    val tied = Seq((3L, 1.0, 2.0), (3L, 1.0, 1.0), (3L, 2.0, 3.0),
+      (3L, 3.0, 4.0))
+    val rx = Seq(1.5, 1.5, 3.0, 4.0); val ry = Seq(2.0, 1.0, 3.0, 4.0)
+    val mx = rx.sum / 4; val my = ry.sum / 4
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val ref = cov / math.sqrt(
+      rx.map(a => (a - mx) * (a - mx)).sum *
+        ry.map(b => (b - my) * (b - my)).sum)
+    val got = ModelEval.spearman(tied.toDF("k", "x", "y"), "k", "x", "y")
+      .select("rho").as[Double].head()
+    assert(got == r4(ref))
+  }
+
   test("logLoss matches the clipped sigmoid reference; a perfectly " +
     "separable strong scorer beats a weak one") {
     val out = ModelEval.logLoss(scored).orderBy("user_id")
