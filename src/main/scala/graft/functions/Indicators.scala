@@ -204,6 +204,40 @@ object Indicators {
     round(when(gate, mfiVal), 4)
   }
 
+  /** Chaikin Money Flow(period): Σ(MFM·volume) / Σvolume over the
+    * trailing `period` rows, where the money-flow multiplier
+    * MFM = ((close−low) − (high−close)) / (high−low). A flat bar
+    * (high == low) has an undefined multiplier — its flow contributes 0
+    * but its volume still counts in the denominator (the standard
+    * convention). min_periods = period warm-up nulls. */
+  def cmf(high: Column, low: Column, close: Column, volume: Column,
+          w: WindowSpec, period: Int = 20): Column = {
+    val mfm = ((close - low) - (high - close)) / nullif(high - low, lit(0))
+    val mfv = coalesce(mfm * volume, lit(0.0))
+    val f = trailing(w, period)
+    val gate = count(high).over(f) >= period
+    round(when(gate, sum(mfv).over(f) / sum(volume).over(f)), 4)
+  }
+
+  /** Ulcer Index(period): RMS of the percentage drawdown from the
+    * trailing `period`-row high — `√(Σ dd² / period)` with
+    * `dd = 100·(close − max close)/max close`. Penalizes depth AND
+    * duration of drawdowns, unlike σ. min_periods = period. */
+  def ulcerIndex(close: Column, w: WindowSpec, period: Int = 14): Column = {
+    val f = trailing(w, period)
+    val gate = count(close).over(f) >= period
+    val peak = max(close).over(f)
+    // each dd_i is measured against the WINDOW's max, which depends on
+    // the current row — not a decomposable rolling aggregate (same shape
+    // as [[cci]]'s MD term), so fold the bounded window list
+    val win = collect_list(close).over(f)
+    val ssq = aggregate(win, lit(0.0), (acc, c) => {
+      val d = lit(100.0) * (c - peak) / peak
+      acc + d * d
+    })
+    round(when(gate, sqrt(ssq / period)), 4)
+  }
+
   /** On-balance volume: cumulative signed volume, +v on an up-close,
     * −v on a down-close, 0 on the first/flat row. All-integer window
     * arithmetic (volume is a count) — no fp rounding anywhere. */

@@ -383,6 +383,49 @@ object EventSeries {
       col("atr").as(s"atr_$atrPeriod"))
   }
 
+  /** Holt double exponential smoothing (level + linear trend) per key:
+    * `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, initialized l₁ = y₁,
+    * b₁ = 0 (fully determined from the first row — no two-row warm-up
+    * special case). Emits the smoothed level, trend, and the one-step-
+    * ahead forecast l+b. Coupled recurrence on the previous OUTPUTS, so
+    * like [[emaMacd]]/[[keltner]] it runs as ONE sorted scan per key —
+    * O(1) state, one Exchange at any scale. The oracle twin replays the
+    * identical double arithmetic via a recursive CTE. */
+  def holt(bars: DataFrame, alpha: Double = 0.5,
+           beta: Double = 0.3): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val src = bars
+      .select(col("user_id").cast("long"), col("date").cast("date"),
+        col("close").cast("double"))
+      .as[(Long, java.sql.Date, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("date"))
+    val scanned = src.mapPartitions { it =>
+      var cur = Long.MinValue
+      var l = 0.0; var b = 0.0
+      it.map { case (u, dt, y) =>
+        if (u != cur) { cur = u; l = y; b = 0.0 }
+        else {
+          val lNew = alpha * y + (1.0 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1.0 - beta) * b
+          l = lNew
+        }
+        (u, dt, y, l, b)
+      }
+    }.toDF("user_id", "date", "close", "l", "b")
+    // UNROUNDED on purpose: the recurrence is the same IEEE op sequence
+    // in both engines, so the doubles are bit-identical — but they can
+    // land arbitrarily close to a 4dp decimal tie (42.92585… hit at
+    // sf0.01), where Spark's BigDecimal HALF_UP and DuckDB's scaled
+    // float round disagree on the SAME double. Exact raw doubles are
+    // deterministic; a 4dp round of them is not.
+    scanned.select(col("user_id"), col("date"), col("close"),
+      col("l").as("level"), col("b").as("trend"),
+      (col("l") + col("b")).as("forecast"))
+  }
+
   /** Per-key risk/performance summary over the daily pct-return stream:
     * annualized Sharpe (mean/σ·√252), Sortino against a 0% MAR (downside
     * deviation = √(Σ min(r,0)² / n) over ALL n returns, the standard

@@ -478,6 +478,46 @@ object SeriesQueries {
       EventSeries.riskSummary(staged(s, d), minDays = 10)
         .orderBy(col("user_id"))),
 
+    // Holt double exponential smoothing (level + trend + one-step
+    // forecast), one sorted scan per key; oracle replays the identical
+    // double recurrence via a recursive CTE
+    "q178_holt" -> ((s, d) =>
+      EventSeries.holt(bars(s, d), alpha = 0.5, beta = 0.3)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // market breadth: per-date advance/decline counts and the
+    // cumulative A/D line over the whole market
+    "q179_breadth" -> ((s, d) => {
+      val dayAgg = staged(s, d).where(col("pct_change").isNotNull)
+        .groupBy(col("date"))
+        .agg(count(when(col("pct_change") > 0, 1)).as("advances"),
+          count(when(col("pct_change") < 0, 1)).as("declines"),
+          count(when(col("pct_change") === 0, 1)).as("unchanged"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("date"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      dayAgg.withColumn("ad_line",
+          sum(col("advances") - col("declines")).over(w))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("date"))
+    }),
+
+    // Chaikin Money Flow(20): volume-weighted close-location flow
+    "q180_cmf" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.cmf(col("high"), col("low"), col("close"),
+            col("volume"), seriesW, 20).as("cmf_20"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // Ulcer Index(14): RMS percent drawdown from the trailing-window high
+    "q181_ulcer" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.ulcerIndex(col("close"), seriesW, 14).as("ui_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
     // Spearman rank correlation of volume vs |daily return| per key
     // (the volume-volatility stylized fact), tie-correct midranks
     "q177_vol_volume_rank_corr" -> ((s, d) =>
@@ -1316,6 +1356,79 @@ object SeriesQueries {
                  round(m / nullif(sqrt(dss / n_days), 0) * sqrt(252e0), 4)
                    + 0 AS sortino
           FROM a ORDER BY 1"""),
+    // q178: the recursive member duplicates the l-recurrence expression
+    // so b sees the identical double; constants written as (1e0 - α)
+    // subtractions so both engines round the SAME IEEE operation
+    "q178_holt" -> (BARS.replaceFirst("WITH", "WITH RECURSIVE") +
+      """, t AS (
+            SELECT user_id, date, close,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY date) AS rn
+            FROM bars),
+          h AS (
+            SELECT user_id, rn, date, close, close AS l, 0e0 AS b
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.rn, t.date, t.close,
+                   0.5e0 * t.close + (1e0 - 0.5e0) * (h.l + h.b),
+                   0.3e0 * ((0.5e0 * t.close
+                             + (1e0 - 0.5e0) * (h.l + h.b)) - h.l)
+                     + (1e0 - 0.3e0) * h.b
+            FROM h JOIN t ON t.user_id = h.user_id AND t.rn = h.rn + 1)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 l AS level, b + 0 AS trend, l + b AS forecast
+          FROM h ORDER BY 1, 2"""),
+    // q179: per-date advance/decline counts over non-null returns,
+    // cumulative net line over the global date order
+    "q179_breadth" -> (STAGED +
+      """, a AS (
+            SELECT date,
+                   count(CASE WHEN pct_change > 0 THEN 1 END) AS advances,
+                   count(CASE WHEN pct_change < 0 THEN 1 END) AS declines,
+                   count(CASE WHEN pct_change = 0 THEN 1 END) AS unchanged
+            FROM staged WHERE pct_change IS NOT NULL GROUP BY 1)
+          SELECT strftime(date, '%Y-%m-%d') AS date,
+                 advances, declines, unchanged,
+                 CAST(sum(advances - declines) OVER (ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ad_line
+          FROM a ORDER BY 1"""),
+    // q180: flat bars (high = low) contribute zero flow but full volume
+    "q180_cmf" -> (BARS +
+      """, c AS (
+            SELECT user_id, date,
+                   CASE WHEN count(high) OVER f >= 20 THEN
+                     sum(coalesce(((close - low) - (high - close))
+                                  / nullif(high - low, 0) * volume, 0e0))
+                       OVER f
+                     / sum(volume) OVER f
+                   END AS cmf
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(cmf, 4) + 0 AS cmf_20
+          FROM c ORDER BY 1, 2"""),
+    // q181: each dd is vs the WINDOW's max close — same bounded-list
+    // fold as the CCI oracle; list_reduce's first-element seed equals
+    // Spark's 0.0-seeded left fold exactly (0 + x == x)
+    "q181_ulcer" -> (BARS +
+      """, c AS (
+            SELECT user_id, date,
+                   CASE WHEN count(close) OVER f >= 14
+                        THEN max(close) OVER f END AS peak,
+                   list(close) OVER f AS win
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(CASE WHEN peak IS NOT NULL THEN
+                   sqrt(list_reduce(list_transform(win,
+                          x -> (100e0 * (x - peak) / peak)
+                               * (100e0 * (x - peak) / peak)),
+                        (a, b) -> a + b) / 14)
+                 END, 4) AS ui_14
+          FROM c ORDER BY 1, 2"""),
     // q177: Pearson corr of midranks — both engines evaluate corr()
     // over identical rational midrank inputs
     "q177_vol_volume_rank_corr" -> (BARS +

@@ -30,6 +30,53 @@ class OscillatorSpec extends SparkSuite {
   private def r4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("cmf matches the flow reference: flat bar contributes zero flow " +
+    "but full volume; warm-up null") {
+    val p = 3
+    val out = df.select(col("date"),
+        Indicators.cmf(col("high"), col("low"), col("close"),
+          col("volume"), w, p).as("c"))
+      .orderBy("date").select("c").as[Option[Double]].collect()
+    val exp = rows.indices.map { i =>
+      if (i < p - 1) None
+      else {
+        val win = rows.slice(i - p + 1, i + 1)
+        val mfv = win.map { case (h, l, c, v) =>
+          if (h == l) 0.0 else ((c - l) - (h - c)) / (h - l) * v
+        }.sum
+        Some(r4(mfv / win.map(_._4).sum))
+      }
+    }
+    assert(out.toSeq == exp)
+  }
+
+  test("ulcerIndex matches the RMS-drawdown-vs-window-max reference; " +
+    "monotone rising closes read 0") {
+    val p = 3
+    val out = df.select(col("date"),
+        Indicators.ulcerIndex(col("close"), w, p).as("u"))
+      .orderBy("date").select("u").as[Option[Double]].collect()
+    val exp = rows.indices.map { i =>
+      if (i < p - 1) None
+      else {
+        val win = rows.slice(i - p + 1, i + 1).map(_._3)
+        val peak = win.max
+        Some(r4(math.sqrt(
+          win.map(c => math.pow(100.0 * (c - peak) / peak, 2)).sum / p)))
+      }
+    }
+    assert(out.toSeq == exp)
+    // strictly rising closes: every dd vs the window max is only the
+    // current row's 0 plus older drawdowns; a plateau-at-max window is 0
+    val rising = (1 to 5).map(i => (2L, f"2024-04-0$i", 10.0 + i))
+      .toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+    val last = rising.select(Indicators.ulcerIndex(col("close"), w, 3)
+        .as("u")).orderBy(desc("u")).as[Option[Double]].collect()
+    assert(last.flatten.forall(_ > 0.0)) // rising window still has dd>0 rows
+  }
+
   test("williamsR matches the sliding-window reference; warm-up null; " +
     "close at the window high reads 0 (not -0)") {
     val p = 3

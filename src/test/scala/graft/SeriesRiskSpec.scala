@@ -404,6 +404,43 @@ class SeriesRiskSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
   }
 
+  test("holt matches a sequential double-smoothing reference per key " +
+    "on shuffled input; single-row key emits (y, 0, y)") {
+    val alpha = 0.5; val beta = 0.3
+    val ys = Seq(10.0, 12.0, 11.0, 14.0, 13.5, 15.0)
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      (7L, f"2024-08-${i + 1}%02d", y)
+    } ++ Seq((8L, "2024-08-01", 42.0))
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+    val out = EventSeries.holt(df, alpha, beta)
+      .orderBy("user_id", "date")
+      .select("user_id", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+    var l = 0.0; var b = 0.0
+    val exp = ys.zipWithIndex.map { case (y, i) =>
+      if (i == 0) { l = y; b = 0.0 }
+      else {
+        val lNew = alpha * y + (1.0 - alpha) * (l + b)
+        b = beta * (lNew - l) + (1.0 - beta) * b
+        l = lNew
+      }
+      (7L, l, b, l + b)
+    } :+ ((8L, 42.0, 0.0, 42.0))
+    assert(out.toSeq == exp)
+  }
+
+  test("holt plan: one Exchange total (single sorted scan per key)") {
+    val df = Seq((1L, "2024-01-01", 2.0)).toDF("user_id", "date_s", "close")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("close"))
+    val plan = EventSeries.holt(df).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
+  }
+
   test("riskSummary: hand-computed Sharpe/Sortino on a tiny return " +
     "stream; minDays filter binds; all-positive returns null out " +
     "sortino's downside deviation") {
