@@ -159,6 +159,35 @@ object AnalyticsViews {
     preds.join(broadcast(latest), Seq("model_version"))
   }
 
+  /** Concentration profile of activity per group: how unevenly `key`s
+    * share the group's event volume — Herfindahl-Hirschman index
+    * `HHI = Σc²/S²` and Gini `G = (2·Σᵢ i·cᵢ − (n+1)·S) / (n·S)` over
+    * counts c sorted ascending (row_number tie-broken by key so both
+    * engines rank identically). Both ratios are INTEGER/INTEGER, so
+    * they round through the exact scaled-long bridge — no float path
+    * at all. Two hash aggregates + one bounded sort-window per group;
+    * Σc² fits a long for S up to ~3·10⁹ per group (repartition by
+    * group key before this at larger per-group volumes). */
+  def concentration(events: DataFrame, group: String = "event_type",
+                    key: String = "user_id"): DataFrame = {
+    val counts = events.groupBy(col(group), col(key))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("c").asc, col(key).asc)
+    val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ssq"),
+        sum(col("i") * col("c")).as("a"))
+      .select(col(group), col("n").as("n_keys"),
+        col("s").as("total_events"),
+        graft.functions.ExactRound.ratio(col("ssq"),
+          col("s") * col("s"), 4).as("hhi"),
+        graft.functions.ExactRound.signedRatio(
+          lit(2) * col("a") - (col("n") + 1) * col("s"),
+          col("n") * col("s"), 4).as("gini"))
+  }
+
   /** summary twin (dashboard_views.sql:69-78): global counts, distinct
     * keys, span. */
   def summary(base: DataFrame): DataFrame =

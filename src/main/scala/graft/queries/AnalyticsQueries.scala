@@ -108,6 +108,12 @@ object AnalyticsQueries {
     "q176_calibration" -> ((s, d) =>
       ModelEval.calibration(scoredFrame(s, d), 10).orderBy(col("bin"))),
 
+    // per-event-type concentration of activity across users: HHI +
+    // Gini, both INTEGER/INTEGER ratios through the exact bridge
+    "q183_concentration" -> ((s, d) =>
+      AnalyticsViews.concentration(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -277,6 +283,37 @@ object AnalyticsQueries {
                        / (total_pos / CAST(total_n AS DOUBLE)), 4)
                    AS lift
           FROM c ORDER BY 1"""),
+    // q183: HHI = Σc²/S², Gini = (2·Σi·cᵢ − (n+1)S)/(nS) over counts
+    // ranked ascending with a user_id tiebreak — all-integer ratios
+    // through the exact half-up bridge
+    "q183_concentration" ->
+      """WITH c AS (
+           SELECT event_type, user_id, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, c,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY c, user_id) AS BIGINT) AS i
+           FROM c),
+         a AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS ssq,
+                  CAST(sum(i * c) AS BIGINT) AS a
+           FROM r GROUP BY 1),
+         g AS (
+           SELECT event_type, n, s, ssq,
+                  2 * a - (n + 1) * s AS num, n * s AS den
+           FROM a)
+         SELECT event_type, n AS n_keys, s AS total_events,
+                CAST((ssq * 20000 + s * s) // (2 * s * s) AS DOUBLE)
+                  / 10000 AS hhi,
+                CAST(CASE WHEN num < 0
+                     THEN -(((-num) * 20000 + den) // (2 * den))
+                     ELSE ((num * 20000 + den) // (2 * den)) END
+                     AS DOUBLE) / 10000 AS gini
+         FROM g ORDER BY 1""",
+
     // q175: AP = mean over positives of precision@rank, ranked by
     // (score DESC, date) so tie runs resolve identically in both engines
     "q175_avg_precision" -> (SCORED +

@@ -198,6 +198,12 @@ object TextQueries {
 
     // per-doc lexical diversity: TTR/hapax in exact integer rounding,
     // unigram self-entropy via the micro-nat DECIMAL bridge
+    // per-doc character-entropy gate — the pre-tokenization binary/
+    // gibberish filter, micro-nat exact bridge
+    "q182_char_entropy" -> ((s, d) =>
+      Relevance.charEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     "q164_lexical_diversity" -> ((s, d) =>
       Relevance.lexicalDiversity(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
@@ -1574,6 +1580,36 @@ object TextQueries {
           FROM r WHERE rank <= 20 ORDER BY rank"""),
     // q164: width-safe decimal entropy product, ExactRound ratios,
     // micro-nat half-up entropy division
+    // q182: the lexicalDiversity micro-nat bridge applied to CHARACTER
+    // frequencies; keep gate compares the exact 4dp entropy
+    "q182_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         ch2 AS (SELECT doc_id, ch FROM ch WHERE ch <> ''),
+         cf AS (SELECT doc_id, ch, count(*) AS c FROM ch2 GROUP BY 1, 2),
+         tot AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS nd FROM cf GROUP BY 1),
+         sm AS (
+           SELECT cf.doc_id, max(n) AS n, max(nd) AS nd,
+                  CAST(sum(CAST(c AS DECIMAL(12,0))
+                    * CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+                      AS DECIMAL(10,6))) AS DECIMAL(38,6)) AS s6
+           FROM cf JOIN tot USING (doc_id) GROUP BY 1),
+         r AS (
+           SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+                  CAST(nd AS BIGINT) AS n_distinct_chars,
+                  CAST((2 * CAST(-s6 * 1000000 AS BIGINT) + n * 100)
+                    // (n * 200) AS DOUBLE) / 10000 AS entropy
+           FROM sm)
+         SELECT d.doc_id,
+                coalesce(r.n_chars_counted, 0) AS n_chars_counted,
+                coalesce(r.n_distinct_chars, 0) AS n_distinct_chars,
+                r.entropy,
+                coalesce(r.entropy >= 2.0e0, false) AS keep
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
     "q164_lexical_diversity" -> (TOKS +
       """, tok2 AS (
             SELECT doc_id, unnest(w) AS token FROM t),

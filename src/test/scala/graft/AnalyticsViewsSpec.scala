@@ -60,4 +60,19 @@ class AnalyticsViewsSpec extends SparkSuite {
     assert(s == ((6L, 4L, 66.67, 2L, Date.valueOf("2024-01-01"),
       Date.valueOf("2024-01-03"))))
   }
+
+  test("concentration: hand-derived HHI and Gini per group — skewed " +
+    "0.375/0.1667, uniform 0.5/0, monopoly 1/0") {
+    // x: counts a=1,b=1,c=2 → HHI 6/16=0.375; ranked 1,1,2 →
+    //    G=(2·(1+2+6)−4·4)/(3·4)=2/12=0.1667
+    // y: two users × 2 → HHI 8/16=0.5, perfectly equal → G=0
+    // z: one user × 3 → HHI 9/9=1, single key → G=0
+    val ev = (Seq(("x", "a"), ("x", "b"), ("x", "c"), ("x", "c")) ++
+      Seq(("y", "a"), ("y", "a"), ("y", "b"), ("y", "b")) ++
+      Seq.fill(3)(("z", "a"))).toDF("event_type", "user_id")
+    val out = AnalyticsViews.concentration(ev).orderBy("event_type")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 3L, 4L, 0.375, 0.1667),
+      ("y", 2L, 4L, 0.5, 0.0), ("z", 1L, 3L, 1.0, 0.0)))
+  }
 }

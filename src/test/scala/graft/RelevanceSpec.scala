@@ -128,4 +128,16 @@ class RelevanceSpec extends SparkSuite {
     // one type -> zero-variance x -> null slope, not a crash
     assert(got("mono") == ((1L, None)))
   }
+
+  test("charEntropy: uniform-16 chars read ln16=2.7726 and keep; " +
+    "single-char spam reads 0 and drops; empty doc survives as null") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "aaaa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Relevance.charEntropy(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(out == Seq((1L, 16L, 16L, Some(2.7726), true),
+      (2L, 4L, 1L, Some(0.0), false), (3L, 0L, 0L, None, false)))
+  }
 }
