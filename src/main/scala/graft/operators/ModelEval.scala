@@ -138,6 +138,71 @@ object ModelEval {
         round(corr(col("rx"), col("ry")), 4).as("rho"))
   }
 
+  /** Per-key Kolmogorov-Smirnov separation statistic — the maximum
+    * gap between the positive and negative score CDFs, evaluated at
+    * every distinct score: `KS = max_t |F⁺(t) − F⁻(t)|`. ALL-INTEGER:
+    * the gap numerator is `|cum_pos·n⁻ − cum_neg·n⁺|`, maximized as a
+    * long, and only the final ratio rounds (half-up, exact bridge).
+    * One (key, score) hash aggregate + one sort-window per key; keys
+    * lacking both classes are dropped (KS undefined). */
+  def ks(scored: DataFrame, key: String = "user_id"): DataFrame = {
+    val perScore = scored.groupBy(col(key), col("score"))
+      .agg(sum(col("label")).cast("long").as("p"),
+        sum(lit(1) - col("label")).cast("long").as("q"))
+    val cumW = Window.partitionBy(col(key)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(key))
+    val cum = perScore
+      .withColumn("cp", sum(col("p")).over(cumW))
+      .withColumn("cq", sum(col("q")).over(cumW))
+      .withColumn("np", sum(col("p")).over(totW))
+      .withColumn("nq", sum(col("q")).over(totW))
+    cum.where(col("np") > 0 && col("nq") > 0)
+      .groupBy(col(key))
+      .agg(max(col("np")).as("n_pos"), max(col("nq")).as("n_neg"),
+        max(abs(col("cp") * col("nq") - col("cq") * col("np")))
+          .as("dnum"))
+      .select(col(key), (col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"),
+        graft.functions.ExactRound.ratio(col("dnum"),
+          col("n_pos") * col("n_neg"), 4).as("ks"))
+  }
+
+  /** Per-key mutual information (nats) between the SIGN of the score
+    * (down / flat / up) and the label:
+    * `MI = (1/n) Σ_xy c_xy · ln(c_xy·n / (r_x·c_y))`. The log factors
+    * round at 6dp into the micro-nat DECIMAL bridge (the charEntropy
+    * scheme), the final /n is the signed half-up bridge — rounding may
+    * leave a near-zero sum on either side of 0, and Spark `div`
+    * truncates where DuckDB `//` floors. One (key, x, y) aggregate;
+    * marginals come from windows sharing the key prefix. */
+  def mutualInfo(scored: DataFrame, key: String = "user_id"): DataFrame = {
+    val cxy = scored
+      .withColumn("x", signum(col("score")).cast("int"))
+      .groupBy(col(key), col("x"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wx = Window.partitionBy(col(key), col("x"))
+    val wy = Window.partitionBy(col(key), col("label"))
+    val wk = Window.partitionBy(col(key))
+    val j = cxy
+      .withColumn("rx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .withColumn("n", sum(col("c")).over(wk))
+    val term = (col("c").cast("decimal(12,0)") *
+      round(log((col("c") * col("n")).cast("double")
+        / (col("rx") * col("cy"))), 6).cast("decimal(10,6)"))
+      .cast("decimal(28,6)")
+    val agg = j.withColumn("_t", term)
+      .groupBy(col(key))
+      .agg(max(col("n")).as("n"), sum(col("_t")).as("_s"))
+    val su = (col("_s") * 1000000).cast("long") // micro-nat·count
+    val mag = call_function("div", abs(su) * 2 + col("n") * 100,
+      col("n") * 200)
+    agg.select(col(key), col("n"),
+      ((when(su < 0, -mag).otherwise(mag)).cast("double") / 10000)
+        .as("mi"))
+  }
+
   /** Per-key logistic log-loss and Brier score: p = σ(score/scale),
     * clamped away from {0,1} by `eps` so a confident miss stays finite
     * (the standard sklearn-style clip). */

@@ -114,6 +114,21 @@ object AnalyticsQueries {
       AnalyticsViews.concentration(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // PSI score-drift table between the first and second half of the
+    // eval window: smoothed bins, 8dp proportions, micro-nat terms
+    "q184_psi" -> ((s, d) =>
+      graft.operators.Drift.psi(scoredFrame(s, d)).orderBy(col("bin"))),
+
+    // per-key Kolmogorov-Smirnov class separation — all-integer gap
+    // maximization, one exact ratio at the end
+    "q185_ks" -> ((s, d) =>
+      ModelEval.ks(scoredFrame(s, d)).orderBy(col("user_id"))),
+
+    // per-key mutual information between score sign and label via the
+    // micro-nat DECIMAL bridge
+    "q186_mutual_info" -> ((s, d) =>
+      ModelEval.mutualInfo(scoredFrame(s, d)).orderBy(col("user_id"))),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -313,6 +328,125 @@ object AnalyticsQueries {
                      ELSE ((num * 20000 + den) // (2 * den)) END
                      AS DOUBLE) / 10000 AS gini
          FROM g ORDER BY 1""",
+
+    // q184: PSI between window halves — scaled-8dp proportions,
+    // 6dp DECIMAL log factors, signed half-up 4dp terms and total
+    "q184_psi" -> (SCORED +
+      """, ext AS (
+            SELECT min(score) AS vmin, max(score) AS vmax,
+                   min(date) AS dmin, max(date) AS dmax FROM scored),
+          mid AS (
+            SELECT *, dmin + CAST(date_diff('day', dmin, dmax) // 2
+              AS INTEGER) AS midd FROM ext),
+          binned AS (
+            SELECT CASE WHEN vmax = vmin THEN 0
+                   ELSE CAST(least(floor(((score - vmin) * 10)
+                     / (vmax - vmin)), 9) AS BIGINT) END AS bin,
+                   CASE WHEN date <= midd THEN 'e' ELSE 'a' END AS period
+            FROM scored, mid),
+          counts AS (
+            SELECT bin, period, count(*) AS c FROM binned GROUP BY 1, 2),
+          grid AS (
+            SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+          wide AS (
+            SELECT g.bin, coalesce(e.c, 0) + 1 AS ce,
+                   coalesce(a.c, 0) + 1 AS ca
+            FROM grid g
+            LEFT JOIN counts e ON e.bin = g.bin AND e.period = 'e'
+            LEFT JOIN counts a ON a.bin = g.bin AND a.period = 'a'),
+          tot AS (
+            SELECT bin, ce, ca,
+                   CAST(sum(ce) OVER () AS BIGINT) AS ne,
+                   CAST(sum(ca) OVER () AS BIGINT) AS na FROM wide),
+          sc AS (
+            SELECT bin, ce, ca, ne, na,
+                   (ce * 200000000 + ne) // (2 * ne) AS pe8,
+                   (ca * 200000000 + na) // (2 * na) AS pa8,
+                   CAST(round(ln(CAST(ca * ne AS DOUBLE) / (ce * na)), 6)
+                     AS DECIMAL(10,6)) AS ln6
+            FROM tot),
+          tm AS (
+            SELECT bin, ce, ca, pe8, pa8,
+                   CAST(CAST(pa8 - pe8 AS DECIMAL(12,0)) * ln6
+                     AS DECIMAL(28,6)) AS t
+            FROM sc),
+          sm AS (
+            SELECT bin, ce, ca, pe8, pa8,
+                   CAST(t * 1000000 AS BIGINT) AS su_t,
+                   CAST(sum(t) OVER () * 1000000 AS BIGINT) AS su_s
+            FROM tm)
+          SELECT bin, ce AS c_expected, ca AS c_actual,
+                 CAST(pe8 AS DOUBLE) / 100000000 AS p_expected,
+                 CAST(pa8 AS DOUBLE) / 100000000 AS p_actual,
+                 CAST(CASE WHEN su_t < 0
+                      THEN -((abs(su_t) * 2 + 10000000000) // 20000000000)
+                      ELSE (su_t * 2 + 10000000000) // 20000000000 END
+                   AS DOUBLE) / 10000 AS psi_term,
+                 CAST(CASE WHEN su_s < 0
+                      THEN -((abs(su_s) * 2 + 10000000000) // 20000000000)
+                      ELSE (su_s * 2 + 10000000000) // 20000000000 END
+                   AS DOUBLE) / 10000 AS psi
+          FROM sm ORDER BY bin"""),
+
+    // q185: KS gap maximized as the integer |cp·n⁻ − cq·n⁺|, one exact
+    // half-up ratio at the end
+    "q185_ks" -> (SCORED +
+      """, g AS (
+            SELECT user_id, score, CAST(sum(label) AS BIGINT) AS p,
+                   CAST(sum(1 - label) AS BIGINT) AS q
+            FROM scored GROUP BY 1, 2),
+          c AS (
+            SELECT user_id, p, q,
+                   CAST(sum(p) OVER w AS BIGINT) AS cp,
+                   CAST(sum(q) OVER w AS BIGINT) AS cq,
+                   CAST(sum(p) OVER t AS BIGINT) AS np,
+                   CAST(sum(q) OVER t AS BIGINT) AS nq
+            FROM g WINDOW w AS (PARTITION BY user_id ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY user_id)),
+          a AS (
+            SELECT user_id, max(np) AS n_pos, max(nq) AS n_neg,
+                   max(abs(cp * nq - cq * np)) AS dnum
+            FROM c WHERE np > 0 AND nq > 0 GROUP BY 1)
+          SELECT user_id, n_pos + n_neg AS n, n_pos, n_neg,
+                 CAST((dnum * 20000 + n_pos * n_neg)
+                   // (2 * n_pos * n_neg) AS DOUBLE) / 10000 AS ks
+          FROM a ORDER BY 1"""),
+
+    // q186: MI(sign(score), label) via 6dp micro-nat DECIMAL terms and
+    // the signed half-up /n bridge
+    "q186_mutual_info" -> (SCORED +
+      """, cxy AS (
+            SELECT user_id, CAST(sign(score) AS INTEGER) AS x, label,
+                   count(*) AS c
+            FROM scored GROUP BY 1, 2, 3),
+          j AS (
+            SELECT user_id, c,
+                   CAST(sum(c) OVER (PARTITION BY user_id, x)
+                     AS BIGINT) AS rx,
+                   CAST(sum(c) OVER (PARTITION BY user_id, label)
+                     AS BIGINT) AS cy,
+                   CAST(sum(c) OVER (PARTITION BY user_id)
+                     AS BIGINT) AS n
+            FROM cxy),
+          t AS (
+            SELECT user_id, n,
+                   CAST(c AS DECIMAL(12,0))
+                     * CAST(round(ln(CAST(c * n AS DOUBLE) / (rx * cy)),
+                         6) AS DECIMAL(10,6)) AS t
+            FROM j),
+          a AS (
+            SELECT user_id, max(n) AS n,
+                   CAST(sum(t) AS DECIMAL(38,6)) AS s
+            FROM t GROUP BY 1),
+          f AS (
+            SELECT user_id, n, CAST(s * 1000000 AS BIGINT) AS su FROM a)
+          SELECT user_id, n,
+                 CAST(CASE WHEN su < 0
+                      THEN -((abs(su) * 2 + n * 100) // (n * 200))
+                      ELSE (su * 2 + n * 100) // (n * 200) END
+                   AS DOUBLE) / 10000 AS mi
+          FROM f ORDER BY 1"""),
 
     // q175: AP = mean over positives of precision@rank, ranked by
     // (score DESC, date) so tie runs resolve identically in both engines

@@ -152,4 +152,34 @@ class ModelEvalSpec extends SparkSuite {
     }
     assert(out.nonEmpty)
   }
+
+  test("ks: perfect separation reads 1.0; alternating ranks read the " +
+    "hand-walked 0.5; single-class keys are dropped") {
+    val df = Seq(
+      // key 1: all positives above all negatives → KS = 1
+      (1L, 0.9, 1), (1L, 0.8, 1), (1L, 0.2, 0), (1L, 0.1, 0),
+      // key 2: 0/1 alternate up the score axis → max CDF gap = 1/2
+      (2L, 1.0, 0), (2L, 2.0, 1), (2L, 3.0, 0), (2L, 4.0, 1),
+      // key 3: positives only → undefined, dropped
+      (3L, 0.5, 1), (3L, 0.6, 1)
+    ).toDF("user_id", "score", "label")
+    val out = ModelEval.ks(df).orderBy("user_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 2L, 1.0), (2L, 4L, 2L, 2L, 0.5)))
+  }
+
+  test("mutualInfo: sign-determines-label reads ln 2 = 0.6931; " +
+    "independent cells read 0; degenerate one-cell keys read 0") {
+    val df = Seq(
+      // key 1: negative score ⇔ label 0 — MI = ln 2
+      (1L, -1.0, 0), (1L, -2.0, 0), (1L, 1.0, 1), (1L, 2.0, 1),
+      // key 2: all four (sign, label) cells equal — independent
+      (2L, -1.0, 0), (2L, -1.0, 1), (2L, 1.0, 0), (2L, 1.0, 1),
+      // key 3: one cell only (all up, all positive)
+      (3L, 1.0, 1), (3L, 2.0, 1)
+    ).toDF("user_id", "score", "label")
+    val out = ModelEval.mutualInfo(df).orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 0.6931), (2L, 4L, 0.0), (3L, 2L, 0.0)))
+  }
 }
