@@ -675,4 +675,135 @@ object EventSeries {
         round(col("_beta"), 4).as("beta"),
         round(col("_mu") - col("_beta") * col("_mum"), 4).as("alpha"))
   }
+
+  /** Aroon oscillator (TA-Lib convention): over the trailing
+    * `period`+1 bars, `up = 100·(period − bars_since_highest_high)/
+    * period`, `down` likewise for the lowest low — ties resolve to the
+    * MOST RECENT extreme on both engines via lexicographic max of
+    * (value, row_number) structs (negated low for the minimum). The
+    * ratio is INTEGER/INTEGER through the exact bridge. One row_number
+    * pass + two struct-max windows, all sharing the series Exchange;
+    * rows without a full window gate to null. */
+  def aroon(bars: DataFrame, period: Int = 25): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val f = w.rowsBetween(-period, 0)
+    val withRn = bars.withColumn("rn", row_number().over(w).cast("long"))
+    val hiRn = max(struct(col("high").as("v"), col("rn").as("r")))
+      .over(f).getField("r")
+    val loRn = max(struct((-col("low")).as("v"), col("rn").as("r")))
+      .over(f).getField("r")
+    val full = count(lit(1)).over(f) >= period + 1
+    def pct(extremeRn: org.apache.spark.sql.Column) =
+      when(full, graft.functions.ExactRound.ratio(
+        (lit(period) - (col("rn") - extremeRn)) * 100, lit(period), 4))
+    withRn.select(col("user_id"), col("date"), col("high"), col("low"),
+      pct(hiRn).as("aroon_up"), pct(loRn).as("aroon_down"))
+  }
+
+  /** Longest up/down close-to-close streaks per key — gaps-and-islands
+    * on the SIGN of the daily price change (island id = global
+    * row_number minus per-direction row_number). All-integer: counts
+    * only. Two sort-windows sharing the key + two bounded hash
+    * aggregates; flat (zero-change) days break streaks but are counted
+    * in `n_days`. */
+  def streaks(staged: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val changed = staged.where(col("price_change").isNotNull)
+      .withColumn("dir", signum(col("price_change")).cast("int"))
+    val wd = Window.partitionBy(col("user_id"), col("dir"))
+      .orderBy(col("date"))
+    val runs = changed
+      .withColumn("grp",
+        row_number().over(w) - row_number().over(wd))
+      .groupBy(col("user_id"), col("dir"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_days"),
+        coalesce(max(when(col("dir") === 1, col("len"))), lit(0L))
+          .cast("long").as("longest_up"),
+        coalesce(max(when(col("dir") === -1, col("len"))), lit(0L))
+          .cast("long").as("longest_down"))
+  }
+
+  /** Candlestick pattern census per key: doji (body ≤ 10% of range),
+    * hammer (lower shadow ≥ 2× body, upper ≤ body), and bullish/
+    * bearish engulfing vs the previous bar's body. Flags are pure
+    * double comparisons (deterministic — no rounding emitted); the
+    * output is integer counts. One LAG window + one hash aggregate. */
+  def candlePatterns(bars: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    val po = lag(col("open"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    val doji = range > 0 && body <= lit(0.1) * range
+    val hammer = range > 0 && lower >= lit(2) * body && upper <= body
+    val bull = pc < po && col("close") > col("open") &&
+      col("open") <= pc && col("close") >= po
+    val bear = pc > po && col("close") < col("open") &&
+      col("open") >= pc && col("close") <= po
+    def n(c: org.apache.spark.sql.Column) =
+      sum(c.cast("long")).cast("long")
+    bars.select(col("user_id"), col("date"),
+        doji.as("doji"), hammer.as("hammer"),
+        coalesce(bull, lit(false)).as("bull"),
+        coalesce(bear, lit(false)).as("bear"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), n(col("doji")).as("n_doji"),
+        n(col("hammer")).as("n_hammer"),
+        n(col("bull")).as("n_bull_engulf"),
+        n(col("bear")).as("n_bear_engulf"))
+  }
+
+  /** Classic floor-trader pivot levels from the PREVIOUS bar:
+    * `P = (H+L+C)/3`, `R1 = 2P−L`, `S1 = 2P−H`, `R2 = P+(H−L)`,
+    * `S2 = P−(H−L)`. Identical double expressions on both engines
+    * (binary doubles never land on exact decimal ties for these
+    * price sums); first bar per key has no prior and is dropped.
+    * One LAG window, map-side arithmetic. */
+  def pivotPoints(bars: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val ph = lag(col("high"), 1).over(w)
+    val pl = lag(col("low"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    bars.select(col("user_id"), col("date"),
+        ph.as("ph"), pl.as("pl"), pc.as("pc"))
+      .where(col("ph").isNotNull)
+      .select(col("user_id"), col("date"),
+        round((col("ph") + col("pl") + col("pc")) / 3, 4).as("pivot"),
+        round(lit(2) * ((col("ph") + col("pl") + col("pc")) / 3)
+          - col("pl"), 4).as("r1"),
+        round(lit(2) * ((col("ph") + col("pl") + col("pc")) / 3)
+          - col("ph"), 4).as("s1"),
+        round((col("ph") + col("pl") + col("pc")) / 3
+          + (col("ph") - col("pl")), 4).as("r2"),
+        round((col("ph") + col("pl") + col("pc")) / 3
+          - (col("ph") - col("pl")), 4).as("s2"))
+  }
+
+  /** DAU/MAU stickiness per observed date: distinct daily actives over
+    * distinct trailing-`windowDays` actives, via the same visible-from
+    * sequence-explode as [[rollingActiveUsers]] (linear ×windowDays,
+    * never a per-date rescan); the ratio is INTEGER/INTEGER through
+    * the exact bridge. */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dates = ud.select(col("d").as("date")).distinct()
+    val contrib = ud.select(col("user_id"),
+      explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+        .as("date"))
+    val mau = contrib.join(dates, Seq("date"), "left_semi")
+      .groupBy(col("date"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val dau = ud.groupBy(col("d").as("date"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(mau, Seq("date"))
+      .select(graft.queries.iso(col("date")).as("date"),
+        col("dau"), col("mau"),
+        graft.functions.ExactRound.ratio(col("dau"), col("mau"), 4)
+          .as("stickiness"))
+  }
 }

@@ -376,6 +376,32 @@ object SeriesQueries {
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
+    // Aroon up/down(25): bars-since-extreme as lexicographic struct
+    // max (ties → most recent), exact integer ratio
+    "q187_aroon" -> ((s, d) =>
+      EventSeries.aroon(bars(s, d), 25)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // longest up/down streak per key — gaps-and-islands on change sign
+    "q188_streaks" -> ((s, d) =>
+      EventSeries.streaks(staged(s, d)).orderBy(col("user_id"))),
+
+    // candlestick pattern census: doji/hammer/engulfing counts
+    "q189_candles" -> ((s, d) =>
+      EventSeries.candlePatterns(bars(s, d)).orderBy(col("user_id"))),
+
+    // floor-trader pivot levels from the previous bar
+    "q190_pivot_points" -> ((s, d) =>
+      EventSeries.pivotPoints(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // DAU/MAU stickiness per observed date (28-day trailing window)
+    "q191_stickiness" -> ((s, d) =>
+      EventSeries.stickiness(Tables.events(s, d), 28)
+        .orderBy(col("date"))),
+
     // rolling 7-day distinct active users per observed date
     "q149_rolling_active" -> ((s, d) =>
       EventSeries.rollingActiveUsers(Tables.events(s, d), 7)
@@ -1081,6 +1107,112 @@ object SeriesQueries {
           WINDOW c AS (PARTITION BY user_id ORDER BY date
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY 1, 2"""),
+    // q187: hi/lo position via named-struct max over the trailing
+    // frame — {'v', 'r'} compares lexicographically, ties to larger rn
+    "q187_aroon" -> (BARS +
+      """, rn AS (
+            SELECT user_id, date, high, low,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY date) AS BIGINT) AS rn
+            FROM bars),
+          a AS (
+            SELECT user_id, date, high, low, rn,
+                   (max({'v': high, 'r': rn}) OVER f).r AS hi_rn,
+                   (max({'v': -low, 'r': rn}) OVER f).r AS lo_rn,
+                   count(*) OVER f AS nw
+            FROM rn
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 25 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, high, low,
+                 CASE WHEN nw >= 26 THEN
+                   CAST(((25 - (rn - hi_rn)) * 100 * 20000 + 25) // 50
+                     AS DOUBLE) / 10000 END AS aroon_up,
+                 CASE WHEN nw >= 26 THEN
+                   CAST(((25 - (rn - lo_rn)) * 100 * 20000 + 25) // 50
+                     AS DOUBLE) / 10000 END AS aroon_down
+          FROM a ORDER BY 1, 2"""),
+
+    // q188: islands keyed by (global rn − per-direction rn); flat days
+    // count toward n_days but never extend a streak
+    "q188_streaks" -> (STAGED +
+      """, ch AS (
+            SELECT user_id, date,
+                   CAST(sign(price_change) AS INTEGER) AS dir
+            FROM staged WHERE price_change IS NOT NULL),
+          isl AS (
+            SELECT user_id, dir,
+                   row_number() OVER (PARTITION BY user_id ORDER BY date)
+                     - row_number() OVER (PARTITION BY user_id, dir
+                         ORDER BY date) AS grp
+            FROM ch),
+          runs AS (
+            SELECT user_id, dir, grp, count(*) AS len
+            FROM isl GROUP BY 1, 2, 3)
+          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                 CAST(coalesce(max(CASE WHEN dir = 1 THEN len END), 0)
+                   AS BIGINT) AS longest_up,
+                 CAST(coalesce(max(CASE WHEN dir = -1 THEN len END), 0)
+                   AS BIGINT) AS longest_down
+          FROM runs GROUP BY 1 ORDER BY 1"""),
+
+    // q189: body/shadow double comparisons mirror the Spark flags
+    // exactly; output is pure integer counts
+    "q189_candles" -> (BARS +
+      """, fl AS (
+            SELECT user_id, open, close,
+                   abs(close - open) AS body, high - low AS rng,
+                   high - greatest(open, close) AS ush,
+                   least(open, close) - low AS lsh,
+                   lag(open) OVER w AS po, lag(close) OVER w AS pc
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date))
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN rng > 0 AND body <= 0.1 * rng
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+                 CAST(sum(CASE WHEN rng > 0 AND lsh >= 2 * body
+                   AND ush <= body THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hammer,
+                 CAST(sum(CASE WHEN pc < po AND close > open
+                   AND open <= pc AND close >= po THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bull_engulf,
+                 CAST(sum(CASE WHEN pc > po AND close < open
+                   AND open >= pc AND close <= po THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bear_engulf
+          FROM fl GROUP BY 1 ORDER BY 1"""),
+
+    // q190: previous-bar pivot algebra, identical double expression
+    // trees on both engines, 4dp rounds
+    "q190_pivot_points" -> (BARS +
+      """, pv AS (
+            SELECT user_id, date,
+                   lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+                   lag(close) OVER w AS pc
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round((ph + pl + pc) / 3, 4) AS pivot,
+                 round(2 * ((ph + pl + pc) / 3) - pl, 4) AS r1,
+                 round(2 * ((ph + pl + pc) / 3) - ph, 4) AS s1,
+                 round((ph + pl + pc) / 3 + (ph - pl), 4) AS r2,
+                 round((ph + pl + pc) / 3 - (ph - pl), 4) AS s2
+          FROM pv WHERE ph IS NOT NULL ORDER BY 1, 2"""),
+
+    // q191: DAU over trailing-28-day distinct actives; exact ratio
+    "q191_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+            ds AS (SELECT DISTINCT d AS date FROM ud),
+            mau AS (
+              SELECT ds.date,
+                     CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+              FROM ds JOIN ud ON ud.d BETWEEN ds.date - 27 AND ds.date
+              GROUP BY 1),
+            dau AS (
+              SELECT d AS date, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY 1)
+         SELECT strftime(dau.date, '%Y-%m-%d') AS date, dau, mau,
+                CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
+                  AS stickiness
+         FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
     // q149: each distinct user-day joined to the observed dates it is
     // visible from (trailing 7-day window)
     "q149_rolling_active" ->

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventSeries
+
+/** Round-7 pattern pack (q187-q191): Aroon tie-to-latest, streak
+  * islands, candlestick flags, pivot algebra, DAU/MAU — each pinned on
+  * hand-walked fixtures. */
+class SeriesPatternsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def day(i: Int) = f"2024-03-$i%02d"
+
+  test("aroon(3): hand-walked up/down including a tied high resolving " +
+    "to the most recent bar; short windows gate to null") {
+    val bars = Seq(
+      (10.0, 5.0), (12.0, 6.0), (11.0, 4.0),
+      (11.0, 7.0), (13.0, 8.0), (13.0, 7.0)
+    ).zipWithIndex.map { case ((h, l), i) => (1L, day(i + 1), h, l) }
+      .toDF("user_id", "d", "high", "low")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("high"), col("low"))
+    val out = EventSeries.aroon(bars, 3).orderBy("date")
+      .select("aroon_up", "aroon_down")
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(out.take(3).forall(_ == ((None, None))))
+    // day4: high 12@rn2 (2 back), low 4@rn3 (1 back)
+    assert(out(3) == ((Some(33.3333), Some(66.6667))))
+    // day5: fresh high@rn5, low 4@rn3 two back
+    assert(out(4) == ((Some(100.0), Some(33.3333))))
+    // day6: highs 13@rn5 and 13@rn6 TIE → latest wins → up stays 100
+    assert(out(5) == ((Some(100.0), Some(0.0))))
+  }
+
+  test("streaks: [+ + + − 0 + − −] reads longest_up 3, longest_down 2, " +
+    "and flat days count toward n_days only") {
+    val staged = Seq(1.0, 1.0, 1.0, -1.0, 0.0, 1.0, -1.0, -1.0)
+      .zipWithIndex.map { case (pc, i) => (1L, day(i + 1), pc) }
+      .toDF("user_id", "d", "price_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("price_change"))
+    val out = EventSeries.streaks(staged)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((1L, 8L, 3L, 2L)))
+  }
+
+  test("candlePatterns: one doji, one hammer, one bearish and one " +
+    "bullish engulfing on a hand-built 4-bar tape") {
+    val bars = Seq(
+      // open, high, low, close
+      (10.0, 11.0, 9.0, 10.05), // doji: body .05 ≤ .1·range 2
+      (10.0, 10.6, 8.0, 10.5),  // hammer: shadow 2 ≥ 2·body .5, upper .1
+      (10.6, 10.7, 9.9, 10.0),  // bear engulf of the prior up body
+      (9.95, 10.7, 9.9, 10.65)  // bull engulf of the prior down body
+    ).zipWithIndex.map { case ((o, h, l, c), i) =>
+      (1L, day(i + 1), o, h, l, c)
+    }.toDF("user_id", "d", "open", "high", "low", "close")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("open"), col("high"), col("low"), col("close"))
+    val out = EventSeries.candlePatterns(bars)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((1L, 4L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("pivotPoints: day-2 levels equal the hand-computed classic " +
+    "formulas over day-1 H/L/C; first bar is dropped") {
+    val bars = Seq((1L, day(1), 11.0, 9.0, 10.05),
+        (1L, day(2), 12.0, 10.0, 11.0))
+      .toDF("user_id", "d", "high", "low", "close")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("high"), col("low"), col("close"))
+    val out = EventSeries.pivotPoints(bars)
+      .select("pivot", "r1", "s1", "r2", "s2")
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((10.0167, 11.0333, 9.0333, 12.0167, 8.0167)))
+  }
+
+  test("stickiness(2): a user active only on day 1 stays visible in " +
+    "day 2's trailing window — DAU/MAU drops to 0.5") {
+    val events = Seq((1L, day(1)), (2L, day(2)))
+      .toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val out = EventSeries.stickiness(events, 2).orderBy("date")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("2024-03-01", 1L, 1L, 1.0),
+      ("2024-03-02", 1L, 2L, 0.5)))
+  }
+}
