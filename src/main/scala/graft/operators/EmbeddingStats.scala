@@ -59,4 +59,49 @@ object EmbeddingStats {
       .select(col("g_a"), col("g_b"),
         Similarity.cosine(col("vec_a"), col("vec_b")).as("sim"))
   }
+
+  /** Corpus-version embedding drift: cosine and L2 distance between
+    * the centroid of the FIRST id-half and the SECOND id-half of the
+    * corpus — the "did the encoder (or the data) move?" one-row check
+    * next to the value-space PSI ([[Drift.psi]]).
+    *
+    * Exactness: per-dim sums are 6dp-decimal lifts scaled to micro
+    * LONGS; cosine is computed on the SUM vectors (the 1/n scales
+    * cancel), so every product/sum up to the final two doubles is
+    * exact integer arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    * oracle); L2 of the mean difference clears denominators the same
+    * way via (sa·n_b − sb·n_a). Scale: one (half, dim) partial-agg
+    * pass — the shuffle carries 2×dims rows regardless of corpus
+    * size; the final fold is dims rows. */
+  def centroidDrift(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val ext = df.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+    val tagged = df.crossJoin(broadcast(ext))
+      .withColumn("half",
+        when(col(idCol) <= (col("lo") + col("hi")) / 2, lit("a"))
+          .otherwise(lit("b")))
+    val sums = tagged.select(col("half"),
+        posexplode(Similarity.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("half"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec6(col("x"))) * 1000000).cast("long").as("s6"))
+    val a = sums.where(col("half") === "a")
+      .select(col("i"), col("s6").as("sa6"), col("n").as("na"))
+    val b = sums.where(col("half") === "b")
+      .select(col("i"), col("s6").as("sb6"), col("n").as("nb"))
+    val d = col("sa6") * col("nb") - col("sb6") * col("na")
+    val g = a.join(b, Seq("i")).agg(
+      max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+      sum(col("sa6").cast("decimal(38,0)") * col("sb6")).as("dot"),
+      sum(col("sa6").cast("decimal(38,0)") * col("sa6")).as("naa"),
+      sum(col("sb6").cast("decimal(38,0)") * col("sb6")).as("nbb"),
+      sum(d.cast("decimal(38,0)") * d).as("d2"))
+    g.select(col("n_first"), col("n_second"),
+      round(col("dot").cast("double")
+        / sqrt(col("naa").cast("double") * col("nbb").cast("double")), 4)
+        .as("cosine"),
+      round(sqrt(col("d2").cast("double"))
+        / (col("n_first").cast("double") * col("n_second") * 1000000), 6)
+        .as("l2_shift"))
+  }
 }

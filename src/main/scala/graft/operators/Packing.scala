@@ -72,4 +72,45 @@ object Packing {
           .otherwise(expr(s"tape_start DIV $seqLen")).as("seq_end"),
         expr(s"tape_start % $seqLen").as("seq_offset"))
   }
+
+  /** Padding-efficiency report for LENGTH-BUCKETED batching (the
+    * pad-to-longest alternative to the packed tape above): docs are
+    * bucketed by `binSize` token-length bins, ordered inside each bin
+    * by md5 hash (deterministic pseudo-shuffle) and cut into
+    * `batchSize`-doc batches; each batch pads every doc to its longest
+    * member. Reports, per bin, real vs padding tokens and the exact
+    * pad ratio — ALL-INTEGER until the final bridge ratio. The sort
+    * is per-bin (bounded key space); at volume the same accounting
+    * runs with per-partition batch formation inside each bin —
+    * batches never straddle bins either way. */
+  def paddingWaste(docs: DataFrame, binSize: Int = 64,
+                   batchSize: Int = 8, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(binSize > 0 && batchSize > 0, "binSize/batchSize must be > 0")
+    val base = docs.select(col(idCol),
+      coalesce(TextFns.tokenCount(col(textCol)), lit(0)).cast("long")
+        .as("n_tok"))
+    val binned = base.withColumn("bin",
+      expr(s"n_tok DIV $binSize"))
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val batches = binned
+      .withColumn("batch",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize))
+          .cast("long"))
+      .groupBy(col("bin"), col("batch"))
+      .agg(count(lit(1)).as("bsz"), max(col("n_tok")).as("maxt"),
+        sum(col("n_tok")).cast("long").as("sumt"))
+    batches.groupBy(col("bin"))
+      .agg(sum(col("bsz")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("sumt")).cast("long").as("real_tokens"),
+        sum(col("bsz") * col("maxt") - col("sumt")).cast("long")
+          .as("padding_tokens"))
+      .select(col("bin"), col("n_docs"), col("n_batches"),
+        col("real_tokens"), col("padding_tokens"),
+        graft.functions.ExactRound.ratio(col("padding_tokens"),
+          greatest(col("real_tokens") + col("padding_tokens"), lit(1L)),
+          4).as("pad_ratio"))
+  }
 }

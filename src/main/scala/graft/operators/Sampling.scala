@@ -222,4 +222,30 @@ object Sampling {
       .limit(k)
       .drop("_es")
   }
+
+  /** Epoch-shuffled shard manifest for a training run: every doc is
+    * assigned, per epoch, a shard by the md5 bucket of (epoch:key) —
+    * a fresh deterministic permutation each epoch with NO global sort
+    * (pure map; the per-shard training order is the hash itself,
+    * sortable within partitions at write time). The manifest reports
+    * docs and whitespace tokens per (epoch, shard) — the balance check
+    * run before launching data loaders. One bounded hash aggregate
+    * (epochs × shards groups) over a map-side ×epochs expansion. */
+  def shardManifest(docs: DataFrame, epochs: Int, shards: Int,
+                    keyCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(epochs > 0 && shards > 0, "epochs and shards must be > 0")
+    val base = docs.select(col(keyCol),
+      graft.functions.TextFns.tokenCount(col(textCol)).cast("long")
+        .as("n_tok"))
+    base
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("shard",
+        (hashBucket(concat(col("epoch").cast("string"), lit(":"),
+          col(keyCol).cast("string"))) % shards).cast("long"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
 }

@@ -613,6 +613,26 @@ object TextQueries {
             .as("split"))
         .orderBy(col("doc_id"))),
 
+    // per-(epoch, shard) manifest of the deterministic epoch shuffle —
+    // md5(epoch:key) shard assignment, no global sort
+    "q192_shard_manifest" -> ((s, d) =>
+      graft.operators.Sampling.shardManifest(Tables.documents(s, d),
+          epochs = 3, shards = 8)
+        .orderBy(col("epoch"), col("shard"))),
+
+    // padding-efficiency ledger for length-bucketed batching —
+    // all-integer until the final bridge ratio
+    "q193_padding_waste" -> ((s, d) =>
+      graft.operators.Packing.paddingWaste(Tables.documents(s, d),
+          binSize = 64, batchSize = 8)
+        .orderBy(col("bin"))),
+
+    // embedding centroid drift between the corpus id-halves — exact
+    // scaled-long sums, counts cancel inside the cosine
+    "q194_centroid_drift" -> ((s, d) =>
+      graft.operators.EmbeddingStats.centroidDrift(
+        Tables.embeddings(s, d))),
+
     // per-source downsampling cap: ≤10 docs per source, picked by hash
     // order — deterministic, nested in k, one shuffle on the group key
     "q66_source_cap" -> ((s, d) =>
@@ -2516,6 +2536,91 @@ object TextQueries {
                 WHEN bucket % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
+    // q192: md5(epoch:doc_id) bucket % shards, whitespace token sums
+    "q192_shard_manifest" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tok
+           FROM documents),
+         e AS (SELECT doc_id, n_tok,
+                      unnest(generate_series(0, 2)) AS epoch FROM t),
+         h AS (SELECT epoch, n_tok,
+                 CAST(concat('0x', substr(md5(concat(
+                   CAST(epoch AS VARCHAR), ':',
+                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8
+                   AS shard
+               FROM e)
+         SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q193: hash-ordered batches inside token-length bins; pad each
+    // batch to its longest member; integer ledger + exact ratio
+    "q193_padding_waste" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (SELECT doc_id, n_tok, n_tok // 64 AS bin FROM t),
+         r AS (SELECT bin, n_tok,
+                 (row_number() OVER (PARTITION BY bin
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                   // 8 AS batch
+               FROM b),
+         g AS (SELECT bin, batch, count(*) AS bsz,
+                      max(n_tok) AS maxt,
+                      CAST(sum(n_tok) AS BIGINT) AS sumt
+               FROM r GROUP BY 1, 2),
+         f AS (SELECT bin, CAST(sum(bsz) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_batches,
+                      CAST(sum(sumt) AS BIGINT) AS real_tokens,
+                      CAST(sum(bsz * maxt - sumt) AS BIGINT)
+                        AS padding_tokens
+               FROM g GROUP BY 1)
+         SELECT bin, n_docs, n_batches, real_tokens, padding_tokens,
+                CAST((padding_tokens * 20000
+                      + greatest(real_tokens + padding_tokens, 1))
+                     // (2 * greatest(real_tokens + padding_tokens, 1))
+                  AS DOUBLE) / 10000 AS pad_ratio
+         FROM f ORDER BY bin""",
+    // q194: micro-long per-dim sums; cosine on sum vectors (1/n
+    // cancels); L2 clears denominators via sa·n_b − sb·n_a; HUGEINT
+    // products mirror Spark's DECIMAL(38,0)
+    "q194_centroid_drift" ->
+      """WITH ext AS (
+           SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
+         tg AS (
+           SELECT CASE WHEN vec_id <= (lo + hi) / 2
+                  THEN 'a' ELSE 'b' END AS half,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings, ext),
+         ex AS (SELECT half, generate_subscripts(v, 1) - 1 AS i,
+                       unnest(v) AS x
+                FROM tg),
+         sm AS (SELECT half, i, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)))
+                         * 1000000 AS BIGINT) AS s6
+                FROM ex GROUP BY 1, 2),
+         j AS (SELECT a.i, a.s6 AS sa6, b.s6 AS sb6,
+                      a.n AS na, b.n AS nb
+               FROM sm a JOIN sm b ON a.i = b.i
+               WHERE a.half = 'a' AND b.half = 'b'),
+         g AS (SELECT max(na) AS n_first, max(nb) AS n_second,
+                      sum(CAST(sa6 AS HUGEINT) * sb6) AS dot,
+                      sum(CAST(sa6 AS HUGEINT) * sa6) AS naa,
+                      sum(CAST(sb6 AS HUGEINT) * sb6) AS nbb,
+                      sum(CAST(sa6 * nb - sb6 * na AS HUGEINT)
+                          * (sa6 * nb - sb6 * na)) AS d2
+               FROM j)
+         SELECT n_first, n_second,
+                round(CAST(dot AS DOUBLE)
+                      / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)),
+                  4) AS cosine,
+                round(sqrt(CAST(d2 AS DOUBLE))
+                      / (CAST(n_first AS DOUBLE) * n_second * 1000000),
+                  6) AS l2_shift
+         FROM g""",
     "q63_char_percentiles" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,

@@ -44,4 +44,22 @@ class EmbeddingStatsSpec extends SparkSuite {
     // two-phase hash aggregate around the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("centroidDrift: identical halves read cosine 1 / shift 0; " +
+    "orthogonal halves read cosine 0 / shift √2") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    val same = EmbeddingStats.centroidDrift(df(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f))))
+      .as[(Long, Long, Double, Double)].head()
+    assert(same == ((2L, 2L, 1.0, 0.0)))
+    val orth = EmbeddingStats.centroidDrift(df(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f),
+      2L -> Seq(0f, 1f), 3L -> Seq(0f, 1f))))
+      .as[(Long, Long, Double, Double)].head()
+    // means (1,0) vs (0,1): cos 0, ‖Δ‖ = √2 at 6dp
+    assert(orth == ((2L, 2L, 0.0, 1.414214)))
+  }
 }

@@ -73,4 +73,34 @@ class PackingSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("paddingWaste: ledger matches a driver replay of the md5 batch " +
+    "order; single-doc batches and batchSize=1 waste nothing") {
+    import org.apache.spark.sql.functions.col
+    val lens = Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 10)
+    val docs = lens.toSeq.map { case (id, n) =>
+      (id, ("w " * n).trim)
+    }.toDF("doc_id", "text")
+    // driver replay: same md5-hex ordering inside bin 0 (ids 0,1,2)
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val order = Seq(0L, 1L, 2L).sortBy(i => (md5hex(i.toString), i))
+    val batches = order.map(lens).grouped(2).toSeq
+    val expPad = batches.map(b => b.size * b.max - b.sum).sum
+    val out = Packing.paddingWaste(docs, binSize = 4, batchSize = 2)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 2L))
+    val bin0 = out.head
+    assert(bin0._2 == 3L && bin0._3 == 2L && bin0._4 == 6L)
+    assert(bin0._5 == expPad.toLong)
+    // bin 2: the 10-token doc alone — one batch, zero padding
+    assert(out.last == ((2L, 1L, 1L, 10L, 0L, 0.0)))
+    // batchSize=1 → pad-to-longest is the doc itself everywhere
+    val solo = Packing.paddingWaste(docs, binSize = 4, batchSize = 1)
+      .agg(org.apache.spark.sql.functions.sum(col("padding_tokens")))
+      .as[Long].head()
+    assert(solo == 0L)
+  }
 }

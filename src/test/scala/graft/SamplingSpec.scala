@@ -212,4 +212,24 @@ class SamplingSpec extends SparkSuite {
       seed = 7L).select("doc_id").as[Long].collect().toSet
     assert(got != other)
   }
+
+  test("shardManifest: every doc lands once per epoch, tokens are " +
+    "conserved, and epochs permute the shard assignment") {
+    val docs = (0L until 40L)
+      .map(i => (i, ("w " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val m = Sampling.shardManifest(docs, epochs = 2, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val totalTok = (0L until 40L).map(_ % 5 + 1).sum
+    for (e <- 0L to 1L) {
+      val rows = m.filter(_._1._1 == e).values
+      assert(m.keys.filter(_._1 == e).forall(k => k._2 >= 0 && k._2 < 4))
+      assert(rows.map(_._1).sum == 40L, s"epoch $e doc conservation")
+      assert(rows.map(_._2).sum == totalTok, s"epoch $e token sum")
+    }
+    // the two epochs give different per-shard counts (fresh shuffle)
+    assert((0L to 3L).exists(sh =>
+      m.get((0L, sh)).map(_._1) != m.get((1L, sh)).map(_._1)))
+  }
 }
