@@ -188,6 +188,48 @@ object AnalyticsViews {
           col("n") * col("s"), 4).as("gini"))
   }
 
+  /** Deterministic-arm A/B conversion test: users are split into arms
+    * A/B by md5-hash parity (the stable assignment an experimentation
+    * system would persist), conversion is measured per ACTIVE USER-DAY
+    * (a day with at least one `convType` event), and the readout is
+    * the two-proportion z statistic
+    * `z = (p_A − p_B)/√(p̂(1−p̂)(1/n_A + 1/n_B))` with pooled p̂ (the
+    * naive reading — a clustered-error correction is downstream
+    * analysis). Counts are exact integers; the arm rates go through
+    * the exact bridge (count ratios are the decimal-tie class); z
+    * itself passes through a √ so its double is never decimal-exact —
+    * identical expression trees round identically, and z is null when
+    * the pooled rate is degenerate (0 or 1). One per-user-day
+    * aggregate + a 2-row fold. */
+  def abTest(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val perUnit = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+    val armA = graft.operators.Sampling.hashBucket(col("user_id")) % 2 === 0
+    val g = perUnit
+      .withColumn("arm", when(armA, lit("A")).otherwise(lit("B")))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+    val one = g.agg(
+      max(when(col("arm") === "A", col("n"))).as("n_a"),
+      max(when(col("arm") === "A", col("c"))).as("c_a"),
+      max(when(col("arm") === "B", col("n"))).as("n_b"),
+      max(when(col("arm") === "B", col("c"))).as("c_b"))
+    val p = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (col("c_a").cast("double") / col("n_a") -
+      col("c_b").cast("double") / col("n_b")) /
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      graft.functions.ExactRound.ratio(col("c_a"), col("n_a"), 4)
+        .as("rate_a"),
+      graft.functions.ExactRound.ratio(col("c_b"), col("n_b"), 4)
+        .as("rate_b"),
+      when(p > 0 && p < 1, round(z, 4)).as("z"))
+  }
+
   /** summary twin (dashboard_views.sql:69-78): global counts, distinct
     * keys, span. */
   def summary(base: DataFrame): DataFrame =

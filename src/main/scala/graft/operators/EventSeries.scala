@@ -783,6 +783,38 @@ object EventSeries {
           - (col("ph") - col("pl")), 4).as("s2"))
   }
 
+  /** Kaplan-Meier survival over user lifetimes (days from first to
+    * last observed activity; the fixture has no censoring, so the last
+    * active day IS the churn event): per lifetime t,
+    * `S(t) = Π_{i≤t} (n_i − d_i)/n_i` with d the churn count and n the
+    * at-risk count. The product runs as exp of a cumulative sum of
+    * 6dp-DECIMAL log factors (the micro-nat bridge — engine-exact),
+    * and S snaps to exactly 0 on the final row where n = d. The
+    * per-user rollup is one hash aggregate; the survival table is
+    * bounded by the observation span in days (the unpartitioned
+    * window is over that bounded frame only). */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val life = events.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("long").as("t"))
+    val byT = life.groupBy(col("t")).agg(count(lit(1)).as("d"))
+    val atRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = byT
+      .withColumn("n", sum(col("d")).over(atRisk).cast("long"))
+    val ln6 = round(log((col("n") - col("d")).cast("double")
+      / col("n")), 6).cast("decimal(10,6)")
+    val withTerm = risked
+      .withColumn("_lt", when(col("n") > col("d"), ln6))
+    withTerm.select(col("t"), col("n").as("n_at_risk"),
+      col("d").as("n_churned"),
+      when(col("n") > col("d"),
+        round(exp(sum(col("_lt")).over(cum).cast("double")), 4))
+        .otherwise(lit(0.0)).as("survival"))
+  }
+
   /** DAU/MAU stickiness per observed date: distinct daily actives over
     * distinct trailing-`windowDays` actives, via the same visible-from
     * sequence-explode as [[rollingActiveUsers]] (linear ×windowDays,

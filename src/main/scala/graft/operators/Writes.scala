@@ -245,4 +245,30 @@ object Writes {
     existing.unionByName(
       dedupedIncoming.join(broadcast(conflicts), keys, "left_anti"))
   }
+
+  /** Slowly-changing-dimension Type 2 history from an observed
+    * attribute series: keep only the rows where `attr` CHANGES for the
+    * key (the first observation opens version 1), stamp each surviving
+    * row with `[effective_from, effective_to]` validity (day-grained,
+    * `effective_to` = day before the next change, NULL while current)
+    * and a per-key `version` counter. The warehouse-dimension
+    * complement of [[cdcApply]]'s latest-state fold. Two window passes
+    * over the SAME (key × time) sort — one Exchange; output size is
+    * the number of changes, not observations. */
+  def scd2(df: DataFrame, key: String, attr: String,
+           timeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(timeCol))
+    val changed = df
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .where(col("_prev").isNull || col(attr) =!= col("_prev"))
+    changed
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("effective_from", col(timeCol))
+      .withColumn("effective_to",
+        date_sub(lead(col(timeCol), 1).over(w), 1))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col(key), col(attr), col("version"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+  }
 }

@@ -129,6 +129,11 @@ object AnalyticsQueries {
     "q186_mutual_info" -> ((s, d) =>
       ModelEval.mutualInfo(scoredFrame(s, d)).orderBy(col("user_id"))),
 
+    // hash-armed A/B conversion readout: exact counts/rates, pooled
+    // two-proportion z
+    "q196_ab_test" -> ((s, d) =>
+      AnalyticsViews.abTest(Tables.events(s, d), "purchase")),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -447,6 +452,44 @@ object AnalyticsQueries {
                       ELSE (su * 2 + n * 100) // (n * 200) END
                    AS DOUBLE) / 10000 AS mi
           FROM f ORDER BY 1"""),
+
+    // q196: md5-parity arms, per-user any-conversion, pooled z with
+    // the identical double expression tree
+    "q196_ab_test" ->
+      """WITH pu AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS conv
+            FROM events GROUP BY user_id, CAST(ts AS DATE)),
+          armed AS (
+            SELECT CASE WHEN CAST(concat('0x',
+                     substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                   conv
+            FROM pu),
+          g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(conv) AS BIGINT) AS c
+                FROM armed GROUP BY 1),
+          one AS (
+            SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                   max(CASE WHEN arm = 'A' THEN c END) AS c_a,
+                   max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                   max(CASE WHEN arm = 'B' THEN c END) AS c_b
+            FROM g),
+          pz AS (
+            SELECT *, CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p
+            FROM one)
+          SELECT n_a, c_a, n_b, c_b,
+                 CAST((c_a * 20000 + n_a) // (2 * n_a) AS DOUBLE)
+                   / 10000 AS rate_a,
+                 CAST((c_b * 20000 + n_b) // (2 * n_b) AS DOUBLE)
+                   / 10000 AS rate_b,
+                 CASE WHEN p > 0 AND p < 1 THEN
+                   round((CAST(c_a AS DOUBLE) / n_a
+                          - CAST(c_b AS DOUBLE) / n_b)
+                         / sqrt(p * (1.0 - p)
+                                * (1.0 / n_a + 1.0 / n_b)), 4) END AS z
+          FROM pz""",
 
     // q175: AP = mean over positives of precision@rank, ranked by
     // (score DESC, date) so tie runs resolve identically in both engines

@@ -402,6 +402,19 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // SCD Type 2 history of each user's dominant daily event type:
+    // change rows only, day-grained validity ranges, version counter
+    "q195_scd2" -> ((s, d) =>
+      Writes.scd2(EventSeries.dailySentiment(Tables.events(s, d)),
+          key = "user_id", attr = "sentiment", timeCol = "date")
+        .withColumn("effective_from", iso(col("effective_from")))
+        .withColumn("effective_to", iso(col("effective_to")))
+        .orderBy(col("user_id"), col("version"))),
+
+    // Kaplan-Meier survival over user activity lifetimes
+    "q197_survival" -> ((s, d) =>
+      EventSeries.kaplanMeier(Tables.events(s, d)).orderBy(col("t"))),
+
     // rolling 7-day distinct active users per observed date
     "q149_rolling_active" -> ((s, d) =>
       EventSeries.rollingActiveUsers(Tables.events(s, d), 7)
@@ -1212,6 +1225,65 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q195: the q18 `sent` dominant-type series folded to change rows
+    // with [from, to] day validity and per-key versions
+    "q195_scd2" ->
+      """WITH sent AS (
+            SELECT user_id, date, lower(event_type) AS sentiment
+            FROM (SELECT user_id, CAST(ts AS DATE) AS date, event_type,
+                         row_number() OVER (
+                           PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY count(*) DESC, event_type) AS rn
+                  FROM events GROUP BY 1, 2, 3) t
+            WHERE rn = 1),
+          ch AS (
+            SELECT user_id, date, sentiment,
+                   lag(sentiment) OVER w AS prev
+            FROM sent WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          keep AS (
+            SELECT user_id, date, sentiment FROM ch
+            WHERE prev IS NULL OR sentiment <> prev),
+          v AS (
+            SELECT user_id, sentiment,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   date AS effective_from,
+                   lead(date) OVER w - 1 AS effective_to
+            FROM keep WINDOW w AS (PARTITION BY user_id ORDER BY date))
+          SELECT user_id, sentiment, version,
+                 strftime(effective_from, '%Y-%m-%d') AS effective_from,
+                 strftime(effective_to, '%Y-%m-%d') AS effective_to,
+                 effective_to IS NULL AS is_current
+          FROM v ORDER BY user_id, version""",
+
+    // q197: at-risk counts by reverse-cumulative churn; the survival
+    // product is exp of a cumulative 6dp-DECIMAL log sum; S(last) = 0
+    "q197_survival" ->
+      """WITH life AS (
+            SELECT user_id,
+                   CAST(date_diff('day', min(CAST(ts AS DATE)),
+                     max(CAST(ts AS DATE))) AS BIGINT) AS t
+            FROM events GROUP BY 1),
+          byt AS (SELECT t, CAST(count(*) AS BIGINT) AS d
+                  FROM life GROUP BY 1),
+          r AS (SELECT t, d,
+                       CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN
+                         CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         AS BIGINT) AS n
+                FROM byt),
+          tm AS (SELECT t, d, n,
+                        CASE WHEN n > d THEN
+                          CAST(round(ln(CAST(n - d AS DOUBLE) / n), 6)
+                            AS DECIMAL(10,6)) END AS lt
+                 FROM r),
+          c AS (SELECT t, d, n,
+                       sum(lt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS sl
+                FROM tm)
+          SELECT t, n AS n_at_risk, d AS n_churned,
+                 CASE WHEN n > d THEN round(exp(CAST(sl AS DOUBLE)), 4)
+                      ELSE 0.0 END AS survival
+          FROM c ORDER BY t""",
 
     // q149: each distinct user-day joined to the observed dates it is
     // visible from (trailing 7-day window)

@@ -75,4 +75,40 @@ class AnalyticsViewsSpec extends SparkSuite {
     assert(out == Seq(("x", 3L, 4L, 0.375, 0.1667),
       ("y", 2L, 4L, 0.5, 0.0), ("z", 1L, 3L, 1.0, 0.0)))
   }
+
+  test("abTest: counts and z match a driver replay of the md5 arms; " +
+    "an all-converting tape yields null z") {
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    // one active day per user; users 0-19, conversion for u < 8
+    val ev = (0L until 20L).map(u =>
+      (u, "2024-05-01 10:00:00",
+        if (u < 8) "purchase" else "click"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val (na, ca) = (0L until 20L).filter(arm(_) == "A")
+      .map(u => if (u < 8) 1 else 0).foldLeft((0, 0)) {
+        case ((n, c), x) => (n + 1, c + x) }
+    val (nb, cb) = (0L until 20L).filter(arm(_) == "B")
+      .map(u => if (u < 8) 1 else 0).foldLeft((0, 0)) {
+        case ((n, c), x) => (n + 1, c + x) }
+    val out = AnalyticsViews.abTest(ev)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert((out._1, out._2, out._3, out._4) ==
+      ((na.toLong, ca.toLong, nb.toLong, cb.toLong)))
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(out._7.exists(g => math.abs(g - z) < 1e-4))
+    // degenerate: every unit converts → pooled p = 1 → z null
+    val allConv = ev.withColumn("event_type", lit("purchase"))
+    val gz = AnalyticsViews.abTest(allConv)
+      .select("z").as[Option[Double]].head()
+    assert(gz.isEmpty)
+  }
 }

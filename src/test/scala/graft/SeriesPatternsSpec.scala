@@ -85,4 +85,19 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq(("2024-03-01", 1L, 1L, 1.0),
       ("2024-03-02", 1L, 2L, 0.5)))
   }
+
+  test("kaplanMeier: lifetimes [0,0,1,2] walk S = 0.5, 0.25, 0 with " +
+    "exact at-risk counts") {
+    // users 1,2 active one day; 3 spans 2 days; 4 spans 3 days
+    val events = Seq(
+      (1L, day(1)), (2L, day(2)),
+      (3L, day(1)), (3L, day(2)),
+      (4L, day(1)), (4L, day(2)), (4L, day(3))
+    ).toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val out = EventSeries.kaplanMeier(events).orderBy("t")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 4L, 2L, 0.5), (1L, 2L, 1L, 0.25),
+      (2L, 1L, 1L, 0.0)))
+  }
 }

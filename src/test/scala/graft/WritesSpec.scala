@@ -257,4 +257,25 @@ class WritesSpec extends SparkSuite {
       (1L, 2L, 20.0, 3000000L, Some(5000000L), 0L),
       (2L, 4L, 7.0, 2000000L, None, 1L)))
   }
+
+  test("scd2: [x x y x] folds to three versions with day-grained " +
+    "validity; a revisited value opens a NEW version") {
+    import org.apache.spark.sql.functions._
+    val obs = Seq((1L, "2024-05-01", "x"), (1L, "2024-05-02", "x"),
+        (1L, "2024-05-03", "y"), (1L, "2024-05-04", "x"))
+      .toDF("user_id", "d", "state")
+      .select(col("user_id"), to_date(col("d")).as("date"), col("state"))
+    val out = Writes.scd2(obs, "user_id", "state", "date")
+      .orderBy("version")
+      .select(col("state"), col("version"),
+        date_format(col("effective_from"), "yyyy-MM-dd"),
+        date_format(col("effective_to"), "yyyy-MM-dd"),
+        col("is_current"))
+      .as[(String, Long, String, Option[String], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("x", 1L, "2024-05-01", Some("2024-05-02"), false),
+      ("y", 2L, "2024-05-03", Some("2024-05-03"), false),
+      ("x", 3L, "2024-05-04", None, true)))
+  }
 }
