@@ -600,4 +600,32 @@ object Dedup {
       edges.select("id_a", "id_b"), maxIterations)
       .select(col("id").as(idCol), col("canonical"))
   }
+
+  /** Self-audit of the MinHash-LSH approximation against the exact
+    * n-gram Jaccard ground truth ON THE SAME corpus: candidate-pair
+    * precision (fraction of LSH candidates that truly clear
+    * `threshold`) and recall (fraction of true pairs LSH surfaces) —
+    * the measurement that justifies shipping the banded path at scale
+    * instead of the quadratic one. Runs both pipelines (this is an
+    * audit, not a production stage) plus one pair-key join; the three
+    * counts fold to a single row, ratios through the exact bridge.
+    * Exact side uses [[ngramJaccardPairs]]'s capped-posting semantics
+    * (`maxDf`), i.e. the same ground truth q34 pins. */
+  def lshQuality(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                 n: Int = 1, threshold: Double = 0.6,
+                 maxDf: Int = 1000): DataFrame = {
+    val lsh = minhashLshPairs(docs, k, bands, n)
+      .select(col("id_a"), col("id_b"))
+    val exact = ngramJaccardPairs(docs, n, threshold, maxDf)
+      .select(col("id_a"), col("id_b"))
+    lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(lsh.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hits")))
+      .select(col("n_lsh"), col("n_exact"), col("n_hits"),
+        graft.functions.ExactRound.ratio(col("n_hits"),
+          greatest(col("n_lsh"), lit(1L)), 4).as("lsh_precision"),
+        graft.functions.ExactRound.ratio(col("n_hits"),
+          greatest(col("n_exact"), lit(1L)), 4).as("lsh_recall"))
+  }
 }

@@ -174,4 +174,31 @@ object QualityFilters {
       "flag_alpha_words" -> flag(alphaWords * 5 >= nWords * 4),
       "flag_stopwords" -> flag(stopHits >= 2))
   }
+
+  /** Per-doc line-SHAPE profile — the distribution the gopher flags
+    * threshold on, exposed as counts + exact ratios so a curator can
+    * pick thresholds from data instead of folklore: of the non-empty
+    * lines, how many are bullets, ALL-CAPS (letters but no lowercase),
+    * numeric-only, or short (< 3 whitespace words). Pure map-side
+    * array HOFs over the line split — zero shuffle, codegen-friendly,
+    * linear in bytes. */
+  def lineShapeStats(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val ls = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    def n(pred: Column => Column): Column =
+      size(filter(ls, pred)).cast("long")
+    val nLines = size(ls).cast("long")
+    val counts = docs.select(col(idCol),
+      nLines.as("n_lines"),
+      n(l => ltrim(l).rlike("^[-*•]")).as("n_bullet"),
+      n(l => l.rlike("[A-Z]") && !l.rlike("[a-z]")).as("n_caps"),
+      n(l => trim(l).rlike("^[0-9 .,%$-]+$")).as("n_numeric"),
+      n(l => size(split(trim(l), "\\s+")) < 3).as("n_short"))
+    counts.select(col(idCol), col("n_lines"), col("n_bullet"),
+      col("n_caps"), col("n_numeric"), col("n_short"),
+      graft.functions.ExactRound.ratio(col("n_bullet"),
+        greatest(col("n_lines"), lit(1L)), 4).as("bullet_ratio"),
+      graft.functions.ExactRound.ratio(col("n_short"),
+        greatest(col("n_lines"), lit(1L)), 4).as("short_ratio"))
+  }
 }

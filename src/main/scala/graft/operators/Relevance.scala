@@ -407,6 +407,40 @@ object Relevance {
         coalesce(col("entropy") >= minEntropy, lit(false)).as("keep"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus' own
+    * top-`vocabSize` token vocabulary (count desc, token asc tiebreak
+    * — a total order, so the vocab set is engine-exact): the share of
+    * a doc's token OCCURRENCES outside the vocab. High OOV flags
+    * boilerplate-free but alien text (code, other languages, OCR
+    * noise) that per-doc entropy misses. Two shuffles — token counts
+    * (two-phase), then the per-doc rollup; the bounded vocab joins
+    * broadcast. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000,
+              textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"))
+    val flagged = toks.join(broadcast(vocab.withColumn("_v", lit(1))),
+      Seq("token"), "left")
+    val per = flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        graft.functions.ExactRound.ratio(coalesce(col("n_oov"), lit(0L)),
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 4)
+          .as("oov_rate"))
+  }
+
   /** Pointwise mutual information over within-document token
     * co-occurrence: for token pair (a, b),
     * `pmi = ln(n_docs · df_ab / (df_a · df_b))` on DOCUMENT

@@ -291,6 +291,23 @@ object TextQueries {
       Dedup.minhashLshPairs(Tables.documents(s, d), k = 8, bands = 4, n = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // self-audit of the banded LSH path against the exact Jaccard
+    // ground truth: candidate precision + recall, one summary row
+    "q198_lsh_quality" -> ((s, d) =>
+      Dedup.lshQuality(Tables.documents(s, d), k = 8, bands = 4,
+        n = 1, threshold = 0.6, maxDf = 400)),
+
+    // per-doc line-shape profile: bullet / caps / numeric / short
+    // line counts with exact ratios — zero-shuffle map HOFs
+    "q199_line_shape" -> ((s, d) =>
+      graft.operators.QualityFilters.lineShapeStats(
+        Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // per-doc OOV share vs the corpus' own top-1000 vocabulary
+    "q200_oov_rate" -> ((s, d) =>
+      Relevance.oovRate(Tables.documents(s, d), 1000)
+        .orderBy(col("doc_id"))),
+
     // multimodal plumbing: binary payloads → partition-local decode
     // (decode itself is a deterministic stub; see Multimodal scaladoc)
     "q50_media_features" -> ((s, d) =>
@@ -1186,6 +1203,57 @@ object TextQueries {
        ON a.band = b.band AND a.bucket = b.bucket
       AND a.doc_id < b.doc_id
      GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q198 oracle: the q39 band join and the q34 capped-Jaccard chain
+    * over ONE shared shingle CTE, folded to the three counts. */
+  private val lshQualityOracle: String = TOKS + """
+     , sh AS (SELECT doc_id, list_distinct(w) AS sh FROM t),
+       sig AS (SELECT doc_id, """ +
+    (0 until 8).map(i =>
+      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min')" +
+        s" AS s$i").mkString(",\n         ") + """
+       FROM sh),
+       banded AS (
+         """ + (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1}" +
+        " AS bucket FROM sig").mkString("\n         UNION ALL ") + """),
+       lshp AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+       inv0 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+                FROM sh),
+       inv AS (
+         SELECT doc_id, sz, shingle FROM (
+           SELECT doc_id, sz, shingle,
+                  count(*) OVER (PARTITION BY shingle) AS df
+           FROM inv0)
+         WHERE df <= 400),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sz AS sa, b.sz AS sb, count(*) AS inter
+         FROM inv a JOIN inv b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+       ex AS (
+         SELECT id_a, id_b FROM p
+         WHERE CAST((2000000 * inter + (sa + sb - inter))
+                    // (2 * (sa + sb - inter)) AS DOUBLE) / 1000000
+               >= 0.6),
+       c AS (
+         SELECT CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+                CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+                CAST((SELECT count(*) FROM lshp
+                      JOIN ex USING (id_a, id_b)) AS BIGINT) AS n_hits)
+     SELECT n_lsh, n_exact, n_hits,
+            CAST((n_hits * 20000 + greatest(n_lsh, 1))
+                 // (2 * greatest(n_lsh, 1)) AS DOUBLE) / 10000
+              AS lsh_precision,
+            CAST((n_hits * 20000 + greatest(n_exact, 1))
+                 // (2 * greatest(n_exact, 1)) AS DOUBLE) / 10000
+              AS lsh_recall
+     FROM c"""
 
   /** q40 oracle: the seeded hyperplanes are deterministic, so their
     * double literals are inlined (Double.toString round-trips exactly);
@@ -2655,6 +2723,62 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "q38_simhash" -> simhashOracle,
     "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "q198_lsh_quality" -> lshQualityOracle,
+    // q199: list_filter mirrors of the map-side HOF flags
+    "q199_line_shape" ->
+      """WITH l AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, chr(10)),
+                    x -> trim(x) <> '') AS ls
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(ls) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(ls, x ->
+                    regexp_matches(ltrim(x), '^[-*•]'))) AS BIGINT)
+                    AS n_bullet,
+                  CAST(len(list_filter(ls, x ->
+                    regexp_matches(x, '[A-Z]')
+                    AND NOT regexp_matches(x, '[a-z]'))) AS BIGINT)
+                    AS n_caps,
+                  CAST(len(list_filter(ls, x ->
+                    regexp_matches(trim(x), '^[0-9 .,%$-]+$')))
+                    AS BIGINT) AS n_numeric,
+                  CAST(len(list_filter(ls, x ->
+                    len(regexp_split_to_array(trim(x), '\s+')) < 3))
+                    AS BIGINT) AS n_short
+           FROM l)
+         SELECT doc_id, n_lines, n_bullet, n_caps, n_numeric, n_short,
+                CAST((n_bullet * 20000 + greatest(n_lines, 1))
+                     // (2 * greatest(n_lines, 1)) AS DOUBLE) / 10000
+                  AS bullet_ratio,
+                CAST((n_short * 20000 + greatest(n_lines, 1))
+                     // (2 * greatest(n_lines, 1)) AS DOUBLE) / 10000
+                  AS short_ratio
+         FROM c ORDER BY doc_id""",
+    // q200: total-ordered top-1000 vocab (count desc, token asc), OOV
+    // occurrence share through the exact bridge
+    "q200_oov_rate" -> (TOKS +
+      """, tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+          tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+          vc AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+          vocab AS (SELECT token FROM vc
+                    ORDER BY cnt DESC, token ASC LIMIT 1000),
+          per AS (
+            SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_oov
+            FROM tok2 t2 LEFT JOIN vocab v ON t2.token = v.token
+            GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(per.n_tokens, 0) AS n_tokens,
+                 coalesce(per.n_oov, 0) AS n_oov,
+                 CAST((coalesce(per.n_oov, 0) * 20000
+                       + greatest(coalesce(per.n_tokens, 0), 1))
+                      // (2 * greatest(coalesce(per.n_tokens, 0), 1))
+                   AS DOUBLE) / 10000 AS oov_rate
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          ORDER BY d.doc_id"""),
     "q40_lsh_cosine_pairs" -> lshCosineOracle,
     "q28_token_stats" -> (TOKS +
       """ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,

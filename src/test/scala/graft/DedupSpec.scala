@@ -258,4 +258,15 @@ class DedupSpec extends SparkSuite {
     // the unrelated doc never pairs
     assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
   }
+
+  test("lshQuality: an exact duplicate is found by both pipelines — " +
+    "1/1/1 with perfect precision and recall") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"),
+        (3L, "x y z w q")).toDF("doc_id", "text")
+    val out = Dedup.lshQuality(docs, k = 8, bands = 4, n = 1,
+        threshold = 0.6, maxDf = 1000)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((1L, 1L, 1L, 1.0, 1.0)))
+  }
 }

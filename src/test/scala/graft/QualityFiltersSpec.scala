@@ -151,4 +151,19 @@ class QualityFiltersSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("lineShapeStats: hand-classified 5-line doc (bullet, caps, " +
+    "numeric, short) with exact ratios; empty lines are not counted") {
+    import spark.implicits._
+    val text = "- item\nHELLO WORLD\n123,45\nok\n\nlong line with many words"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = QualityFilters.lineShapeStats(df)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].head()
+    //            lines bullet caps numeric short  b_ratio s_ratio
+    assert(out == ((1L, 5L, 1L, 1L, 1L, 4L, 0.2, 0.8)))
+    // zero-shuffle plan: pure map over the scan
+    val plan = QualityFilters.lineShapeStats(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -140,4 +140,16 @@ class RelevanceSpec extends SparkSuite {
     assert(out == Seq((1L, 16L, 16L, Some(2.7726), true),
       (2L, 4L, 1L, Some(0.0), false), (3L, 0L, 0L, None, false)))
   }
+
+  test("oovRate: top-1 vocab is the modal token; occurrence shares " +
+    "are exact; an empty doc survives as zeros") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Relevance.oovRate(docs, vocabSize = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0)))
+  }
 }
