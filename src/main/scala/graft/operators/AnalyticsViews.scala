@@ -188,6 +188,21 @@ object AnalyticsViews {
           col("n") * col("s"), 4).as("gini"))
   }
 
+  /** Histogram of per-entity fact counts INCLUDING zero-fact entities
+    * (the TPC-H Q13 shape): LEFT join entities to facts, count
+    * non-null fact keys per entity, histogram the counts. Two hash
+    * aggregates — the second over the bounded count domain. */
+  def countDistribution(entities: DataFrame, facts: DataFrame,
+                        entityKey: String, factKey: String,
+                        countedCol: String): DataFrame = {
+    val per = entities
+      .join(facts, col(entityKey) === col(factKey), "left")
+      .groupBy(col(entityKey))
+      .agg(count(col(countedCol)).as("c_count"))
+    per.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
   /** Deterministic-arm A/B conversion test: users are split into arms
     * A/B by md5-hash parity (the stable assignment an experimentation
     * system would persist), conversion is measured per ACTIVE USER-DAY

@@ -171,6 +171,35 @@ object Similarity {
     topKPerKey(rescored, k)
   }
 
+  /** Triplet mining for metric-learning training data: for every
+    * anchor, the most-similar SAME-label vector (positive) and the
+    * most-similar OTHER-label vector (hard negative), ties resolving
+    * to the LOWEST candidate id. Anchors broadcast against one corpus
+    * scan (the q35 shape); both top-1s come from partial-aggregatable
+    * `max(struct(sim, −id))` — no sort, no window, map-side combine
+    * all the way. Anchors whose label class has no second member get
+    * a null positive. */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id",
+                  labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      asDouble(col(vecCol)).as("avec"), col(labelCol).as("alabel")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cvec"), col(labelCol).as("clabel"))
+    val scored = c.join(a, col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("alabel"), col("cand_id"),
+        (col("clabel") === col("alabel")).as("same"),
+        cosine(col("avec"), col("cvec")).as("sim"))
+    def side(cond: Column) = max(when(cond,
+      struct(col("sim").as("s"), (-col("cand_id")).as("n"))))
+    scored.groupBy(col("anchor_id"), col("alabel"))
+      .agg(side(col("same")).as("p"), side(!col("same")).as("ng"))
+      .select(col("anchor_id"), col("alabel").as("anchor_label"),
+        (-col("p.n")).as("positive_id"), col("p.s").as("positive_sim"),
+        (-col("ng.n")).as("negative_id"), col("ng.s").as("negative_sim"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast (small side);
     * ranking uses the ROUNDED similarity with id tiebreak so the result is

@@ -112,6 +112,45 @@ object RelationalQueries {
         .orderBy(col("gid"), col("o_orderstatus"),
           col("o_orderpriority"))),
 
+    // the TPC-H Q13 shape: LEFT join so zero-order customers survive,
+    // then a histogram of the per-customer counts — two hash
+    // aggregates, the second over the bounded count domain
+    "q201_order_count_dist" -> ((s, d) =>
+      graft.operators.AnalyticsViews.countDistribution(
+          Tables.customer(s, d), Tables.orders(s, d),
+          "c_custkey", "o_custkey", "o_orderkey")
+        .orderBy(col("n_entities").desc, col("c_count").desc)),
+
+    // the TPC-H Q8 shape: supplier-nation market share inside each
+    // region per order year — conditional DECIMAL revenue over total,
+    // the ratio exact via scaled longs
+    "q202_market_share" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("r_name"), col("n_name"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+      rev.groupBy(col("yr"), col("r_name"))
+        .agg(coalesce(sum(when(col("n_name") === "NATION_0",
+            col("rev"))), lit(0).cast("decimal(28,4)")).as("nr"),
+          sum(col("rev")).as("tr"))
+        .select(col("yr"), col("r_name"),
+          col("nr").cast("double").as("nation_revenue"),
+          col("tr").cast("double").as("total_revenue"),
+          graft.functions.ExactRound.ratio(
+            (col("nr") * 10000).cast("long"),
+            (col("tr") * 10000).cast("long"), 4).as("share"))
+        .orderBy(col("yr"), col("r_name"))
+    }),
+
     // the TPC-H Q5 join-pipeline shape: fact-to-fact shuffles on the
     // shared keys, dimension hops broadcast (nation/region are tiny at
     // any SF); revenue sums exactly in DECIMAL before the double cast
@@ -213,6 +252,40 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q201: Q13 — zero-order customers kept by the LEFT join
+    "q201_order_count_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS n_entities
+         FROM (SELECT c_custkey,
+                      CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY 1)
+         GROUP BY 1 ORDER BY 2 DESC, 1 DESC""",
+    // q202: Q8 — conditional/total DECIMAL revenue, exact share
+    "q202_market_share" ->
+      """WITH rev AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, r_name,
+                  n_name,
+                  CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,4)) AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         g AS (
+           SELECT yr, r_name,
+                  coalesce(sum(CASE WHEN n_name = 'NATION_0'
+                    THEN rev END), 0) AS nr,
+                  sum(rev) AS tr
+           FROM rev GROUP BY 1, 2)
+         SELECT yr, r_name,
+                CAST(nr AS DOUBLE) AS nation_revenue,
+                CAST(tr AS DOUBLE) AS total_revenue,
+                CAST((CAST(nr * 10000 AS BIGINT) * 20000
+                      + CAST(tr * 10000 AS BIGINT))
+                     // (2 * CAST(tr * 10000 AS BIGINT)) AS DOUBLE)
+                  / 10000 AS share
+         FROM g ORDER BY 1, 2""",
     "q01_global_agg" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty,
          round(avg(l_extendedprice),4) AS avg_price,

@@ -103,6 +103,14 @@ object TextQueries {
           threshold = 0.6, maxDf = 400)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // triplet mining (anchor / same-label positive / hard negative),
+    // top-1s via partial-aggregatable struct max — no sort
+    "q203_triplets" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.tripletMine(e, e.filter(col("vec_id") < 20))
+        .orderBy(col("anchor_id"))
+    }),
+
     // brute-force cosine top-k (exact ANN baseline), two-phase plan
     "q35_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2724,6 +2732,33 @@ object TextQueries {
     "q38_simhash" -> simhashOracle,
     "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
     "q198_lsh_quality" -> lshQualityOracle,
+    // q203: struct-max mirrors — {'s': sim, 'n': -id} lexicographic
+    // max ties to the lowest id on both engines
+    "q203_triplets" ->
+      """WITH a AS (
+           SELECT vec_id AS anchor_id, label AS alabel,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS cand_id, label AS clabel,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+         s AS (
+           SELECT anchor_id, alabel, cand_id,
+                  clabel = alabel AS same,
+                  round(list_cosine_similarity(av, cv), 4) AS sim
+           FROM a JOIN c ON anchor_id <> cand_id),
+         g AS (
+           SELECT anchor_id, alabel,
+                  max(CASE WHEN same
+                      THEN {'s': sim, 'n': -cand_id} END) AS p,
+                  max(CASE WHEN NOT same
+                      THEN {'s': sim, 'n': -cand_id} END) AS ng
+           FROM s GROUP BY 1, 2)
+         SELECT anchor_id, alabel AS anchor_label,
+                -p.n AS positive_id, p.s AS positive_sim,
+                -ng.n AS negative_id, ng.s AS negative_sim
+         FROM g ORDER BY anchor_id""",
     // q199: list_filter mirrors of the map-side HOF flags
     "q199_line_shape" ->
       """WITH l AS (

@@ -76,6 +76,16 @@ class AnalyticsViewsSpec extends SparkSuite {
       ("y", 2L, 4L, 0.5, 0.0), ("z", 1L, 3L, 1.0, 0.0)))
   }
 
+  test("countDistribution: zero-fact entities land in the 0 bucket " +
+    "(the LEFT-join semantics the Q13 shape exists for)") {
+    val ents = Seq(1L, 2L, 3L).toDF("ck")
+    val facts = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("ok", "ock")
+    val out = AnalyticsViews.countDistribution(ents, facts,
+        "ck", "ock", "ok")
+      .orderBy("c_count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("abTest: counts and z match a driver replay of the md5 arms; " +
     "an all-converting tape yields null z") {
     def arm(u: Long): String = {

@@ -228,4 +228,20 @@ class PlanShapeSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q202 market share broadcasts the nation/region dimension hops") {
+    val p = plan("q202_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q203 triplet mining is broadcast-anchor + partial struct-max " +
+    "aggregate — no window, map-side partials before the exchange") {
+    val p = plan("q203_triplets")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    // struct max is sort-based but still two-phase: partial_max runs
+    // before the (anchor, label) exchange
+    assert(p.contains("partial_max"), p)
+  }
 }
