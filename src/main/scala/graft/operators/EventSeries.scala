@@ -783,6 +783,105 @@ object EventSeries {
           - (col("ph") - col("pl")), 4).as("s2"))
   }
 
+  /** Two-sided CUSUM control chart over the daily return stream —
+    * the sequential change-point monitor run next to [[Drift psi]]'s
+    * batch check: `s⁺_t = max(0, s⁺_{t-1} + (x_t − k))`,
+    * `s⁻_t = min(0, s⁻_{t-1} + (x_t + k))`, alarm when either drifts
+    * past ±h. Like [[emaMacd]] the recurrence depends on the previous
+    * OUTPUT, so it is the sorted-scan pattern: one Exchange on the
+    * key, one O(n) pass, O(1) state. The oracle replays the
+    * bit-identical fold per row via `list_reduce` over a 0-prepended
+    * stream (the prepend makes the fold's seed the mathematical s₀=0
+    * rather than DuckDB's first-element seed); the Spark fold uses
+    * the same `max(0, s + (x − k))` association. */
+  def cusum(staged: DataFrame, k: Double = 0.5,
+            h: Double = 4.0): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val src = staged
+      .where(col("pct_change").isNotNull)
+      .select(col("user_id").cast("long"), col("date").cast("date"),
+        col("pct_change").cast("double"))
+      .as[(Long, java.sql.Date, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("date"))
+    val scanned = src.mapPartitions { it =>
+      var cur = Long.MinValue
+      var sp = 0.0; var sn = 0.0
+      it.map { case (u, dt, x) =>
+        if (u != cur) { cur = u; sp = 0.0; sn = 0.0 }
+        sp = math.max(0.0, sp + (x - k))
+        sn = math.min(0.0, sn + (x + k))
+        (u, dt, x, sp, sn, sp > h || sn < -h)
+      }
+    }.toDF("user_id", "date", "pct_change", "sp", "sn", "alarm")
+    scanned.select(col("user_id"), col("date"), col("pct_change"),
+      round(col("sp"), 4).as("cusum_pos"),
+      round(col("sn"), 4).as("cusum_neg"), col("alarm"))
+  }
+
+  /** First/last-touch conversion attribution inside each (user, day):
+    * for every `convType` event, the day's FIRST event type (by the
+    * unique event id) gets first-touch credit and the immediately
+    * preceding event's type gets last-touch credit (`(none)` when the
+    * conversion opens the day). Two window passes on one (user, day)
+    * Exchange + two bounded per-channel aggregates merged full-outer.
+    * All-integer output. */
+  def attribution(events: DataFrame,
+                  convType: String = "purchase"): DataFrame = {
+    val base = events.select(col("user_id"),
+      to_date(col("ts")).as("d"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touched = base
+      .withColumn("first_t", first(col("event_type")).over(cum))
+      .withColumn("last_t",
+        coalesce(lag(col("event_type"), 1).over(w), lit("(none)")))
+      .where(col("event_type") === convType)
+    val f = touched.groupBy(col("first_t").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val l = touched.groupBy(col("last_t").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    f.join(l, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+  }
+
+  /** Additive seasonal decomposition (STL-lite): trend = centered
+    * 7-row moving average (full windows only), seasonal = the per-
+    * (key, day-of-week) mean of the detrended series, residual = the
+    * rest. EXACT beyond the trend: the 4dp detrended values lift into
+    * DECIMAL(14,4), sum exactly, and the seasonal mean rounds through
+    * the signed half-up bridge — group-sum ORDER never touches a
+    * float. Trend's windowed avg folds in frame order (deterministic
+    * on both engines — the q13/q14 rolling-mean precedent). One
+    * series Exchange + one bounded (key, dow) aggregate joined back
+    * broadcast. */
+  def seasonalDecompose(bars: DataFrame): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val f = w.rowsBetween(-3, 3)
+    val trend = when(count(col("close")).over(f) === 7,
+      round(avg(col("close")).over(f), 4))
+    val det = bars.withColumn("trend", trend)
+      .withColumn("dow",
+        graft.functions.Indicators.dayOfWeekMon0(col("date"))
+          .cast("long"))
+      .withColumn("detr",
+        round(col("close") - col("trend"), 4).cast("decimal(14,4)"))
+    val seasonal = det.where(col("detr").isNotNull)
+      .groupBy(col("user_id"), col("dow"))
+      .agg(graft.functions.ExactRound.signedRatio(
+        (sum(col("detr")) * 10000).cast("long"),
+        count(lit(1)) * 10000, 4).as("seasonal"))
+    det.join(broadcast(seasonal), Seq("user_id", "dow"), "left")
+      .select(col("user_id"), col("date"), col("close"),
+        col("trend"), col("dow"), col("seasonal"),
+        round(col("detr").cast("double") - col("seasonal"), 4)
+          .as("residual"))
+  }
+
   /** Kaplan-Meier survival over user lifetimes (days from first to
     * last observed activity; the fixture has no censoring, so the last
     * active day IS the churn event): per lifetime t,

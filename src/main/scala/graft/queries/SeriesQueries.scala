@@ -402,6 +402,25 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // two-sided CUSUM drift monitor over daily returns — sorted-scan
+    // recurrence, oracle replays the fold via 0-prepended list_reduce
+    "q204_cusum" -> ((s, d) =>
+      EventSeries.cusum(staged(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // first/last-touch purchase attribution inside (user, day)
+    "q205_attribution" -> ((s, d) =>
+      EventSeries.attribution(Tables.events(s, d))
+        .orderBy(col("channel"))),
+
+    // additive seasonal decomposition: centered-MA trend, exact
+    // per-(key, dow) seasonal means, residual
+    "q206_seasonal" -> ((s, d) =>
+      EventSeries.seasonalDecompose(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
     // SCD Type 2 history of each user's dominant daily event type:
     // change rows only, day-grained validity ranges, version counter
     "q195_scd2" -> ((s, d) =>
@@ -1225,6 +1244,100 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q204: the 0-prepend makes list_reduce's seed the mathematical
+    // s₀ = 0; lambda shape a + (b ∓ k) matches the Spark fold exactly
+    "q204_cusum" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date, pct_change FROM staged
+            WHERE pct_change IS NOT NULL),
+          l AS (
+            SELECT user_id, date, pct_change,
+                   list_prepend(0e0, list(pct_change) OVER (
+                     PARTITION BY user_id ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     AS xs
+            FROM x),
+          c AS (
+            SELECT user_id, date, pct_change,
+                   list_reduce(xs,
+                     (a, b) -> greatest(0e0, a + (b - 5e-1))) AS sp,
+                   list_reduce(xs,
+                     (a, b) -> least(0e0, a + (b + 5e-1))) AS sn
+            FROM l)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 pct_change,
+                 round(sp, 4) + 0 AS cusum_pos,
+                 round(sn, 4) + 0 AS cusum_neg,
+                 sp > 4e0 OR sn < -4e0 AS alarm
+          FROM c ORDER BY 1, 2"""),
+
+    // q205: first() over the cumulative frame + lag, credits folded
+    // per channel with a full-outer merge
+    "q205_attribution" ->
+      """WITH b AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_id, event_type
+           FROM events),
+         t AS (
+           SELECT user_id, d, event_type,
+                  first(event_type) OVER (PARTITION BY user_id, d
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS first_t,
+                  coalesce(lag(event_type) OVER (PARTITION BY user_id,
+                    d ORDER BY event_id), '(none)') AS last_t
+           FROM b),
+         p AS (SELECT first_t, last_t FROM t
+               WHERE event_type = 'purchase'),
+         f AS (SELECT first_t AS channel,
+                      CAST(count(*) AS BIGINT) AS n_first_touch
+               FROM p GROUP BY 1),
+         l AS (SELECT last_t AS channel,
+                      CAST(count(*) AS BIGINT) AS n_last_touch
+               FROM p GROUP BY 1)
+         SELECT coalesce(f.channel, l.channel) AS channel,
+                coalesce(n_first_touch, 0) AS n_first_touch,
+                coalesce(n_last_touch, 0) AS n_last_touch
+         FROM f FULL OUTER JOIN l ON f.channel = l.channel
+         ORDER BY 1""",
+
+    // q206: frame-ordered centered-MA trend; seasonal means run in
+    // exact DECIMAL through the signed bridge; Mon=0 dow mirror
+    "q206_seasonal" -> (BARS +
+      """, tr AS (
+            SELECT user_id, date, close,
+                   CASE WHEN count(close) OVER f = 7
+                        THEN round(avg(close) OVER f, 4) END AS trend
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          dt AS (
+            SELECT user_id, date, close, trend,
+                   CAST((dayofweek(date) + 6) % 7 AS BIGINT) AS dow,
+                   CAST(round(close - trend, 4) AS DECIMAL(14,4))
+                     AS detr
+            FROM tr),
+          se AS (
+            SELECT user_id, dow,
+                   CAST(sum(detr) * 10000 AS BIGINT) AS s4,
+                   CAST(count(*) AS BIGINT) * 10000 AS den
+            FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+          sm AS (
+            SELECT user_id, dow,
+                   CAST(CASE WHEN s4 < 0
+                        THEN -((abs(s4) * 20000 + den) // (2 * den))
+                        ELSE (s4 * 20000 + den) // (2 * den) END
+                     AS DOUBLE) / 10000 AS seasonal
+            FROM se)
+          SELECT d.user_id, strftime(d.date, '%Y-%m-%d') AS date,
+                 d.close, d.trend, d.dow, sm.seasonal,
+                 round(CAST(d.detr AS DOUBLE) - sm.seasonal, 4)
+                   AS residual
+          FROM dt d LEFT JOIN sm ON d.user_id = sm.user_id
+            AND d.dow = sm.dow
+          ORDER BY 1, 2"""),
+
+    // q195: the q18 `sent` dominant-type series folded to change rows
+    // with [from, to] day validity and per-key versions
 
     // q195: the q18 `sent` dominant-type series folded to change rows
     // with [from, to] day validity and per-key versions

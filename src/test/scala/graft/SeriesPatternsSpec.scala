@@ -86,6 +86,68 @@ class SeriesPatternsSpec extends SparkSuite {
       ("2024-03-02", 1L, 2L, 0.5)))
   }
 
+  test("cusum: +1%-a-day drift alarms exactly when s⁺ crosses h=4 " +
+    "(9th day at k=0.5); a reversal drains the statistic to 0") {
+    def staged(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>
+      (1L, day(i + 1), x)
+    }.toDF("user_id", "d", "pct_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("pct_change"))
+    val drift = graft.operators.EventSeries.cusum(staged(Seq.fill(9)(1.0)))
+      .orderBy("date").select("cusum_pos", "alarm")
+      .as[(Double, Boolean)].collect().toSeq
+    assert(drift.map(_._1) == (1 to 9).map(_ * 0.5))
+    assert(drift.map(_._2) == Seq.fill(8)(false) :+ true)
+    val rev = graft.operators.EventSeries.cusum(staged(Seq(2.0, -2.0)))
+      .orderBy("date").select("cusum_pos", "cusum_neg")
+      .as[(Double, Double)].collect().toSeq
+    assert(rev == Seq((1.5, 0.0), (0.0, -1.5)))
+  }
+
+  test("attribution: first-touch credits the day opener, last-touch " +
+    "the immediately preceding event; a day-opening conversion " +
+    "credits (none)") {
+    val ev = Seq(
+      (1L, day(1), 1L, "click"), (1L, day(1), 2L, "view"),
+      (1L, day(1), 3L, "purchase"), (1L, day(1), 4L, "purchase"),
+      (2L, day(1), 5L, "purchase")
+    ).toDF("user_id", "d", "event_id", "event_type")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = graft.operators.EventSeries.attribution(ev)
+      .orderBy("channel").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("(none)", 0L, 1L), ("click", 2L, 0L),
+      ("purchase", 1L, 1L), ("view", 0L, 1L)))
+  }
+
+  test("seasonalDecompose: a pure Monday spike over a linear-free " +
+    "base decomposes to flat trend, dow-shaped seasonal, zero " +
+    "residual on full windows") {
+    // 14 days from Monday 2024-03-04: Mondays close 17, others 10 —
+    // every full 7-window holds exactly one Monday → trend 11
+    val start = java.time.LocalDate.of(2024, 3, 4)
+    val bars = (0 until 14).map { i =>
+      val dt = start.plusDays(i)
+      val close = if (dt.getDayOfWeek.getValue == 1) 17.0 else 10.0
+      (1L, dt.toString, close)
+    }.toDF("user_id", "d", "close")
+      .select(col("user_id"), to_date(col("d")).as("date"), col("close"))
+    val out = graft.operators.EventSeries.seasonalDecompose(bars)
+      .orderBy("date")
+      .select("trend", "dow", "seasonal", "residual")
+      .as[(Option[Double], Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    // edge rows (first/last 3) have no trend or residual
+    assert((out.take(3) ++ out.takeRight(3)).forall(r =>
+      r._1.isEmpty && r._4.isEmpty))
+    val full = out.slice(3, 11)
+    assert(full.forall(_._1.contains(11.0)))
+    assert(full.forall(_._4.contains(0.0)))
+    // seasonal: +6 on Mondays, −1 elsewhere (joined to edges too)
+    assert(out.forall(r =>
+      if (r._2 == 0L) r._3.contains(6.0) else r._3.contains(-1.0)))
+  }
+
   test("kaplanMeier: lifetimes [0,0,1,2] walk S = 0.5, 0.25, 0 with " +
     "exact at-risk counts") {
     // users 1,2 active one day; 3 spans 2 days; 4 spans 3 days
