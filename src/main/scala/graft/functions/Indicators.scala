@@ -238,6 +238,30 @@ object Indicators {
     round(when(gate, sqrt(ssq / period)), 4)
   }
 
+  /** Garman-Klass OHLC volatility: per-bar estimator
+    * `0.5·ln(H/L)² − (2ln2−1)·ln(C/O)²`, rolling-averaged over
+    * `period` full windows, √ then 4dp. Uses the full bar range, so
+    * it is ~7× more efficient than close-close σ on the same sample.
+    * The constant folds from the identical `2·ln(2)−1` expression on
+    * both engines; the windowed mean folds in frame order. */
+  def garmanKlass(open: Column, high: Column, low: Column,
+                  close: Column, w: WindowSpec,
+                  period: Int = 20): Column = {
+    val u = log(high / low)
+    val c = log(close / open)
+    // the estimator needs positive prices (the fixture's value stream
+    // can touch 0/negative): non-positive bars yield null and fall out
+    // of the window COUNT gate on both engines
+    val ok = open > 0 && high > 0 && low > 0 && close > 0
+    val gk = when(ok,
+      lit(0.5) * u * u - (lit(2.0) * log(lit(2.0)) - 1.0) * c * c)
+    val f = trailing(w, period)
+    // a pathological window can average negative (the cross term) —
+    // null beats NaN for the cross-engine compare
+    round(when(count(gk).over(f) >= period && avg(gk).over(f) >= 0,
+      sqrt(avg(gk).over(f))), 4)
+  }
+
   /** On-balance volume: cumulative signed volume, +v on an up-close,
     * −v on a down-close, 0 on the first/flat row. All-integer window
     * arithmetic (volume is a count) — no fp rounding anywhere. */

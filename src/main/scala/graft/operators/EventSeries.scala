@@ -820,6 +820,65 @@ object EventSeries {
       round(col("sn"), 4).as("cusum_neg"), col("alarm"))
   }
 
+  /** RiskMetrics EWMA volatility: `σ²_t = λ·σ²_{t-1} + (1−λ)·x²_t`
+    * over daily pct-change, ZERO-seeded (σ²₀ = 0 — documented; the
+    * stream's own early values dominate within ~1/(1−λ) rows). Same
+    * sorted-scan shape as [[cusum]]; the oracle replays the fold via a
+    * 0-prepended `list_reduce` with the identical `λa + (1−λ)·b·b`
+    * association. Emits the daily σ and the √252-annualized σ. */
+  def ewmaVolatility(staged: DataFrame,
+                     lambda: Double = 0.94): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val lam = lambda; val oneMinus = 1.0 - lambda
+    val src = staged
+      .where(col("pct_change").isNotNull)
+      .select(col("user_id").cast("long"), col("date").cast("date"),
+        col("pct_change").cast("double"))
+      .as[(Long, java.sql.Date, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("date"))
+    val scanned = src.mapPartitions { it =>
+      var cur = Long.MinValue
+      var v = 0.0
+      it.map { case (u, dt, x) =>
+        if (u != cur) { cur = u; v = 0.0 }
+        v = lam * v + oneMinus * x * x
+        (u, dt, x, v)
+      }
+    }.toDF("user_id", "date", "pct_change", "v")
+    scanned.select(col("user_id"), col("date"), col("pct_change"),
+      round(sqrt(col("v")), 4).as("ewma_vol"),
+      round(sqrt(col("v") * 252.0), 4).as("ewma_vol_annual"))
+  }
+
+  /** Top event-type trigram paths: within each (user, day) the
+    * event-id-ordered stream contributes every 3-step `a>b>c` path;
+    * paths count corpus-wide and the top `k` emit with a
+    * deterministic (count desc, path asc) order. Two leads on ONE
+    * (user, day) window Exchange, one two-phase count, bounded top-k
+    * (TakeOrderedAndProject — never a global sort). */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("event_id"))
+    val paths = events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+    val counted = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+    counted.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("path").asc))
+        .cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+  }
+
   /** First/last-touch conversion attribution inside each (user, day):
     * for every `convType` event, the day's FIRST event type (by the
     * unique event id) gets first-touch credit and the immediately

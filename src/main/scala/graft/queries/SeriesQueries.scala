@@ -402,6 +402,26 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // RiskMetrics EWMA volatility (zero-seeded recurrence), daily +
+    // annualized
+    "q207_ewma_vol" -> ((s, d) =>
+      EventSeries.ewmaVolatility(staged(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // Garman-Klass OHLC range volatility, 20-bar rolling
+    "q208_garman_klass" -> ((s, d) =>
+      bars(s, d).select(col("user_id"), col("date"),
+          Indicators.garmanKlass(col("open"), col("high"), col("low"),
+            col("close"), seriesW, 20).as("gk_vol"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // top event-type trigram paths (corpus-wide, deterministic order)
+    "q209_event_paths" -> ((s, d) =>
+      EventSeries.eventPaths(Tables.events(s, d), 20)
+        .orderBy(col("rank"))),
+
     // two-sided CUSUM drift monitor over daily returns — sorted-scan
     // recurrence, oracle replays the fold via 0-prepended list_reduce
     "q204_cusum" -> ((s, d) =>
@@ -1244,6 +1264,73 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q207: 0-prepended fold; (1e0 - 94e-2) folds to the same double
+    // as Spark's precomputed 1.0 - lambda
+    "q207_ewma_vol" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date, pct_change FROM staged
+            WHERE pct_change IS NOT NULL),
+          l AS (
+            SELECT user_id, date, pct_change,
+                   list_prepend(0e0, list(pct_change) OVER (
+                     PARTITION BY user_id ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     AS xs
+            FROM x),
+          v AS (
+            SELECT user_id, date, pct_change,
+                   list_reduce(xs, (a, b) ->
+                     94e-2 * a + (1e0 - 94e-2) * b * b) AS v
+            FROM l)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 pct_change,
+                 round(sqrt(v), 4) AS ewma_vol,
+                 round(sqrt(v * 252e0), 4) AS ewma_vol_annual
+          FROM v ORDER BY 1, 2"""),
+
+    // q208: identical constant expression (2·ln2 − 1) and left-assoc
+    // products; sqrt gated on a non-negative windowed mean
+    "q208_garman_klass" -> (BARS +
+      """, g AS (
+            SELECT user_id, date,
+                   CASE WHEN open > 0 AND high > 0 AND low > 0
+                        AND close > 0 THEN
+                     5e-1 * ln(high / low) * ln(high / low)
+                     - (2e0 * ln(2e0) - 1e0) * ln(close / open)
+                       * ln(close / open) END AS gk
+            FROM bars),
+          r AS (
+            SELECT user_id, date,
+                   CASE WHEN count(gk) OVER f >= 20
+                        AND avg(gk) OVER f >= 0
+                        THEN round(sqrt(avg(gk) OVER f), 4) END
+                     AS gk_vol
+            FROM g
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, gk_vol
+          FROM r ORDER BY 1, 2"""),
+
+    // q209: two leads on one (user, day) window; top-20 with a total
+    // (count desc, path asc) order
+    "q209_event_paths" ->
+      """WITH b AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_id, event_type
+           FROM events),
+         p AS (
+           SELECT concat_ws('>', event_type,
+                    lead(event_type, 1) OVER w,
+                    lead(event_type, 2) OVER w) AS path,
+                  lead(event_type, 2) OVER w AS e3
+           FROM b WINDOW w AS (PARTITION BY user_id, d
+             ORDER BY event_id)),
+         c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE e3 IS NOT NULL GROUP BY 1),
+         r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC,
+                 path ASC) AS BIGINT) AS rank, path, n
+               FROM c)
+         SELECT rank, path, n FROM r WHERE rank <= 20 ORDER BY rank""",
 
     // q204: the 0-prepend makes list_reduce's seed the mathematical
     // s₀ = 0; lambda shape a + (b ∓ k) matches the Spark fold exactly

@@ -148,6 +148,60 @@ class SeriesPatternsSpec extends SparkSuite {
       if (r._2 == 0L) r._3.contains(6.0) else r._3.contains(-1.0)))
   }
 
+  test("ewmaVolatility matches a driver replay of the zero-seeded " +
+    "RiskMetrics fold, including the (1 − λ) double") {
+    val xs = Seq(10.0, 0.0, -5.0, 2.0)
+    val staged = xs.zipWithIndex.map { case (x, i) => (1L, day(i + 1), x) }
+      .toDF("user_id", "d", "pct_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("pct_change"))
+    val lam = 0.94; val om = 1.0 - lam
+    val ref = xs.scanLeft(0.0)((v, x) => lam * v + om * x * x).tail
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.operators.EventSeries.ewmaVolatility(staged)
+      .orderBy("date").select("ewma_vol", "ewma_vol_annual")
+      .as[(Double, Double)].collect().toSeq
+    assert(out == ref.map(v =>
+      (r4(math.sqrt(v)), r4(math.sqrt(v * 252.0)))))
+  }
+
+  test("garmanKlass: constant bars read zero vol once the window " +
+    "fills; non-positive bars fall out of the count gate") {
+    import graft.functions.{Indicators, WindowFns}
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val bars = (1 to 21).map(i => (1L, day(i),
+        if (i == 1) 0.0 else 10.0, 10.0, 10.0, 10.0))
+      .toDF("user_id", "d", "open", "high", "low", "close")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("open"), col("high"), col("low"), col("close"))
+    val out = bars.select(col("date"),
+        Indicators.garmanKlass(col("open"), col("high"), col("low"),
+          col("close"), w, 20).as("v"))
+      .orderBy("date").select("v").as[Option[Double]].collect().toSeq
+    // day 1 is excluded (open = 0), so the 20-bar gate first passes on
+    // day 21, not day 20
+    assert(out.take(20).forall(_.isEmpty))
+    assert(out(20).contains(0.0))
+  }
+
+  test("eventPaths: trigram paths stay inside a (user, day) stream " +
+    "and rank (count desc, path asc)") {
+    val ev = Seq(
+      (1L, day(1), 1L, "a"), (1L, day(1), 2L, "b"),
+      (1L, day(1), 3L, "c"), (1L, day(1), 4L, "d"),
+      (2L, day(1), 5L, "a"), (2L, day(1), 6L, "b"),
+      (2L, day(1), 7L, "c"),
+      // day boundary: no path may cross it
+      (1L, day(2), 8L, "x"), (1L, day(2), 9L, "y")
+    ).toDF("user_id", "d", "event_id", "event_type")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = graft.operators.EventSeries.eventPaths(ev, 20)
+      .orderBy("rank").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)))
+  }
+
   test("kaplanMeier: lifetimes [0,0,1,2] walk S = 0.5, 0.25, 0 with " +
     "exact at-risk counts") {
     // users 1,2 active one day; 3 spans 2 days; 4 spans 3 days
