@@ -60,6 +60,50 @@ object EmbeddingStats {
         Similarity.cosine(col("vec_a"), col("vec_b")).as("sim"))
   }
 
+  /** Embedding L2-norm profile with per-label outlier flags — the
+    * "corrupt/degenerate vector" data-quality check (zeroed rows,
+    * unnormalized batches, encoder regressions all show up as norm
+    * outliers). Exactness: norms come from exact 6dp-decimal squares;
+    * the per-label moments lift the 6dp-rounded norms into DECIMAL and
+    * compute variance as `(n·Σx² − (Σx)²)/(n(n−1))` — an EXACT decimal
+    * numerator, so no float aggregation order anywhere before the two
+    * final deterministic doubles. The label-moment table is bounded →
+    * broadcast join back. */
+  def normOutliers(df: DataFrame, zThreshold: Double = 3.0,
+                   idCol: String = "vec_id",
+                   labelCol: String = "label",
+                   vecCol: String = "embedding"): DataFrame = {
+    val sq = df.select(col(idCol), col(labelCol),
+        explode(Similarity.asDouble(col(vecCol))).as("x"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(dec6(col("x") * col("x"))).as("_ssq"))
+    val normed = sq.select(col(idCol), col(labelCol),
+      round(sqrt(col("_ssq").cast("double")), 6).as("norm"))
+    // micro-scaled LONG norms → the variance numerator n·Σm² − (Σm)²
+    // is EXACT integer arithmetic with no decimal-scale rounding (the
+    // fixture's unit-normalized vectors put all the signal in the 6th
+    // decimal — any scale cap would eat it)
+    val lifted = normed.withColumn("m6",
+      (col("norm").cast("decimal(19,6)") * 1000000).cast("long"))
+    val moments = lifted.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), sum(col("m6")).as("s"),
+        sum(col("m6").cast("decimal(38,0)") * col("m6")).as("ssq"))
+      .select(col(labelCol), col("n"),
+        (col("s").cast("double") / col("n") / 1000000).as("mu"),
+        // n = 1 → undefined; identical norms → sd 0; both null the z
+        when(col("n") > 1,
+          sqrt((col("n") * col("ssq")
+              - col("s").cast("decimal(38,0)") * col("s"))
+            .cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) / 1000000)
+          .as("sd"))
+    val z = (col("norm") - col("mu")) / nullif(col("sd"), lit(0.0))
+    normed.join(broadcast(moments), Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("norm"),
+        round(z, 4).as("norm_z"),
+        coalesce(abs(z) >= zThreshold, lit(false)).as("is_outlier"))
+  }
+
   /** Corpus-version embedding drift: cosine and L2 distance between
     * the centroid of the FIRST id-half and the SECOND id-half of the
     * corpus — the "did the encoder (or the data) move?" one-row check

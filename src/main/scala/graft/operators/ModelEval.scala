@@ -203,6 +203,31 @@ object ModelEval {
         .as("mi"))
   }
 
+  /** Global precision-recall curve table: one row per DISTINCT score
+    * threshold (descending — "predict positive at ≥ t"), with exact
+    * integer TP/FP cumulatives and bridge-rounded precision/recall.
+    * The stepwise complement of [[averagePrecision]]'s scalar. One
+    * (score) aggregate + one bounded cumulative window over distinct
+    * scores. */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val perScore = scored.groupBy(col("score"))
+      .agg(sum(col("label")).cast("long").as("p"),
+        (count(lit(1)) - sum(col("label"))).cast("long").as("q"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perScore
+      .withColumn("tp", sum(col("p")).over(cum).cast("long"))
+      .withColumn("fp", sum(col("q")).over(cum).cast("long"))
+      .withColumn("np", sum(col("p")).over(tot).cast("long"))
+      .select(col("score").as("threshold"), col("tp"), col("fp"),
+        graft.functions.ExactRound.ratio(col("tp"),
+          col("tp") + col("fp"), 4).as("precision_at"),
+        graft.functions.ExactRound.ratio(col("tp"),
+          greatest(col("np"), lit(1L)), 4).as("recall_at"))
+  }
+
   /** Per-key logistic log-loss and Brier score: p = σ(score/scale),
     * clamped away from {0,1} by `eps` so a confident miss stays finite
     * (the standard sklearn-style clip). */

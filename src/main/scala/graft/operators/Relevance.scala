@@ -441,6 +441,41 @@ object Relevance {
           .as("oov_rate"))
   }
 
+  /** Corpus token-concentration (Lorenz) table: docs ranked by token
+    * count DESC (doc-id tiebreak → total order), cut into `buckets`
+    * ntiles, with per-bucket doc/token counts and the CUMULATIVE token
+    * share — "the top 10% of docs hold X% of the tokens", the planning
+    * number behind budget caps and packing shard sizing. All-integer
+    * plus bridge ratios. The global ntile is the oracle-matching
+    * reference semantics (the RFM note applies: at extreme corpus
+    * cardinality the cut points would come from broadcast
+    * approx-quantiles); the cumulative window runs over the bounded
+    * bucket table. */
+  def tokenLorenz(docs: DataFrame, buckets: Int = 10,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol),
+      graft.functions.TextFns.tokenCount(col(textCol)).cast("long")
+        .as("n_tok"))
+    val w = Window.orderBy(col("n_tok").desc, col(idCol).asc)
+    val t = base
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.withColumn("cum_tokens", sum(col("n_tokens")).over(cum)
+        .cast("long"))
+      .withColumn("_total", sum(col("n_tokens")).over(tot).cast("long"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens"),
+        graft.functions.ExactRound.ratio(col("cum_tokens"),
+          greatest(col("_total"), lit(1L)), 4).as("cum_share"))
+  }
+
   /** Pointwise mutual information over within-document token
     * co-occurrence: for token pair (a, b),
     * `pmi = ln(n_docs · df_ab / (df_a · df_b))` on DOCUMENT

@@ -134,6 +134,12 @@ object AnalyticsQueries {
     "q196_ab_test" -> ((s, d) =>
       AnalyticsViews.abTest(Tables.events(s, d), "purchase")),
 
+    // stepwise precision-recall curve at every distinct threshold —
+    // exact integer cumulatives
+    "q210_pr_curve" -> ((s, d) =>
+      ModelEval.prCurve(scoredFrame(s, d))
+        .orderBy(col("threshold").desc)),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -490,6 +496,29 @@ object AnalyticsQueries {
                          / sqrt(p * (1.0 - p)
                                 * (1.0 / n_a + 1.0 / n_b)), 4) END AS z
           FROM pz""",
+
+    // q210: cumulative TP/FP over distinct thresholds descending;
+    // exact bridge ratios
+    "q210_pr_curve" -> (SCORED +
+      """, g AS (
+            SELECT score, CAST(sum(label) AS BIGINT) AS p,
+                   CAST(count(*) - sum(label) AS BIGINT) AS q
+            FROM scored GROUP BY 1),
+          c AS (
+            SELECT score,
+                   CAST(sum(p) OVER w AS BIGINT) AS tp,
+                   CAST(sum(q) OVER w AS BIGINT) AS fp,
+                   CAST(sum(p) OVER t AS BIGINT) AS np
+            FROM g WINDOW w AS (ORDER BY score DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS ())
+          SELECT score AS threshold, tp, fp,
+                 CAST((tp * 20000 + (tp + fp)) // (2 * (tp + fp))
+                   AS DOUBLE) / 10000 AS precision_at,
+                 CAST((tp * 20000 + greatest(np, 1))
+                      // (2 * greatest(np, 1)) AS DOUBLE) / 10000
+                   AS recall_at
+          FROM c ORDER BY threshold DESC"""),
 
     // q175: AP = mean over positives of precision@rank, ranked by
     // (score DESC, date) so tie runs resolve identically in both engines

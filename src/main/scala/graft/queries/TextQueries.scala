@@ -316,6 +316,17 @@ object TextQueries {
       Relevance.oovRate(Tables.documents(s, d), 1000)
         .orderBy(col("doc_id"))),
 
+    // corpus token Lorenz deciles: who holds the tokens
+    "q211_token_lorenz" -> ((s, d) =>
+      Relevance.tokenLorenz(Tables.documents(s, d), 10)
+        .orderBy(col("bucket"))),
+
+    // embedding L2-norm profile + per-label outlier flags — exact
+    // decimal moments, no float agg order
+    "q212_norm_outliers" -> ((s, d) =>
+      graft.operators.EmbeddingStats.normOutliers(
+        Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+
     // multimodal plumbing: binary payloads → partition-local decode
     // (decode itself is a deterministic stub; see Multimodal scaladoc)
     "q50_media_features" -> ((s, d) =>
@@ -2732,6 +2743,65 @@ object TextQueries {
     "q38_simhash" -> simhashOracle,
     "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
     "q198_lsh_quality" -> lshQualityOracle,
+    // q211: total-ordered ntile (tokens desc, id asc), cumulative
+    // share through the exact bridge
+    "q211_token_lorenz" -> (TOKS +
+      """, tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok
+                  FROM t),
+          b AS (SELECT n_tok,
+                       CAST(ntile(10) OVER (ORDER BY n_tok DESC,
+                         doc_id ASC) AS BIGINT) AS bucket
+                FROM tl),
+          g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                FROM b GROUP BY 1),
+          c AS (SELECT bucket, n_docs, n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) AS BIGINT) AS cum_tokens,
+                       CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+                FROM g)
+          SELECT bucket, n_docs, n_tokens, cum_tokens,
+                 CAST((cum_tokens * 20000 + greatest(total, 1))
+                      // (2 * greatest(total, 1)) AS DOUBLE) / 10000
+                   AS cum_share
+          FROM c ORDER BY bucket"""),
+    // q212: exact 6dp-decimal squares → norms; per-label variance via
+    // the integer-style (n·Σx² − (Σx)²) decimal numerator
+    "q212_norm_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ex AS (SELECT vec_id, label, unnest(v) AS x FROM e),
+         sq AS (SELECT vec_id, label,
+                       CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6)))
+                         AS DECIMAL(38,6)) AS ssq
+                FROM ex GROUP BY 1, 2),
+         nr AS (SELECT vec_id, label,
+                       round(sqrt(CAST(ssq AS DOUBLE)), 6) AS norm
+                FROM sq),
+         lf AS (SELECT vec_id, label, norm,
+                       CAST(CAST(norm AS DECIMAL(19,6)) * 1000000
+                         AS BIGINT) AS m6
+                FROM nr),
+         mo AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(m6) AS BIGINT) AS s,
+                       sum(CAST(m6 AS HUGEINT) * m6) AS ssq
+                FROM lf GROUP BY 1),
+         mm AS (SELECT label,
+                       CAST(s AS DOUBLE) / n / 1000000 AS mu,
+                       CASE WHEN n > 1 THEN
+                         sqrt(CAST(n * ssq - CAST(s AS HUGEINT) * s
+                                AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE)) / 1000000
+                       END AS sd
+                FROM mo)
+         SELECT l.vec_id, l.label, l.norm,
+                round((l.norm - mu) / nullif(sd, 0), 4) AS norm_z,
+                coalesce(abs((l.norm - mu) / nullif(sd, 0)) >= 3e0,
+                  false) AS is_outlier
+         FROM lf l JOIN mm USING (label) ORDER BY l.vec_id""",
     // q203: struct-max mirrors — {'s': sim, 'n': -id} lexicographic
     // max ties to the lowest id on both engines
     "q203_triplets" ->

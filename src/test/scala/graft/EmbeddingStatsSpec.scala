@@ -62,4 +62,39 @@ class EmbeddingStatsSpec extends SparkSuite {
     // means (1,0) vs (0,1): cos 0, ‖Δ‖ = √2 at 6dp
     assert(orth == ((2L, 2L, 0.0, 1.414214)))
   }
+
+  test("normOutliers: a 100× norm in a tight unit cluster flags; a " +
+    "clean 3/4/5 label reads z = ∓1/0 unflagged; singleton labels " +
+    "survive with null z") {
+    import spark.implicits._
+    val rows =
+      // label 0: norms 3, 4, 5 → mu 4, sd 1
+      Seq((0L, 0, Seq(3f, 0f)), (1L, 0, Seq(0f, 4f)),
+        (2L, 0, Seq(0f, 5f)),
+      // label 1: 19 unit vectors + one norm-100 outlier
+        (100L, 1, Seq(100f, 0f))) ++
+        (101L until 120L).map(i => (i, 1, Seq(1f, 0f))) ++
+      // label 2: singleton
+        Seq((200L, 2, Seq(7f, 0f)))
+    val out = EmbeddingStats.normOutliers(
+        rows.toDF("vec_id", "label", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    assert(out(0L) == ((Some(-1.0), false)))
+    assert(out(1L) == ((Some(0.0), false)))
+    assert(out(2L) == ((Some(1.0), false)))
+    // replay the exact integer-moment arithmetic for the outlier z
+    val m6 = Seq.fill(19)(1000000L) :+ 100000000L
+    val (n, s) = (m6.size.toLong, m6.sum)
+    val ssq = m6.map(m => BigInt(m) * m).sum
+    val sd = math.sqrt((BigInt(n) * ssq - BigInt(s) * s).toDouble /
+      (n * (n - 1))) / 1000000
+    val mu = s.toDouble / n / 1000000
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(100L) == ((Some(r4((100.0 - mu) / sd)), true)))
+    assert(out(101L)._2 == false)
+    assert(out(200L) == ((None, false)))
+  }
 }

@@ -168,6 +168,16 @@ class ModelEvalSpec extends SparkSuite {
     assert(out == Seq((1L, 4L, 2L, 2L, 1.0), (2L, 4L, 2L, 2L, 0.5)))
   }
 
+  test("prCurve: hand-walked cumulative TP/FP at distinct thresholds " +
+    "including a tied-score step") {
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.7, 0))
+      .toDF("score", "label")
+    val out = ModelEval.prCurve(df).orderBy(col("threshold").desc)
+      .as[(Double, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0.9, 1L, 0L, 1.0, 0.5),
+      (0.8, 1L, 1L, 0.5, 0.5), (0.7, 2L, 2L, 0.5, 1.0)))
+  }
+
   test("mutualInfo: sign-determines-label reads ln 2 = 0.6931; " +
     "independent cells read 0; degenerate one-cell keys read 0") {
     val df = Seq(

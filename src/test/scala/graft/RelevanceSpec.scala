@@ -152,4 +152,15 @@ class RelevanceSpec extends SparkSuite {
     assert(out == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 1L, 0.5),
       (3L, 0L, 0L, 0.0)))
   }
+
+  test("tokenLorenz: [4,3,2,1] tokens in two buckets — the long half " +
+    "holds 70% of the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "b b b"), (3L, "c c"),
+      (4L, "d")).toDF("doc_id", "text")
+    val out = graft.operators.Relevance.tokenLorenz(docs, buckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 7L, 7L, 0.7), (2L, 2L, 3L, 10L, 1.0)))
+  }
 }
