@@ -601,6 +601,27 @@ object Dedup {
       .select(col("id").as(idCol), col("canonical"))
   }
 
+  /** Train/val/test split-leakage audit: the exact near-dup pairs
+    * ([[ngramJaccardPairs]] semantics) bucketed by the SPLIT sides of
+    * their endpoints — a near-duplicate that crosses train→test is
+    * silent evaluation contamination. Output is the (split, split)
+    * matrix (sides ordered lexicographically so the pair key is
+    * canonical) with a row per combination. Costs one near-dup pass +
+    * a map-side split assignment. */
+  def splitLeakage(docs: DataFrame, n: Int = 1, threshold: Double = 0.6,
+                   maxDf: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold, maxDf)
+      .select(col("id_a"), col("id_b"))
+    val withSplits = pairs
+      .withColumn("sa", Sampling.assignSplit(col("id_a")))
+      .withColumn("sb", Sampling.assignSplit(col("id_b")))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+    withSplits.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
   /** Self-audit of the MinHash-LSH approximation against the exact
     * n-gram Jaccard ground truth ON THE SAME corpus: candidate-pair
     * precision (fraction of LSH candidates that truly clear

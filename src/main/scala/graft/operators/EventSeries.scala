@@ -973,6 +973,51 @@ object EventSeries {
         .otherwise(lit(0.0)).as("survival"))
   }
 
+  /** New-vs-returning actives per date: a user is "new" on their
+    * first observed activity day, "returning" after. One distinct
+    * (user, day) pass, a per-user min-date aggregate broadcast back
+    * implicitly through the same key, one per-date rollup — all
+    * integer counts plus the exact new-share ratio. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    val flagged = ud.withColumn("first_d", min(col("d")).over(w))
+    flagged.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .select(graft.queries.iso(col("d")).as("date"), col("n_active"),
+        col("n_new"), (col("n_active") - col("n_new")).as("n_returning"),
+        graft.functions.ExactRound.ratio(col("n_new"),
+          col("n_active"), 4).as("new_share"))
+  }
+
+  /** Rolling market beta per key: `β_t = cov(r, r_mkt)/var(r_mkt)`
+    * over a trailing `period`-row window against the equal-weight
+    * market return (the rolling twin of [[marketBeta]]'s static fit).
+    * The |days|-row market frame broadcasts back; the frame
+    * aggregates fold in window order on both engines (the rolling-
+    * moment precedent); full windows only, zero-variance windows
+    * null. */
+  def rollingBeta(staged: DataFrame, period: Int = 30): DataFrame = {
+    val r = staged.select(col("user_id"), col("date"),
+        col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val market = r.groupBy(col("date"))
+      .agg(avg(col("ret")).as("mkt_ret"))
+    val joined = r.join(broadcast(market), Seq("date"))
+    val f = WindowFns.series(col("user_id"), col("date"))
+      .rowsBetween(-(period - 1), 0)
+    val beta = covar_pop(col("ret"), col("mkt_ret")).over(f) /
+      nullif(var_pop(col("mkt_ret")).over(f), lit(0.0))
+    joined.select(col("user_id"), col("date"), col("ret"),
+      // the raw market mean carries agg-order ULP noise — emit rounded
+      round(col("mkt_ret"), 4).as("mkt_ret"),
+      when(count(col("ret")).over(f) >= period, round(beta, 4))
+        .as("rolling_beta"))
+  }
+
   /** DAU/MAU stickiness per observed date: distinct daily actives over
     * distinct trailing-`windowDays` actives, via the same visible-from
     * sequence-explode as [[rollingActiveUsers]] (linear ×windowDays,

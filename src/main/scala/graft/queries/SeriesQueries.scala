@@ -402,6 +402,17 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // new vs returning actives per date, exact new-share
+    "q213_new_returning" -> ((s, d) =>
+      EventSeries.newVsReturning(Tables.events(s, d))
+        .orderBy(col("date"))),
+
+    // rolling 30-row market beta per key (covar/var over the frame)
+    "q214_rolling_beta" -> ((s, d) =>
+      EventSeries.rollingBeta(staged(s, d), 30)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
     // RiskMetrics EWMA volatility (zero-seeded recurrence), daily +
     // annualized
     "q207_ewma_vol" -> ((s, d) =>
@@ -1264,6 +1275,42 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q213: first-seen day via per-user window min
+    "q213_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+            f AS (SELECT user_id, d,
+                         min(d) OVER (PARTITION BY user_id) AS first_d
+                  FROM ud),
+            g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_active,
+                         CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_new
+                  FROM f GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS date, n_active, n_new,
+                n_active - n_new AS n_returning,
+                CAST((n_new * 20000 + n_active) // (2 * n_active)
+                  AS DOUBLE) / 10000 AS new_share
+         FROM g ORDER BY 1""",
+
+    // q214: same mkt frame as q145, covar/var over the trailing frame
+    "q214_rolling_beta" -> (STAGED +
+      """, r AS (
+            SELECT user_id, date, pct_change AS ret FROM staged
+            WHERE pct_change IS NOT NULL),
+          mkt AS (SELECT date, avg(ret) AS mkt_ret FROM r GROUP BY 1),
+          j AS (SELECT r.user_id, r.date, r.ret, mkt.mkt_ret
+                FROM r JOIN mkt USING (date)),
+          b AS (SELECT user_id, date, ret, mkt_ret,
+                       CASE WHEN count(ret) OVER f >= 30 THEN
+                         round(covar_pop(ret, mkt_ret) OVER f
+                               / nullif(var_pop(mkt_ret) OVER f, 0), 4)
+                       END AS rolling_beta
+                FROM j WINDOW f AS (PARTITION BY user_id ORDER BY date
+                  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, ret,
+                 round(mkt_ret, 4) AS mkt_ret, rolling_beta
+          FROM b ORDER BY 1, 2"""),
 
     // q207: 0-prepended fold; (1e0 - 94e-2) folds to the same double
     // as Spark's precomputed 1.0 - lambda

@@ -305,6 +305,13 @@ object TextQueries {
       Dedup.lshQuality(Tables.documents(s, d), k = 8, bands = 4,
         n = 1, threshold = 0.6, maxDf = 400)),
 
+    // split-leakage audit: near-dup pairs bucketed by the split sides
+    // of their endpoints — cross-split rows are eval contamination
+    "q215_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(Tables.documents(s, d), n = 1,
+          threshold = 0.6, maxDf = 400)
+        .orderBy(col("split_a"), col("split_b"))),
+
     // per-doc line-shape profile: bullet / caps / numeric / short
     // line counts with exact ratios — zero-shuffle map HOFs
     "q199_line_shape" -> ((s, d) =>
@@ -2743,6 +2750,50 @@ object TextQueries {
     "q38_simhash" -> simhashOracle,
     "q39_minhash_lsh_pairs" -> minhashLshPairsOracle,
     "q198_lsh_quality" -> lshQualityOracle,
+    // q215: the q34 capped-Jaccard chain + md5 split assignment on
+    // both endpoints, canonical (least, greatest) pair key
+    "q215_split_leakage" -> (TOKS +
+      """, sets AS (
+            SELECT doc_id, list_distinct(w) AS sh FROM t),
+          inv0 AS (
+            SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+            FROM sets),
+          inv AS (
+            SELECT doc_id, sz, shingle FROM (
+              SELECT doc_id, sz, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS df
+              FROM inv0)
+            WHERE df <= 400),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sz AS sa, b.sz AS sb, count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          ex AS (
+            SELECT id_a, id_b FROM p
+            WHERE CAST((2000000 * inter + (sa + sb - inter))
+                       // (2 * (sa + sb - inter)) AS DOUBLE) / 1000000
+                  >= 0.6),
+          sp AS (
+            SELECT CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 100 AS pa,
+                   CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 100 AS pb
+            FROM ex),
+          named AS (
+            SELECT CASE WHEN pa < 80 THEN 'train'
+                        WHEN pa < 90 THEN 'val' ELSE 'test' END AS sa,
+                   CASE WHEN pb < 80 THEN 'train'
+                        WHEN pb < 90 THEN 'val' ELSE 'test' END AS sb
+            FROM sp),
+          m AS (
+            SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM named GROUP BY 1, 2)
+          SELECT split_a, split_b, n_pairs,
+                 split_a <> split_b AS is_leak
+          FROM m ORDER BY 1, 2"""),
     // q211: total-ordered ntile (tokens desc, id asc), cumulative
     // share through the exact bridge
     "q211_token_lorenz" -> (TOKS +

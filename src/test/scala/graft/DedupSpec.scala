@@ -269,4 +269,24 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(out == ((1L, 1L, 1L, 1.0, 1.0)))
   }
+
+  test("splitLeakage: a duplicate pair lands in the md5-derived " +
+    "(least, greatest) split cell with the right leak flag") {
+    import spark.implicits._
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val pct = java.lang.Long.parseLong(hex, 16) % 100
+      if (pct < 80) "train" else if (pct < 90) "val" else "test"
+    }
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"),
+        (3L, "x y z w q")).toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs, n = 1, threshold = 0.6,
+        maxDf = 1000)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    val (sa, sb) = (split(1L), split(2L))
+    val exp = (Seq(sa, sb).min, Seq(sa, sb).max)
+    assert(out == Seq((exp._1, exp._2, 1L, sa != sb)))
+  }
 }

@@ -202,6 +202,31 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)))
   }
 
+  test("newVsReturning: a user's first day counts as new, later days " +
+    "as returning; exact new-share") {
+    val ev = Seq((1L, day(1)), (1L, day(2)), (2L, day(2)))
+      .toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val out = graft.operators.EventSeries.newVsReturning(ev)
+      .orderBy("date").as[(String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(("2024-03-01", 1L, 1L, 0L, 1.0),
+      ("2024-03-02", 2L, 1L, 1L, 0.5)))
+  }
+
+  test("rollingBeta: a key that IS the market reads beta 1 once the " +
+    "window fills; short windows gate to null") {
+    val staged = Seq(1.0, 3.0, 2.0, 4.0).zipWithIndex.flatMap {
+      case (r, i) => Seq((1L, day(i + 1), r), (2L, day(i + 1), r))
+    }.toDF("user_id", "d", "pct_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("pct_change"))
+    val out = graft.operators.EventSeries.rollingBeta(staged, 2)
+      .where(col("user_id") === 1L).orderBy("date")
+      .select("rolling_beta").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
+  }
+
   test("kaplanMeier: lifetimes [0,0,1,2] walk S = 0.5, 0.25, 0 with " +
     "exact at-risk counts") {
     // users 1,2 active one day; 3 spans 2 days; 4 spans 3 days
