@@ -140,6 +140,18 @@ object AnalyticsQueries {
       ModelEval.prCurve(scoredFrame(s, d))
         .orderBy(col("threshold").desc)),
 
+    // one-pass declarative data-quality gate over the events table —
+    // a mixed pass/fail suite (the 'error' type and the 400 cap bind)
+    "q216_constraints" -> ((s, d) => {
+      import graft.operators.Constraints._
+      check(Tables.events(s, d), Seq(
+        NotNull("user_id"), NotNull("ts"), Unique(Seq("event_id")),
+        InRange("value", 0.0, 400.0),
+        InSet("event_type", Seq("click", "purchase", "signup", "view")),
+        MinRows(5000)))
+        .orderBy(col("constraint_name"))
+    }),
+
     // one-pass column profile of the events table (DESCRIBE-grade
     // dashboard rollup: rows / nulls / exact distincts per column)
     "q159_profile" -> ((s, d) =>
@@ -496,6 +508,37 @@ object AnalyticsQueries {
                          / sqrt(p * (1.0 - p)
                                 * (1.0 / n_a + 1.0 / n_b)), 4) END AS z
           FROM pz""",
+
+    // q216: the same violation aggregates from one CTE row, exploded
+    // by UNION ALL with identical constraint names
+    "q216_constraints" ->
+      """WITH a AS (
+           SELECT
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_nn_user,
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_nn_ts,
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS c_uniq,
+             CAST(sum(CASE WHEN value IS NULL OR value < 0.0
+               OR value > 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_range,
+             CAST(sum(CASE WHEN event_type IS NULL OR event_type
+               NOT IN ('click', 'purchase', 'signup', 'view')
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_set,
+             CAST(CASE WHEN count(*) >= 5000 THEN 0
+               ELSE 5000 - count(*) END AS BIGINT) AS c_rows
+           FROM events)
+         SELECT constraint_name, violations, violations = 0 AS passed
+         FROM (
+           SELECT 'not_null(user_id)' AS constraint_name,
+                  c_nn_user AS violations FROM a
+           UNION ALL SELECT 'not_null(ts)', c_nn_ts FROM a
+           UNION ALL SELECT 'unique(event_id)', c_uniq FROM a
+           UNION ALL SELECT 'in_range(value,0.0,400.0)', c_range FROM a
+           UNION ALL SELECT 'in_set(event_type)', c_set FROM a
+           UNION ALL SELECT 'min_rows(5000)', c_rows FROM a)
+         ORDER BY constraint_name""",
 
     // q210: cumulative TP/FP over distinct thresholds descending;
     // exact bridge ratios
