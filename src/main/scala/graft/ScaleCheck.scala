@@ -100,12 +100,49 @@ object ScaleCheck {
       time("return_autocorr", nb) {
         sink(EventSeries.returnAutocorr(stagedT))
       }
+      // round-7 session-4 series pack: sorted-scan recurrences (one
+      // Exchange, O(1) state), struct-max windows, frame moments
+      time("cusum_scan", nb) { sink(EventSeries.cusum(stagedT)) }
+      time("ewma_vol_scan", nb) {
+        sink(EventSeries.ewmaVolatility(stagedT))
+      }
+      time("aroon25", nb) { sink(EventSeries.aroon(barsT, 25)) }
+      time("seasonal_decompose", nb) {
+        sink(EventSeries.seasonalDecompose(barsT))
+      }
+      time("rolling_beta30", nb) {
+        sink(EventSeries.rollingBeta(stagedT, 30))
+      }
+      time("drift_psi", nb) {
+        sink(graft.operators.Drift.psi(stagedT
+          .select(col("date"), col("pct_change").as("score"))
+          .where(col("score").isNotNull)))
+      }
       barsT.unpersist()
     }
     time("rolling_active_users", n) {
       sink(EventSeries.rollingActiveUsers(events))
     }
     time("rfm_segments", n) { sink(EventSeries.rfmSegments(events)) }
+    // round-7 session-4 event pack: visible-from explodes, (user, day)
+    // windows, bounded rollups, the one-pass constraint suite
+    time("stickiness28", n) { sink(EventSeries.stickiness(events, 28)) }
+    time("event_paths", n) { sink(EventSeries.eventPaths(events)) }
+    time("attribution", n) { sink(EventSeries.attribution(events)) }
+    time("new_vs_returning", n) {
+      sink(EventSeries.newVsReturning(events))
+    }
+    time("kaplan_meier", n) { sink(EventSeries.kaplanMeier(events)) }
+    time("ab_test", n) {
+      sink(graft.operators.AnalyticsViews.abTest(events))
+    }
+    time("constraints_suite", n) {
+      import graft.operators.Constraints._
+      sink(check(events, Seq(NotNull("user_id"), Unique(Seq("event_id")),
+        InRange("value", 0.0, 400.0),
+        InSet("event_type", Seq("click", "purchase", "signup", "view")),
+        MinRows(5000))))
+    }
 
     // JSON property extraction at volume: from_json is CodegenFallback
     // (interpreted boundary + full Jackson parse + InternalRow alloc
@@ -393,6 +430,24 @@ object ScaleCheck {
       sink(Multimodal.colorStats(media))
     }
     import graft.operators.{Decontaminate, Packing, Repetition, Sampling}
+    // round-7 session-4 text pack: zero-shuffle HOF profiles, bounded
+    // vocab broadcast, hash-bucketed manifests/batching
+    time("line_shape", nd) {
+      sink(graft.operators.QualityFilters.lineShapeStats(docs))
+    }
+    time("oov_rate_top1000", nd) {
+      sink(graft.operators.Relevance.oovRate(docs, 1000))
+    }
+    time("char_entropy", nd) {
+      sink(graft.operators.Relevance.charEntropy(docs))
+    }
+    time("token_lorenz", nd) {
+      sink(graft.operators.Relevance.tokenLorenz(docs))
+    }
+    time("padding_waste", nd) { sink(Packing.paddingWaste(docs)) }
+    time("shard_manifest_3x8", nd) {
+      sink(Sampling.shardManifest(docs, epochs = 3, shards = 8))
+    }
     time("repetition_profile", nd) { sink(Repetition.profile(docs)) }
     time("cap_per_group", nd) {
       sink(Sampling.capPerGroup(docs.select("doc_id", "source"),

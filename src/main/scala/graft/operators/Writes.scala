@@ -247,14 +247,16 @@ object Writes {
   }
 
   /** Slowly-changing-dimension Type 2 history from an observed
-    * attribute series: keep only the rows where `attr` CHANGES for the
-    * key (the first observation opens version 1), stamp each surviving
-    * row with `[effective_from, effective_to]` validity (day-grained,
+    * attribute series — the CHANGE-DETECTION variant: the input is
+    * periodic snapshots (every observation, changed or not), and rows
+    * where `attr` differs from the key's previous observation open a
+    * new version ([[scd2History]] is the complementary CDC-log
+    * variant, where every input row IS a change/delete). Surviving
+    * rows get `[effective_from, effective_to]` validity (day-grained,
     * `effective_to` = day before the next change, NULL while current)
-    * and a per-key `version` counter. The warehouse-dimension
-    * complement of [[cdcApply]]'s latest-state fold. Two window passes
-    * over the SAME (key × time) sort — one Exchange; output size is
-    * the number of changes, not observations. */
+    * and a per-key `version` counter. Two window passes over the SAME
+    * (key × time) sort — one Exchange; output size is the number of
+    * changes, not observations. */
   def scd2(df: DataFrame, key: String, attr: String,
            timeCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
