@@ -601,6 +601,34 @@ object Dedup {
       .select(col("id").as(idCol), col("canonical"))
   }
 
+  /** Token-accounting ledger for corpus-wide exact (fingerprint)
+    * dedup: keep-first-by-id inside each fingerprint group, then per
+    * SOURCE report docs/tokens kept vs dropped — the "what does dedup
+    * buy us, and whose data pays for it" number (q125 counts dup DOCS
+    * within a source; this prices dup TOKENS corpus-wide and bills
+    * the dropped doc's source). One window over the fingerprint key +
+    * one per-source rollup; all-integer + bridge ratio. */
+  def dedupSavings(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   sourceCol: String = "source"): DataFrame = {
+    val f = docs.select(col(idCol), col(sourceCol),
+      graft.functions.TextFns.tokenCount(col(textCol)).cast("long")
+        .as("n_tok"),
+      graft.functions.TextFns.fingerprint(col(textCol)).as("fp"))
+    val keep = min(col(idCol)).over(Window.partitionBy(col("fp")))
+    f.withColumn("dropped", (col(idCol) =!= keep).cast("long"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).cast("long").as("n_dropped"),
+        sum(col("n_tok")).cast("long").as("tokens_total"),
+        sum(col("n_tok") * col("dropped")).cast("long")
+          .as("tokens_dropped"))
+      .select(col(sourceCol), col("n_docs"), col("n_dropped"),
+        col("tokens_total"), col("tokens_dropped"),
+        graft.functions.ExactRound.ratio(col("tokens_dropped"),
+          greatest(col("tokens_total"), lit(1L)), 4).as("savings"))
+  }
+
   /** Train/val/test split-leakage audit: the exact near-dup pairs
     * ([[ngramJaccardPairs]] semantics) bucketed by the SPLIT sides of
     * their endpoints — a near-duplicate that crosses train→test is

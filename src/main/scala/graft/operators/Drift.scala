@@ -85,4 +85,43 @@ object Drift {
       half4((col("_t") * 1000000).cast("long")).as("psi_term"),
       half4((col("_s") * 1000000).cast("long")).as("psi"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov drift between the window halves —
+    * the NONPARAMETRIC complement of [[psi]] (no bins, no smoothing):
+    * `D = max_v |F₁(v) − F₂(v)|` over every distinct value, computed
+    * ALL-INTEGER as `max|cum₁·n₂ − cum₂·n₁|` with one exact bridge
+    * ratio at the end (the [[ModelEval.ks]] machinery pointed at time
+    * halves instead of labels). The cumulative window runs over
+    * DISTINCT values — bounded for 4dp-rounded series; pre-bin first
+    * at truly continuous scale. One row out. */
+  def ksTwoSample(df: DataFrame, valueCol: String = "score",
+                  dateCol: String = "date"): DataFrame = {
+    val ext = df.agg(min(col(dateCol)).as("dmin"),
+      max(col(dateCol)).as("dmax"))
+    val mid = date_add(col("dmin"),
+      floor(datediff(col("dmax"), col("dmin")) / 2).cast("int"))
+    val tagged = df.crossJoin(broadcast(ext))
+      .withColumn("h1",
+        when(col(dateCol) <= mid, 1L).otherwise(0L))
+    val perV = tagged.groupBy(col(valueCol).as("v"))
+      .agg(sum(col("h1")).cast("long").as("c1"),
+        (count(lit(1)) - sum(col("h1"))).cast("long").as("c2"))
+    val cumW = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.orderBy(col("v")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perV
+      .withColumn("k1", sum(col("c1")).over(cumW).cast("long"))
+      .withColumn("k2", sum(col("c2")).over(cumW).cast("long"))
+      .withColumn("n1", sum(col("c1")).over(totW).cast("long"))
+      .withColumn("n2", sum(col("c2")).over(totW).cast("long"))
+    cum.groupBy()
+      .agg(max(col("n1")).as("n_first"), max(col("n2")).as("n_second"),
+        max(abs(col("k1") * col("n2") - col("k2") * col("n1")))
+          .as("dnum"))
+      .select(col("n_first"), col("n_second"),
+        graft.functions.ExactRound.ratio(col("dnum"),
+          greatest(col("n_first") * col("n_second"), lit(1L)), 4)
+          .as("ks"))
+  }
 }

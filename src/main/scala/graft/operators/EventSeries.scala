@@ -757,6 +757,32 @@ object EventSeries {
         n(col("bear")).as("n_bear_engulf"))
   }
 
+  /** Volume-at-price profile per key: close prices bucketed into
+    * `bins` equal-width bins over the KEY's own [min, max] close
+    * range (same clamped binning arithmetic as [[Drift.psi]] —
+    * engine-identical doubles), with per-bin bar counts, volume sums,
+    * and the exact volume share. Two aggregates sharing the user key
+    * + one broadcast of the bounded per-key extents. */
+  def volumeProfile(bars: DataFrame, bins: Int = 10): DataFrame = {
+    val ext = bars.groupBy(col("user_id"))
+      .agg(min(col("close")).as("vmin"), max(col("close")).as("vmax"))
+    val withExt = bars.join(broadcast(ext), Seq("user_id"))
+    val rawBin = floor(((col("close") - col("vmin")) * bins)
+      / (col("vmax") - col("vmin")))
+    val bin = when(col("vmax") === col("vmin"), lit(0L))
+      .otherwise(least(rawBin, lit(bins - 1)).cast("long"))
+    val perBin = withExt.withColumn("bin", bin)
+      .groupBy(col("user_id"), col("bin"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("volume")).cast("long").as("volume"))
+    val tot = Window.partitionBy(col("user_id"))
+    perBin
+      .withColumn("_t", sum(col("volume")).over(tot).cast("long"))
+      .select(col("user_id"), col("bin"), col("n_bars"), col("volume"),
+        graft.functions.ExactRound.ratio(col("volume"),
+          greatest(col("_t"), lit(1L)), 4).as("volume_share"))
+  }
+
   /** Classic floor-trader pivot levels from the PREVIOUS bar:
     * `P = (H+L+C)/3`, `R1 = 2P−L`, `S1 = 2P−H`, `R2 = P+(H−L)`,
     * `S2 = P−(H−L)`. Identical double expressions on both engines

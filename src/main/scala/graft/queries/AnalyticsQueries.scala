@@ -140,6 +140,11 @@ object AnalyticsQueries {
       ModelEval.prCurve(scoredFrame(s, d))
         .orderBy(col("threshold").desc)),
 
+    // nonparametric two-sample KS drift between the eval-window halves
+    // — the binless complement of q184, all-integer gap
+    "q219_ks_drift" -> ((s, d) =>
+      graft.operators.Drift.ksTwoSample(scoredFrame(s, d))),
+
     // one-pass declarative data-quality gate over the events table —
     // a mixed pass/fail suite (the 'error' type and the 400 cap bind)
     "q216_constraints" -> ((s, d) => {
@@ -508,6 +513,35 @@ object AnalyticsQueries {
                          / sqrt(p * (1.0 - p)
                                 * (1.0 / n_a + 1.0 / n_b)), 4) END AS z
           FROM pz""",
+
+    // q219: per-value half counts, integer cumulative gap, one ratio
+    "q219_ks_drift" -> (SCORED +
+      """, ext AS (SELECT min(date) AS dmin, max(date) AS dmax
+                   FROM scored),
+          tg AS (
+            SELECT score,
+                   CASE WHEN date <= dmin +
+                     CAST(date_diff('day', dmin, dmax) // 2 AS INTEGER)
+                   THEN 1 ELSE 0 END AS h1
+            FROM scored, ext),
+          pv AS (
+            SELECT score AS v, CAST(sum(h1) AS BIGINT) AS c1,
+                   CAST(count(*) - sum(h1) AS BIGINT) AS c2
+            FROM tg GROUP BY 1),
+          c AS (
+            SELECT CAST(sum(c1) OVER w AS BIGINT) AS k1,
+                   CAST(sum(c2) OVER w AS BIGINT) AS k2,
+                   CAST(sum(c1) OVER t AS BIGINT) AS n1,
+                   CAST(sum(c2) OVER t AS BIGINT) AS n2
+            FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW),
+                   t AS ())
+          SELECT max(n1) AS n_first, max(n2) AS n_second,
+                 CAST((max(abs(k1 * n2 - k2 * n1)) * 20000
+                       + greatest(max(n1) * max(n2), 1))
+                      // (2 * greatest(max(n1) * max(n2), 1))
+                   AS DOUBLE) / 10000 AS ks
+          FROM c"""),
 
     // q216: the same violation aggregates from one CTE row, exploded
     // by UNION ALL with identical constraint names

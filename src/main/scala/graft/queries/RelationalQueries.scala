@@ -151,6 +151,28 @@ object RelationalQueries {
         .orderBy(col("yr"), col("r_name"))
     }),
 
+    // the TPC-H Q12 shape: fact-fact join + conditional aggregation
+    // over the shipping-delay distribution per priority — all-integer
+    // day arithmetic, bridge ratios
+    "q217_ship_delay" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("delay")).as("min_delay"),
+          max(col("delay")).as("max_delay"),
+          graft.functions.ExactRound.signedRatio(sum(col("delay")),
+            count(lit(1)), 4).as("avg_delay"),
+          sum(when(col("delay") > 90, 1L).otherwise(0L)).cast("long")
+            .as("n_late"))
+        .withColumn("late_share", graft.functions.ExactRound.ratio(
+          col("n_late"), col("n_items"), 4))
+        .orderBy(col("o_orderpriority"))),
+
     // the TPC-H Q5 join-pipeline shape: fact-to-fact shuffles on the
     // shared keys, dimension hops broadcast (nation/region are tiny at
     // any SF); revenue sums exactly in DECIMAL before the double cast
@@ -252,6 +274,32 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q217: Q12 — day-grained delay distribution per priority
+    "q217_ship_delay" ->
+      """WITH d AS (
+           SELECT o_orderpriority,
+                  CAST(date_diff('day', o_orderdate, l_shipdate)
+                    AS BIGINT) AS delay
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         g AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                  min(delay) AS min_delay, max(delay) AS max_delay,
+                  CAST(sum(delay) AS BIGINT) AS sum_delay,
+                  CAST(sum(CASE WHEN delay > 90 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+           FROM d GROUP BY 1)
+         SELECT o_orderpriority, n_items, min_delay, max_delay,
+                CAST(CASE WHEN sum_delay < 0
+                     THEN -(((-sum_delay) * 20000 + n_items)
+                            // (2 * n_items))
+                     ELSE (sum_delay * 20000 + n_items)
+                          // (2 * n_items) END AS DOUBLE) / 10000
+                  AS avg_delay,
+                n_late,
+                CAST((n_late * 20000 + n_items) // (2 * n_items)
+                  AS DOUBLE) / 10000 AS late_share
+         FROM g ORDER BY 1""",
+
     // q201: Q13 — zero-order customers kept by the LEFT join
     "q201_order_count_dist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS n_entities

@@ -402,6 +402,12 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // volume-at-price profile: per-key equal-width close bins with
+    // exact volume shares
+    "q220_volume_profile" -> ((s, d) =>
+      EventSeries.volumeProfile(bars(s, d), 10)
+        .orderBy(col("user_id"), col("bin"))),
+
     // new vs returning actives per date, exact new-share
     "q213_new_returning" -> ((s, d) =>
       EventSeries.newVsReturning(Tables.events(s, d))
@@ -1275,6 +1281,34 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q220: per-key extent join, the psi clamped-bin arithmetic,
+    // exact volume shares
+    "q220_volume_profile" -> (BARS +
+      """, ext AS (
+            SELECT user_id, min(close) AS vmin, max(close) AS vmax
+            FROM bars GROUP BY 1),
+          b AS (
+            SELECT bars.user_id,
+                   CASE WHEN vmax = vmin THEN 0
+                        ELSE CAST(least(floor(((close - vmin) * 10)
+                          / (vmax - vmin)), 9) AS BIGINT) END AS bin,
+                   volume
+            FROM bars JOIN ext ON bars.user_id = ext.user_id),
+          g AS (
+            SELECT user_id, bin, CAST(count(*) AS BIGINT) AS n_bars,
+                   CAST(sum(volume) AS BIGINT) AS volume
+            FROM b GROUP BY 1, 2),
+          w AS (
+            SELECT user_id, bin, n_bars, volume,
+                   CAST(sum(volume) OVER (PARTITION BY user_id)
+                     AS BIGINT) AS t
+            FROM g)
+          SELECT user_id, bin, n_bars, volume,
+                 CAST((volume * 20000 + greatest(t, 1))
+                      // (2 * greatest(t, 1)) AS DOUBLE) / 10000
+                   AS volume_share
+          FROM w ORDER BY 1, 2"""),
 
     // q213: first-seen day via per-user window min
     "q213_new_returning" ->

@@ -312,6 +312,11 @@ object TextQueries {
           threshold = 0.6, maxDf = 400)
         .orderBy(col("split_a"), col("split_b"))),
 
+    // corpus-wide exact-dedup token savings billed per source
+    "q218_dedup_savings" -> ((s, d) =>
+      Dedup.dedupSavings(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // per-doc line-shape profile: bullet / caps / numeric / short
     // line counts with exact ratios — zero-shuffle map HOFs
     "q199_line_shape" -> ((s, d) =>
@@ -2794,6 +2799,35 @@ object TextQueries {
           SELECT split_a, split_b, n_pairs,
                  split_a <> split_b AS is_leak
           FROM m ORDER BY 1, 2"""),
+    // q218: q125's fingerprint, keep-first window, token sums billed
+    // to the dropped doc's source
+    "q218_dedup_savings" -> (TOKS +
+      """, f AS (
+            SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+                   md5(array_to_string(list_sort(list_distinct(w)),
+                     ' ')) AS fp
+            FROM t),
+          k AS (
+            SELECT source, n_tok,
+                   CAST(CASE WHEN doc_id <> min(doc_id)
+                     OVER (PARTITION BY fp) THEN 1 ELSE 0 END
+                     AS BIGINT) AS dropped
+            FROM f),
+          g AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dropped) AS BIGINT) AS n_dropped,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                   CAST(sum(n_tok * dropped) AS BIGINT)
+                     AS tokens_dropped
+            FROM k GROUP BY 1)
+          SELECT source, n_docs, n_dropped, tokens_total,
+                 tokens_dropped,
+                 CAST((tokens_dropped * 20000
+                       + greatest(tokens_total, 1))
+                      // (2 * greatest(tokens_total, 1)) AS DOUBLE)
+                   / 10000 AS savings
+          FROM g ORDER BY source"""),
+
     // q211: total-ordered ntile (tokens desc, id asc), cumulative
     // share through the exact bridge
     "q211_token_lorenz" -> (TOKS +

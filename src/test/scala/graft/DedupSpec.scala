@@ -270,6 +270,19 @@ class DedupSpec extends SparkSuite {
     assert(out == ((1L, 1L, 1L, 1.0, 1.0)))
   }
 
+  test("dedupSavings: keep-first is corpus-wide, dropped tokens are " +
+    "billed to the DROPPED doc's source; order-insensitive fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "y x", "A"), // same fp, d2 dropped
+      (3L, "z", "B"), (4L, "x y", "B")    // d4 dups d1 cross-source
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupSavings(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("A", 2L, 1L, 4L, 2L, 0.5),
+      ("B", 2L, 1L, 3L, 2L, 0.6667)))
+  }
+
   test("splitLeakage: a duplicate pair lands in the md5-derived " +
     "(least, greatest) split cell with the right leak flag") {
     import spark.implicits._

@@ -35,6 +35,19 @@ class DriftSpec extends SparkSuite {
     assert(math.abs(psi - 2 * out.head._6) <= 2e-4)
   }
 
+  test("ksTwoSample: identical halves read 0; disjoint halves read 1") {
+    val same = frame((1 to 2).flatMap(day =>
+      Seq(0.1, 0.5, 0.9).map(v => (f"2024-01-0$day", v))))
+    val s = Drift.ksTwoSample(same)
+      .as[(Long, Long, Double)].head()
+    assert(s == ((3L, 3L, 0.0)))
+    val split = frame(Seq.fill(3)(("2024-01-01", 0.0)) ++
+      Seq.fill(4)(("2024-01-04", 1.0)))
+    val d = Drift.ksTwoSample(split)
+      .as[(Long, Long, Double)].head()
+    assert(d == ((3L, 4L, 1.0)))
+  }
+
   test("psi: identical halves read 0 everywhere; constant values land " +
     "in bin 0 without dividing by zero") {
     val same = frame((1 to 2).flatMap(day =>

@@ -202,6 +202,19 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)))
   }
 
+  test("volumeProfile: closes bucket over the key's own range with " +
+    "the max clamped into the last bin; exact volume shares") {
+    val bars = Seq((1L, day(1), 10.0, 5L), (1L, day(2), 10.0, 5L),
+        (1L, day(3), 20.0, 10L))
+      .toDF("user_id", "d", "close", "volume")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("close"), col("volume"))
+    val out = graft.operators.EventSeries.volumeProfile(bars, 10)
+      .orderBy("bin").as[(Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq((1L, 0L, 2L, 10L, 0.5), (1L, 9L, 1L, 10L, 0.5)))
+  }
+
   test("newVsReturning: a user's first day counts as new, later days " +
     "as returning; exact new-share") {
     val ev = Seq((1L, day(1)), (1L, day(2)), (2L, day(2)))
