@@ -757,6 +757,90 @@ object EventSeries {
         n(col("bear")).as("n_bear_engulf"))
   }
 
+  /** Roll's implied effective spread per key:
+    * `s = 2·√(−cov(Δp_t, Δp_{t−1}))` when the serial covariance of
+    * price changes is negative (bid-ask bounce), null otherwise — the
+    * classic microstructure estimate from trade prices alone. One LAG
+    * window + one per-key moment aggregate (two-phase); keys with
+    * fewer than `minDays` changes drop. */
+  def rollSpread(staged: DataFrame, minDays: Int = 10): DataFrame = {
+    val w = WindowFns.series(col("user_id"), col("date"))
+    // price_change is 4dp — lift to scaled longs so the co-moment is
+    // EXACT integer arithmetic (float covar_pop's agg-order noise
+    // lands on rounding boundaries at volume)
+    def s4(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(14,4)") * 10000).cast("long")
+    val src = staged.where(col("price_change").isNotNull)
+      .withColumn("x4", s4(col("price_change")))
+      .withColumn("y4", lag(col("x4"), 1).over(w))
+      .where(col("y4").isNotNull)
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x4")).cast("long").as("sx"),
+        sum(col("y4")).cast("long").as("sy"),
+        sum(col("x4").cast("decimal(38,0)") * col("y4")).as("sxy"))
+      .where(col("n") >= minDays)
+    val cov = (col("n") * col("sxy")
+      - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+      (col("n") * col("n")).cast("double") / 100000000L
+    g.select(col("user_id"), col("n"),
+      round(cov, 6).as("serial_cov"),
+      when(cov < 0, round(lit(2.0) * sqrt(-cov), 4)).as("roll_spread"))
+  }
+
+  /** Price-impact (Kyle-λ flavored) regression per key: OLS slope and
+    * intercept of |Δp| on volume — how much a unit of volume moves
+    * the price. Per-key moment aggregates (two-phase, the marketBeta
+    * precedent); zero-variance volume yields null slope. */
+  def priceImpact(staged: DataFrame, minDays: Int = 10): DataFrame = {
+    // volume is an exact integer, |Δp| lifts to scaled longs → ALL
+    // OLS moments are exact; only the final divisions are doubles
+    val src = staged.where(col("price_change").isNotNull)
+      .select(col("user_id"), col("volume").cast("long").as("x"),
+        (abs(col("price_change")).cast("decimal(14,4)") * 10000)
+          .cast("long").as("y4"))
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y4")).cast("long").as("sy4"),
+        sum(col("x").cast("decimal(38,0)") * col("y4")).as("sxy4"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .where(col("n") >= minDays)
+    val d = g.withColumn("_d",
+      col("n") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx"))
+    val num = col("n") * col("sxy4") -
+      col("sx").cast("decimal(38,0)") * col("sy4")
+    val slopeRaw = num.cast("double") /
+      nullif(col("_d").cast("double"), lit(0.0)) / 10000
+    val intercept = col("sy4").cast("double") / col("n") / 10000 -
+      slopeRaw * (col("sx").cast("double") / col("n"))
+    d.select(col("user_id"), col("n"),
+      round(slopeRaw, 6).as("impact_slope"),
+      round(intercept, 4).as("intercept"))
+  }
+
+  /** Fano dispersion index of daily activity per event type:
+    * `F = var/mean` of the per-day event counts —
+    * `(n·Σc² − S²)/((n−1)·S)` on EXACT integer moments, so the whole
+    * statistic is one bridge ratio (F ≈ 1 Poisson, ≫ 1 bursty). Two
+    * bounded hash aggregates. */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("ssq"))
+      .where(col("n_days") > 1 && col("s") > 0)
+      .select(col("event_type"), col("n_days"),
+        col("s").as("total_events"),
+        graft.functions.ExactRound.ratio(col("s"),
+          col("n_days"), 4).as("mean_daily"),
+        graft.functions.ExactRound.signedRatio(
+          col("n_days") * col("ssq") - col("s") * col("s"),
+          (col("n_days") - 1) * col("s"), 4).as("fano"))
+  }
+
   /** Volume-at-price profile per key: close prices bucketed into
     * `bins` equal-width bins over the KEY's own [min, max] close
     * range (same clamped binning arithmetic as [[Drift.psi]] —

@@ -402,6 +402,20 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // Roll's implied spread from the serial covariance of changes
+    "q221_roll_spread" -> ((s, d) =>
+      EventSeries.rollSpread(staged(s, d)).orderBy(col("user_id"))),
+
+    // price-impact OLS of |Δp| on volume per key
+    "q222_price_impact" -> ((s, d) =>
+      EventSeries.priceImpact(staged(s, d)).orderBy(col("user_id"))),
+
+    // Fano dispersion of daily activity per event type — exact
+    // integer moments, one bridge ratio
+    "q223_dispersion" -> ((s, d) =>
+      EventSeries.dispersionIndex(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
     // volume-at-price profile: per-key equal-width close bins with
     // exact volume shares
     "q220_volume_profile" -> ((s, d) =>
@@ -1281,6 +1295,89 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q221: 4dp changes lifted to scaled longs → the co-moment
+    // n·Σxy − ΣxΣy is exact; two deterministic double divisions
+    "q221_roll_spread" -> (STAGED +
+      """, ch AS (
+            SELECT user_id, date,
+                   CAST(CAST(price_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x4
+            FROM staged WHERE price_change IS NOT NULL),
+          l AS (
+            SELECT user_id, x4,
+                   lag(x4) OVER (PARTITION BY user_id ORDER BY date)
+                     AS y4
+            FROM ch),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x4) AS BIGINT) AS sx,
+                   CAST(sum(y4) AS BIGINT) AS sy,
+                   sum(CAST(x4 AS HUGEINT) * y4) AS sxy
+            FROM l WHERE y4 IS NOT NULL GROUP BY 1),
+          cv AS (
+            SELECT user_id, n,
+                   CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) / 100000000 AS cov
+            FROM g WHERE n >= 10)
+          SELECT user_id, n, round(cov, 6) AS serial_cov,
+                 CASE WHEN cov < 0 THEN round(2.0 * sqrt(-cov), 4) END
+                   AS roll_spread
+          FROM cv ORDER BY 1"""),
+
+    // q222: per-key OLS moments, zero-variance guard (staging rebuilt
+    // from bars — the shared STAGED CTE drops volume)
+    "q222_price_impact" -> (BARS +
+      """, st AS (
+            SELECT user_id, date, volume,
+                   round(close - lag(close) OVER (PARTITION BY user_id
+                     ORDER BY date), 4) AS price_change
+            FROM bars),
+          s AS (
+            SELECT user_id, CAST(volume AS BIGINT) AS x,
+                   CAST(CAST(abs(price_change) AS DECIMAL(14,4))
+                     * 10000 AS BIGINT) AS y4
+            FROM st WHERE price_change IS NOT NULL),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y4) AS BIGINT) AS sy4,
+                   sum(CAST(x AS HUGEINT) * y4) AS sxy4,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM s GROUP BY 1),
+          f AS (
+            SELECT user_id, n, sx, sy4,
+                   CAST(n * sxy4 - CAST(sx AS HUGEINT) * sy4 AS DOUBLE)
+                     / nullif(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                         AS DOUBLE), 0) / 10000 AS b
+            FROM g WHERE n >= 10)
+          SELECT user_id, n, round(b, 6) AS impact_slope,
+                 round(CAST(sy4 AS DOUBLE) / n / 10000
+                       - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
+          FROM f ORDER BY 1"""),
+
+    // q223: F = (nΣc² − S²)/((n−1)S) in exact integers
+    "q223_dispersion" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS ssq
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, s AS total_events,
+                CAST((s * 20000 + n_days) // (2 * n_days) AS DOUBLE)
+                  / 10000 AS mean_daily,
+                CAST(CASE WHEN n_days * ssq - s * s < 0
+                     THEN -(((s * s - n_days * ssq) * 20000
+                             + (n_days - 1) * s)
+                            // (2 * (n_days - 1) * s))
+                     ELSE ((n_days * ssq - s * s) * 20000
+                           + (n_days - 1) * s)
+                          // (2 * (n_days - 1) * s) END AS DOUBLE)
+                  / 10000 AS fano
+         FROM g WHERE n_days > 1 AND s > 0 ORDER BY 1""",
 
     // q220: per-key extent join, the psi clamped-bin arithmetic,
     // exact volume shares

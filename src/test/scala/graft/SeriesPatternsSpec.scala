@@ -202,6 +202,45 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)))
   }
 
+  test("rollSpread: a perfect ±1 bounce reads cov −120/121 and " +
+    "spread 2·√(120/121) in exact integer moments") {
+    val staged = (1 to 12).map(i =>
+      (1L, day(i), if (i % 2 == 1) 1.0 else -1.0))
+      .toDF("user_id", "d", "price_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("price_change"))
+    val out = graft.operators.EventSeries.rollSpread(staged)
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(out == ((1L, 11L, -0.991736, Some(1.9917))))
+  }
+
+  test("priceImpact: |Δp| = 2·volume recovers slope 2, intercept 0 " +
+    "exactly") {
+    val staged = (1 to 12).map(i =>
+      (1L, day(i), i.toLong, 2.0 * i * (if (i % 2 == 0) -1 else 1)))
+      .toDF("user_id", "d", "volume", "price_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("volume"), col("price_change"))
+    val out = graft.operators.EventSeries.priceImpact(staged)
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((1L, 12L, 2.0, 0.0)))
+  }
+
+  test("dispersionIndex: constant daily counts read Fano 0; a bursty " +
+    "[1,5] split reads 16/6 = 2.6667 — all-integer") {
+    val ev =
+      (Seq.fill(2)(("A", day(1))) ++ Seq.fill(2)(("A", day(2))) ++
+        Seq.fill(2)(("A", day(3))) ++
+        Seq.fill(1)(("B", day(1))) ++ Seq.fill(5)(("B", day(2))))
+        .toDF("event_type", "d")
+        .select(col("event_type"), to_timestamp(col("d")).as("ts"))
+    val out = graft.operators.EventSeries.dispersionIndex(ev)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("A", 3L, 6L, 2.0, 0.0),
+      ("B", 2L, 6L, 3.0, 2.6667)))
+  }
+
   test("volumeProfile: closes bucket over the key's own range with " +
     "the max clamped into the last bin; exact volume shares") {
     val bars = Seq((1L, day(1), 10.0, 5L), (1L, day(2), 10.0, 5L),
