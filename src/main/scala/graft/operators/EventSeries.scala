@@ -819,6 +819,73 @@ object EventSeries {
       round(intercept, 4).as("intercept"))
   }
 
+  /** Activity heatmap over (day-of-week Mon=0 × hour): events,
+    * distinct users, and the exact share of total events per cell —
+    * the staffing/scheduling view. One hash aggregate over a bounded
+    * 7×24 key space (distinct-count partials per cell). */
+  def hourlyHeatmap(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(
+        graft.functions.Indicators.dayOfWeekMon0(to_date(col("ts")))
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cells.withColumn("_t", sum(col("n_events")).over(tot).cast("long"))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+        graft.functions.ExactRound.ratio(col("n_events"),
+          greatest(col("_t"), lit(1L)), 4).as("share"))
+  }
+
+  /** Global activity anomaly days: daily event totals z-scored
+    * against EXACT integer moments (`n·Σc² − S²` — no float agg
+    * order), flagged at |z| ≥ `zThreshold`. The spike/outage detector
+    * over the whole stream; the moment table is one bounded
+    * aggregate. */
+  def anomalyDays(events: DataFrame,
+                  zThreshold: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("c")).cast("long").as("s"),
+      sum(col("c") * col("c")).cast("long").as("ssq"))
+    val joined = daily.crossJoin(broadcast(m))
+    val mu = col("s").cast("double") / col("n")
+    val sd = when(col("n") > 1,
+      sqrt((col("n") * col("ssq") - col("s") * col("s")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")))
+    val z = (col("c") - mu) / nullif(sd, lit(0.0))
+    joined.select(graft.queries.iso(col("d")).as("date"),
+      col("c").as("n_events"), round(z, 4).as("z"),
+      coalesce(abs(z) >= zThreshold, lit(false)).as("is_anomaly"))
+  }
+
+  /** Audience overlap between event types: for every type pair, the
+    * Jaccard of their DISTINCT user sets — which behaviors share an
+    * audience. One distinct (type, user) pass, a self-join keyed on
+    * user (bounded by types² pairs out), exact bridge ratios. */
+  def typeOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    val inter = a.join(b, Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        graft.functions.ExactRound.ratio(col("n_both"),
+          col("n_a") + col("n_b") - col("n_both"), 4).as("jaccard"))
+  }
+
   /** Fano dispersion index of daily activity per event type:
     * `F = var/mean` of the per-day event counts —
     * `(n·Σc² − S²)/((n−1)·S)` on EXACT integer moments, so the whole

@@ -402,6 +402,21 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // dow × hour activity heatmap with exact shares
+    "q224_hourly_heatmap" -> ((s, d) =>
+      EventSeries.hourlyHeatmap(Tables.events(s, d))
+        .orderBy(col("dow"), col("hour"))),
+
+    // global activity anomaly days via exact integer moments
+    "q225_anomaly_days" -> ((s, d) =>
+      EventSeries.anomalyDays(Tables.events(s, d))
+        .orderBy(col("date"))),
+
+    // audience Jaccard between event types
+    "q226_type_overlap" -> ((s, d) =>
+      EventSeries.typeOverlap(Tables.events(s, d))
+        .orderBy(col("type_a"), col("type_b"))),
+
     // Roll's implied spread from the serial covariance of changes
     "q221_roll_spread" -> ((s, d) =>
       EventSeries.rollSpread(staged(s, d)).orderBy(col("user_id"))),
@@ -1295,6 +1310,65 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q224: Mon=0 dow mirror, bounded 7×24 cells, exact shares
+    "q224_hourly_heatmap" ->
+      """WITH c AS (
+           SELECT CAST((dayofweek(CAST(ts AS DATE)) + 6) % 7
+                    AS BIGINT) AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT *, CAST(sum(n_events) OVER () AS BIGINT) AS t
+               FROM c)
+         SELECT dow, hour, n_events, n_users,
+                CAST((n_events * 20000 + greatest(t, 1))
+                     // (2 * greatest(t, 1)) AS DOUBLE) / 10000
+                  AS share
+         FROM w ORDER BY 1, 2""",
+
+    // q225: z from exact integer daily-count moments
+    "q225_anomaly_days" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS s,
+                      CAST(sum(c * c) AS BIGINT) AS ssq
+               FROM daily),
+         j AS (
+           SELECT d, c,
+                  CAST(s AS DOUBLE) / n AS mu,
+                  CASE WHEN n > 1 THEN
+                    sqrt(CAST(n * ssq - s * s AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE)) END AS sd
+           FROM daily, m)
+         SELECT strftime(d, '%Y-%m-%d') AS date, c AS n_events,
+                round((c - mu) / nullif(sd, 0), 4) AS z,
+                coalesce(abs((c - mu) / nullif(sd, 0)) >= 2e0, false)
+                  AS is_anomaly
+         FROM j ORDER BY 1""",
+
+    // q226: distinct (type, user) self-join, exact Jaccard
+    "q226_type_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM tu GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM tu a JOIN tu b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+                CAST((n_both * 20000 + (sa.n + sb.n - n_both))
+                     // (2 * (sa.n + sb.n - n_both)) AS DOUBLE) / 10000
+                  AS jaccard
+         FROM p JOIN sz sa ON sa.event_type = p.type_a
+                JOIN sz sb ON sb.event_type = p.type_b
+         ORDER BY 1, 2""",
 
     // q221: 4dp changes lifted to scaled longs → the co-moment
     // n·Σxy − ΣxΣy is exact; two deterministic double divisions

@@ -202,6 +202,52 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq((1L, "a>b>c", 2L), (2L, "b>c>d", 1L)))
   }
 
+  test("hourlyHeatmap: cells count events and distinct users at " +
+    "(Mon=0 dow, hour) with exact shares") {
+    // 2024-03-04 is a Monday
+    val ev = Seq((1L, "2024-03-04 09:15:00"), (2L, "2024-03-04 09:45:00"),
+        (1L, "2024-03-05 17:00:00"), (1L, "2024-03-05 17:30:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    val out = graft.operators.EventSeries.hourlyHeatmap(ev)
+      .orderBy("dow", "hour")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 9L, 2L, 2L, 0.5), (1L, 17L, 2L, 1L, 0.5)))
+  }
+
+  test("anomalyDays: a 10x spike day flags; the exact-moment z " +
+    "matches a driver replay") {
+    val ev = (Seq.fill(10)(day(1)) ++ Seq.fill(10)(day(2)) ++
+      Seq.fill(10)(day(3)) ++ Seq.fill(100)(day(4)))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val cs = Seq(10L, 10L, 10L, 100L)
+    val n = cs.size; val s = cs.sum; val ssq = cs.map(c => c * c).sum
+    val mu = s.toDouble / n
+    val sd = math.sqrt((n * ssq - s * s).toDouble / (n * (n - 1)))
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.operators.EventSeries.anomalyDays(ev)
+      .orderBy("date").as[(String, Long, Double, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._2) == cs)
+    assert(out.map(_._3) == cs.map(c => r4((c - mu) / sd)))
+    assert(out.map(_._4) == cs.map(c => math.abs((c - mu) / sd) >= 2))
+  }
+
+  test("typeOverlap: hand-built audiences give exact Jaccard") {
+    val ev = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+        (2L, "y"), (3L, "y"), (4L, "y"), (9L, "z"))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", to_timestamp(lit(day(1))))
+    val out = graft.operators.EventSeries.typeOverlap(ev)
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // x∩y = {2,3} of union {1,2,3,4} → 0.5; z shares nobody
+    assert(out == Seq(("x", "y", 3L, 3L, 2L, 0.5)))
+  }
+
   test("rollSpread: a perfect ±1 bounce reads cov −120/121 and " +
     "spread 2·√(120/121) in exact integer moments") {
     val staged = (1 to 12).map(i =>
