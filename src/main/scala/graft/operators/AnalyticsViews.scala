@@ -188,6 +188,68 @@ object AnalyticsViews {
           col("n") * col("s"), 4).as("gini"))
   }
 
+  /** McNemar's paired test between two DETERMINISTIC classifiers on
+    * the same rows: A = the persistence prediction already in `base`,
+    * B = each user's majority actual class (count desc, class asc
+    * tiebreak — a total order). The discordant counts b (A right,
+    * B wrong) and c (B right, A wrong) are exact integers and
+    * `χ² = (b−c)²/(b+c)` is one bridge ratio — the "is the fancier
+    * model actually better on the SAME examples" readout. One mode
+    * window + one global fold. */
+  def mcnemar(base: DataFrame): DataFrame = {
+    val counts = base.groupBy(col("user_id"), col("actual_class"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_n").desc, col("actual_class").asc)
+    val modes = counts.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("actual_class").as("b_pred"))
+    val paired = base.join(broadcast(modes), Seq("user_id"))
+      // a null prediction (degenerate bar) is WRONG, not unknown —
+      // the SQL CASE semantics
+      .withColumn("a_ok",
+        coalesce(col("predicted_class") === col("actual_class"),
+          lit(false)).cast("long"))
+      .withColumn("b_ok",
+        coalesce(col("b_pred") === col("actual_class"), lit(false))
+          .cast("long"))
+    paired.agg(count(lit(1)).as("n"),
+        sum(when(col("a_ok") === 1 && col("b_ok") === 0, 1L)
+          .otherwise(0L)).cast("long").as("b"),
+        sum(when(col("a_ok") === 0 && col("b_ok") === 1, 1L)
+          .otherwise(0L)).cast("long").as("c"))
+      .select(col("n"), col("b"), col("c"),
+        graft.functions.ExactRound.ratio(
+          (col("b") - col("c")) * (col("b") - col("c")),
+          greatest(col("b") + col("c"), lit(1L)), 4).as("chi2"))
+  }
+
+  /** Benford first-digit audit of a positive money-like column: the
+    * value lifts to exact integer cents, the first digit comes from
+    * the BIGINT's string form (engine-portable — no float log10), and
+    * each digit's observed share sits next to Benford's expected
+    * log₁₀(1+1/d). Deviations flag synthetic or truncated data. One
+    * bounded (9-row) aggregate. */
+  def benford(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(12,2)") * 100)
+      .cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val expected = (1 to 9).map(d =>
+      BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.where(col(valueCol) > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_values"))
+      .withColumn("_t", sum(col("n_values")).over(tot).cast("long"))
+      .select(col("digit"), col("n_values"),
+        graft.functions.ExactRound.ratio(col("n_values"),
+          greatest(col("_t"), lit(1L)), 4).as("share"),
+        element_at(array(expected.map(lit): _*),
+          col("digit").cast("int")).as("benford_share"))
+  }
+
   /** Histogram of per-entity fact counts INCLUDING zero-fact entities
     * (the TPC-H Q13 shape): LEFT join entities to facts, count
     * non-null fact keys per entity, histogram the counts. Two hash

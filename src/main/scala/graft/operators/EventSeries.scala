@@ -1118,6 +1118,38 @@ object EventSeries {
           .as("residual"))
   }
 
+  /** Seasonal-strength summary per key over [[seasonalDecompose]]'s
+    * output: `1 − Var(residual)/Var(detrended)` — how much of the
+    * detrended variance the day-of-week component explains. Both
+    * variances run as EXACT integer moments on the 4dp-scaled series
+    * (`n·Σx² − S²`), so the whole statistic is one signed bridge
+    * ratio. One bounded per-key aggregate over the decomposition. */
+  def seasonalStrength(bars: DataFrame): DataFrame = {
+    val dec = seasonalDecompose(bars)
+      .where(col("residual").isNotNull)
+    def s4(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(14,4)") * 10000).cast("long")
+    val lifted = dec.select(col("user_id"),
+      s4(col("close") - col("trend")).as("d4"),
+      s4(col("residual")).as("r4"))
+    val g = lifted.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d4")).cast("long").as("sd"),
+        sum(col("d4").cast("decimal(38,0)") * col("d4")).as("sdd"),
+        sum(col("r4")).cast("long").as("sr"),
+        sum(col("r4").cast("decimal(38,0)") * col("r4")).as("srr"))
+      .where(col("n") > 1)
+    // moment numerators fit a long at any per-key length that fits a
+    // task (≤ ~1e15 here) — keep the bridge on integer types
+    val vd = (col("n") * col("sdd") -
+      col("sd").cast("decimal(38,0)") * col("sd")).cast("long")
+    val vr = (col("n") * col("srr") -
+      col("sr").cast("decimal(38,0)") * col("sr")).cast("long")
+    g.select(col("user_id"), col("n"),
+      when(vd > 0, graft.functions.ExactRound.signedRatio(
+        vd - vr, vd, 4)).as("seasonal_strength"))
+  }
+
   /** Kaplan-Meier survival over user lifetimes (days from first to
     * last observed activity; the fixture has no censoring, so the last
     * active day IS the churn event): per lifetime t,

@@ -145,6 +145,14 @@ object AnalyticsQueries {
     "q219_ks_drift" -> ((s, d) =>
       graft.operators.Drift.ksTwoSample(scoredFrame(s, d))),
 
+    // McNemar paired test: persistence vs per-user-majority classifier
+    "q227_mcnemar" -> ((s, d) => AnalyticsViews.mcnemar(base(s, d))),
+
+    // Benford first-digit audit of the value column
+    "q229_benford" -> ((s, d) =>
+      AnalyticsViews.benford(Tables.events(s, d))
+        .orderBy(col("digit"))),
+
     // one-pass declarative data-quality gate over the events table —
     // a mixed pass/fail suite (the 'error' type and the 400 cap bind)
     "q216_constraints" -> ((s, d) => {
@@ -542,6 +550,59 @@ object AnalyticsQueries {
                       // (2 * greatest(max(n1) * max(n2), 1))
                    AS DOUBLE) / 10000 AS ks
           FROM c"""),
+
+    // q227: per-user mode classifier (count desc, class asc), exact
+    // discordant counts, one bridge ratio
+    "q227_mcnemar" -> (PRED_BASE +
+      """, cnt AS (
+            SELECT user_id, actual_class, count(*) AS n
+            FROM base GROUP BY 1, 2),
+          md AS (
+            SELECT user_id, actual_class AS b_pred FROM (
+              SELECT user_id, actual_class,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, actual_class ASC) AS rn
+              FROM cnt) t WHERE rn = 1),
+          p AS (
+            SELECT CASE WHEN predicted_class = actual_class
+                   THEN 1 ELSE 0 END AS a_ok,
+                   CASE WHEN b_pred = actual_class
+                   THEN 1 ELSE 0 END AS b_ok
+            FROM base JOIN md USING (user_id)),
+          g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM p)
+          SELECT n, b, c,
+                 CAST(((b - c) * (b - c) * 20000 + greatest(b + c, 1))
+                      // (2 * greatest(b + c, 1)) AS DOUBLE) / 10000
+                   AS chi2
+          FROM g"""),
+
+    // q229: integer-cents first digit via the BIGINT string form —
+    // no float log10 anywhere; Benford constants as 6dp literals
+    "q229_benford" ->
+      """WITH c AS (
+           SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(12,2))
+             * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM events WHERE value > 0),
+         g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_values
+               FROM c GROUP BY 1),
+         w AS (SELECT *, CAST(sum(n_values) OVER () AS BIGINT) AS t
+               FROM g)
+         SELECT digit, n_values,
+                CAST((n_values * 20000 + greatest(t, 1))
+                     // (2 * greatest(t, 1)) AS DOUBLE) / 10000
+                  AS share,
+                CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+                     WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+                     WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                     WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                     ELSE 0.045757 END AS benford_share
+         FROM w ORDER BY digit""",
 
     // q216: the same violation aggregates from one CTE row, exploded
     // by UNION ALL with identical constraint names

@@ -402,6 +402,12 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // seasonal strength per key — exact integer variance moments over
+    // the 4dp decomposition series
+    "q228_seasonal_strength" -> ((s, d) =>
+      EventSeries.seasonalStrength(bars(s, d))
+        .orderBy(col("user_id"))),
+
     // dow × hour activity heatmap with exact shares
     "q224_hourly_heatmap" -> ((s, d) =>
       EventSeries.hourlyHeatmap(Tables.events(s, d))
@@ -1310,6 +1316,64 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q228: q206's decomposition chain + exact n·Σx² − S² variance
+    // moments; signed bridge for the strength ratio
+    "q228_seasonal_strength" -> (BARS +
+      """, tr AS (
+            SELECT user_id, date, close,
+                   CASE WHEN count(close) OVER f = 7
+                        THEN round(avg(close) OVER f, 4) END AS trend
+            FROM bars
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          dt AS (
+            SELECT user_id, date, close, trend,
+                   CAST((dayofweek(date) + 6) % 7 AS BIGINT) AS dow,
+                   CAST(round(close - trend, 4) AS DECIMAL(14,4))
+                     AS detr
+            FROM tr),
+          se AS (
+            SELECT user_id, dow,
+                   CAST(sum(detr) * 10000 AS BIGINT) AS s4,
+                   CAST(count(*) AS BIGINT) * 10000 AS den
+            FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+          sm AS (
+            SELECT user_id, dow,
+                   CAST(CASE WHEN s4 < 0
+                        THEN -((abs(s4) * 20000 + den) // (2 * den))
+                        ELSE (s4 * 20000 + den) // (2 * den) END
+                     AS DOUBLE) / 10000 AS seasonal
+            FROM se),
+          rr AS (
+            SELECT d.user_id,
+                   CAST(d.detr * 10000 AS BIGINT) AS d4,
+                   CAST(CAST(round(CAST(d.detr AS DOUBLE) - sm.seasonal,
+                     4) AS DECIMAL(14,4)) * 10000 AS BIGINT) AS r4
+            FROM dt d JOIN sm ON d.user_id = sm.user_id
+              AND d.dow = sm.dow
+            WHERE d.detr IS NOT NULL),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d4) AS BIGINT) AS sd,
+                   sum(CAST(d4 AS HUGEINT) * d4) AS sdd,
+                   CAST(sum(r4) AS BIGINT) AS sr,
+                   sum(CAST(r4 AS HUGEINT) * r4) AS srr
+            FROM rr GROUP BY 1),
+          f AS (
+            SELECT user_id, n,
+                   CAST(n * sdd - CAST(sd AS HUGEINT) * sd AS BIGINT)
+                     AS vd,
+                   CAST(n * srr - CAST(sr AS HUGEINT) * sr AS BIGINT)
+                     AS vr
+            FROM g WHERE n > 1)
+          SELECT user_id, n,
+                 CASE WHEN vd > 0 THEN
+                   CAST(CASE WHEN vd - vr < 0
+                        THEN -(((vr - vd) * 20000 + vd) // (2 * vd))
+                        ELSE ((vd - vr) * 20000 + vd) // (2 * vd) END
+                     AS DOUBLE) / 10000 END AS seasonal_strength
+          FROM f ORDER BY 1"""),
 
     // q224: Mon=0 dow mirror, bounded 7×24 cells, exact shares
     "q224_hourly_heatmap" ->

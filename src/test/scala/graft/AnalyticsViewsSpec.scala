@@ -86,6 +86,27 @@ class AnalyticsViewsSpec extends SparkSuite {
     assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("mcnemar: per-user-majority baseline (tie → class asc), exact " +
+    "discordant counts, χ² = (b−c)²/(b+c)") {
+    val rows = Seq(
+      (1L, "hi", "hi"), (1L, "lo", "hi"), (1L, "lo", "hi"),
+      (1L, "hi", "lo"), (1L, "lo", "lo"))
+      .toDF("user_id", "predicted_class", "actual_class")
+    // mode(actual) = hi (3 vs 2): b = {(lo,lo)} = 1, c = {(lo,hi)×2}
+    val out = AnalyticsViews.mcnemar(rows)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((5L, 1L, 2L, 0.3333)))
+  }
+
+  test("benford: integer-cents first digits with exact shares and " +
+    "the 6dp Benford constants") {
+    val ev = Seq(1.0, 2.5, 0.15, 9.99, -3.0, 0.0).toDF("value")
+    val out = AnalyticsViews.benford(ev).orderBy("digit")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.5, 0.30103),
+      (2L, 1L, 0.25, 0.176091), (9L, 1L, 0.25, 0.045757)))
+  }
+
   test("abTest: counts and z match a driver replay of the md5 arms; " +
     "an all-converting tape yields null z") {
     def arm(u: Long): String = {

@@ -325,6 +325,21 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
   }
 
+  test("seasonalStrength: a pure dow pattern explains everything " +
+    "(strength 1); a flat series has no detrended variance (null)") {
+    val start = java.time.LocalDate.of(2024, 3, 4)
+    val bars = (0 until 14).flatMap { i =>
+      val dt = start.plusDays(i)
+      val spiky = if (dt.getDayOfWeek.getValue == 1) 17.0 else 10.0
+      Seq((1L, dt.toString, spiky), (2L, dt.toString, 10.0))
+    }.toDF("user_id", "d", "close")
+      .select(col("user_id"), to_date(col("d")).as("date"), col("close"))
+    val out = graft.operators.EventSeries.seasonalStrength(bars)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 8L, Some(1.0)), (2L, 8L, None)))
+  }
+
   test("kaplanMeier: lifetimes [0,0,1,2] walk S = 0.5, 0.25, 0 with " +
     "exact at-risk counts") {
     // users 1,2 active one day; 3 spans 2 days; 4 spans 3 days
