@@ -819,6 +819,76 @@ object EventSeries {
       round(intercept, 4).as("intercept"))
   }
 
+  /** Days-to-first-conversion distribution: per user, days from first
+    * observed activity to first `convType` event (−1 = never), then
+    * the user-count histogram with exact shares. Two per-user min
+    * aggregates + one bounded rollup. */
+  def timeToConvert(events: DataFrame,
+                    convType: String = "purchase"): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === convType, to_date(col("ts"))))
+          .as("conv_d"))
+    val days = when(col("conv_d").isNotNull,
+      datediff(col("conv_d"), col("first_d")).cast("long"))
+      .otherwise(lit(-1L))
+    val byD = per.select(days.as("days"))
+      .groupBy(col("days")).agg(count(lit(1)).as("n_users"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byD.withColumn("_t", sum(col("n_users")).over(tot).cast("long"))
+      .select(col("days"), col("n_users"),
+        graft.functions.ExactRound.ratio(col("n_users"),
+          greatest(col("_t"), lit(1L)), 4).as("share"))
+  }
+
+  /** First-order Markov next-event predictor, evaluated honestly:
+    * transition counts TRAIN on the first half of the window (ties →
+    * next-type asc — total order), the per-state argmax predicts on
+    * the second half, and the readout compares against the
+    * train-half global-mode baseline. All counts exact; two bridge
+    * accuracies in one row. The transition/prediction tables are
+    * bounded by the event-type vocabulary and broadcast. */
+  def markovEval(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ext = events.agg(min(to_date(col("ts"))).as("dmin"),
+      max(to_date(col("ts"))).as("dmax"))
+    val mid = date_add(col("dmin"),
+      floor(datediff(col("dmax"), col("dmin")) / 2).cast("int"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        to_date(col("ts")).as("d"), col("event_type").as("e"))
+      .withColumn("next", lead(col("e"), 1).over(w))
+      .where(col("next").isNotNull)
+      .crossJoin(broadcast(ext))
+      .withColumn("is_train", (col("d") <= mid).cast("long"))
+    val train = pairs.where(col("is_train") === 1)
+    val trans = train.groupBy(col("e"), col("next"))
+      .agg(count(lit(1)).as("c"))
+    val wPred = Window.partitionBy(col("e"))
+      .orderBy(col("c").desc, col("next").asc)
+    val pred = trans.withColumn("_rn", row_number().over(wPred))
+      .where(col("_rn") === 1)
+      .select(col("e"), col("next").as("pred"))
+    val basePred = train.groupBy(col("next")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("next").asc).limit(1)
+      .select(col("next").as("base_pred"))
+    val test = pairs.where(col("is_train") === 0)
+      .join(broadcast(pred), Seq("e"), "left")
+      .crossJoin(broadcast(basePred))
+    test.agg(count(lit(1)).as("n_test"),
+        sum(coalesce(col("pred") === col("next"), lit(false))
+          .cast("long")).cast("long").as("n_correct"),
+        sum((col("base_pred") === col("next")).cast("long"))
+          .cast("long").as("n_base_correct"))
+      .select(col("n_test"),
+        graft.functions.ExactRound.ratio(col("n_correct"),
+          greatest(col("n_test"), lit(1L)), 4).as("acc_markov"),
+        graft.functions.ExactRound.ratio(col("n_base_correct"),
+          greatest(col("n_test"), lit(1L)), 4).as("acc_baseline"))
+  }
+
   /** Activity heatmap over (day-of-week Mon=0 × hour): events,
     * distinct users, and the exact share of total events per cell —
     * the staffing/scheduling view. One hash aggregate over a bounded

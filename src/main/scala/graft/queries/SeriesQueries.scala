@@ -402,6 +402,16 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // days-to-first-conversion histogram (−1 = never converted)
+    "q230_time_to_convert" -> ((s, d) =>
+      EventSeries.timeToConvert(Tables.events(s, d))
+        .orderBy(col("days"))),
+
+    // Markov next-event predictor trained on the first half, honest
+    // second-half eval vs the global-mode baseline
+    "q231_markov_eval" -> ((s, d) =>
+      EventSeries.markovEval(Tables.events(s, d))),
+
     // seasonal strength per key — exact integer variance moments over
     // the 4dp decomposition series
     "q228_seasonal_strength" -> ((s, d) =>
@@ -1316,6 +1326,79 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q230: two per-user mins, bounded histogram, exact shares
+    "q230_time_to_convert" ->
+      """WITH per AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+                  min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS conv_d
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT CASE WHEN conv_d IS NOT NULL
+                  THEN CAST(date_diff('day', first_d, conv_d)
+                    AS BIGINT) ELSE -1 END AS days
+           FROM per),
+         g AS (SELECT days, CAST(count(*) AS BIGINT) AS n_users
+               FROM d GROUP BY 1),
+         w AS (SELECT *, CAST(sum(n_users) OVER () AS BIGINT) AS t
+               FROM g)
+         SELECT days, n_users,
+                CAST((n_users * 20000 + greatest(t, 1))
+                     // (2 * greatest(t, 1)) AS DOUBLE) / 10000
+                  AS share
+         FROM w ORDER BY days""",
+
+    // q231: half-split transitions, per-state argmax (count desc,
+    // next asc), exact accuracies vs the global-mode baseline
+    "q231_markov_eval" ->
+      """WITH ext AS (
+           SELECT min(CAST(ts AS DATE)) AS dmin,
+                  max(CAST(ts AS DATE)) AS dmax FROM events),
+         p0 AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  event_type AS e,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next
+           FROM events),
+         pairs AS (
+           SELECT p0.*, CASE WHEN d <= dmin +
+             CAST(date_diff('day', dmin, dmax) // 2 AS INTEGER)
+             THEN 1 ELSE 0 END AS is_train
+           FROM p0, ext WHERE next IS NOT NULL),
+         trans AS (
+           SELECT e, next, count(*) AS c FROM pairs
+           WHERE is_train = 1 GROUP BY 1, 2),
+         pred AS (
+           SELECT e, next AS pred FROM (
+             SELECT e, next,
+                    row_number() OVER (PARTITION BY e
+                      ORDER BY c DESC, next ASC) AS rn
+             FROM trans) t WHERE rn = 1),
+         bp AS (
+           SELECT next AS base_pred FROM (
+             SELECT next, count(*) AS c FROM pairs
+             WHERE is_train = 1 GROUP BY 1
+             ORDER BY c DESC, next ASC LIMIT 1) t),
+         test AS (
+           SELECT pairs.next, pred.pred, bp.base_pred
+           FROM pairs LEFT JOIN pred ON pairs.e = pred.e, bp
+           WHERE is_train = 0),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_test,
+                  CAST(sum(CASE WHEN pred = next THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+                  CAST(sum(CASE WHEN base_pred = next THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_base
+           FROM test)
+         SELECT n_test,
+                CAST((n_correct * 20000 + greatest(n_test, 1))
+                     // (2 * greatest(n_test, 1)) AS DOUBLE) / 10000
+                  AS acc_markov,
+                CAST((n_base * 20000 + greatest(n_test, 1))
+                     // (2 * greatest(n_test, 1)) AS DOUBLE) / 10000
+                  AS acc_baseline
+         FROM g""",
 
     // q228: q206's decomposition chain + exact n·Σx² − S² variance
     // moments; signed bridge for the strength ratio

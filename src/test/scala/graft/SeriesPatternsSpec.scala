@@ -325,6 +325,41 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
   }
 
+  test("timeToConvert: same-day, delayed, and never-converting users " +
+    "land in the right buckets with exact shares") {
+    val ev = Seq(
+      (1L, day(1), "purchase"),               // same day → 0
+      (2L, day(1), "click"), (2L, day(3), "purchase"), // → 2
+      (3L, day(2), "click")                   // never → −1
+    ).toDF("user_id", "d", "event_type")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"),
+        col("event_type"))
+    val out = graft.operators.EventSeries.timeToConvert(ev)
+      .orderBy("days").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((-1L, 1L, 0.3333), (0L, 1L, 0.3333),
+      (2L, 1L, 0.3333)))
+  }
+
+  test("markovEval: a deterministic a→b chain is learned perfectly " +
+    "while the mode baseline splits") {
+    // train days 1-2: a→b, b→a strictly alternating; test days 3-4
+    // continue the pattern — markov 100%, baseline = mode('a' or 'b')
+    val ev = (1 to 4).flatMap { dd =>
+      Seq((1L, f"2024-03-0$dd 10:00:00", 2L * dd, "a"),
+        (1L, f"2024-03-0$dd 11:00:00", 2L * dd + 1, "b"))
+    }.toDF("user_id", "t", "event_id", "event_type")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = graft.operators.EventSeries.markovEval(ev)
+      .as[(Long, Double, Double)].head()
+    // 8 events → 7 transitions; split at day 2: train = transitions
+    // rooted on days 1-2 (4), test = days 3-4 (3). Markov learns
+    // a→b / b→a exactly; baseline predicts the tied-mode 'a', which
+    // hits only the b→a transitions (1 of 3 in test: b@3→a@4... )
+    assert(out._1 == 3L && out._2 == 1.0)
+    assert(out._3 < 1.0)
+  }
+
   test("seasonalStrength: a pure dow pattern explains everything " +
     "(strength 1); a flat series has no detrended variance (null)") {
     val start = java.time.LocalDate.of(2024, 3, 4)
