@@ -438,8 +438,11 @@ object ScaleCheck {
     time("oov_rate_top1000", nd) {
       sink(graft.operators.Relevance.oovRate(docs, 1000))
     }
-    time("char_entropy", nd) {
+    time("char_entropy_relational", nd) {
       sink(graft.operators.Relevance.charEntropy(docs))
+    }
+    time("char_entropy_fused", nd) {
+      sink(graft.operators.Relevance.charEntropyFused(docs))
     }
     time("token_lorenz", nd) {
       sink(graft.operators.Relevance.tokenLorenz(docs))

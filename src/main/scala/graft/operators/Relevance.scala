@@ -407,6 +407,29 @@ object Relevance {
         coalesce(col("entropy") >= minEntropy, lit(false)).as("keep"))
   }
 
+  /** [[charEntropy]] on the fused native kernel
+    * ([[graft.plans.CharEntropyState]]): identical output (same
+    * micro-nat state, same half-up bridge — q182 hash-pinned), but
+    * ONE map-side pass instead of the per-CHARACTER explode + two
+    * hash aggregates. The explode multiplies rows by mean doc length,
+    * so at corpus scale this is the difference between a linear scan
+    * and shuffling ~1k× the corpus row count. */
+  def charEntropyFused(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       minEntropy: Double = 2.0): DataFrame = {
+    val base = docs.select(col(idCol),
+      graft.plans.CharEntropyExpressions.charEntropyState(col(textCol))
+        .as("_s"))
+    val n = col("_s.n"); val su = col("_s.su")
+    val h4 = call_function("div", su * 2 + n * 100, n * 200)
+    val entropy = when(n > 0, h4.cast("double") / 10000)
+    base.select(col(idCol),
+      coalesce(n, lit(0L)).as("n_chars_counted"),
+      coalesce(col("_s.nd"), lit(0L)).as("n_distinct_chars"),
+      entropy.as("entropy"),
+      coalesce(entropy >= minEntropy, lit(false)).as("keep"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' own
     * top-`vocabSize` token vocabulary (count desc, token asc tiebreak
     * — a total order, so the vocab set is engine-exact): the share of

@@ -207,9 +207,10 @@ object TextQueries {
     // per-doc lexical diversity: TTR/hapax in exact integer rounding,
     // unigram self-entropy via the micro-nat DECIMAL bridge
     // per-doc character-entropy gate — the pre-tokenization binary/
-    // gibberish filter, micro-nat exact bridge
+    // gibberish filter; FUSED native kernel (same micro-nat state the
+    // relational charEntropy computes — RelevanceSpec pins equality)
     "q182_char_entropy" -> ((s, d) =>
-      Relevance.charEntropy(Tables.documents(s, d))
+      Relevance.charEntropyFused(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
     "q164_lexical_diversity" -> ((s, d) =>

@@ -141,6 +141,19 @@ class RelevanceSpec extends SparkSuite {
       (2L, 4L, 1L, Some(0.0), false), (3L, 0L, 0L, None, false)))
   }
 
+  test("charEntropyFused ≡ charEntropy cell-for-cell, including " +
+    "unicode, empty, and single-char docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "aaaa"), (3L, ""),
+        (4L, "héllø wörld — ünïcode"), (5L, "a b a b  c"))
+      .toDF("doc_id", "text")
+    val a = graft.operators.Relevance.charEntropy(docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.Relevance.charEntropyFused(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("oovRate: top-1 vocab is the modal token; occurrence shares " +
     "are exact; an empty doc survives as zeros") {
     import spark.implicits._
