@@ -47,6 +47,7 @@ object TextClean {
 
   def emailCount(text: Column): Column = countMatches(text, emailRe)
   def urlCount(text: Column): Column = countMatches(text, urlRe)
+  def phoneCount(text: Column): Column = countMatches(text, phoneRe)
 
   // --- Unicode canonicalization (corpus-prep step 0) ------------------
   // Web-scraped text carries C0 control chars, zero-width marks, and

@@ -175,6 +175,31 @@ object QualityFilters {
       "flag_stopwords" -> flag(stopHits >= 2))
   }
 
+  /** PII incidence report per source: how many docs carry at least
+    * one email / URL / phone-shaped match (the TextClean scrub
+    * patterns), with exact shares — the privacy audit run BEFORE
+    * deciding whether scrubbing suffices or docs must drop. One
+    * map-side flag pass + one bounded per-source aggregate. */
+  def piiIncidence(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    import graft.functions.TextClean
+    def flag(c: Column): Column = (c > 0).cast("long")
+    docs.select(col(sourceCol),
+        flag(TextClean.emailCount(col(textCol))).as("he"),
+        flag(TextClean.urlCount(col(textCol))).as("hu"),
+        flag(TextClean.phoneCount(col(textCol))).as("hp"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("he")).cast("long").as("n_email_docs"),
+        sum(col("hu")).cast("long").as("n_url_docs"),
+        sum(col("hp")).cast("long").as("n_phone_docs"))
+      .select(col(sourceCol), col("n_docs"), col("n_email_docs"),
+        col("n_url_docs"), col("n_phone_docs"),
+        graft.functions.ExactRound.ratio(
+          col("n_email_docs") + col("n_url_docs") + col("n_phone_docs"),
+          greatest(col("n_docs") * 3, lit(1L)), 4).as("pii_density"))
+  }
+
   /** Per-doc line-SHAPE profile — the distribution the gopher flags
     * threshold on, exposed as counts + exact ratios so a curator can
     * pick thresholds from data instead of folklore: of the non-empty

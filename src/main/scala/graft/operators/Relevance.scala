@@ -464,6 +464,36 @@ object Relevance {
           .as("oov_rate"))
   }
 
+  /** N-gram novelty per document: the share of a doc's distinct
+    * n-grams whose FIRST corpus occurrence (min doc id — the
+    * ingestion-order proxy) is this doc. The novelty curve over doc
+    * ids shows where a crawl stops contributing new content — the
+    * "should we keep scraping this source" signal. One gram-keyed
+    * shuffle (first-occurrence min) + one per-doc rollup, linear in
+    * grams. */
+  def gramNovelty(docs: DataFrame, n: Int = 2,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.functions.TextFns.shingles(col(textCol), n))
+        .as("g"))
+    val first = grams.groupBy(col("g"))
+      .agg(min(col(idCol)).as("first_id"))
+    val per = grams.join(first, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_id") === col(idCol)).cast("long")).cast("long")
+          .as("n_novel"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.ExactRound.ratio(
+          coalesce(col("n_novel"), lit(0L)),
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 4)
+          .as("novelty"))
+  }
+
   /** Corpus token-concentration (Lorenz) table: docs ranked by token
     * count DESC (doc-id tiebreak → total order), cut into `buckets`
     * ntiles, with per-bucket doc/token counts and the CUMULATIVE token

@@ -318,6 +318,16 @@ object TextQueries {
       Dedup.dedupSavings(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // per-doc bigram novelty vs everything ingested before it
+    "q232_gram_novelty" -> ((s, d) =>
+      Relevance.gramNovelty(Tables.documents(s, d), n = 2)
+        .orderBy(col("doc_id"))),
+
+    // PII incidence audit per source (the scrub patterns as flags)
+    "q233_pii_incidence" -> ((s, d) =>
+      graft.operators.QualityFilters.piiIncidence(
+        Tables.documents(s, d)).orderBy(col("source"))),
+
     // per-doc line-shape profile: bullet / caps / numeric / short
     // line counts with exact ratios — zero-shuffle map HOFs
     "q199_line_shape" -> ((s, d) =>
@@ -2828,6 +2838,58 @@ object TextQueries {
                       // (2 * greatest(tokens_total, 1)) AS DOUBLE)
                    / 10000 AS savings
           FROM g ORDER BY source"""),
+
+    // q232: the q58 bigram construction; first occurrence = min id
+    "q232_gram_novelty" -> (TOKS +
+      """, sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS sh
+            FROM t),
+          gr AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          fo AS (SELECT g, min(doc_id) AS first_id FROM gr GROUP BY 1),
+          per AS (
+            SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN fo.first_id = gr.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM gr JOIN fo ON gr.g = fo.g GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(per.n_grams, 0) AS n_grams,
+                 coalesce(per.n_novel, 0) AS n_novel,
+                 CAST((coalesce(per.n_novel, 0) * 20000
+                       + greatest(coalesce(per.n_grams, 0), 1))
+                      // (2 * greatest(coalesce(per.n_grams, 0), 1))
+                   AS DOUBLE) / 10000 AS novelty
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          ORDER BY d.doc_id"""),
+
+    // q233: doc-level PII flags rolled per source; density = flagged
+    // doc-flags over 3·docs
+    "q233_pii_incidence" ->
+      """WITH f AS (
+           SELECT source,
+                  CASE WHEN len(regexp_split_to_array(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    - 1 > 0 THEN 1 ELSE 0 END AS he,
+                  CASE WHEN len(regexp_split_to_array(text,
+                    '(https?://|www\.)[^\s]+')) - 1 > 0
+                    THEN 1 ELSE 0 END AS hu,
+                  CASE WHEN len(regexp_split_to_array(text,
+                    '(^|[^0-9])((\+?[0-9][0-9 ().-]{5,14}[0-9]))($|[^0-9])'))
+                    - 1 > 0 THEN 1 ELSE 0 END AS hp
+           FROM documents),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(he) AS BIGINT) AS n_email_docs,
+                  CAST(sum(hu) AS BIGINT) AS n_url_docs,
+                  CAST(sum(hp) AS BIGINT) AS n_phone_docs
+           FROM f GROUP BY 1)
+         SELECT source, n_docs, n_email_docs, n_url_docs, n_phone_docs,
+                CAST(((n_email_docs + n_url_docs + n_phone_docs)
+                      * 20000 + greatest(n_docs * 3, 1))
+                     // (2 * greatest(n_docs * 3, 1)) AS DOUBLE)
+                  / 10000 AS pii_density
+         FROM g ORDER BY source""",
 
     // q211: total-ordered ntile (tokens desc, id asc), cumulative
     // share through the exact bridge

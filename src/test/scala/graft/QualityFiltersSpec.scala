@@ -152,6 +152,23 @@ class QualityFiltersSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("piiIncidence: doc-level flags roll per source; clean docs " +
+    "contribute zero density") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at bob@example.com please", "A"),
+      (2L, "see https://example.org/page now", "A"),
+      (3L, "call +1 (555) 123-4567 today", "A"),
+      (4L, "nothing sensitive here at all", "A"),
+      (5L, "plain text", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = QualityFilters.piiIncidence(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // A: 4 docs, one of each PII kind → density 3/12 = 0.25
+    assert(out == Seq(("A", 4L, 1L, 1L, 1L, 0.25),
+      ("B", 1L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("lineShapeStats: hand-classified 5-line doc (bullet, caps, " +
     "numeric, short) with exact ratios; empty lines are not counted") {
     import spark.implicits._

@@ -166,6 +166,20 @@ class RelevanceSpec extends SparkSuite {
       (3L, 0L, 0L, 0.0)))
   }
 
+  test("gramNovelty: the first doc owns all its grams, an exact " +
+    "duplicate owns none, and a half-overlap scores 0.5") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c d e"))
+      .toDF("doc_id", "text")
+    // bigrams: d1 {ab, bc} novel 2/2; d2 same grams → 0/2;
+    // d3 {bc, cd, de}: bc seen → 2/3
+    val out = graft.operators.Relevance.gramNovelty(docs, n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 3L, 2L, 0.6667)))
+  }
+
   test("tokenLorenz: [4,3,2,1] tokens in two buckets — the long half " +
     "holds 70% of the corpus") {
     import spark.implicits._
