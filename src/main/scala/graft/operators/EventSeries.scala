@@ -819,6 +819,94 @@ object EventSeries {
       round(intercept, 4).as("intercept"))
   }
 
+  /** Weekend-effect readout per key: mean daily return on weekends vs
+    * weekdays with Welch's t — every moment (sums, squares) runs on
+    * the 4dp returns lifted to scaled longs, so both means and both
+    * variances are EXACT integers until the final deterministic
+    * doubles. One conditional aggregate per key. */
+  def weekendEffect(staged: DataFrame, minEach: Int = 2): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val isW = (graft.functions.Indicators.dayOfWeekMon0(col("date"))
+      >= 5).cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), x4.as("x"), isW.as("w"))
+    def csum(cond: org.apache.spark.sql.Column,
+             v: org.apache.spark.sql.Column) =
+      sum(when(cond, v).otherwise(lit(0L))).cast("long")
+    val g = src.groupBy(col("user_id"))
+      .agg(csum(col("w") === 1, lit(1L)).as("nw"),
+        csum(col("w") === 1, col("x")).as("sw"),
+        sum(when(col("w") === 1, col("x").cast("decimal(38,0)")
+          * col("x")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("qw"),
+        csum(col("w") === 0, lit(1L)).as("nd"),
+        csum(col("w") === 0, col("x")).as("sd"),
+        sum(when(col("w") === 0, col("x").cast("decimal(38,0)")
+          * col("x")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("qd"))
+      .where(col("nw") >= minEach && col("nd") >= minEach)
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n) / 10000
+    def vr(q: String, s: String, n: String) =
+      (col(n) * col(q) - col(s).cast("decimal(38,0)") * col(s))
+        .cast("double") /
+        (col(n) * (col(n) - 1)).cast("double") / 100000000L
+    val t = (mean("sw", "nw") - mean("sd", "nd")) /
+      sqrt(vr("qw", "sw", "nw") / col("nw") +
+        vr("qd", "sd", "nd") / col("nd"))
+    // the DISPLAYED means are s/(n·10⁴) — the decimal-tie class — so
+    // they round through the signed bridge; t keeps the raw doubles
+    def mean4(s: String, n: String) =
+      graft.functions.ExactRound.signedRatio(col(s), col(n), 0)
+        .divide(lit(10000.0))
+    g.select(col("user_id"), col("nw").as("n_weekend"),
+      col("nd").as("n_weekday"),
+      mean4("sw", "nw").as("mean_weekend"),
+      mean4("sd", "nd").as("mean_weekday"),
+      round(t, 4).as("t_stat"))
+  }
+
+  /** Chi-square independence test of event type × day-of-week — "is
+    * WHAT users do independent of WHEN": per-cell contributions
+    * `(o·n − r·c)²/(n·r·c)` with the squared numerator held in
+    * DECIMAL(38,0)/HUGEINT (it overflows a long), each cell rounded
+    * through the exact half-up bridge and the total summed from the
+    * exact scaled longs — no float aggregation anywhere. Bounded
+    * (types × 7) output. */
+  def chi2Independence(events: DataFrame): DataFrame = {
+    val cells0 = events.groupBy(col("event_type"),
+        graft.functions.Indicators.dayOfWeekMon0(to_date(col("ts")))
+          .cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    // the classical statistic runs over the FULL grid — empty cells
+    // contribute their whole expectation, so rebuild types × dows
+    val rows = cells0.groupBy(col("event_type"))
+      .agg(sum(col("o")).cast("long").as("r"))
+    val cols0 = cells0.groupBy(col("dow"))
+      .agg(sum(col("o")).cast("long").as("c"))
+    val cells = rows.crossJoin(broadcast(cols0))
+      .join(cells0, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val m = cells
+      .withColumn("n", (sum(col("o")).over(all)).cast("long"))
+    val diff = col("o") * col("n") - col("r") * col("c")
+    val num = diff.cast("decimal(38,0)") * diff
+    val den = col("n") * col("r") * col("c")
+    // scaled-long half-up cell term: round(num/den · 10⁴)
+    val t4 = call_function("div",
+      num * 20000 + den.cast("decimal(38,0)"),
+      den.cast("decimal(38,0)") * 2).cast("long")
+    val scored = m.withColumn("_t4", t4)
+    scored.select(col("event_type"), col("dow"), col("o").as("observed"),
+      graft.functions.ExactRound.ratio(col("r") * col("c"), col("n"), 2)
+        .as("expected"),
+      (col("_t4").cast("double") / 10000).as("cell_chi2"),
+      (sum(col("_t4")).over(all).cast("double") / 10000).as("chi2_total"))
+  }
+
   /** Days-to-first-conversion distribution: per user, days from first
     * observed activity to first `convType` event (−1 = never), then
     * the user-count histogram with exact shares. Two per-user min

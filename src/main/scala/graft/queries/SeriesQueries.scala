@@ -402,6 +402,16 @@ object SeriesQueries {
       EventSeries.stickiness(Tables.events(s, d), 28)
         .orderBy(col("date"))),
 
+    // weekend vs weekday mean return per key, exact-moment Welch t
+    "q234_weekend_effect" -> ((s, d) =>
+      EventSeries.weekendEffect(staged(s, d))
+        .orderBy(col("user_id"))),
+
+    // chi² independence of event type × weekday — exact bridge cells
+    "q235_chi2_independence" -> ((s, d) =>
+      EventSeries.chi2Independence(Tables.events(s, d))
+        .orderBy(col("event_type"), col("dow"))),
+
     // days-to-first-conversion histogram (−1 = never converted)
     "q230_time_to_convert" -> ((s, d) =>
       EventSeries.timeToConvert(Tables.events(s, d))
@@ -1326,6 +1336,92 @@ object SeriesQueries {
                 CAST((dau * 20000 + mau) // (2 * mau) AS DOUBLE) / 10000
                   AS stickiness
          FROM dau JOIN mau ON dau.date = mau.date ORDER BY 1""",
+
+    // q234: scaled-long conditional moments, deterministic doubles
+    "q234_weekend_effect" -> (STAGED +
+      """, x AS (
+            SELECT user_id,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x,
+                   CASE WHEN (dayofweek(date) + 6) % 7 >= 5
+                   THEN 1 ELSE 0 END AS w
+            FROM staged WHERE pct_change IS NOT NULL),
+          g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nw,
+                   CAST(sum(CASE WHEN w = 1 THEN x ELSE 0 END)
+                     AS BIGINT) AS sw,
+                   sum(CASE WHEN w = 1 THEN CAST(x AS HUGEINT) * x
+                       ELSE 0 END) AS qw,
+                   CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nd,
+                   CAST(sum(CASE WHEN w = 0 THEN x ELSE 0 END)
+                     AS BIGINT) AS sd,
+                   sum(CASE WHEN w = 0 THEN CAST(x AS HUGEINT) * x
+                       ELSE 0 END) AS qd
+            FROM x GROUP BY 1),
+          f AS (
+            SELECT user_id, nw, nd, sw, sd,
+                   CAST(sw AS DOUBLE) / nw / 10000 AS mw,
+                   CAST(sd AS DOUBLE) / nd / 10000 AS md,
+                   CAST(nw * qw - CAST(sw AS HUGEINT) * sw AS DOUBLE)
+                     / CAST(nw * (nw - 1) AS DOUBLE) / 100000000
+                     AS vw,
+                   CAST(nd * qd - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                     / CAST(nd * (nd - 1) AS DOUBLE) / 100000000
+                     AS vd
+            FROM g WHERE nw >= 2 AND nd >= 2)
+          SELECT user_id, nw AS n_weekend, nd AS n_weekday,
+                 CAST(CASE WHEN sw < 0
+                      THEN -((abs(sw) * 2 + nw) // (2 * nw))
+                      ELSE (sw * 2 + nw) // (2 * nw) END AS DOUBLE)
+                   / 10000 AS mean_weekend,
+                 CAST(CASE WHEN sd < 0
+                      THEN -((abs(sd) * 2 + nd) // (2 * nd))
+                      ELSE (sd * 2 + nd) // (2 * nd) END AS DOUBLE)
+                   / 10000 AS mean_weekday,
+                 round((mw - md) / sqrt(vw / nw + vd / nd), 4)
+                   AS t_stat
+          FROM f ORDER BY 1"""),
+
+    // q235: HUGEINT squared numerators, half-up scaled-long cells,
+    // total from exact longs
+    "q235_chi2_independence" ->
+      """WITH cells0 AS (
+           SELECT event_type,
+                  CAST((dayofweek(CAST(ts AS DATE)) + 6) % 7
+                    AS BIGINT) AS dow,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         rw AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+                FROM cells0 GROUP BY 1),
+         cl AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+                FROM cells0 GROUP BY 1),
+         grid AS (
+           SELECT rw.event_type, cl.dow, rw.r, cl.c,
+                  coalesce(cells0.o, 0) AS o
+           FROM rw CROSS JOIN cl
+           LEFT JOIN cells0 ON cells0.event_type = rw.event_type
+             AND cells0.dow = cl.dow),
+         m AS (
+           SELECT event_type, dow, o, r, c,
+                  CAST(sum(o) OVER () AS BIGINT) AS n
+           FROM grid),
+         t AS (
+           SELECT event_type, dow, o, r, c, n,
+                  CAST((CAST(o * n - r * c AS HUGEINT)
+                        * (o * n - r * c) * 20000
+                        + CAST(n AS HUGEINT) * r * c)
+                       // (CAST(n AS HUGEINT) * r * c * 2) AS BIGINT)
+                    AS t4
+           FROM m)
+         SELECT event_type, dow, o AS observed,
+                CAST((r * c * 200 + n) // (2 * n) AS DOUBLE) / 100
+                  AS expected,
+                CAST(t4 AS DOUBLE) / 10000 AS cell_chi2,
+                CAST(sum(t4) OVER () AS DOUBLE) / 10000 AS chi2_total
+         FROM t ORDER BY 1, 2""",
 
     // q230: two per-user mins, bounded histogram, exact shares
     "q230_time_to_convert" ->

@@ -325,6 +325,43 @@ class SeriesPatternsSpec extends SparkSuite {
     assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0)))
   }
 
+  test("weekendEffect: constant-difference halves give the exact " +
+    "means and a null-free t on clean variance") {
+    // 2024-03-04 Mon .. 03-17 Sun: weekdays ret 1.0±0.1, weekends 3.0±0.1
+    val start = java.time.LocalDate.of(2024, 3, 4)
+    val staged = (0 until 14).map { i =>
+      val dt = start.plusDays(i)
+      val base = if (dt.getDayOfWeek.getValue >= 6) 3.0 else 1.0
+      (1L, dt.toString, base + (if (i % 2 == 0) 0.1 else -0.1))
+    }.toDF("user_id", "d", "pct_change")
+      .select(col("user_id"), to_date(col("d")).as("date"),
+        col("pct_change"))
+    val out = graft.operators.EventSeries.weekendEffect(staged)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert((out._2, out._3) == ((4L, 10L)))
+    assert(out._4 == 3.0 && out._5 == 1.0)
+    assert(out._6 > 10.0) // tiny variances, 2-point separation
+  }
+
+  test("chi2Independence: independent margins give chi2 0; a " +
+    "concentrated cell pushes the exact bridged total up") {
+    def ev(rows: Seq[(String, String, Int)]) =
+      rows.flatMap { case (t, d, k) => Seq.fill(k)((t, d)) }
+        .toDF("event_type", "d")
+        .select(col("event_type"), to_timestamp(col("d")).as("ts"))
+    // perfectly proportional: each type 2× on Mon, 1× on Tue
+    val indep = ev(Seq(("a", "2024-03-04", 2), ("a", "2024-03-05", 1),
+      ("b", "2024-03-04", 4), ("b", "2024-03-05", 2)))
+    val z = graft.operators.EventSeries.chi2Independence(indep)
+      .select("chi2_total").as[Double].head()
+    assert(z == 0.0)
+    // all of type a on Monday, all of b on Tuesday → strong dependence
+    val dep = ev(Seq(("a", "2024-03-04", 5), ("b", "2024-03-05", 5)))
+    val c = graft.operators.EventSeries.chi2Independence(dep)
+      .select("chi2_total").as[Double].head()
+    assert(c == 10.0) // 2×2 perfect separation: chi2 = n
+  }
+
   test("timeToConvert: same-day, delayed, and never-converting users " +
     "land in the right buckets with exact shares") {
     val ev = Seq(
