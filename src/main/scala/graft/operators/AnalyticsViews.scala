@@ -224,6 +224,58 @@ object AnalyticsViews {
           greatest(col("b") + col("c"), lit(1L)), 4).as("chi2"))
   }
 
+  /** Cohen's kappa per key — chance-corrected agreement between the
+    * predicted and actual class series:
+    * `κ = (n·Σagree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)` on exact
+    * integer marginals (r_k = predicted count, c_k = actual count of
+    * class k). A null prediction is its own marginal class that never
+    * agrees — identical join semantics in both engines. Keys where the
+    * marginal product saturates n² (single-class degenerate) drop.
+    * Three hash aggregates sharing the user key + one bounded
+    * class-marginal join. */
+  def cohenKappa(base: DataFrame): DataFrame = {
+    val g = base.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(coalesce((col("predicted_class") === col("actual_class"))
+          .cast("long"), lit(0L))).cast("long").as("agree"))
+    val r = base.where(col("predicted_class").isNotNull)
+      .groupBy(col("user_id"), col("predicted_class").as("k"))
+      .agg(count(lit(1)).cast("long").as("rk"))
+    val c = base.groupBy(col("user_id"), col("actual_class").as("k"))
+      .agg(count(lit(1)).cast("long").as("ck"))
+    val exp = r.join(c, Seq("user_id", "k"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("rk") * col("ck")).cast("long").as("e"))
+    g.join(exp, Seq("user_id"))
+      .where(col("n") * col("n") =!= col("e"))
+      .select(col("user_id"), col("n"), col("agree"),
+        graft.functions.ExactRound.signedRatio(
+          col("n") * col("agree") - col("e"),
+          col("n") * col("n") - col("e"), 4).as("kappa"))
+  }
+
+  /** Balanced accuracy per key — the mean of per-class recalls, so a
+    * dominant class cannot mask minority-class misses the way raw
+    * accuracy does. Each recall rounds through the exact bridge to a
+    * 6dp scaled long, their mean through a second bridge to 4dp —
+    * integer arithmetic end to end. One (key, class) aggregate + one
+    * key rollup. */
+  def balancedAccuracy(base: DataFrame): DataFrame = {
+    val perClass = base.groupBy(col("user_id"), col("actual_class"))
+      .agg(count(lit(1)).cast("long").as("ck"),
+        sum(coalesce((col("predicted_class") === col("actual_class"))
+          .cast("long"), lit(0L))).cast("long").as("hit"))
+      .withColumn("r6",
+        graft.functions.ExactRound.scaled(col("hit"), col("ck"), 6))
+    perClass.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("r6")).cast("long").as("s6"))
+      .select(col("user_id"), col("n_classes"),
+        graft.functions.ExactRound.ratio(col("s6"),
+          col("n_classes") * 100L, 0).divide(lit(10000.0))
+          .as("balanced_acc"))
+  }
+
   /** Benford first-digit audit of a positive money-like column: the
     * value lifts to exact integer cents, the first digit comes from
     * the BIGINT's string form (engine-portable — no float log10), and

@@ -1408,4 +1408,66 @@ object EventSeries {
         graft.functions.ExactRound.ratio(col("dau"), col("mau"), 4)
           .as("stickiness"))
   }
+
+  /** Wald-Wolfowitz runs test on the SIGN of daily returns per key —
+    * "are up/down days serially random": run count from a lag over the
+    * zero-filtered sign series, `E[R] = 1 + 2n₊n₋/n` through the exact
+    * bridge, and the z-statistic from the exact integer variance
+    * moments `2n₊n₋(2n₊n₋−n)/(n²(n−1))` (sqrt is the only double).
+    * One window + one hash aggregate on the shared series key. */
+  def runsTest(staged: DataFrame, minEach: Int = 2): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val signs = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+      .where(col("x") =!= 0)
+      .withColumn("s", when(col("x") > 0, 1L).otherwise(-1L))
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val flip = when(lag(col("s"), 1).over(w).isNull ||
+      lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L)
+    val g = signs.withColumn("f", flip)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_pos"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).cast("long")
+          .as("n_neg"),
+        sum(col("f")).cast("long").as("runs"))
+      .where(col("n_pos") >= minEach && col("n_neg") >= minEach)
+    val n = col("n_pos") + col("n_neg")
+    val two = lit(2L) * col("n_pos") * col("n_neg")
+    val varNum = (two * (two - n)).cast("double")
+    val varDen = (n * n * (n - 1)).cast("double")
+    val z = (col("runs").cast("double") -
+      (lit(1.0) + two.cast("double") / n.cast("double"))) /
+      sqrt(varNum / varDen)
+    g.select(col("user_id"), col("n_pos"), col("n_neg"), col("runs"),
+      graft.functions.ExactRound.ratio(n + two, n, 4)
+        .as("expected_runs"),
+      round(z, 4).as("z_stat"))
+  }
+
+  /** Amihud illiquidity per key: mean over days of |return|/volume —
+    * "how much does a unit of flow move the price". Each day's ratio
+    * rounds through the exact bridge to a 10dp scaled long, the mean
+    * through a second bridge to 8dp, so the statistic is
+    * engine-portable integer arithmetic end to end. One map + one
+    * hash aggregate. */
+  def amihud(staged: DataFrame, minDays: Int = 5): DataFrame = {
+    val y4 = (abs(col("pct_change")).cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), y4.as("y"),
+        col("volume").cast("long").as("v"))
+    // round(y/(10⁴·v)·10¹⁰) = round(y·10⁶/v) — exact bridge per row
+    val r10 = call_function("div",
+      col("y") * 2000000L + col("v"), col("v") * 2)
+    src.withColumn("r10", r10)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r10")).cast("long").as("s10"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        graft.functions.ExactRound.ratio(col("s10"),
+          col("n_days") * 100L, 0).divide(lit(1e8)).as("illiq"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -243,5 +243,33 @@ object ModelEval {
       .agg(count(lit(1)).as("n"),
         round(avg(col("ll")), 4).as("log_loss"),
         round(avg(col("sq")), 4).as("brier"))
+  }
+
+  /** Matthews correlation per key of the thresholded score
+    * (predict positive when score > 0) vs the binary label:
+    * `MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))` —
+    * the confusion counts and the numerator are exact integers; the
+    * √ of their product is the only double (off the decimal-tie
+    * class). Keys with an empty marginal (MCC undefined) drop.
+    * One conditional hash aggregate. */
+  def matthews(scored: DataFrame, key: String = "user_id"): DataFrame = {
+    val pred = (col("score") > 0).cast("long")
+    val y = col("label").cast("long")
+    def cnt(c: Column) =
+      sum(when(c, 1L).otherwise(0L)).cast("long")
+    val g = scored.select(col(key), pred.as("p"), y.as("y"))
+      .groupBy(col(key))
+      .agg(cnt(col("p") === 1 && col("y") === 1).as("tp"),
+        cnt(col("p") === 1 && col("y") === 0).as("fp"),
+        cnt(col("p") === 0 && col("y") === 0).as("tn"),
+        cnt(col("p") === 0 && col("y") === 1).as("fn"))
+    val den = sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn")))
+        .cast("double") *
+      ((col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double"))
+    g.where((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+        (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0)
+      .select(col(key), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") * col("tn") - col("fp") * col("fn"))
+          .cast("double") / den, 4).as("mcc"))
   }
 }

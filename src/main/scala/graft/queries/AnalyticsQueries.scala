@@ -148,6 +148,19 @@ object AnalyticsQueries {
     // McNemar paired test: persistence vs per-user-majority classifier
     "q227_mcnemar" -> ((s, d) => AnalyticsViews.mcnemar(base(s, d))),
 
+    // chance-corrected agreement of predicted vs actual class per key
+    "q236_cohen_kappa" -> ((s, d) =>
+      AnalyticsViews.cohenKappa(base(s, d)).orderBy(col("user_id"))),
+
+    // Matthews correlation of the thresholded persistence score
+    "q237_matthews_corr" -> ((s, d) =>
+      ModelEval.matthews(scoredFrame(s, d)).orderBy(col("user_id"))),
+
+    // mean per-class recall per key — dominant class cannot mask
+    "q238_balanced_accuracy" -> ((s, d) =>
+      AnalyticsViews.balancedAccuracy(base(s, d))
+        .orderBy(col("user_id"))),
+
     // Benford first-digit audit of the value column
     "q229_benford" -> ((s, d) =>
       AnalyticsViews.benford(Tables.events(s, d))
@@ -581,6 +594,82 @@ object AnalyticsQueries {
                       // (2 * greatest(b + c, 1)) AS DOUBLE) / 10000
                    AS chi2
           FROM g"""),
+
+    // q236: κ from exact integer marginals; NULL predictions form
+    // their own never-agreeing marginal class (identical join
+    // semantics both engines); signed 4dp bridge
+    "q236_cohen_kappa" -> (PRED_BASE +
+      """, g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN predicted_class = actual_class
+                     THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM base GROUP BY 1),
+          r AS (
+            SELECT user_id, predicted_class AS k,
+                   CAST(count(*) AS BIGINT) AS rk
+            FROM base WHERE predicted_class IS NOT NULL GROUP BY 1, 2),
+          cm AS (
+            SELECT user_id, actual_class AS k,
+                   CAST(count(*) AS BIGINT) AS ck
+            FROM base GROUP BY 1, 2),
+          e AS (
+            SELECT user_id, CAST(sum(rk * ck) AS BIGINT) AS e
+            FROM r JOIN cm USING (user_id, k) GROUP BY 1)
+          SELECT g.user_id, n, agree,
+                 CAST(CASE WHEN n * agree - e < 0
+                      THEN -((abs(n * agree - e) * 20000 + (n * n - e))
+                             // (2 * (n * n - e)))
+                      ELSE ((n * agree - e) * 20000 + (n * n - e))
+                           // (2 * (n * n - e)) END AS DOUBLE) / 10000
+                   AS kappa
+          FROM g JOIN e USING (user_id)
+          WHERE n * n <> e ORDER BY 1"""),
+
+    // q237: exact confusion counts; √ of their product is the only
+    // double (off the decimal-tie class)
+    "q237_matthews_corr" -> (SCORED +
+      """, g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN score > 0 AND label = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN score > 0 AND label = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN score <= 0 AND label = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                   CAST(sum(CASE WHEN score <= 0 AND label = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM scored GROUP BY 1)
+          SELECT user_id, tp, fp, tn, fn,
+                 round(CAST(tp * tn - fp * fn AS DOUBLE)
+                       / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                              * CAST((tn + fp) * (tn + fn) AS DOUBLE)),
+                       4) AS mcc
+          FROM g
+          WHERE tp + fp > 0 AND tp + fn > 0
+            AND tn + fp > 0 AND tn + fn > 0
+          ORDER BY 1"""),
+
+    // q238: per-class recall through a 6dp bridge, mean through a 4dp
+    // bridge — integer arithmetic end to end
+    "q238_balanced_accuracy" -> (PRED_BASE +
+      """, pc AS (
+            SELECT user_id, actual_class,
+                   CAST(count(*) AS BIGINT) AS ck,
+                   CAST(sum(CASE WHEN predicted_class = actual_class
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hit
+            FROM base GROUP BY 1, 2),
+          r6 AS (
+            SELECT user_id, (hit * 2000000 + ck) // (2 * ck) AS r6
+            FROM pc),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(r6) AS BIGINT) AS s6
+            FROM r6 GROUP BY 1)
+          SELECT user_id, n_classes,
+                 CAST((s6 * 2 + n_classes * 100)
+                      // (2 * n_classes * 100) AS DOUBLE) / 10000
+                   AS balanced_acc
+          FROM g ORDER BY 1"""),
 
     // q229: integer-cents first digit via the BIGINT string form —
     // no float log10 anywhere; Benford constants as 6dp literals

@@ -457,6 +457,14 @@ object SeriesQueries {
       EventSeries.dispersionIndex(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // Wald-Wolfowitz runs test on return signs — exact moments
+    "q239_runs_test" -> ((s, d) =>
+      EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
+
+    // Amihud illiquidity: mean |return|/volume via double bridge
+    "q240_amihud" -> ((s, d) =>
+      EventSeries.amihud(staged(s, d)).orderBy(col("user_id"))),
+
     // volume-at-price profile: per-key equal-width close bins with
     // exact volume shares
     "q220_volume_profile" -> ((s, d) =>
@@ -1672,6 +1680,77 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q239: run count from a lag over the zero-filtered sign series;
+    // E[R] through the 4dp bridge; z from exact integer variance
+    // moments (sqrt is the only double)
+    "q239_runs_test" -> (STAGED +
+      """, sg AS (
+            SELECT user_id, date,
+                   CASE WHEN CAST(CAST(pct_change AS DECIMAL(14,4))
+                          * 10000 AS BIGINT) > 0
+                   THEN 1 ELSE -1 END AS s
+            FROM staged
+            WHERE pct_change IS NOT NULL
+              AND CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                    AS BIGINT) <> 0),
+          fl AS (
+            SELECT user_id, s,
+                   CASE WHEN lag(s) OVER w IS NULL
+                          OR lag(s) OVER w <> s
+                   THEN 1 ELSE 0 END AS f
+            FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_neg,
+                   CAST(sum(f) AS BIGINT) AS runs
+            FROM fl GROUP BY 1)
+          SELECT user_id, n_pos, n_neg, runs,
+                 CAST(((n_pos + n_neg + 2 * n_pos * n_neg) * 20000
+                       + (n_pos + n_neg))
+                      // (2 * (n_pos + n_neg)) AS DOUBLE) / 10000
+                   AS expected_runs,
+                 round((CAST(runs AS DOUBLE)
+                        - (1 + CAST(2 * n_pos * n_neg AS DOUBLE)
+                             / (n_pos + n_neg)))
+                       / sqrt(CAST(2 * n_pos * n_neg
+                                * (2 * n_pos * n_neg
+                                   - (n_pos + n_neg)) AS DOUBLE)
+                              / CAST((n_pos + n_neg) * (n_pos + n_neg)
+                                   * (n_pos + n_neg - 1) AS DOUBLE)),
+                       4) AS z_stat
+          FROM g WHERE n_pos >= 2 AND n_neg >= 2 ORDER BY 1"""),
+
+    // q240: per-row 10dp bridge round(y4·10⁶/v), mean through a
+    // second 8dp bridge — integer end to end
+    "q240_amihud" -> (BARS +
+      """, st AS (
+            SELECT user_id, date, volume,
+                   round((close - lag(close) OVER w)
+                         / nullif(lag(close) OVER w, 0) * 100, 4)
+                     AS pct_change
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          s AS (
+            SELECT user_id,
+                   CAST(CAST(abs(pct_change) AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS y,
+                   CAST(volume AS BIGINT) AS v
+            FROM st WHERE pct_change IS NOT NULL),
+          r AS (
+            SELECT user_id, (y * 2000000 + v) // (2 * v) AS r10
+            FROM s),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(r10) AS BIGINT) AS s10
+            FROM r GROUP BY 1)
+          SELECT user_id, n_days,
+                 CAST((s10 * 2 + n_days * 100)
+                      // (2 * n_days * 100) AS DOUBLE) / 100000000
+                   AS illiq
+          FROM g WHERE n_days >= 5 ORDER BY 1"""),
 
     // q223: F = (nΣc² − S²)/((n−1)S) in exact integers
     "q223_dispersion" ->
