@@ -148,4 +148,120 @@ object EmbeddingStats {
         / (col("n_first").cast("double") * col("n_second") * 1000000), 6)
         .as("l2_shift"))
   }
+
+  /** Point-to-centroid squared distances, the shared base of
+    * [[silhouette]] and [[daviesBouldin]]: every (point, cluster-K)
+    * pair carries `q = Σ_i (x6·n_K − S6_{K,i})²` held in DECIMAL —
+    * the EXACT scaled integer `d²·(n_K·10⁶)²` (centroids never
+    * materialize as lossy doubles; the denominators cancel inside
+    * sqrt at the end). Fan-out is points × dims × clusters — linear
+    * in the corpus with a bounded cluster count, and the centroid
+    * table (clusters × dims) broadcasts. */
+  private def pointClusterDist(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("own"),
+        posexplode(Similarity.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .withColumn("x6", (dec6(col("x")) * 1000000).cast("long"))
+    val cent = ex.groupBy(col("own").as("k"), col("i"))
+      .agg(count(lit(1)).cast("long").as("nk"),
+        (sum(dec6(col("x"))) * 1000000).cast("long").as("s6"))
+    val diff = col("x6") * col("nk") - col("s6")
+    ex.join(broadcast(cent), Seq("i"))
+      .groupBy(col("id"), col("own"), col("k"), col("nk"))
+      .agg(sum(diff.cast("decimal(38,0)") * diff).as("q"))
+      .withColumn("d",
+        sqrt(col("q").cast("double")) /
+          (col("nk").cast("double") * 1000000))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster: for each
+    * point `a` = distance to its own centroid, `b` = distance to the
+    * nearest other centroid, `s = (b−a)/max(a,b)`. All distances come
+    * off the exact-integer q's above; the nearest-other choice is
+    * tie-broken by cluster id, so the argmin is deterministic. One
+    * bounded-fan-out join + two hash aggregates. */
+  def silhouette(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val pc = pointClusterDist(df, idCol, vecCol, labelCol)
+    val a = pc.where(col("k") === col("own"))
+      .select(col("id"), col("own"), col("d").as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d").asc, col("k").asc)
+    val b = pc.where(col("k") =!= col("own"))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("id"), col("d").as("b"))
+    a.join(b, Seq("id"))
+      .withColumn("s",
+        (col("b") - col("a")) / nullif(greatest(col("a"), col("b")),
+          lit(0.0)))
+      // per-point doubles are deterministic (√ of exact ints); their
+      // MEANS go through 6dp scaled longs so the sum is order-free
+      .withColumn("a6", (dec6(col("a")) * 1000000).cast("long"))
+      .withColumn("s6", (dec6(col("s")) * 1000000).cast("long"))
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(col("a6")).cast("long").as("sa6"),
+        sum(col("s6")).cast("long").as("ss6"))
+      .select(col("label"), col("n_points"),
+        graft.functions.ExactRound.ratio(col("sa6"),
+          col("n_points") * 100L, 0).divide(lit(10000.0))
+          .as("mean_dist"),
+        graft.functions.ExactRound.signedRatio(col("ss6"),
+          col("n_points") * 100L, 0).divide(lit(10000.0))
+          .as("silhouette"))
+  }
+
+  /** Davies-Bouldin readout per cluster: scatter `σ_L` = mean distance
+    * of the cluster's points to its centroid, separation
+    * `M_LK = ‖c_L − c_K‖` from the exact cross-moment
+    * `Σ_i (S_L·n_K − S_K·n_L)²`, and `DB_L = max_{K≠L} (σ_L+σ_K)/M_LK`
+    * with the argmax partner (lower = better separated). The global DB
+    * index is the mean of the per-cluster rows. Centroid table is
+    * bounded — the pairwise stage is clusters², broadcast. */
+  def daviesBouldin(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val pc = pointClusterDist(df, idCol, vecCol, labelCol)
+    // exact order-free mean distance: 6dp scaled longs, one division
+    val sig = pc.where(col("k") === col("own"))
+      .withColumn("d6", (dec6(col("d")) * 1000000).cast("long"))
+      .groupBy(col("own").as("l"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(col("d6")).cast("long").as("sd6"),
+        (sum(col("d6")).cast("double") /
+          (count(lit(1)) * 1000000)).as("sigma"))
+    val cent = df.select(col(labelCol).cast("long").as("k"),
+        posexplode(Similarity.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("k"), col("i"))
+      .agg(count(lit(1)).cast("long").as("nk"),
+        (sum(dec6(col("x"))) * 1000000).cast("long").as("s6"))
+    val a = cent.select(col("k").as("ka"), col("i"),
+      col("nk").as("na"), col("s6").as("sa"))
+    val b = cent.select(col("k").as("kb"), col("i"),
+      col("nk").as("nb"), col("s6").as("sb"))
+    val cross = col("sa") * col("nb") - col("sb") * col("na")
+    val m = a.join(b, Seq("i")).where(col("ka") =!= col("kb"))
+      .groupBy(col("ka"), col("kb"), col("na"), col("nb"))
+      .agg(sum(cross.cast("decimal(38,0)") * cross).as("q"))
+      .withColumn("m", sqrt(col("q").cast("double")) /
+        (col("na").cast("double") * col("nb") * 1000000))
+    val sa = sig.select(col("l").as("ka"), col("n_points"),
+      col("sd6").as("sda6"), col("sigma").as("siga"))
+    val sb = sig.select(col("l").as("kb"), col("sigma").as("sigb"))
+    val r = m.join(broadcast(sa), Seq("ka"))
+      .join(broadcast(sb), Seq("kb"))
+      .withColumn("r", (col("siga") + col("sigb")) / col("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ka")).orderBy(col("r").desc, col("kb").asc)
+    r.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("ka").as("label"), col("n_points"),
+        // σ display off the exact scaled sum (the raw double is the
+        // 6dp decimal — the round(,4) tie class)
+        graft.functions.ExactRound.ratio(col("sda6"),
+          col("n_points") * 100L, 0).divide(lit(10000.0)).as("sigma"),
+        col("kb").as("worst_neighbor"),
+        round(col("r"), 4).as("db_ratio"))
+  }
 }

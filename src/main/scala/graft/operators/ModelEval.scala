@@ -272,4 +272,42 @@ object ModelEval {
         round((col("tp") * col("tn") - col("fp") * col("fn"))
           .cast("double") / den, 4).as("mcc"))
   }
+
+  /** Reciprocal rank of the FIRST positive per key under the score
+    * ordering (score desc, date asc tiebreak — a deterministic total
+    * order): `rr = 1/rank` through the exact 6dp bridge. Keys with no
+    * positive drop (rr undefined). One sort-window per key. */
+  def mrr(scored: DataFrame, key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("score").desc, col("date").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("label") === 1)
+      .groupBy(col(key))
+      .agg(min(col("rnk")).cast("long").as("first_rank"))
+      .select(col(key), col("first_rank"),
+        graft.functions.ExactRound.ratio(lit(1L), col("first_rank"), 6)
+          .as("rr"))
+  }
+
+  /** Precision@k / recall@k per key under the same deterministic score
+    * order: exact integer hit counts, exact bridge ratios. The window
+    * sorts each key's eval series inside its own partition — no global
+    * order at any scale. */
+  def precisionAtK(scored: DataFrame, k: Int = 10,
+                   key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("score").desc, col("date").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(when(col("rnk") <= k, col("label")).otherwise(0))
+          .cast("long").as("hits"))
+      .where(col("n_pos") > 0)
+      .select(col(key), col("n_pos"), col("hits"),
+        graft.functions.ExactRound.ratio(col("hits"),
+          least(lit(k.toLong), col("n")), 4).as("precision_at"),
+        graft.functions.ExactRound.ratio(col("hits"), col("n_pos"), 4)
+          .as("recall_at"))
+  }
 }

@@ -161,6 +161,15 @@ object AnalyticsQueries {
       AnalyticsViews.balancedAccuracy(base(s, d))
         .orderBy(col("user_id"))),
 
+    // reciprocal rank of the first positive under the score order
+    "q241_mrr" -> ((s, d) =>
+      ModelEval.mrr(scoredFrame(s, d)).orderBy(col("user_id"))),
+
+    // precision/recall@10 per key — exact hit counts and bridges
+    "q242_precision_at_k" -> ((s, d) =>
+      ModelEval.precisionAtK(scoredFrame(s, d), 10)
+        .orderBy(col("user_id"))),
+
     // Benford first-digit audit of the value column
     "q229_benford" -> ((s, d) =>
       AnalyticsViews.benford(Tables.events(s, d))
@@ -648,6 +657,43 @@ object AnalyticsQueries {
           WHERE tp + fp > 0 AND tp + fn > 0
             AND tn + fp > 0 AND tn + fn > 0
           ORDER BY 1"""),
+
+    // q241: deterministic total order (score desc, date asc); 1/rank
+    // through the 6dp bridge
+    "q241_mrr" -> (SCORED +
+      """, rk AS (
+            SELECT user_id, label,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, date ASC) AS rnk
+            FROM scored),
+          g AS (
+            SELECT user_id, CAST(min(rnk) AS BIGINT) AS first_rank
+            FROM rk WHERE label = 1 GROUP BY 1)
+          SELECT user_id, first_rank,
+                 CAST((2000000 + first_rank) // (2 * first_rank)
+                   AS DOUBLE) / 1000000 AS rr
+          FROM g ORDER BY 1"""),
+
+    // q242: exact integer hits@10 under the same order, bridge ratios
+    "q242_precision_at_k" -> (SCORED +
+      """, rk AS (
+            SELECT user_id, label,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, date ASC) AS rnk
+            FROM scored),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN rnk <= 10 THEN label ELSE 0 END)
+                     AS BIGINT) AS hits
+            FROM rk GROUP BY 1)
+          SELECT user_id, n_pos, hits,
+                 CAST((hits * 20000 + least(10, n))
+                      // (2 * least(10, n)) AS DOUBLE) / 10000
+                   AS precision_at,
+                 CAST((hits * 20000 + n_pos) // (2 * n_pos) AS DOUBLE)
+                   / 10000 AS recall_at
+          FROM g WHERE n_pos > 0 ORDER BY 1"""),
 
     // q238: per-class recall through a 6dp bridge, mean through a 4dp
     // bridge — integer arithmetic end to end

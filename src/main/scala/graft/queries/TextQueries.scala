@@ -692,6 +692,18 @@ object TextQueries {
       graft.operators.EmbeddingStats.centroidDrift(
         Tables.embeddings(s, d))),
 
+    // centroid-based silhouette per label cluster — exact scaled-int
+    // distances, order-free 6dp means
+    "q243_silhouette" -> ((s, d) =>
+      graft.operators.EmbeddingStats.silhouette(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
+    // Davies-Bouldin scatter/separation per label with worst neighbor
+    "q244_davies_bouldin" -> ((s, d) =>
+      graft.operators.EmbeddingStats.daviesBouldin(
+          Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
     // per-source downsampling cap: ≤10 docs per source, picked by hash
     // order — deterministic, nested in k, one shuffle on the group key
     "q66_source_cap" -> ((s, d) =>
@@ -2731,6 +2743,132 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q243_silhouette" ->
+      """WITH ex AS (
+           SELECT vec_id AS id, CAST(label AS BIGINT) AS own,
+                  generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+           FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                     AS v
+                 FROM embeddings)),
+         e6 AS (
+           SELECT id, own, i,
+                  CAST(CAST(round(x, 6) AS DECIMAL(28,6)) * 1000000
+                    AS BIGINT) AS x6
+           FROM ex),
+         cent AS (
+           SELECT own AS k, i, CAST(count(*) AS BIGINT) AS nk,
+                  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)))
+                    * 1000000 AS BIGINT) AS s6
+           FROM ex GROUP BY 1, 2),
+         pc AS (
+           SELECT id, own, k, nk,
+                  sum(CAST(x6 * nk - s6 AS HUGEINT)
+                      * (x6 * nk - s6)) AS q
+           FROM e6 JOIN cent USING (i) GROUP BY 1, 2, 3, 4),
+         dd AS (
+           SELECT id, own, k,
+                  sqrt(CAST(q AS DOUBLE))
+                    / (CAST(nk AS DOUBLE) * 1000000) AS d
+           FROM pc),
+         aa AS (SELECT id, own, d AS a FROM dd WHERE k = own),
+         bb AS (
+           SELECT id, b FROM (
+             SELECT id, d AS b, row_number() OVER (PARTITION BY id
+               ORDER BY d ASC, k ASC) AS rn
+             FROM dd WHERE k <> own) t
+           WHERE rn = 1),
+         ss AS (
+           SELECT own, a,
+                  (b - a) / nullif(greatest(a, b), 0) AS s
+           FROM aa JOIN bb USING (id)),
+         s6t AS (
+           SELECT own,
+                  CAST(CAST(round(a, 6) AS DECIMAL(28,6)) * 1000000
+                    AS BIGINT) AS a6,
+                  CAST(CAST(round(s, 6) AS DECIMAL(28,6)) * 1000000
+                    AS BIGINT) AS sx6
+           FROM ss),
+         g AS (
+           SELECT own AS label, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(a6) AS BIGINT) AS sa6,
+                  CAST(sum(sx6) AS BIGINT) AS ss6
+           FROM s6t GROUP BY 1)
+         SELECT label, n_points,
+                CAST((sa6 * 2 + n_points * 100)
+                     // (2 * n_points * 100) AS DOUBLE) / 10000
+                  AS mean_dist,
+                CAST(CASE WHEN ss6 < 0
+                     THEN -((abs(ss6) * 2 + n_points * 100)
+                            // (2 * n_points * 100))
+                     ELSE (ss6 * 2 + n_points * 100)
+                          // (2 * n_points * 100) END AS DOUBLE)
+                  / 10000 AS silhouette
+         FROM g ORDER BY 1""",
+    "q244_davies_bouldin" ->
+      """WITH ex AS (
+           SELECT vec_id AS id, CAST(label AS BIGINT) AS own,
+                  generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+           FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                     AS v
+                 FROM embeddings)),
+         e6 AS (
+           SELECT id, own, i,
+                  CAST(CAST(round(x, 6) AS DECIMAL(28,6)) * 1000000
+                    AS BIGINT) AS x6
+           FROM ex),
+         cent AS (
+           SELECT own AS k, i, CAST(count(*) AS BIGINT) AS nk,
+                  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)))
+                    * 1000000 AS BIGINT) AS s6
+           FROM ex GROUP BY 1, 2),
+         pc AS (
+           SELECT id, own, k, nk,
+                  sum(CAST(x6 * nk - s6 AS HUGEINT)
+                      * (x6 * nk - s6)) AS q
+           FROM e6 JOIN cent USING (i)
+           WHERE k = own GROUP BY 1, 2, 3, 4),
+         dd AS (
+           SELECT own,
+                  sqrt(CAST(q AS DOUBLE))
+                    / (CAST(nk AS DOUBLE) * 1000000) AS d
+           FROM pc),
+         sig AS (
+           SELECT own AS l, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(CAST(CAST(round(d, 6) AS DECIMAL(28,6))
+                    * 1000000 AS BIGINT)) AS BIGINT) AS sd6
+           FROM dd GROUP BY 1),
+         sigd AS (
+           SELECT l, n_points, sd6,
+                  CAST(sd6 AS DOUBLE) / (n_points * 1000000) AS sigma
+           FROM sig),
+         cd AS (
+           SELECT a.k AS ka, b.k AS kb, a.nk AS na, b.nk AS nb,
+                  sum(CAST(a.s6 * b.nk - b.s6 * a.nk AS HUGEINT)
+                      * (a.s6 * b.nk - b.s6 * a.nk)) AS q
+           FROM cent a JOIN cent b ON a.i = b.i AND a.k <> b.k
+           GROUP BY 1, 2, 3, 4),
+         mm AS (
+           SELECT ka, kb,
+                  sqrt(CAST(q AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * nb * 1000000) AS m
+           FROM cd),
+         rr AS (
+           SELECT mm.ka, mm.kb, sa.n_points, sa.sd6,
+                  (sa.sigma + sb.sigma) / mm.m AS r
+           FROM mm JOIN sigd sa ON sa.l = mm.ka
+                   JOIN sigd sb ON sb.l = mm.kb),
+         top AS (
+           SELECT *, row_number() OVER (PARTITION BY ka
+             ORDER BY r DESC, kb ASC) AS rn
+           FROM rr)
+         SELECT ka AS label, n_points,
+                CAST((sd6 * 2 + n_points * 100)
+                     // (2 * n_points * 100) AS DOUBLE) / 10000
+                  AS sigma,
+                kb AS worst_neighbor, round(r, 4) AS db_ratio
+         FROM top WHERE rn = 1 ORDER BY 1""",
     "q63_char_percentiles" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
