@@ -274,4 +274,39 @@ object Indicators {
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow))
   }
+
+  /** Directional movement system (Wilder's ADX, rolling-sum form —
+    * the same simple-rolling variant [[rsi]] adopts from the
+    * reference's pandas code): `+DM/−DM` from consecutive extremes,
+    * `DI± = 100·ΣDM±/ΣTR`, `DX = 100·|DI₊−DI₋|/(DI₊+DI₋)`, ADX its
+    * rolling mean. Returns (di_plus, di_minus, adx) columns. */
+  def adx(high: Column, low: Column, close: Column, w: WindowSpec,
+          period: Int = 14): (Column, Column, Column) = {
+    val up = high - lagBy(high, 1, w)
+    val dn = lagBy(low, 1, w) - low
+    val dmP = when(up > dn && up > 0, up).otherwise(0.0)
+    val dmM = when(dn > up && dn > 0, dn).otherwise(0.0)
+    val tr = trueRange(high, low, close, w)
+    val sTr = rollingSum(tr, period, period, w)
+    val sP = rollingSum(dmP, period, period, w)
+    val sM = rollingSum(dmM, period, period, w)
+    val diP = lit(100.0) * sP / nullif(sTr, lit(0.0))
+    val diM = lit(100.0) * sM / nullif(sTr, lit(0.0))
+    val dx = lit(100.0) * abs(diP - diM) / nullif(diP + diM, lit(0.0))
+    (round(diP, 4), round(diM, 4),
+      round(rollingMean(dx, period, period, w), 4))
+  }
+
+  /** Vortex indicator: `VI+ = Σ|H−L_prev|/ΣTR`,
+    * `VI− = Σ|L−H_prev|/ΣTR` over a trailing `period` frame —
+    * trend-change oscillator from crossing VM sums. */
+  def vortex(high: Column, low: Column, close: Column, w: WindowSpec,
+             period: Int = 14): (Column, Column) = {
+    val vmP = abs(high - lagBy(low, 1, w))
+    val vmM = abs(low - lagBy(high, 1, w))
+    val tr = trueRange(high, low, close, w)
+    val sTr = nullif(rollingSum(tr, period, period, w), lit(0.0))
+    (round(rollingSum(vmP, period, period, w) / sTr, 4),
+      round(rollingSum(vmM, period, period, w) / sTr, 4))
+  }
 }

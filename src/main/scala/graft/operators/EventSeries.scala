@@ -1409,6 +1409,114 @@ object EventSeries {
           .as("stickiness"))
   }
 
+  /** Accumulation/Distribution line per key: the close-location value
+    * `CLV = ((C−L)−(H−C))/(H−L)` rounds through the exact signed
+    * bridge to a 6dp scaled long, multiplies by the integer volume,
+    * and cumulates — the running total is EXACT long arithmetic, so
+    * the classic money-flow cumsum is engine-portable (a doji bar
+    * H=L contributes 0 by convention). One window pass. */
+  def adLine(bars: DataFrame): DataFrame = {
+    def p4(c: org.apache.spark.sql.Column) = (c.cast("decimal(14,4)") * 10000).cast("long")
+    val num4 = p4(col("close")) * 2 - p4(col("high")) - p4(col("low"))
+    val den4 = p4(col("high")) - p4(col("low"))
+    val mag = call_function("div",
+      abs(num4) * 2000000L + den4, den4 * 2)
+    val clv6 = when(den4 === 0, lit(0L))
+      .otherwise(when(num4 < 0, -mag).otherwise(mag))
+    val w = WindowFns.series(col("user_id"), col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars.withColumn("mf6", clv6 * col("volume").cast("long"))
+      .withColumn("ad6", sum(col("mf6")).over(w).cast("long"))
+      .select(col("user_id"), col("date"),
+        (col("mf6").cast("double") / 1000000).as("money_flow"),
+        (col("ad6").cast("double") / 1000000).as("ad_line"))
+  }
+
+  /** Chande momentum oscillator per key:
+    * `CMO = 100·(Σgain − Σloss)/(Σgain + Σloss)` over a trailing
+    * `period` frame, with gains/losses as 4dp scaled longs — the
+    * whole oscillator is one exact signed bridge per row. */
+  def chandeMomentum(staged: DataFrame, period: Int = 14): DataFrame = {
+    val d4 = (col("price_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val f = w.rowsBetween(-(period - 1L), Window.currentRow)
+    val src = staged
+      .withColumn("g", when(d4 > 0, d4).otherwise(lit(0L)))
+      .withColumn("l", when(d4 < 0, -d4).otherwise(lit(0L)))
+      .withColumn("_nd", count(col("price_change")).over(f))
+      .withColumn("sg", sum(col("g")).over(f).cast("long"))
+      .withColumn("sl", sum(col("l")).over(f).cast("long"))
+    src.where(col("_nd") >= period && (col("sg") + col("sl")) > 0)
+      .select(col("user_id"), col("date"),
+        graft.functions.ExactRound.signedRatio(
+          (col("sg") - col("sl")) * 100,
+          col("sg") + col("sl"), 4).as("cmo"))
+  }
+
+  /** Overnight-gap statistics per key: `gap = open − prev_close` in
+    * exact 4dp scaled longs — up/down day counts, the signed-bridge
+    * mean gap, and the extreme gaps. One window + one hash agg. */
+  def gapStats(bars: DataFrame, minDays: Int = 5): DataFrame = {
+    def p4(c: org.apache.spark.sql.Column) = (c.cast("decimal(14,4)") * 10000).cast("long")
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val gap4 = p4(col("open")) - lag(p4(col("close")), 1).over(w)
+    bars.withColumn("gap4", gap4)
+      .where(col("gap4").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("gap4") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_gap_up"),
+        sum(when(col("gap4") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_gap_down"),
+        sum(col("gap4")).cast("long").as("s4"),
+        max(col("gap4")).as("mx4"), min(col("gap4")).as("mn4"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"), col("n_gap_up"),
+        col("n_gap_down"),
+        graft.functions.ExactRound.signedRatio(col("s4"),
+          col("n_days"), 0).divide(lit(10000.0)).as("mean_gap"),
+        (col("mx4").cast("double") / 10000).as("max_gap"),
+        (col("mn4").cast("double") / 10000).as("min_gap"))
+  }
+
+  /** Turn-of-month effect per key: mean daily return inside the
+    * turn-of-month window (last `edge` and first `edge` trading days
+    * of each month) vs the middle days — all moments on 4dp scaled
+    * longs with signed-bridge means. Two row_number passes on the
+    * (key × month) partition + one conditional aggregate. */
+  def tomEffect(staged: DataFrame, edge: Int = 3,
+                minEach: Int = 2): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val month = date_trunc("month", col("date"))
+    val wa = Window.partitionBy(col("user_id"), month)
+      .orderBy(col("date").asc)
+    val wd = Window.partitionBy(col("user_id"), month)
+      .orderBy(col("date").desc)
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+      .withColumn("tom",
+        (row_number().over(wa) <= edge ||
+          row_number().over(wd) <= edge).cast("long"))
+    val g = src.groupBy(col("user_id"))
+      .agg(sum(when(col("tom") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_tom"),
+        sum(when(col("tom") === 1, col("x")).otherwise(0L))
+          .cast("long").as("s_tom"),
+        sum(when(col("tom") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_mid"),
+        sum(when(col("tom") === 0, col("x")).otherwise(0L))
+          .cast("long").as("s_mid"))
+      .where(col("n_tom") >= minEach && col("n_mid") >= minEach)
+    def mean4(s: String, n: String) =
+      graft.functions.ExactRound.signedRatio(col(s), col(n), 0)
+        .divide(lit(10000.0))
+    g.select(col("user_id"), col("n_tom"), col("n_mid"),
+      mean4("s_tom", "n_tom").as("mean_tom"),
+      mean4("s_mid", "n_mid").as("mean_mid"))
+  }
+
   /** Wald-Wolfowitz runs test on the SIGN of daily returns per key —
     * "are up/down days serially random": run count from a lag over the
     * zero-filtered sign series, `E[R] = 1 + 2n₊n₋/n` through the exact

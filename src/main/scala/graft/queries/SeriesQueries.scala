@@ -461,6 +461,46 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // directional movement: DI+/DI-/ADX(14), rolling-sum form
+    "q245_adx" -> ((s, d) => {
+      val (dip, dim, adx) = Indicators.adx(col("high"), col("low"),
+        col("close"), seriesW, 14)
+      bars(s, d).select(col("user_id"), col("date"),
+          dip.as("di_plus"), dim.as("di_minus"), adx.as("adx_14"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // vortex oscillator VI+/VI-(14)
+    "q246_vortex" -> ((s, d) => {
+      val (vip, vim) = Indicators.vortex(col("high"), col("low"),
+        col("close"), seriesW, 14)
+      bars(s, d).select(col("user_id"), col("date"),
+          vip.as("vi_plus"), vim.as("vi_minus"))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // accumulation/distribution line — exact scaled-long cumsum
+    "q247_ad_line" -> ((s, d) =>
+      EventSeries.adLine(bars(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // overnight gap statistics per key, exact 4dp moments
+    "q248_gap_stats" -> ((s, d) =>
+      EventSeries.gapStats(bars(s, d)).orderBy(col("user_id"))),
+
+    // Chande momentum oscillator — one exact signed bridge per row
+    "q249_cmo" -> ((s, d) =>
+      EventSeries.chandeMomentum(staged(s, d), 14)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // turn-of-month effect: edge-days mean return vs middle days
+    "q250_tom_effect" -> ((s, d) =>
+      EventSeries.tomEffect(staged(s, d)).orderBy(col("user_id"))),
+
     // Amihud illiquidity: mean |return|/volume via double bridge
     "q240_amihud" -> ((s, d) =>
       EventSeries.amihud(staged(s, d)).orderBy(col("user_id"))),
@@ -1680,6 +1720,209 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q245: the q15/q16 rolling-window form — dm/tr sums, DI ratios,
+    // DX mean; identical double arithmetic both engines
+    "q245_adx" -> (BARS +
+      """, dm AS (
+            SELECT user_id, date,
+                   high - lag(high) OVER w AS up,
+                   lag(low) OVER w - low AS dn,
+                   greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) AS tr
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          dm2 AS (
+            SELECT user_id, date, tr,
+                   CASE WHEN up > dn AND up > 0 THEN up ELSE 0 END
+                     AS dmp,
+                   CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0 END
+                     AS dmm
+            FROM dm),
+          sums AS (
+            SELECT user_id, date,
+                   CASE WHEN count(tr) OVER f >= 14
+                        THEN sum(tr) OVER f END AS str,
+                   CASE WHEN count(dmp) OVER f >= 14
+                        THEN sum(dmp) OVER f END AS sp,
+                   CASE WHEN count(dmm) OVER f >= 14
+                        THEN sum(dmm) OVER f END AS sm
+            FROM dm2
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+          di AS (
+            SELECT user_id, date,
+                   100.0 * sp / nullif(str, 0) AS dip,
+                   100.0 * sm / nullif(str, 0) AS dim
+            FROM sums),
+          dx AS (
+            SELECT user_id, date, dip, dim,
+                   100.0 * abs(dip - dim) / nullif(dip + dim, 0) AS dx
+            FROM di)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(dip, 4) AS di_plus, round(dim, 4) AS di_minus,
+                 round(CASE WHEN count(dx) OVER f >= 14
+                            THEN avg(dx) OVER f END, 4) AS adx_14
+          FROM dx
+          WINDOW f AS (PARTITION BY user_id ORDER BY date
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+          ORDER BY 1, 2"""),
+
+    // q246: VM/TR window sums, one ratio pair
+    "q246_vortex" -> (BARS +
+      """, vm AS (
+            SELECT user_id, date,
+                   abs(high - lag(low) OVER w) AS vmp,
+                   abs(low - lag(high) OVER w) AS vmm,
+                   greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) AS tr
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          sums AS (
+            SELECT user_id, date,
+                   nullif(CASE WHEN count(tr) OVER f >= 14
+                          THEN sum(tr) OVER f END, 0) AS str,
+                   CASE WHEN count(vmp) OVER f >= 14
+                        THEN sum(vmp) OVER f END AS svp,
+                   CASE WHEN count(vmm) OVER f >= 14
+                        THEN sum(vmm) OVER f END AS svm
+            FROM vm
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 round(svp / str, 4) AS vi_plus,
+                 round(svm / str, 4) AS vi_minus
+          FROM sums ORDER BY 1, 2"""),
+
+    // q247: 6dp signed-bridge CLV × volume, exact long cumsum
+    "q247_ad_line" -> (BARS +
+      """, p AS (
+            SELECT user_id, date,
+                   CAST(CAST(volume AS BIGINT) AS BIGINT) AS vol,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                     * 2
+                   - CAST(CAST(high AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                   - CAST(CAST(low AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                     AS num4,
+                   CAST(CAST(high AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                   - CAST(CAST(low AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                     AS den4
+            FROM bars),
+          clv AS (
+            SELECT user_id, date, vol,
+                   CASE WHEN den4 = 0 THEN 0
+                        WHEN num4 < 0
+                        THEN -((abs(num4) * 2000000 + den4)
+                               // (2 * den4))
+                        ELSE (num4 * 2000000 + den4) // (2 * den4)
+                   END AS clv6
+            FROM p),
+          mf AS (
+            SELECT user_id, date, clv6 * vol AS mf6
+            FROM clv)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 CAST(mf6 AS DOUBLE) / 1000000 AS money_flow,
+                 CAST(CAST(sum(mf6) OVER (PARTITION BY user_id
+                        ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+                   / 1000000 AS ad_line
+          FROM mf ORDER BY 1, 2"""),
+
+    // q248: open − prev_close in exact 4dp longs
+    "q248_gap_stats" -> (BARS +
+      """, g AS (
+            SELECT user_id,
+                   CAST(CAST(open AS DECIMAL(14,4)) * 10000 AS BIGINT)
+                   - lag(CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                         AS BIGINT)) OVER (PARTITION BY user_id
+                                           ORDER BY date) AS gap4
+            FROM bars),
+          a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN gap4 > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_gap_up,
+                   CAST(sum(CASE WHEN gap4 < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_gap_down,
+                   CAST(sum(gap4) AS BIGINT) AS s4,
+                   CAST(max(gap4) AS BIGINT) AS mx4,
+                   CAST(min(gap4) AS BIGINT) AS mn4
+            FROM g WHERE gap4 IS NOT NULL GROUP BY 1)
+          SELECT user_id, n_days, n_gap_up, n_gap_down,
+                 CAST(CASE WHEN s4 < 0
+                      THEN -((abs(s4) * 2 + n_days) // (2 * n_days))
+                      ELSE (s4 * 2 + n_days) // (2 * n_days)
+                 END AS DOUBLE) / 10000 AS mean_gap,
+                 CAST(mx4 AS DOUBLE) / 10000 AS max_gap,
+                 CAST(mn4 AS DOUBLE) / 10000 AS min_gap
+          FROM a WHERE n_days >= 5 ORDER BY 1"""),
+
+    // q249: gains/losses as 4dp scaled longs, one signed bridge
+    "q249_cmo" -> (STAGED +
+      """, gl AS (
+            SELECT user_id, date, price_change,
+                   CAST(CAST(price_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS d
+            FROM staged),
+          s AS (
+            SELECT user_id, date,
+                   count(price_change) OVER f AS nd,
+                   CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END)
+                     OVER f AS BIGINT) AS sg,
+                   CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END)
+                     OVER f AS BIGINT) AS sl
+            FROM gl
+            WINDOW f AS (PARTITION BY user_id ORDER BY date
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 CAST(CASE WHEN (sg - sl) < 0
+                      THEN -((abs(sg - sl) * 100 * 20000 + (sg + sl))
+                             // (2 * (sg + sl)))
+                      ELSE ((sg - sl) * 100 * 20000 + (sg + sl))
+                           // (2 * (sg + sl))
+                 END AS DOUBLE) / 10000 AS cmo
+          FROM s WHERE nd >= 14 AND sg + sl > 0 ORDER BY 1, 2"""),
+
+    // q250: month-partition row numbers pick the edge days; signed
+    // bridge means
+    "q250_tom_effect" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          t AS (
+            SELECT user_id, x,
+                   CASE WHEN row_number() OVER wa <= 3
+                          OR row_number() OVER wd <= 3
+                   THEN 1 ELSE 0 END AS tom
+            FROM x
+            WINDOW wa AS (PARTITION BY user_id,
+                            date_trunc('month', date)
+                          ORDER BY date ASC),
+                   wd AS (PARTITION BY user_id,
+                            date_trunc('month', date)
+                          ORDER BY date DESC)),
+          g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN tom = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_tom,
+                   CAST(sum(CASE WHEN tom = 1 THEN x ELSE 0 END)
+                     AS BIGINT) AS s_tom,
+                   CAST(sum(CASE WHEN tom = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_mid,
+                   CAST(sum(CASE WHEN tom = 0 THEN x ELSE 0 END)
+                     AS BIGINT) AS s_mid
+            FROM t GROUP BY 1)
+          SELECT user_id, n_tom, n_mid,
+                 CAST(CASE WHEN s_tom < 0
+                      THEN -((abs(s_tom) * 2 + n_tom) // (2 * n_tom))
+                      ELSE (s_tom * 2 + n_tom) // (2 * n_tom)
+                 END AS DOUBLE) / 10000 AS mean_tom,
+                 CAST(CASE WHEN s_mid < 0
+                      THEN -((abs(s_mid) * 2 + n_mid) // (2 * n_mid))
+                      ELSE (s_mid * 2 + n_mid) // (2 * n_mid)
+                 END AS DOUBLE) / 10000 AS mean_mid
+          FROM g WHERE n_tom >= 2 AND n_mid >= 2 ORDER BY 1"""),
 
     // q239: run count from a lag over the zero-filtered sign series;
     // E[R] through the 4dp bridge; z from exact integer variance
