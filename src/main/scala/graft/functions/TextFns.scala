@@ -188,4 +188,23 @@ object TextFns {
     round(lit(206.835) - lit(1.015) * (w / s)
       - lit(84.6) * (sy / nullif(w, lit(0.0))), 4)
   }
+
+  /** Complex-word count: whitespace tokens with ≥3 vowel-group
+    * syllables (the Gunning-Fog polysyllable proxy, same vowel-run
+    * estimate as [[syllableCount]]). */
+  def complexWordCount(text: Column): Column =
+    size(filter(tokens(text), t =>
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        >= 3)).cast("long")
+
+  /** Gunning-Fog index `0.4·(words/sentences + 100·complex/words)`
+    * from the same exact integer counts — identical expression shape
+    * both engines; empty text → null. */
+  def gunningFog(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val c = complexWordCount(text).cast("double")
+    round(lit(0.4) * (w / s + lit(100.0) * (c / nullif(w, lit(0.0)))),
+      4)
+  }
 }

@@ -571,4 +571,72 @@ object Relevance {
         round(log(col("n_docs").cast("double") * col("df_ab")
           / (col("df_a") * col("df_b"))), 4).as("pmi"))
   }
+
+  /** Per-source vocabulary-richness profile: vocab size V, token
+    * count N, hapax count/rate, and Yule's K
+    * `10⁴·(Σ_m m²·V(m) − N)/N²` — the repeat-rate constant that is
+    * invariant to corpus length, so sources of different sizes
+    * compare honestly. All moments are exact integers off one
+    * (source, token) aggregate; two bridge ratios at the end.
+    * Two-phase shuffle: (source, token) then source — linear, the
+    * classic word-count shape. */
+  def vocabRichness(docs: DataFrame, textCol: String = "text",
+                    groupCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+          .as("token"))
+      .where(col("token") =!= "")
+    val tf = tok.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    tf.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("m")).cast("long").as("n_tokens"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).cast("long")
+          .as("hapax"),
+        sum(col("m").cast("decimal(38,0)") * col("m")).as("smv"))
+      .select(col("grp").as("source"), col("vocab"), col("n_tokens"),
+        col("hapax"),
+        graft.functions.ExactRound.ratio(col("hapax"), col("vocab"), 4)
+          .as("hapax_rate"),
+        // K's moments overflow a long at corpus scale — DECIMAL(38,0)
+        // here, HUGEINT in the oracle
+        graft.functions.ExactRound.signedRatio(
+          (col("smv") - col("n_tokens")) * 10000,
+          col("n_tokens").cast("decimal(38,0)") * col("n_tokens"), 4)
+          .as("yule_k"))
+  }
+
+  /** Term burstiness table: for the `topK` highest-df terms (df desc,
+    * term asc — deterministic), the Fano factor of per-doc counts
+    * over ALL docs `F = (D·Σc² − N²)/((D−1)·N)` — F≈1 means the term
+    * sprinkles Poisson-like; F≫1 means it clumps into few docs
+    * (topical). Zero-docs enter through the moments, not a dense
+    * join: Σc² only needs occurrence docs. Exact integer moments,
+    * one signed bridge. */
+  def burstiness(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", topK: Int = 50,
+                 minDf: Int = 5): DataFrame = {
+    val d = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val tok = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+          .as("token"))
+      .where(col("token") =!= "")
+    val perDoc = tok.groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val perTerm = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("c")).cast("long").as("n"),
+        sum(col("c") * col("c")).cast("long").as("ssq"))
+      .where(col("df") >= minDf)
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // partial top-k, no global sort exchange
+    perTerm.orderBy(col("df").desc, col("token").asc).limit(topK)
+      .crossJoin(broadcast(d))
+      .select(col("token"), col("df"), col("n").as("n_occurrences"),
+        graft.functions.ExactRound.signedRatio(
+          col("n_docs").cast("decimal(38,0)") * col("ssq") -
+            col("n").cast("decimal(38,0)") * col("n"),
+          (col("n_docs") - 1).cast("decimal(38,0)") * col("n"), 4)
+          .as("fano"))
+  }
 }

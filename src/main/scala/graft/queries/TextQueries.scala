@@ -227,6 +227,51 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // Gunning-Fog from the same counts + polysyllable tokens
+    "q251_gunning_fog" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_words"),
+          TextFns.complexWordCount(col("text")).as("n_complex"),
+          TextFns.gunningFog(col("text")).as("fog"))
+        .orderBy(col("doc_id"))),
+
+    // per-source vocabulary richness: hapax rate + Yule's K
+    "q252_vocab_richness" -> ((s, d) =>
+      graft.operators.Relevance.vocabRichness(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
+    // per-doc sentence/word shape stats, exact bridges
+    "q253_sentence_stats" -> ((s, d) => {
+      val nw = TextFns.tokenCount(col("text")).cast("long")
+      val ns = TextFns.sentenceCount(col("text"))
+      val nonspace =
+        length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("long")
+      Tables.documents(s, d).select(col("doc_id"),
+          ns.as("n_sentences"),
+          graft.functions.ExactRound.ratio(nw, ns, 4)
+            .as("words_per_sentence"),
+          graft.functions.ExactRound.ratio(nonspace,
+            greatest(nw, lit(1L)), 4).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // UTF-8 weight per doc: chars vs bytes, exact multibyte share
+    "q254_multibyte_ratio" -> ((s, d) => {
+      val chars = length(col("text")).cast("long")
+      val bytes = octet_length(col("text")).cast("long")
+      Tables.documents(s, d).select(col("doc_id"),
+          chars.as("n_chars_txt"), bytes.as("n_bytes"),
+          graft.functions.ExactRound.ratio(bytes - chars,
+            greatest(bytes, lit(1L)), 4).as("multibyte_share"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fano burstiness of the 50 highest-df terms
+    "q255_burstiness" -> ((s, d) =>
+      graft.operators.Relevance.burstiness(Tables.documents(s, d))
+        .orderBy(col("token"))),
+
     // IVF-PQ: coarse inverted file → residual PQ codes → ADC
     // shortlist → exact re-rank (FAISS IndexIVFPQ+RefineFlat shape).
     // Rows-only: the ANN regime prunes cells, so the top-k is
@@ -1665,6 +1710,108 @@ object TextQueries {
                          / nullif(CAST(len(w) AS DOUBLE), 0.0)), 4)
                    AS flesch
           FROM t ORDER BY doc_id"""),
+    "q251_gunning_fog" -> (TOKS +
+      """ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(w, x ->
+                   len(regexp_extract_all(lower(x), '[aeiouy]+'))
+                     >= 3)) AS BIGINT) AS n_complex,
+                 round(0.4 * (CAST(len(w) AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(text,
+                             '[.!?]+')) AS DOUBLE), 1.0)
+                       + 100.0 * (CAST(len(list_filter(w, x ->
+                           len(regexp_extract_all(lower(x),
+                             '[aeiouy]+')) >= 3)) AS DOUBLE)
+                         / nullif(CAST(len(w) AS DOUBLE), 0.0))), 4)
+                   AS fog
+          FROM t ORDER BY doc_id"""),
+    "q252_vocab_richness" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(regexp_split_to_array(trim(lower(text)),
+                    '\s+')) AS token
+           FROM documents),
+         tf AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS m
+           FROM tok WHERE token <> '' GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(m) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hapax,
+                  sum(CAST(m AS HUGEINT) * m) AS smv
+           FROM tf GROUP BY 1)
+         SELECT source, vocab, n_tokens, hapax,
+                CAST((hapax * 20000 + vocab) // (2 * vocab) AS DOUBLE)
+                  / 10000 AS hapax_rate,
+                CAST(CASE WHEN smv - n_tokens < 0
+                     THEN -((abs(smv - n_tokens) * 10000 * 20000
+                             + CAST(n_tokens AS HUGEINT) * n_tokens)
+                            // (2 * CAST(n_tokens AS HUGEINT)
+                               * n_tokens))
+                     ELSE ((smv - n_tokens) * 10000 * 20000
+                           + CAST(n_tokens AS HUGEINT) * n_tokens)
+                          // (2 * CAST(n_tokens AS HUGEINT)
+                             * n_tokens) END AS DOUBLE) / 10000
+                  AS yule_k
+         FROM g ORDER BY 1""",
+    "q253_sentence_stats" -> (TOKS +
+      """ SELECT doc_id,
+                 greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS n_sentences,
+                 CAST((CAST(len(w) AS BIGINT) * 20000
+                       + greatest(CAST(len(regexp_extract_all(text,
+                           '[.!?]+')) AS BIGINT), 1))
+                      // (2 * greatest(CAST(len(regexp_extract_all(
+                           text, '[.!?]+')) AS BIGINT), 1))
+                   AS DOUBLE) / 10000 AS words_per_sentence,
+                 CAST((CAST(length(regexp_replace(trim(text), '\s+',
+                         '', 'g')) AS BIGINT) * 20000
+                       + greatest(CAST(len(w) AS BIGINT), 1))
+                      // (2 * greatest(CAST(len(w) AS BIGINT), 1))
+                   AS DOUBLE) / 10000 AS mean_word_len
+          FROM t ORDER BY doc_id"""),
+    "q254_multibyte_ratio" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes
+           FROM documents)
+         SELECT doc_id, n_chars_txt, n_bytes,
+                CAST(((n_bytes - n_chars_txt) * 20000
+                      + greatest(n_bytes, 1))
+                     // (2 * greatest(n_bytes, 1)) AS DOUBLE) / 10000
+                  AS multibyte_share
+         FROM b ORDER BY 1""",
+    "q255_burstiness" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)),
+                    '\s+')) AS token
+           FROM documents),
+         pd AS (
+           SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE token <> '' GROUP BY 1, 2),
+         pt AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c * c) AS BIGINT) AS ssq
+           FROM pd GROUP BY 1 HAVING count(*) >= 5),
+         top AS (
+           SELECT * FROM pt ORDER BY df DESC, token ASC LIMIT 50),
+         d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents)
+         SELECT token, df, n AS n_occurrences,
+                CAST(CASE WHEN CAST(n_docs AS HUGEINT) * ssq
+                            - CAST(n AS HUGEINT) * n < 0
+                     THEN -((abs(CAST(n_docs AS HUGEINT) * ssq
+                                 - CAST(n AS HUGEINT) * n) * 20000
+                             + CAST(n_docs - 1 AS HUGEINT) * n)
+                            // (2 * CAST(n_docs - 1 AS HUGEINT) * n))
+                     ELSE ((CAST(n_docs AS HUGEINT) * ssq
+                            - CAST(n AS HUGEINT) * n) * 20000
+                           + CAST(n_docs - 1 AS HUGEINT) * n)
+                          // (2 * CAST(n_docs - 1 AS HUGEINT) * n)
+                     END AS DOUBLE) / 10000 AS fano
+         FROM top CROSS JOIN d ORDER BY token""",
     // q163: DOUBLE literals (e-notation) + the engine's exact
     // expression shape so every per-token term folds identically
     "q163_bm25" -> (TOKS +
