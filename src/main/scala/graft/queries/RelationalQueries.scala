@@ -251,6 +251,72 @@ object RelationalQueries {
         iso(col("ts")).as("date"), col("event_type"), col("value"))
       WindowFns.latestPerKey(e, Seq("user_id"), col("event_id"))
         .orderBy(col("user_id"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity revenue loss for one brand —
+    // the correlated per-part avg becomes a co-partitioned partkey
+    // join (part filter broadcast BEFORE the agg); the 20% compare
+    // and the /7 run in exact integer cents
+    "q256_small_qty_loss" -> ((s, d) => {
+      val pf = Tables.part(s, d).where(col("p_brand") === "Brand#2")
+        .select(col("p_partkey"))
+      val lf = Tables.lineitem(s, d)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long").as("cents"))
+      val pa = lf.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("q")).cast("long").as("sq"))
+      lf.join(pa, col("l_partkey") === col("pk"))
+        .where(col("q") * 5 * col("n") < col("sq"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("cents")).cast("long").as("c"))
+        .select(col("n_lines"),
+          graft.functions.ExactRound.ratio(coalesce(col("c"), lit(0L)),
+            lit(7L), 0).divide(lit(100.0)).as("avg_yearly_loss"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — lineitem rollup on
+    // orderkey (having), then orderkey/custkey joins; top-100 via
+    // TakeOrderedAndProject (no global sort)
+    "q257_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long")
+          .as("total_qty"))
+        .where(col("total_qty") > 300)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          iso(col("o_orderdate")).as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape: rich customers with no RECENT orders — the global
+    // positive-balance average compares in EXACT cross-multiplied
+    // cents (broadcast 1-row agg), then an anti-join on orders
+    "q258_idle_rich" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val c = Tables.customer(s, d).withColumn("cents", cents)
+      val avgRow = c.where(col("cents") > 0)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("s"))
+      c.crossJoin(broadcast(avgRow))
+        .where(col("cents") * col("n") > col("s"))
+        .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1998-01-01").cast("date")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          (sum(col("cents")).cast("double") / 100).as("total_bal"))
+        .orderBy(col("c_nationkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -426,5 +492,61 @@ object RelationalQueries {
                                      ORDER BY event_id DESC) AS rn
            FROM events)
          SELECT user_id, event_id, date, event_type, value
-         FROM e WHERE rn = 1 ORDER BY user_id""")
+         FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q256_small_qty_loss" ->
+      """WITH pf AS (
+           SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+         lf AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents
+           FROM lineitem JOIN pf ON l_partkey = p_partkey),
+         pa AS (
+           SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(q) AS BIGINT) AS sq
+           FROM lf GROUP BY 1),
+         f AS (
+           SELECT cents FROM lf JOIN pa ON l_partkey = pk
+           WHERE q * 5 * n < sq),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                  coalesce(CAST(sum(cents) AS BIGINT), 0) AS c
+           FROM f)
+         SELECT n_lines,
+                CAST((c * 2 + 7) // 14 AS DOUBLE) / 100
+                  AS avg_yearly_loss
+         FROM g""",
+    "q257_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                    AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_custkey, c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                o_totalprice, total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q258_idle_rich" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents
+           FROM customer),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS s
+           FROM c WHERE cents > 0),
+         r AS (
+           SELECT c.c_nationkey, c.cents FROM c, a
+           WHERE c.cents * a.n > a.s
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderdate >=
+                                   TIMESTAMP '1998-01-01'))
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(cents) AS DOUBLE) / 100 AS total_bal
+         FROM r GROUP BY 1 ORDER BY 1""")
 }
