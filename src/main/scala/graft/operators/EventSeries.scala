@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Indicators, WindowFns}
@@ -1407,6 +1407,56 @@ object EventSeries {
         col("dau"), col("mau"),
         graft.functions.ExactRound.ratio(col("dau"), col("mau"), 4)
           .as("stickiness"))
+  }
+
+  /** Calendar-anchored trailing mean: a RANGE frame over epoch days
+    * (the last `days` CALENDAR days, however many bars landed there)
+    * — the complement of the ROWS-frame rolling stack, which slides
+    * over observations and ignores gaps. Close lifts to 4dp scaled
+    * longs so the frame mean is one exact bridge. One window on the
+    * shared series key. */
+  def calendarMean(bars: DataFrame, days: Int = 7): DataFrame = {
+    val epd = datediff(col("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_epd"))
+      .rangeBetween(-(days - 1L), Window.currentRow)
+    bars.withColumn("_epd", epd).withColumn("_c4", c4)
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_s4", sum(col("_c4")).over(w).cast("long"))
+      .select(col("user_id"), col("date"), col("close"),
+        col("_n").as("n_in_window"),
+        graft.functions.ExactRound.ratio(col("_s4"), col("_n"), 0)
+          .divide(lit(10000.0)).as("cal_mean"))
+  }
+
+  /** Exact discrete session-duration percentiles per key: duration in
+    * whole seconds from the session micros bounds, percentile as the
+    * order statistic at rank ⌈p·n⌉ — no interpolation, no sketch, so
+    * the oracle replays it with a row_number. One window + one hash
+    * agg on the session frame (already bounded per key). */
+  def sessionStats(sessions: DataFrame): DataFrame = {
+    val d = call_function("div",
+      col("end_us") - col("start_us"), lit(1000000L))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_d").asc, col("session_id").asc)
+    val ranked = sessions.withColumn("_d", d)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    def atRank(r: Column) = max(when(col("_rn") === r, col("_d")))
+    ranked.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("_d")).cast("long").as("_sd"),
+        atRank(call_function("div", col("_n") + 1, lit(2L)))
+          .as("p50_secs"),
+        atRank(call_function("div", col("_n") * 9 + 9, lit(10L)))
+          .as("p90_secs"),
+        max(col("_d")).as("max_secs"))
+      .select(col("user_id"), col("n_sessions"),
+        graft.functions.ExactRound.ratio(col("_sd"),
+          col("n_sessions"), 4).as("mean_secs"),
+        col("p50_secs"), col("p90_secs"), col("max_secs"))
   }
 
   /** Accumulation/Distribution line per key: the close-location value

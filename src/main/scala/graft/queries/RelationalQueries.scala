@@ -253,6 +253,23 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // explicit GROUPING SETS lattice (the non-hierarchical cousin of
+    // q68 ROLLUP / q165 CUBE): two independent marginals + the grand
+    // total in ONE Expand pass, no self-union
+    "q259_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+    }),
+
     // TPC-H Q17 shape: small-quantity revenue loss for one brand —
     // the correlated per-part avg becomes a co-partitioned partkey
     // join (part filter broadcast BEFORE the agg); the 20% compare
@@ -493,6 +510,17 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q259_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(grouping(o_orderstatus) * 2
+                     + grouping(o_orderpriority) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 ())
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
     "q256_small_qty_loss" ->
       """WITH pf AS (
            SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),

@@ -461,6 +461,19 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // calendar-anchored trailing 7-DAY mean (RANGE frame over epoch
+    // days — slides over the calendar, not over observations)
+    "q260_range_window" -> ((s, d) =>
+      EventSeries.calendarMean(bars(s, d), 7)
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("user_id"), col("date"))),
+
+    // exact discrete session-duration percentiles per key
+    "q261_session_stats" -> ((s, d) =>
+      EventSeries.sessionStats(
+          EventSeries.sessions(Tables.events(s, d), 30))
+        .orderBy(col("user_id"))),
+
     // directional movement: DI+/DI-/ADX(14), rolling-sum form
     "q245_adx" -> ((s, d) => {
       val (dip, dim, adx) = Indicators.adx(col("high"), col("low"),
@@ -1720,6 +1733,56 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q260: integer epoch-day RANGE frame; 4dp scaled-long frame mean
+    "q260_range_window" -> (BARS +
+      """, e AS (
+            SELECT user_id, date, close,
+                   CAST(date_diff('day', DATE '1970-01-01', date)
+                     AS BIGINT) AS epd,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c4
+            FROM bars),
+          wn AS (
+            SELECT user_id, date, close,
+                   CAST(count(*) OVER f AS BIGINT) AS n,
+                   CAST(sum(c4) OVER f AS BIGINT) AS s4
+            FROM e
+            WINDOW f AS (PARTITION BY user_id ORDER BY epd
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date, close,
+                 n AS n_in_window,
+                 CAST((s4 * 2 + n) // (2 * n) AS DOUBLE) / 10000
+                   AS cal_mean
+          FROM wn ORDER BY 1, 2"""),
+
+    // q261: order statistic at rank ceil(p·n) — no interpolation
+    "q261_session_stats" -> (SESSIONS_CTE + """
+         , dur AS (
+            SELECT user_id, session_id,
+                   CAST((end_us - start_us) // 1000000 AS BIGINT) AS d
+            FROM sess),
+          rk AS (
+            SELECT user_id, d,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY d ASC, session_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM dur),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN d END)
+                     AS p50_secs,
+                   max(CASE WHEN rn = (n * 9 + 9) // 10 THEN d END)
+                     AS p90_secs,
+                   CAST(max(d) AS BIGINT) AS max_secs
+            FROM rk GROUP BY 1)
+          SELECT user_id, n_sessions,
+                 CAST((sd * 20000 + n_sessions) // (2 * n_sessions)
+                   AS DOUBLE) / 10000 AS mean_secs,
+                 CAST(p50_secs AS BIGINT) AS p50_secs,
+                 CAST(p90_secs AS BIGINT) AS p90_secs, max_secs
+          FROM g ORDER BY 1"""),
 
     // q245: the q15/q16 rolling-window form — dm/tr sums, DI ratios,
     // DX mean; identical double arithmetic both engines
