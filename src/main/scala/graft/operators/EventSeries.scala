@@ -1409,6 +1409,147 @@ object EventSeries {
           .as("stickiness"))
   }
 
+  /** Historical VaR / expected shortfall per key at the `tailPct`
+    * percent tail: VaR is the order statistic at rank ⌈n·tail/100⌉ of
+    * ascending 4dp returns (exact disc quantile, no interpolation),
+    * ES the exact bridge mean of the returns at or below that rank.
+    * One per-key sort window + one hash aggregate. */
+  def varEs(staged: DataFrame, tailPct: Int = 5,
+            minDays: Int = 20): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("x").asc, col("date").asc)
+    val ranked = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    val kr = call_function("div",
+      col("n") * tailPct + (100 - 1), lit(100L))
+    ranked.withColumn("kr", kr)
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).cast("long").as("n_days"),
+        max(col("kr")).cast("long").as("_k"),
+        max(when(col("rn") === col("kr"), col("x"))).as("_v4"),
+        sum(when(col("rn") <= col("kr"), col("x")).otherwise(0L))
+          .cast("long").as("_t4"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        (col("_v4").cast("double") / 10000).as("var_pct"),
+        graft.functions.ExactRound.signedRatio(col("_t4"), col("_k"),
+          0).divide(lit(10000.0)).as("es_pct"))
+  }
+
+  /** Return skewness / excess kurtosis per key: the four raw moments
+    * accumulate as exact scaled integers (cubes/quartics in DECIMAL —
+    * longs overflow at volume), then one deterministic double chain;
+    * skew and kurtosis are scale-invariant so the 10⁴ lift cancels.
+    * Returns winsorize at ±`clampPct`% first — near-zero closes
+    * produce 10⁵%-scale returns whose QUARTIC would overflow even
+    * 128-bit integers, and un-winsorized higher moments are
+    * statistically meaningless on such spikes anyway. One conditional
+    * hash aggregate. */
+  def skewKurt(staged: DataFrame, minDays: Int = 10,
+               clampPct: Int = 100): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val c = clampPct * 10000L
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"),
+        least(greatest(x4, lit(-c)), lit(c)).as("x"))
+    val xd = col("x").cast("decimal(38,0)")
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s1"),
+        sum(xd * col("x")).as("s2"),
+        sum(xd * col("x") * col("x")).as("s3"),
+        sum(xd * col("x") * col("x") * col("x")).as("s4"))
+      .where(col("n") >= minDays)
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd - mu * mu
+    val m3 = col("s3").cast("double") / nd -
+      lit(3.0) * mu * (col("s2").cast("double") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nd -
+      lit(4.0) * mu * (col("s3").cast("double") / nd) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nd) -
+      lit(3.0) * mu * mu * mu * mu
+    g.select(col("user_id"), col("n").as("n_days"),
+      round(m3 / sqrt(m2 * m2 * m2), 4).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 4).as("excess_kurtosis"))
+  }
+
+  /** Cumulative adoption curve: users by FIRST activity date, the
+    * running total, and the exact penetration share of the final
+    * user base. First-seen is one hash agg; the cumulative window
+    * runs over the bounded date frame. */
+  def adoptionCurve(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val daily = first.groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+    val cum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    daily
+      .withColumn("cum_users", sum(col("n_new")).over(cum).cast("long"))
+      .withColumn("_t", sum(col("n_new")).over(tot).cast("long"))
+      .select(graft.queries.iso(col("d")).as("date"), col("n_new"),
+        col("cum_users"),
+        graft.functions.ExactRound.ratio(col("cum_users"), col("_t"),
+          4).as("penetration"))
+  }
+
+  /** Market-basket association between event types at SESSION
+    * granularity: for every type pair, support / confidence / lift
+    * from exact session counts — "do purchases and signups co-occur
+    * in the same visit more than chance". The distinct
+    * (session, type) frame is linear; the pair join fans out only
+    * within a session's bounded type set. */
+  def sessionLift(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val brk = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    val st = events.withColumn("_brk", brk)
+      .withColumn("sid", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nSess = st.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+    val perType = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_t"))
+    val a = st.select(col("user_id"), col("sid"),
+      col("event_type").as("type_a"))
+    val b = st.select(col("user_id"), col("sid"),
+      col("event_type").as("type_b"))
+    val pairs = a.join(b, Seq("user_id", "sid"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        graft.functions.ExactRound.ratio(col("n_ab"),
+          col("n_sessions"), 4).as("support"),
+        graft.functions.ExactRound.ratio(col("n_ab"), col("n_a"), 4)
+          .as("confidence"),
+        graft.functions.ExactRound.ratio(
+          col("n_ab") * col("n_sessions"),
+          col("n_a") * col("n_b"), 4).as("lift"))
+  }
+
   /** Calendar-anchored trailing mean: a RANGE frame over epoch days
     * (the last `days` CALENDAR days, however many bars landed there)
     * — the complement of the ROWS-frame rolling stack, which slides

@@ -461,6 +461,25 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // cumulative adoption curve with exact penetration shares
+    "q262_adoption_curve" -> ((s, d) =>
+      EventSeries.adoptionCurve(Tables.events(s, d))
+        .orderBy(col("date"))),
+
+    // session-level market-basket association between event types
+    "q263_session_lift" -> ((s, d) =>
+      EventSeries.sessionLift(Tables.events(s, d), 30)
+        .orderBy(col("type_a"), col("type_b"))),
+
+    // historical VaR / expected shortfall at the 5% tail — exact
+    // order statistic + bridge tail mean
+    "q264_var_es" -> ((s, d) =>
+      EventSeries.varEs(staged(s, d)).orderBy(col("user_id"))),
+
+    // return skewness / excess kurtosis from exact scaled moments
+    "q265_skew_kurtosis" -> ((s, d) =>
+      EventSeries.skewKurt(staged(s, d)).orderBy(col("user_id"))),
+
     // calendar-anchored trailing 7-DAY mean (RANGE frame over epoch
     // days — slides over the calendar, not over observations)
     "q260_range_window" -> ((s, d) =>
@@ -1733,6 +1752,137 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q262: first-seen hash agg, cumulative over the bounded date
+    // frame, exact shares
+    "q262_adoption_curve" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS d
+           FROM events GROUP BY 1),
+         daily AS (
+           SELECT d, CAST(count(*) AS BIGINT) AS n_new
+           FROM f GROUP BY 1),
+         c AS (
+           SELECT d, n_new,
+                  CAST(sum(n_new) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+                  CAST(sum(n_new) OVER () AS BIGINT) AS t
+           FROM daily)
+         SELECT strftime(d, '%Y-%m-%d') AS date, n_new, cum_users,
+                CAST((cum_users * 20000 + t) // (2 * t) AS DOUBLE)
+                  / 10000 AS penetration
+         FROM c ORDER BY 1""",
+
+    // q263: sessionize (the q62 break rule), distinct (session, type),
+    // pair join bounded by the per-session type set
+    "q263_session_lift" ->
+      """WITH l AS (
+           SELECT user_id, event_id, ts, event_type,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT *, CASE WHEN prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             THEN 1 ELSE 0 END AS brk
+           FROM l),
+         s AS (
+           SELECT user_id, event_type,
+                  CAST(sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+           FROM b),
+         st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+         ns AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_sessions
+           FROM (SELECT DISTINCT user_id, sid FROM st)),
+         pt AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+           FROM st GROUP BY 1),
+         pr AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS n_ab
+           FROM st a JOIN st b ON a.user_id = b.user_id
+             AND a.sid = b.sid AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+                CAST((n_ab * 20000 + n_sessions) // (2 * n_sessions)
+                  AS DOUBLE) / 10000 AS support,
+                CAST((n_ab * 20000 + pa.n_t) // (2 * pa.n_t)
+                  AS DOUBLE) / 10000 AS confidence,
+                CAST((n_ab * n_sessions * 20000 + pa.n_t * pb.n_t)
+                     // (2 * pa.n_t * pb.n_t) AS DOUBLE) / 10000
+                  AS lift
+         FROM pr JOIN pt pa ON pa.event_type = pr.type_a
+              JOIN pt pb ON pb.event_type = pr.type_b
+              CROSS JOIN ns
+         ORDER BY 1, 2""",
+
+    // q264: rank ⌈n·5/100⌉ order statistic; tail mean via signed
+    // bridge
+    "q264_var_es" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          rk AS (
+            SELECT user_id, x,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY x ASC, date ASC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM x),
+          g AS (
+            SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+                   CAST(max((n * 5 + 99) // 100) AS BIGINT) AS k,
+                   max(CASE WHEN rn = (n * 5 + 99) // 100 THEN x END)
+                     AS v4,
+                   CAST(sum(CASE WHEN rn <= (n * 5 + 99) // 100
+                     THEN x ELSE 0 END) AS BIGINT) AS t4
+            FROM rk GROUP BY 1)
+          SELECT user_id, n_days,
+                 CAST(v4 AS DOUBLE) / 10000 AS var_pct,
+                 CAST(CASE WHEN t4 < 0
+                      THEN -((abs(t4) * 2 + k) // (2 * k))
+                      ELSE (t4 * 2 + k) // (2 * k) END AS DOUBLE)
+                   / 10000 AS es_pct
+          FROM g WHERE n_days >= 20 ORDER BY 1"""),
+
+    // q265: exact HUGEINT raw moments over ±100%-winsorized returns
+    // (quartics of near-zero-close spikes overflow 128-bit), one
+    // deterministic double chain (shape-matched term by term)
+    "q265_skew_kurtosis" -> (STAGED +
+      """, x AS (
+            SELECT user_id,
+                   least(greatest(CAST(CAST(pct_change
+                     AS DECIMAL(14,4)) * 10000 AS BIGINT),
+                     -1000000), 1000000) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s1,
+                   sum(CAST(x AS HUGEINT) * x) AS s2,
+                   sum(CAST(x AS HUGEINT) * x * x) AS s3,
+                   sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+            FROM x GROUP BY 1 HAVING count(*) >= 10),
+          f AS (
+            SELECT user_id, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   CAST(s2 AS DOUBLE) / n AS r2,
+                   CAST(s3 AS DOUBLE) / n AS r3,
+                   CAST(s4 AS DOUBLE) / n AS r4
+            FROM g),
+          m AS (
+            SELECT user_id, n, mu,
+                   r2 - mu * mu AS m2,
+                   r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                   r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+            FROM f)
+          SELECT user_id, n AS n_days,
+                 round(m3 / sqrt(m2 * m2 * m2), 4) AS skewness,
+                 round(m4 / (m2 * m2) - 3.0, 4) AS excess_kurtosis
+          FROM m ORDER BY 1"""),
 
     // q260: integer epoch-day RANGE frame; 4dp scaled-long frame mean
     "q260_range_window" -> (BARS +
