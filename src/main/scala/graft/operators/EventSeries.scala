@@ -582,6 +582,99 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Ljung-Box portmanteau statistic per key over the first `maxLag`
+    * return autocorrelations: `Q = n(n+2)·Σ_k ρ_k²/(n−k)` with ρ_k the
+    * same lag-paired Pearson the ACF table (q153) reports — "is there
+    * ANY serial structure", one number per key. The lag explode is
+    * maxLag× linear; moments per (key, lag) aggregate on the shared
+    * key Exchange. */
+  def ljungBox(staged: DataFrame, maxLag: Int = 5,
+               minN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val r = staged.select(col("user_id"), col("date"),
+        col("pct_change").as("ret"))
+      .where(col("ret").isNotNull)
+    val withLags = r.select(Seq(col("user_id"), col("ret")) ++
+      (1 to maxLag).map(k => lag(col("ret"), k).over(w).as(s"l$k")): _*)
+    val perLag = withLags
+      .select(col("user_id"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag"), col("ret"),
+          col(s"l$k").as("lret"))): _*)).as("e"))
+      .select(col("user_id"), col("e.lag"), col("e.ret"), col("e.lret"))
+      .where(col("lret").isNotNull)
+      .groupBy(col("user_id"), col("lag"))
+      .agg(corr(col("ret"), col("lret")).as("rho"))
+    val nPer = r.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    perLag.join(nPer, Seq("user_id"))
+      .where(col("n") >= minN)
+      // each lag term rounds to a 10dp decimal before the sum, so the
+      // Σ is exact and order-free (maxLag doubles would otherwise sum
+      // in partition order)
+      .withColumn("_t", round(col("rho") * col("rho") /
+        (col("n") - col("lag")).cast("double"), 10)
+        .cast("decimal(38,10)"))
+      .groupBy(col("user_id"), col("n"))
+      .agg(sum(col("_t")).cast("double").as("_s"))
+      .select(col("user_id"), col("n").as("n_days"),
+        round(col("n").cast("double") * (col("n") + 2) * col("_s"), 4)
+          .as("q_stat"))
+  }
+
+  /** AR(1) mean-reversion readout per key: OLS of Δclose on the
+    * lagged close — all OLS moments on exact 4dp scaled longs (the
+    * 10⁴ lift cancels in β) — and the implied half-life
+    * `−ln2/ln(1+β)` for keys in the mean-reverting band −1<β<0.
+    * One window + one hash aggregate. */
+  def meanReversion(staged: DataFrame, minDays: Int = 20): DataFrame = {
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val src = staged.select(col("user_id"), col("date"), c4.as("c"))
+      .withColumn("xl", lag(col("c"), 1).over(w))
+      .where(col("xl").isNotNull)
+      .select(col("user_id"), col("xl").as("x"),
+        (col("c") - col("xl")).as("y"))
+    val xd = col("x").cast("decimal(38,0)")
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(xd * col("y")).as("sxy"),
+        sum(xd * col("x")).as("sxx"))
+      .where(col("n") >= minDays)
+    val num = (col("n") * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val beta = num / nullif(den, lit(0.0))
+    val hl = when(beta > -1 && beta < 0,
+      -log(lit(2.0)) / log(lit(1.0) + beta))
+    g.select(col("user_id"), col("n").as("n_days"),
+      round(beta, 6).as("beta"), round(hl, 4).as("half_life_days"))
+  }
+
+  /** Shannon entropy of each user's event-type mix (nats, plus the
+    * 0-1 evenness normalized by ln of the types present): `H = ln n −
+    * (Σ c·ln c)/n` from exact integer counts — how specialized is
+    * each user's behavior. Two bounded hash aggregates. */
+  def activityEntropy(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    cnt.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("c")).cast("long").as("n"),
+        // per-type terms round to 6dp decimals — exact order-free sum
+        sum(round(col("c").cast("double") *
+            log(col("c").cast("double")), 6).cast("decimal(28,6)"))
+          .cast("double").as("_sclc"))
+      .select(col("user_id"), col("n_types"), col("n"),
+        round(log(col("n").cast("double")) - col("_sclc") / col("n"),
+          4).as("entropy_nats"),
+        round((log(col("n").cast("double")) - col("_sclc") / col("n"))
+          / nullif(log(col("n_types").cast("double")), lit(0.0)), 4)
+          .as("evenness"))
+  }
+
   /** Volume-spike anomalies: each day's volume z-scored against the
     * PRIOR `period` days (frame excludes the current row — an anomaly
     * must not dampen its own baseline), gated at a full window. One

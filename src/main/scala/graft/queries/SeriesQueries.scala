@@ -461,6 +461,21 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // Ljung-Box portmanteau Q over the first 5 autocorrelations
+    "q266_ljung_box" -> ((s, d) =>
+      EventSeries.ljungBox(staged(s, d), 5)
+        .orderBy(col("user_id"))),
+
+    // AR(1) mean-reversion beta + implied half-life, exact moments
+    "q267_mean_reversion" -> ((s, d) =>
+      EventSeries.meanReversion(staged(s, d))
+        .orderBy(col("user_id"))),
+
+    // Shannon entropy / evenness of each user's event-type mix
+    "q268_activity_entropy" -> ((s, d) =>
+      EventSeries.activityEntropy(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
     // cumulative adoption curve with exact penetration shares
     "q262_adoption_curve" -> ((s, d) =>
       EventSeries.adoptionCurve(Tables.events(s, d))
@@ -1752,6 +1767,101 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q266: per-lag Pearson (the q153 corr), each term 10dp-decimal
+    // rounded before the order-free sum
+    "q266_ljung_box" -> (STAGED +
+      """, r AS (
+            SELECT user_id, date, pct_change AS ret
+            FROM staged WHERE pct_change IS NOT NULL),
+          wl AS (
+            SELECT user_id, ret,
+                   lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+                   lag(ret, 3) OVER w AS l3, lag(ret, 4) OVER w AS l4,
+                   lag(ret, 5) OVER w AS l5
+            FROM r WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          pairs AS (
+            SELECT user_id, 1 AS lag, ret, l1 AS lret FROM wl
+            WHERE l1 IS NOT NULL
+            UNION ALL SELECT user_id, 2, ret, l2 FROM wl
+            WHERE l2 IS NOT NULL
+            UNION ALL SELECT user_id, 3, ret, l3 FROM wl
+            WHERE l3 IS NOT NULL
+            UNION ALL SELECT user_id, 4, ret, l4 FROM wl
+            WHERE l4 IS NOT NULL
+            UNION ALL SELECT user_id, 5, ret, l5 FROM wl
+            WHERE l5 IS NOT NULL),
+          pl AS (
+            SELECT user_id, lag, corr(ret, lret) AS rho
+            FROM pairs GROUP BY 1, 2),
+          np AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY 1),
+          t AS (
+            SELECT pl.user_id, np.n,
+                   CAST(round(rho * rho / CAST(n - lag AS DOUBLE), 10)
+                     AS DECIMAL(38,10)) AS t
+            FROM pl JOIN np USING (user_id) WHERE n >= 20),
+          g AS (
+            SELECT user_id, n, CAST(sum(t) AS DOUBLE) AS s
+            FROM t GROUP BY 1, 2)
+          SELECT user_id, n AS n_days,
+                 round(CAST(n AS DOUBLE) * (n + 2) * s, 4) AS q_stat
+          FROM g ORDER BY 1"""),
+
+    // q267: OLS of Δc on lagged c in exact scaled moments; ln only in
+    // the final half-life
+    "q267_mean_reversion" -> (STAGED +
+      """, c4 AS (
+            SELECT user_id, date,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c
+            FROM staged),
+          p AS (
+            SELECT user_id, c,
+                   lag(c) OVER (PARTITION BY user_id ORDER BY date)
+                     AS x
+            FROM c4),
+          s AS (
+            SELECT user_id, x, c - x AS y FROM p WHERE x IS NOT NULL),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM s GROUP BY 1 HAVING count(*) >= 20),
+          f AS (
+            SELECT user_id, n,
+                   CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / nullif(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                         AS DOUBLE), 0) AS beta
+            FROM g)
+          SELECT user_id, n AS n_days, round(beta, 6) AS beta,
+                 round(CASE WHEN beta > -1 AND beta < 0
+                       THEN -ln(2.0) / ln(1.0 + beta) END, 4)
+                   AS half_life_days
+          FROM f ORDER BY 1"""),
+
+    // q268: per-type c·ln c rounds to a 6dp decimal before the sum
+    "q268_activity_entropy" ->
+      """WITH cnt AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+                  CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sclc
+           FROM cnt GROUP BY 1)
+         SELECT user_id, n_types, n,
+                round(ln(CAST(n AS DOUBLE)) - sclc / n, 4)
+                  AS entropy_nats,
+                round((ln(CAST(n AS DOUBLE)) - sclc / n)
+                      / nullif(ln(CAST(n_types AS DOUBLE)), 0.0), 4)
+                  AS evenness
+         FROM g ORDER BY 1""",
 
     // q262: first-seen hash agg, cumulative over the bounded date
     // frame, exact shares
