@@ -213,6 +213,27 @@ object EmbeddingStats {
           .as("silhouette"))
   }
 
+  /** Nearest-centroid classification accuracy per label (training-set
+    * resubstitution — each point's own vector is inside its centroid):
+    * prediction is the argmin centroid distance (ties → lowest label)
+    * off the same exact-integer q's as [[silhouette]]. Linear, the
+    * scale path of the kNN probe. */
+  def centroidClassify(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val pc = pointClusterDist(df, idCol, vecCol, labelCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d").asc, col("k").asc)
+    pc.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(when(col("k") === col("own"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .select(col("label"), col("n_points"), col("n_correct"),
+        graft.functions.ExactRound.ratio(col("n_correct"),
+          col("n_points"), 4).as("accuracy"))
+  }
+
   /** Davies-Bouldin readout per cluster: scatter `σ_L` = mean distance
     * of the cluster's points to its centroid, separation
     * `M_LK = ‖c_L − c_K‖` from the exact cross-moment

@@ -582,6 +582,29 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Cross-sectional daily rank table: each key's return ranked
+    * against every other key THAT DAY (total order: return desc, key
+    * asc), with exact-bridge percent rank and cumulative distribution
+    * — the relative-strength view orthogonal to the per-key series
+    * stack. One window on the date partition. */
+  def crossSectionalRank(staged: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("date"))
+      .orderBy(col("pct_change").desc, col("user_id").asc)
+    staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), col("pct_change"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("date")))
+          .cast("long"))
+      .where(col("_n") > 1)
+      .select(col("user_id"), col("date"), col("pct_change"),
+        col("rnk"), col("_n").as("n_cross"),
+        graft.functions.ExactRound.ratio(col("rnk") - 1,
+          col("_n") - 1, 6).as("pct_rank"),
+        graft.functions.ExactRound.ratio(col("rnk"), col("_n"), 6)
+          .as("cume_dist"))
+  }
+
   /** Ljung-Box portmanteau statistic per key over the first `maxLag`
     * return autocorrelations: `Q = n(n+2)·Σ_k ρ_k²/(n−k)` with ρ_k the
     * same lag-paired Pearson the ACF table (q153) reports — "is there

@@ -238,6 +238,49 @@ object Similarity {
         round(-col("it.neg_sim"), 4).as("sim"))
   }
 
+  /** Leave-one-out kNN classification readout over a labeled
+    * embedding table: majority vote of the k nearest neighbors
+    * (vote ties → lowest label), accuracy per true label — the
+    * standard "is this embedding space linearly usable" probe. The
+    * all-pairs scoring here is the exact-eval regime (audit runs on a
+    * sample); production inference rides the ANN shortlist paths.
+    * Votes/accuracies are exact integer bridges. */
+  def knnClassify(df: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val a = broadcast(df.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+      col(labelCol).cast("long").as("qlabel")))
+    val c = df.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"),
+      col(labelCol).cast("long").as("clabel"))
+    val scored = c.join(a, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val top = topKPerKey(scored, k)
+    val labels = df.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("clabel"))
+    val qlabels = df.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("qlabel"))
+    val votes = top.join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qlabels), Seq("query_id"))
+      .groupBy(col("query_id"), col("qlabel"), col("clabel"))
+      .agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("v").desc, col("clabel").asc)
+    votes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .select(col("label"), col("n_points"), col("n_correct"),
+        graft.functions.ExactRound.ratio(col("n_correct"),
+          col("n_points"), 4).as("accuracy"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` × `dim` doubles in
     * [-1,1), seeded — the IVF/LSH bucketing basis. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

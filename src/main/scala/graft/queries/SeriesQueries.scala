@@ -461,6 +461,12 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // cross-sectional daily return ranks with exact pct-rank/cume
+    "q271_cross_rank" -> ((s, d) =>
+      EventSeries.crossSectionalRank(staged(s, d))
+        .withColumn("date", iso(col("date")))
+        .orderBy(col("date"), col("rnk"))),
+
     // Ljung-Box portmanteau Q over the first 5 autocorrelations
     "q266_ljung_box" -> ((s, d) =>
       EventSeries.ljungBox(staged(s, d), 5)
@@ -1767,6 +1773,29 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q271: total order (return desc, key asc) → bridge-exact
+    // percent rank / cume dist
+    "q271_cross_rank" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date, pct_change
+            FROM staged WHERE pct_change IS NOT NULL),
+          rk AS (
+            SELECT user_id, date, pct_change,
+                   CAST(row_number() OVER (PARTITION BY date
+                     ORDER BY pct_change DESC, user_id ASC)
+                     AS BIGINT) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY date) AS BIGINT)
+                     AS n
+            FROM x)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 pct_change, rnk, n AS n_cross,
+                 CAST(((rnk - 1) * 2000000 + (n - 1))
+                      // (2 * (n - 1)) AS DOUBLE) / 1000000
+                   AS pct_rank,
+                 CAST((rnk * 2000000 + n) // (2 * n) AS DOUBLE)
+                   / 1000000 AS cume_dist
+          FROM rk WHERE n > 1 ORDER BY 2, 4"""),
 
     // q266: per-lag Pearson (the q153 corr), each term 10dp-decimal
     // rounded before the order-free sum

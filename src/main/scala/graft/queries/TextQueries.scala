@@ -737,6 +737,17 @@ object TextQueries {
       graft.operators.EmbeddingStats.centroidDrift(
         Tables.embeddings(s, d))),
 
+    // leave-one-out 5-NN majority-vote accuracy per label
+    "q269_knn_classifier" -> ((s, d) =>
+      graft.operators.Similarity.knnClassify(Tables.embeddings(s, d), 5)
+        .orderBy(col("label"))),
+
+    // nearest-centroid accuracy per label — the linear scale path
+    "q270_centroid_classifier" -> ((s, d) =>
+      graft.operators.EmbeddingStats.centroidClassify(
+          Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
     // centroid-based silhouette per label cluster — exact scaled-int
     // distances, order-free 6dp means
     "q243_silhouette" -> ((s, d) =>
@@ -2890,6 +2901,82 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q269_knn_classifier" ->
+      """WITH a AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                  CAST(label AS BIGINT) AS ql
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS nid, embedding::DOUBLE[] AS cv,
+                  CAST(label AS BIGINT) AS cl
+           FROM embeddings),
+         s AS (
+           SELECT qid, ql, nid, cl,
+                  round(list_cosine_similarity(qv, cv), 4) AS sim
+           FROM a, c WHERE qid <> nid),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid) AS rnk
+           FROM s),
+         v AS (
+           SELECT qid, ql, cl, count(*) AS v
+           FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         p AS (
+           SELECT qid, ql, cl AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY v DESC, cl ASC) AS rn
+             FROM v) t WHERE rn = 1),
+         g AS (
+           SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(CASE WHEN pred = ql THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+           FROM p GROUP BY 1)
+         SELECT label, n_points, n_correct,
+                CAST((n_correct * 20000 + n_points)
+                     // (2 * n_points) AS DOUBLE) / 10000 AS accuracy
+         FROM g ORDER BY 1""",
+    "q270_centroid_classifier" ->
+      """WITH ex AS (
+           SELECT vec_id AS id, CAST(label AS BIGINT) AS own,
+                  generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+           FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                     AS v
+                 FROM embeddings)),
+         e6 AS (
+           SELECT id, own, i,
+                  CAST(CAST(round(x, 6) AS DECIMAL(28,6)) * 1000000
+                    AS BIGINT) AS x6
+           FROM ex),
+         cent AS (
+           SELECT own AS k, i, CAST(count(*) AS BIGINT) AS nk,
+                  CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6)))
+                    * 1000000 AS BIGINT) AS s6
+           FROM ex GROUP BY 1, 2),
+         pc AS (
+           SELECT id, own, k, nk,
+                  sum(CAST(x6 * nk - s6 AS HUGEINT)
+                      * (x6 * nk - s6)) AS q
+           FROM e6 JOIN cent USING (i) GROUP BY 1, 2, 3, 4),
+         dd AS (
+           SELECT id, own, k,
+                  sqrt(CAST(q AS DOUBLE))
+                    / (CAST(nk AS DOUBLE) * 1000000) AS d
+           FROM pc),
+         p AS (
+           SELECT id, own, k AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY d ASC, k ASC) AS rn
+             FROM dd) t WHERE rn = 1),
+         g AS (
+           SELECT own AS label, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(CASE WHEN pred = own THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+           FROM p GROUP BY 1)
+         SELECT label, n_points, n_correct,
+                CAST((n_correct * 20000 + n_points)
+                     // (2 * n_points) AS DOUBLE) / 10000 AS accuracy
+         FROM g ORDER BY 1""",
     "q243_silhouette" ->
       """WITH ex AS (
            SELECT vec_id AS id, CAST(label AS BIGINT) AS own,
