@@ -582,6 +582,110 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Kendall tau-b between volume and |return| per key: concordant/
+    * discordant counts over all date pairs with EXACT tie corrections
+    * `τ_b = (C−D)/√((n₀−t_x)(n₀−t_y))` — everything integer until the
+    * final √. The pair join is quadratic in each key's OWN series
+    * length (bounded by the eval window), never across keys. */
+  def kendallTau(staged: DataFrame, minDays: Int = 20): DataFrame = {
+    val y4 = (abs(col("pct_change")).cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"),
+        col("volume").cast("long").as("x"), y4.as("y"))
+    val a = src.select(col("user_id"), col("date").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = src.select(col("user_id"), col("date").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("user_id")).where(col("d1") < col("d2"))
+    val sx = signum((col("x1") - col("x2")).cast("double"))
+    val sy = signum((col("y1") - col("y2")).cast("double"))
+    val g = pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n0"),
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).cast("long").as("c"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).cast("long").as("dd"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).cast("long")
+          .as("tx"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).cast("long")
+          .as("ty"),
+        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).cast("long")
+          .as("txy"))
+    val den = sqrt((col("n0") - col("tx") - col("txy")).cast("double") *
+      (col("n0") - col("ty") - col("txy")).cast("double"))
+    g.where(col("n0") >= minDays.toLong * (minDays - 1) / 2)
+      .select(col("user_id"), col("n0").as("n_pairs"), col("c"),
+        col("dd").as("d"),
+        round((col("c") - col("dd")).cast("double") /
+          nullif(den, lit(0.0)), 4).as("tau_b"))
+  }
+
+  /** One-way ANOVA of daily returns by weekday per key: between/within
+    * sums of squares from EXACT scaled-long group moments,
+    * `F = (SSB/(k−1))/(SSW/(n−k))` — does the day of week matter at
+    * all (the omnibus complement of the q234 weekend pair test). Two
+    * bounded hash aggregates on the key. */
+  def dowAnova(staged: DataFrame, minN: Int = 20): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val dow = graft.functions.Indicators.dayOfWeekMon0(col("date"))
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), dow.as("g"), x4.as("x"))
+    val per = src.groupBy(col("user_id"), col("g"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col("x")).cast("long").as("sg"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("qg"))
+    val tot = per.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast("long").as("s"),
+        sum(col("qg")).as("q"),
+        // Σ s_g²/n_g as an exact 6dp-scaled decimal per group is
+        // still inexact; instead carry Σ over groups of the exact
+        // rational via a common denominator: SSB·Πn_g explodes, so
+        // use the double of each EXACT integer pair — deterministic
+        sum(round(col("sg").cast("double") * col("sg") / col("ng"), 6)
+          .cast("decimal(38,6)")).cast("double").as("sb"))
+      .where(col("n") >= minN && col("k") > 1)
+    val nd = col("n").cast("double")
+    val ssb = col("sb") - col("s").cast("double") * col("s") / nd
+    val ssw = col("q").cast("double") - col("sb")
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      nullif(ssw / (col("n") - col("k")).cast("double"), lit(0.0))
+    tot.select(col("user_id"), col("n").as("n_days"),
+      col("k").as("n_groups"), round(f, 4).as("f_stat"))
+  }
+
+  /** Do extreme days cluster? Count of |return| > `thresholdPct` days,
+    * adjacent extreme pairs, and the exact expected adjacency under
+    * independence `(n_ext/n)²·(n−1)` — a clustering ratio ≫ 1 reads
+    * volatility clustering without any GARCH machinery. One window +
+    * one hash aggregate, all-integer until two bridges. */
+  def extremeClustering(staged: DataFrame, thresholdPct: Double = 5.0,
+                        minExt: Int = 3): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val t4 = math.round(thresholdPct * 10000)
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"),
+        (abs(x4) > t4).cast("long").as("e"))
+      .withColumn("pe", lag(col("e"), 1).over(w))
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("e")).cast("long").as("n_ext"),
+        sum(when(col("e") === 1 && col("pe") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_adj"))
+      .where(col("n_ext") >= minExt && col("n") > 1)
+    // expected = n_ext²·(n−1)/n² — exact bridge at 4dp
+    g.select(col("user_id"), col("n").as("n_days"), col("n_ext"),
+      col("n_adj"),
+      graft.functions.ExactRound.ratio(
+        col("n_ext") * col("n_ext") * (col("n") - 1) * 10000,
+        col("n") * col("n"), 0).divide(lit(10000.0))
+        .as("expected_adj"))
+  }
+
   /** Cross-sectional daily rank table: each key's return ranked
     * against every other key THAT DAY (total order: return desc, key
     * asc), with exact-bridge percent rank and cumulative distribution

@@ -461,6 +461,19 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // Kendall tau-b volume vs |return| — exact tie-corrected counts
+    "q272_kendall_tau" -> ((s, d) =>
+      EventSeries.kendallTau(staged(s, d)).orderBy(col("user_id"))),
+
+    // one-way ANOVA F of returns by weekday per key
+    "q273_dow_anova" -> ((s, d) =>
+      EventSeries.dowAnova(staged(s, d)).orderBy(col("user_id"))),
+
+    // volatility clustering: adjacent extreme days vs independence
+    "q274_extreme_clustering" -> ((s, d) =>
+      EventSeries.extremeClustering(staged(s, d), 5.0)
+        .orderBy(col("user_id"))),
+
     // cross-sectional daily return ranks with exact pct-rank/cume
     "q271_cross_rank" -> ((s, d) =>
       EventSeries.crossSectionalRank(staged(s, d))
@@ -1773,6 +1786,107 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q272: date-pair self-join bounded per key; integer C/D/tie
+    // counts, one final sqrt
+    "q272_kendall_tau" -> (BARS +
+      """, st AS (
+            SELECT user_id, date, volume,
+                   round((close - lag(close) OVER w)
+                         / nullif(lag(close) OVER w, 0) * 100, 4)
+                     AS pct_change
+            FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          src AS (
+            SELECT user_id, date, CAST(volume AS BIGINT) AS x,
+                   CAST(CAST(abs(pct_change) AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS y
+            FROM st WHERE pct_change IS NOT NULL),
+          pr AS (
+            SELECT a.user_id,
+                   CASE WHEN a.x < b.x THEN -1
+                        WHEN a.x > b.x THEN 1 ELSE 0 END AS sx,
+                   CASE WHEN a.y < b.y THEN -1
+                        WHEN a.y > b.y THEN 1 ELSE 0 END AS sy
+            FROM src a JOIN src b ON a.user_id = b.user_id
+              AND a.date < b.date),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS dd,
+                   CAST(sum(CASE WHEN sx = 0 AND sy <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                   CAST(sum(CASE WHEN sy = 0 AND sx <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                   CAST(sum(CASE WHEN sx = 0 AND sy = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS txy
+            FROM pr GROUP BY 1)
+          SELECT user_id, n0 AS n_pairs, c, dd AS d,
+                 round(CAST(c - dd AS DOUBLE)
+                       / nullif(sqrt(CAST(n0 - tx - txy AS DOUBLE)
+                           * CAST(n0 - ty - txy AS DOUBLE)), 0), 4)
+                   AS tau_b
+          FROM g WHERE n0 >= 190 ORDER BY 1"""),
+
+    // q273: exact scaled group moments; Σ s_g²/n_g terms 6dp-decimal
+    // rounded before the order-free sum
+    "q273_dow_anova" -> (STAGED +
+      """, x AS (
+            SELECT user_id,
+                   CAST((dayofweek(date) + 6) % 7 AS BIGINT) AS g,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          per AS (
+            SELECT user_id, g, CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(x) AS BIGINT) AS sg,
+                   sum(CAST(x AS HUGEINT) * x) AS qg
+            FROM x GROUP BY 1, 2),
+          tot AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(sum(sg) AS BIGINT) AS s,
+                   CAST(sum(qg) AS DOUBLE) AS q,
+                   CAST(sum(CAST(round(CAST(sg AS DOUBLE) * sg / ng,
+                     6) AS DECIMAL(38,6))) AS DOUBLE) AS sb
+            FROM per GROUP BY 1
+            HAVING sum(ng) >= 20 AND count(*) > 1),
+          f AS (
+            SELECT user_id, n, k,
+                   (sb - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                     / CAST(k - 1 AS DOUBLE)
+                   / nullif((q - sb) / CAST(n - k AS DOUBLE), 0)
+                     AS fv
+            FROM tot)
+          SELECT user_id, n AS n_days, k AS n_groups,
+                 round(fv, 4) AS f_stat
+          FROM f ORDER BY 1"""),
+
+    // q274: lag-flag window, integer adjacency counts, bridge expected
+    "q274_extreme_clustering" -> (STAGED +
+      """, e AS (
+            SELECT user_id, date,
+                   CASE WHEN abs(CAST(CAST(pct_change AS DECIMAL(14,4))
+                     * 10000 AS BIGINT)) > 50000
+                   THEN 1 ELSE 0 END AS e
+            FROM staged WHERE pct_change IS NOT NULL),
+          p AS (
+            SELECT user_id, e,
+                   lag(e) OVER (PARTITION BY user_id ORDER BY date)
+                     AS pe
+            FROM e),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_ext,
+                   CAST(sum(CASE WHEN e = 1 AND pe = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_adj
+            FROM p GROUP BY 1)
+          SELECT user_id, n AS n_days, n_ext, n_adj,
+                 CAST((n_ext * n_ext * (n - 1) * 10000 * 2 + n * n)
+                      // (2 * n * n) AS DOUBLE) / 10000
+                   AS expected_adj
+          FROM g WHERE n_ext >= 3 AND n > 1 ORDER BY 1"""),
 
     // q271: total order (return desc, key asc) → bridge-exact
     // percent rank / cume dist
