@@ -253,6 +253,43 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // TPC-H Q4 shape: priority counts of orders with at least one
+    // slow lineitem — equi semi-join with a non-equi residual, no
+    // double counting
+    "q276_late_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            to_date(col("l_shipdate")) >
+              date_add(to_date(col("o_orderdate")), 90),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // grouped argmax AFTER aggregation: top revenue supplier per
+    // nation via one struct-max (no window, map-side combine)
+    "q277_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+        .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+        .agg(sum(col("rev")).as("revenue"))
+      rev.groupBy(col("n_name"))
+        .agg(max(struct(col("revenue").as("r"),
+          (-col("s_suppkey")).as("k"), col("s_name").as("nm")))
+          .as("t"))
+        .select(col("n_name"), (-col("t.k")).as("s_suppkey"),
+          col("t.nm").as("s_name"),
+          col("t.r").cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // explicit GROUPING SETS lattice (the non-hierarchical cousin of
     // q68 ROLLUP / q165 CUBE): two independent marginals + the grand
     // total in ONE Expand pass, no self-union
@@ -510,6 +547,31 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q276_late_orders" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_late_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND CAST(l_shipdate AS DATE) >
+                             CAST(o_orderdate AS DATE) + 90)
+         GROUP BY 1 ORDER BY 1""",
+    "q277_top_supplier" ->
+      """WITH rev AS (
+           SELECT n_name, s_suppkey, s_name,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,4))) AS revenue
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2, 3),
+         top AS (
+           SELECT *, row_number() OVER (PARTITION BY n_name
+             ORDER BY revenue DESC, s_suppkey ASC) AS rn
+           FROM rev)
+         SELECT n_name, s_suppkey, s_name,
+                CAST(revenue AS DOUBLE) AS revenue
+         FROM top WHERE rn = 1 ORDER BY n_name""",
     "q259_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
                 CAST(grouping(o_orderstatus) * 2

@@ -227,6 +227,29 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // code-vs-prose heuristic: brace/semicolon density + indented-line
+    // share — the code-filtering gate a pretraining mix needs
+    "q275_code_detection" -> ((s, d) => {
+      val chars = length(col("text")).cast("long")
+      val syms = (length(col("text")) - length(regexp_replace(
+        col("text"), "[{}()\\[\\];]", ""))).cast("long")
+      val lines = split(col("text"), "\n")
+      val nLines = size(lines).cast("long")
+      val indented = size(filter(lines, l =>
+        l.rlike("^(\t|  )"))).cast("long")
+      val symShare = graft.functions.ExactRound.ratio(syms * 10000,
+        greatest(chars, lit(1L)), 0).divide(lit(10000.0))
+      val indShare = graft.functions.ExactRound.ratio(indented * 10000,
+        greatest(nLines, lit(1L)), 0).divide(lit(10000.0))
+      Tables.documents(s, d).select(col("doc_id"),
+          syms.as("n_symbols"), indented.as("n_indented"),
+          nLines.as("n_lines"), symShare.as("symbol_share"),
+          indShare.as("indent_share"),
+          (symShare > 0.01 || indShare > 0.2).cast("long")
+            .as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gunning-Fog from the same counts + polysyllable tokens
     "q251_gunning_fog" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -2901,6 +2924,36 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q275_code_detection" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS chars,
+                  CAST(length(text) - length(regexp_replace(text,
+                    '[{}()\[\];]', '', 'g')) AS BIGINT) AS syms,
+                  regexp_split_to_array(text, '\n') AS lines
+           FROM documents),
+         c AS (
+           SELECT doc_id, syms, chars,
+                  CAST(len(list_filter(lines, l ->
+                    regexp_matches(l, '^(\t|  )'))) AS BIGINT) AS ind,
+                  CAST(len(lines) AS BIGINT) AS nl
+           FROM b),
+         d AS (
+           SELECT doc_id, syms AS n_symbols, ind AS n_indented,
+                  nl AS n_lines,
+                  CAST((syms * 10000 * 2 + greatest(chars, 1))
+                       // (2 * greatest(chars, 1)) AS DOUBLE) / 10000
+                    AS symbol_share,
+                  CAST((ind * 10000 * 2 + greatest(nl, 1))
+                       // (2 * greatest(nl, 1)) AS DOUBLE) / 10000
+                    AS indent_share
+           FROM c)
+         SELECT doc_id, n_symbols, n_indented, n_lines, symbol_share,
+                indent_share,
+                CAST(CASE WHEN symbol_share > 0.01
+                       OR indent_share > 0.2
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_code
+         FROM d ORDER BY doc_id""",
     "q269_knn_classifier" ->
       """WITH a AS (
            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
