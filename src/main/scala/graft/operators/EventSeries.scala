@@ -582,6 +582,50 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Time-underwater table per key: the running peak (ties → the most
+    * recent peak date), whether today sits below it, and the days
+    * since that peak — drawdown DURATION, the companion of the q143
+    * drawdown DEPTH. One unbounded struct-max window on the series
+    * key; all-integer day arithmetic. */
+  def timeUnderwater(bars: DataFrame): DataFrame = {
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    val w = WindowFns.series(col("user_id"), col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(struct(col("_c4").as("c"), col("date").as("d")))
+      .over(w)
+    bars.withColumn("_c4", c4)
+      .withColumn("_pk", peak)
+      .select(col("user_id"), col("date"),
+        (col("_pk.c").cast("double") / 10000).as("peak_close"),
+        graft.queries.iso(col("_pk.d")).as("peak_date"),
+        (col("_c4") < col("_pk.c")).cast("long").as("underwater"),
+        datediff(col("date"), col("_pk.d")).cast("long")
+          .as("days_underwater"))
+      .withColumn("date", graft.queries.iso(col("date")))
+  }
+
+  /** Round-number clustering bias per key: the share of closes landing
+    * exactly on whole / half price points (the classic microstructure
+    * clustering audit — synthetic or truncated feeds overshoot it).
+    * Pure integer mod arithmetic on 4dp cents + exact bridges. */
+  def roundNumberBias(bars: DataFrame, minDays: Int = 5): DataFrame = {
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    bars.withColumn("_c4", c4)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("_c4") % 10000 === 0, 1L).otherwise(0L))
+          .cast("long").as("n_whole"),
+        sum(when(col("_c4") % 5000 === 0, 1L).otherwise(0L))
+          .cast("long").as("n_half"))
+      .where(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"), col("n_whole"),
+        col("n_half"),
+        graft.functions.ExactRound.ratio(col("n_whole"),
+          col("n_days"), 4).as("whole_share"),
+        graft.functions.ExactRound.ratio(col("n_half"),
+          col("n_days"), 4).as("half_share"))
+  }
+
   /** Kendall tau-b between volume and |return| per key: concordant/
     * discordant counts over all date pairs with EXACT tie corrections
     * `τ_b = (C−D)/√((n₀−t_x)(n₀−t_y))` — everything integer until the

@@ -253,6 +253,34 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // customer LTV deciles: exact-cents spend, total-ordered ntile,
+    // per-decile exact moments (decile tables are the bounded-
+    // dimension regime — the global sort runs over customers, not
+    // facts)
+    "q280_ltv_deciles" -> ((s, d) => {
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("cents"))
+      val spend = Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("c_custkey").asc)
+      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(col("cents")).cast("long").as("_sc"),
+          (max(col("cents")).cast("double") / 100).as("max_spend"),
+          (min(col("cents")).cast("double") / 100).as("min_spend"))
+        .select(col("decile"), col("n_cust"),
+          (col("_sc").cast("double") / 100).as("total_spend"),
+          graft.functions.ExactRound.ratio(col("_sc"),
+            col("n_cust") * 100L, 2).as("avg_spend"),
+          col("max_spend"), col("min_spend"))
+        .orderBy(col("decile"))
+    }),
+
     // TPC-H Q4 shape: priority counts of orders with at least one
     // slow lineitem — equi semi-join with a non-equi residual, no
     // double counting
@@ -547,6 +575,34 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q280_ltv_deciles" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                    * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         spend AS (
+           SELECT c_custkey, coalesce(cents, 0) AS cents
+           FROM customer LEFT JOIN o ON c_custkey = o_custkey),
+         t AS (
+           SELECT cents,
+                  CAST(ntile(10) OVER (ORDER BY cents DESC,
+                    c_custkey ASC) AS BIGINT) AS decile
+           FROM spend),
+         g AS (
+           SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                  CAST(sum(cents) AS BIGINT) AS sc,
+                  CAST(max(cents) AS BIGINT) AS mx,
+                  CAST(min(cents) AS BIGINT) AS mn
+           FROM t GROUP BY 1)
+         SELECT decile, n_cust,
+                CAST(sc AS DOUBLE) / 100 AS total_spend,
+                CAST((sc * 200 + n_cust * 100)
+                     // (2 * n_cust * 100) AS DOUBLE) / 100
+                  AS avg_spend,
+                CAST(mx AS DOUBLE) / 100 AS max_spend,
+                CAST(mn AS DOUBLE) / 100 AS min_spend
+         FROM g ORDER BY 1""",
     "q276_late_orders" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n_late_orders

@@ -461,6 +461,16 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // drawdown DURATION: running peak + days underwater
+    "q278_time_underwater" -> ((s, d) =>
+      EventSeries.timeUnderwater(bars(s, d))
+        .orderBy(col("user_id"), col("date"))),
+
+    // round-number clustering bias of closes (microstructure audit)
+    "q279_round_bias" -> ((s, d) =>
+      EventSeries.roundNumberBias(bars(s, d))
+        .orderBy(col("user_id"))),
+
     // Kendall tau-b volume vs |return| — exact tie-corrected counts
     "q272_kendall_tau" -> ((s, d) =>
       EventSeries.kendallTau(staged(s, d)).orderBy(col("user_id"))),
@@ -1786,6 +1796,50 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q278: unbounded struct-max window — peak value then most recent
+    // peak date; integer day arithmetic
+    "q278_time_underwater" -> (BARS +
+      """, c AS (
+            SELECT user_id, date,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c4
+            FROM bars),
+          p AS (
+            SELECT user_id, date, c4,
+                   max(struct_pack(c := c4, d := date)) OVER (
+                     PARTITION BY user_id ORDER BY date
+                     ROWS UNBOUNDED PRECEDING) AS pk
+            FROM c)
+          SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+                 CAST(pk.c AS DOUBLE) / 10000 AS peak_close,
+                 strftime(pk.d, '%Y-%m-%d') AS peak_date,
+                 CAST(CASE WHEN c4 < pk.c THEN 1 ELSE 0 END AS BIGINT)
+                   AS underwater,
+                 CAST(date_diff('day', pk.d, date) AS BIGINT)
+                   AS days_underwater
+          FROM p ORDER BY 1, 2"""),
+
+    // q279: integer mod on 4dp cents, exact shares
+    "q279_round_bias" -> (BARS +
+      """, c AS (
+            SELECT user_id,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c4
+            FROM bars),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN c4 % 10000 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+                   CAST(sum(CASE WHEN c4 % 5000 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_half
+            FROM c GROUP BY 1)
+          SELECT user_id, n_days, n_whole, n_half,
+                 CAST((n_whole * 20000 + n_days) // (2 * n_days)
+                   AS DOUBLE) / 10000 AS whole_share,
+                 CAST((n_half * 20000 + n_days) // (2 * n_days)
+                   AS DOUBLE) / 10000 AS half_share
+          FROM g WHERE n_days >= 5 ORDER BY 1"""),
 
     // q272: date-pair self-join bounded per key; integer C/D/tie
     // counts, one final sqrt
