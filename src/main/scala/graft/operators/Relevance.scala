@@ -606,6 +606,58 @@ object Relevance {
           .as("yule_k"))
   }
 
+  /** Template detection by shared document prefix: groups of docs
+    * opening with the same first `prefixLen` characters (emitted only
+    * when ≥ `minDocs` share it) — the cheap screen for boilerplate-
+    * templated content (auto-generated pages, form letters) that
+    * shingle dedup underweights when bodies diverge. One hash
+    * aggregate on the prefix. */
+  def templateGroups(docs: DataFrame, prefixLen: Int = 40,
+                     minDocs: Int = 2, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    docs.select(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("id")).cast("long").as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Heaps-law vocabulary growth: the corpus in `buckets` doc_id-
+    * ordered slices, each with its token volume, the NEW types it
+    * introduces (first-occurrence attribution), and the cumulative
+    * vocabulary — sub-linear growth is the healthy-corpus signature;
+    * a late linear tail reads as noise/gibberish injection. Two
+    * two-phase aggregates sharing the token key. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol).asc)
+    val bucketed = docs
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+    val tok = bucketed.select(col("bucket"), col(idCol).as("id"),
+        explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+          .as("token"))
+      .where(col("token") =!= "")
+    val vol = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val intro = tok.groupBy(col("token"))
+      .agg(min(col("bucket")).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_new_types"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    vol.join(intro, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_types",
+        sum(col("n_new_types")).over(cum).cast("long"))
+  }
+
   /** Term burstiness table: for the `topK` highest-df terms (df desc,
     * term asc — deterministic), the Fano factor of per-doc counts
     * over ALL docs `F = (D·Σc² − N²)/((D−1)·N)` — F≈1 means the term

@@ -227,6 +227,16 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // shared-prefix template groups (boilerplate screen)
+    "q281_template_groups" -> ((s, d) =>
+      graft.operators.Relevance.templateGroups(Tables.documents(s, d))
+        .orderBy(col("prefix"))),
+
+    // Heaps-law vocabulary growth over doc_id-ordered corpus slices
+    "q282_vocab_growth" -> ((s, d) =>
+      graft.operators.Relevance.vocabGrowth(Tables.documents(s, d), 10)
+        .orderBy(col("bucket"))),
+
     // code-vs-prose heuristic: brace/semicolon density + indented-line
     // share — the code-filtering gate a pretraining mix needs
     "q275_code_detection" -> ((s, d) => {
@@ -2924,6 +2934,41 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q281_template_groups" ->
+      """SELECT substr(text, 1, 40) AS prefix,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM documents
+         GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY 1""",
+    "q282_vocab_growth" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+                  CAST(ntile(10) OVER (ORDER BY doc_id ASC)
+                    AS BIGINT) AS bucket
+           FROM documents),
+         tok AS (
+           SELECT bucket,
+                  unnest(regexp_split_to_array(trim(lower(text)),
+                    '\s+')) AS token
+           FROM b),
+         tk AS (SELECT * FROM tok WHERE token <> ''),
+         vol AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tk GROUP BY 1),
+         intro AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+           FROM (SELECT token, CAST(min(bucket) AS BIGINT) AS bucket
+                 FROM tk GROUP BY 1) t
+           GROUP BY 1),
+         j AS (
+           SELECT vol.bucket, vol.n_tokens,
+                  coalesce(intro.n_new_types, 0) AS n_new_types
+           FROM vol LEFT JOIN intro ON vol.bucket = intro.bucket)
+         SELECT bucket, n_tokens, n_new_types,
+                CAST(sum(n_new_types) OVER (ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         FROM j ORDER BY 1""",
     "q275_code_detection" ->
       """WITH b AS (
            SELECT doc_id,
