@@ -151,8 +151,16 @@ object Multimodal {
                   img.width, img.height, lumaSum(img.pixels),
                   valid = true)
               case None =>
-                MediaFeatures(r.doc_id, r.media_type, bytes.length, 0, 0,
-                  0L, valid = false)
+                graft.functions.MediaCodecs.decodeJpegBaseline(bytes)
+                  match {
+                  case Some(img) =>
+                    MediaFeatures(r.doc_id, r.media_type, bytes.length,
+                      img.width, img.height, argbLumaSum(img.argb),
+                      valid = true)
+                  case None =>
+                    MediaFeatures(r.doc_id, r.media_type, bytes.length,
+                      0, 0, 0L, valid = false)
+                }
             }
         }
       }
