@@ -253,6 +253,75 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // exact discrete price quartiles per returnflag: order statistics
+    // at rank ⌈p·n⌉ over integer cents — no interpolation, no sketch
+    "q283_price_quartiles" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), cents.as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_returnflag"))))
+      def atQ(num: Int, den: Int) = max(when(col("rn") ===
+        call_function("div", col("n") * num + (den - 1),
+          lit(den.toLong)), col("cents")))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (atQ(1, 4).cast("double") / 100).as("p25"),
+          (atQ(1, 2).cast("double") / 100).as("p50"),
+          (atQ(3, 4).cast("double") / 100).as("p75"),
+          (atQ(95, 100).cast("double") / 100).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // IQR outlier counts per returnflag off the same exact quartiles
+    // (bounds broadcast back — two passes, zero sort of the fact side)
+    "q284_iqr_outliers" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), cents.as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val ranked = base.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_returnflag"))))
+      def atQ(num: Int, den: Int) = max(when(col("rn") ===
+        call_function("div", col("n") * num + (den - 1),
+          lit(den.toLong)), col("cents")))
+      val bounds = ranked.groupBy(col("l_returnflag"))
+        .agg(atQ(1, 4).as("q1"), atQ(3, 4).as("q3"))
+        // 1.5·IQR in exact HALF-cent units: scale everything ×2
+        .select(col("l_returnflag").as("flag"),
+          (col("q1") * 2 - (col("q3") - col("q1")) * 3).as("lo2"),
+          (col("q3") * 2 + (col("q3") - col("q1")) * 3).as("hi2"))
+      base.join(broadcast(bounds),
+          col("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("cents") * 2 < col("lo2"), 1L).otherwise(0L))
+            .cast("long").as("n_low"),
+          sum(when(col("cents") * 2 > col("hi2"), 1L).otherwise(0L))
+            .cast("long").as("n_high"))
+        .select(col("l_returnflag"), col("n"), col("n_low"),
+          col("n_high"),
+          graft.functions.ExactRound.ratio(
+            col("n_low") + col("n_high"), col("n"), 4)
+            .as("outlier_share"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // customer LTV deciles: exact-cents spend, total-ordered ntile,
     // per-decile exact moments (decile tables are the bounded-
     // dimension regime — the global sort runs over customers, not
@@ -575,6 +644,67 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q283_price_quartiles" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         rk AS (
+           SELECT l_returnflag, cents,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cents ASC, l_orderkey ASC,
+                             l_linenumber ASC) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM c)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                CAST(max(CASE WHEN rn = (n * 1 + 3) // 4
+                  THEN cents END) AS DOUBLE) / 100 AS p25,
+                CAST(max(CASE WHEN rn = (n * 1 + 1) // 2
+                  THEN cents END) AS DOUBLE) / 100 AS p50,
+                CAST(max(CASE WHEN rn = (n * 3 + 3) // 4
+                  THEN cents END) AS DOUBLE) / 100 AS p75,
+                CAST(max(CASE WHEN rn = (n * 95 + 99) // 100
+                  THEN cents END) AS DOUBLE) / 100 AS p95
+         FROM rk GROUP BY 1 ORDER BY 1""",
+    "q284_iqr_outliers" ->
+      """WITH c AS (
+           SELECT l_returnflag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         rk AS (
+           SELECT l_returnflag, cents,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cents ASC, l_orderkey ASC,
+                             l_linenumber ASC) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM c),
+         b AS (
+           SELECT l_returnflag AS flag,
+                  CAST(max(CASE WHEN rn = (n * 1 + 3) // 4
+                    THEN cents END) AS BIGINT) AS q1,
+                  CAST(max(CASE WHEN rn = (n * 3 + 3) // 4
+                    THEN cents END) AS BIGINT) AS q3
+           FROM rk GROUP BY 1),
+         j AS (
+           SELECT c.l_returnflag, c.cents,
+                  b.q1 * 2 - (b.q3 - b.q1) * 3 AS lo2,
+                  b.q3 * 2 + (b.q3 - b.q1) * 3 AS hi2
+           FROM c JOIN b ON c.l_returnflag = b.flag),
+         g AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN cents * 2 < lo2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                  CAST(sum(CASE WHEN cents * 2 > hi2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           FROM j GROUP BY 1)
+         SELECT l_returnflag, n, n_low, n_high,
+                CAST(((n_low + n_high) * 20000 + n) // (2 * n)
+                  AS DOUBLE) / 10000 AS outlier_share
+         FROM g ORDER BY 1""",
     "q280_ltv_deciles" ->
       """WITH o AS (
            SELECT o_custkey,
