@@ -582,6 +582,37 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Price-staleness audit per key: days with ZERO change, the longest
+    * consecutive stale run (gaps-and-islands on the zero flag), and
+    * the stale share — a flatlined feed reads here before it poisons
+    * downstream indicators. One window pass + one hash agg. */
+  def priceStaleness(staged: DataFrame, minDays: Int = 5): DataFrame = {
+    val x4 = (col("price_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val src = staged.where(col("price_change").isNotNull)
+      .select(col("user_id"), col("date"),
+        (x4 === 0).cast("long").as("st"))
+      // island id: running count of NON-stale rows — constant inside
+      // each stale run
+      .withColumn("isl", sum(lit(1L) - col("st")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = src.where(col("st") === 1)
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).cast("long").as("run"))
+      .groupBy(col("user_id"))
+      .agg(max(col("run")).cast("long").as("max_stale_run"))
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("st")).cast("long").as("n_stale"))
+      .where(col("n_days") >= minDays)
+    g.join(runs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_days"), col("n_stale"),
+        coalesce(col("max_stale_run"), lit(0L)).as("max_stale_run"),
+        graft.functions.ExactRound.ratio(col("n_stale"),
+          col("n_days"), 4).as("stale_share"))
+  }
+
   /** Time-underwater table per key: the running peak (ties → the most
     * recent peak date), whether today sits below it, and the days
     * since that peak — drawdown DURATION, the companion of the q143

@@ -253,6 +253,43 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // duplicate-booking audit: multiple orders by one customer on the
+    // same day — the double-submission screen, one hash agg
+    "q285_dup_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"),
+          iso(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).cast("long").as("n_dups"),
+          min(col("o_orderkey")).cast("long").as("first_order"),
+          round(sum(col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double"), 2).as("total_amount"))
+        .where(col("n_dups") > 1)
+        .orderBy(col("o_custkey"), col("order_date"))),
+
+    // cross-table referential-integrity audit: orphan facts per edge
+    // of the star schema — anti-join counts folded to one row
+    "q287_referential_audit" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val orphanLines = l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .select(lit("lineitem_without_order").as("edge"), col("c"))
+      val orphanOrders = o.join(
+          Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .select(lit("order_without_customer").as("edge"), col("c"))
+      val orphanParts = l.join(
+          Tables.part(s, d).select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .select(lit("lineitem_without_part").as("edge"), col("c"))
+      orphanLines.union(orphanOrders).union(orphanParts)
+        .select(col("edge"), col("c").as("n_orphans"))
+        .orderBy(col("edge"))
+    }),
+
     // exact discrete price quartiles per returnflag: order statistics
     // at rank ⌈p·n⌉ over integer cents — no interpolation, no sketch
     "q283_price_quartiles" -> ((s, d) => {
@@ -644,6 +681,31 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q285_dup_orders" ->
+      """SELECT o_custkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                CAST(count(*) AS BIGINT) AS n_dups,
+                CAST(min(o_orderkey) AS BIGINT) AS first_order,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  AS DOUBLE), 2) AS total_amount
+         FROM orders GROUP BY 1, 2 HAVING count(*) > 1
+         ORDER BY 1, 2""",
+    "q287_referential_audit" ->
+      """SELECT 'lineitem_without_order' AS edge,
+                CAST(count(*) AS BIGINT) AS n_orphans
+         FROM lineitem WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+         UNION ALL
+         SELECT 'order_without_customer',
+                CAST(count(*) AS BIGINT)
+         FROM orders WHERE NOT EXISTS (
+           SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL
+         SELECT 'lineitem_without_part',
+                CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE NOT EXISTS (
+           SELECT 1 FROM part WHERE p_partkey = l_partkey)
+         ORDER BY 1""",
     "q283_price_quartiles" ->
       """WITH c AS (
            SELECT l_returnflag,

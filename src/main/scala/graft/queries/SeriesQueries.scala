@@ -461,6 +461,11 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // stale-feed audit: zero-change days, longest flatline run
+    "q286_price_staleness" -> ((s, d) =>
+      EventSeries.priceStaleness(staged(s, d))
+        .orderBy(col("user_id"))),
+
     // drawdown DURATION: running peak + days underwater
     "q278_time_underwater" -> ((s, d) =>
       EventSeries.timeUnderwater(bars(s, d))
@@ -1796,6 +1801,37 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q286: gaps-and-islands on the zero-change flag (island id =
+    // running non-stale count)
+    "q286_price_staleness" -> (STAGED +
+      """, src AS (
+            SELECT user_id, date,
+                   CASE WHEN CAST(CAST(price_change AS DECIMAL(14,4))
+                          * 10000 AS BIGINT) = 0
+                   THEN 1 ELSE 0 END AS st
+            FROM staged WHERE price_change IS NOT NULL),
+          isl AS (
+            SELECT user_id, st,
+                   CAST(sum(1 - st) OVER (PARTITION BY user_id
+                     ORDER BY date ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS isl
+            FROM src),
+          runs AS (
+            SELECT user_id, CAST(max(run) AS BIGINT) AS max_stale_run
+            FROM (SELECT user_id, isl, count(*) AS run
+                  FROM isl WHERE st = 1 GROUP BY 1, 2) t
+            GROUP BY 1),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(st) AS BIGINT) AS n_stale
+            FROM src GROUP BY 1)
+          SELECT g.user_id, n_days, n_stale,
+                 coalesce(max_stale_run, 0) AS max_stale_run,
+                 CAST((n_stale * 20000 + n_days) // (2 * n_days)
+                   AS DOUBLE) / 10000 AS stale_share
+          FROM g LEFT JOIN runs ON g.user_id = runs.user_id
+          WHERE n_days >= 5 ORDER BY 1"""),
 
     // q278: unbounded struct-max window — peak value then most recent
     // peak date; integer day arithmetic
