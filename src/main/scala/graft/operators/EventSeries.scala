@@ -582,6 +582,94 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Strong/weak-market capture ratios per key against the
+    * equal-weight market: days split at the market's own DISCRETE
+    * MEDIAN daily return (the fixture market drifts upward — a 0
+    * split never binds; relative strength does), then
+    * `capture = Σret / Σmarket` on each side (counts cancel in the
+    * mean-over-mean). The per-date market mean is a bounded aggregate
+    * bridge-rounded to an exact 4dp scaled long and broadcast back;
+    * the final ratios divide two deterministic doubles. */
+  def captureRatios(staged: DataFrame, minEach: Int = 5): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+    // equal-weight market return per date, itself bridge-rounded to a
+    // 4dp scaled long so both engines carry the identical integer
+    val mkt0 = src.groupBy(col("date"))
+      .agg(count(lit(1)).cast("long").as("nm"),
+        sum(col("x")).cast("long").as("sm"))
+      .select(col("date"),
+        (when(col("sm") < 0,
+          -call_function("div", abs(col("sm")) * 2 + col("nm"),
+            col("nm") * 2))
+          .otherwise(call_function("div",
+            abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
+          .as("m4"))
+    val wMed = Window.orderBy(col("m4").asc, col("date").asc)
+    val mkt = mkt0
+      .withColumn("_rn", row_number().over(wMed))
+      .withColumn("_n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_med", max(when(col("_rn") === call_function("div",
+        col("_n") + 1, lit(2L)), col("m4"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .where(col("m4") =!= col("_med"))
+      .select(col("date"), col("m4"), col("_med"))
+    val j = src.join(broadcast(mkt), Seq("date"))
+    val up = col("m4") > col("_med")
+    def csum(cond: Column, v: Column) =
+      sum(when(cond, v).otherwise(lit(0L))).cast("long")
+    val g = j.groupBy(col("user_id"))
+      .agg(csum(up, lit(1L)).as("nu"), csum(up, col("x")).as("su"),
+        csum(up, col("m4")).as("mu"),
+        csum(!up, lit(1L)).as("nd"), csum(!up, col("x")).as("sd"),
+        csum(!up, col("m4")).as("md"))
+      .where(col("nu") >= minEach && col("nd") >= minEach)
+    // mean_key/mean_mkt = (su/nu)/(mu/nu) = su/mu — counts cancel
+    g.select(col("user_id"), col("nu").as("n_strong_days"),
+      col("nd").as("n_weak_days"),
+      round(col("su").cast("double") /
+        nullif(col("mu").cast("double"), lit(0.0)), 4)
+        .as("strong_capture"),
+      round(col("sd").cast("double") /
+        nullif(col("md").cast("double"), lit(0.0)), 4)
+        .as("weak_capture"))
+  }
+
+  /** Inter-purchase gap profile per customer: exact day gaps between
+    * consecutive orders, the discrete median gap (rank ⌈n/2⌉), and the
+    * extremes — the replenishment-cycle readout. One window + one
+    * hash agg on the customer key. */
+  def orderGaps(orders: DataFrame, minOrders: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = orders
+      .withColumn("gap", datediff(col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .where(col("gap").isNotNull)
+    val wr = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("gap").asc, col("o_orderkey").asc)
+    val ranked = gaps.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("o_custkey"))))
+    ranked.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("gap")).cast("long").as("_sg"),
+        max(when(col("rn") === call_function("div", col("n") + 1,
+          lit(2L)), col("gap"))).as("median_gap"),
+        min(col("gap")).cast("long").as("min_gap"),
+        max(col("gap")).cast("long").as("max_gap"))
+      .where(col("n_gaps") >= minOrders - 1)
+      .select(col("o_custkey"), col("n_gaps"),
+        graft.functions.ExactRound.ratio(col("_sg"), col("n_gaps"), 4)
+          .as("mean_gap"),
+        col("median_gap"), col("min_gap"), col("max_gap"))
+  }
+
   /** Price-staleness audit per key: days with ZERO change, the longest
     * consecutive stale run (gaps-and-islands on the zero flag), and
     * the stale share — a flatlined feed reads here before it poisons

@@ -281,6 +281,33 @@ object Similarity {
           col("n_points"), 4).as("accuracy"))
   }
 
+  /** Hubness audit of the embedding space: the in-degree of each
+    * point in the k-NN digraph (how many OTHER points list it among
+    * their k nearest), folded to an in-degree histogram. Heavy-tailed
+    * in-degree ("hub" points appearing in everyone's neighbor list)
+    * is the classic high-dimensional pathology that silently degrades
+    * kNN classifiers and ANN recall. Exact integer counts end to
+    * end. */
+  def hubness(df: DataFrame, k: Int = 5, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val a = broadcast(df.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec")))
+    val c = df.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val scored = c.join(a, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val inDeg = topKPerKey(scored, k)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).cast("long").as("in_degree"))
+    // points never listed have in-degree 0 — join back so they count
+    df.select(col(idCol).as("neighbor_id"))
+      .join(inDeg, Seq("neighbor_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).cast("long").as("n_points"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` × `dim` doubles in
     * [-1,1), seeded — the IVF/LSH bucketing basis. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -253,6 +253,11 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // inter-purchase gap profile: exact day gaps, discrete median
+    "q290_order_gaps" -> ((s, d) =>
+      graft.operators.EventSeries.orderGaps(Tables.orders(s, d))
+        .orderBy(col("o_custkey"))),
+
     // duplicate-booking audit: multiple orders by one customer on the
     // same day — the double-submission screen, one hash agg
     "q285_dup_orders" -> ((s, d) =>
@@ -681,6 +686,34 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q290_order_gaps" ->
+      """WITH g AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC),
+                    o_orderdate) AS BIGINT) AS gap
+           FROM orders),
+         gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+         rk AS (
+           SELECT o_custkey, gap,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY gap ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY o_custkey) AS n
+           FROM gg),
+         a AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(gap) AS BIGINT) AS sg,
+                  CAST(max(CASE WHEN rn = (n + 1) // 2
+                    THEN gap END) AS BIGINT) AS median_gap,
+                  CAST(min(gap) AS BIGINT) AS min_gap,
+                  CAST(max(gap) AS BIGINT) AS max_gap
+           FROM rk GROUP BY 1)
+         SELECT o_custkey, n_gaps,
+                CAST((sg * 20000 + n_gaps) // (2 * n_gaps) AS DOUBLE)
+                  / 10000 AS mean_gap,
+                median_gap, min_gap, max_gap
+         FROM a WHERE n_gaps >= 2 ORDER BY 1""",
     "q285_dup_orders" ->
       """SELECT o_custkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS order_date,

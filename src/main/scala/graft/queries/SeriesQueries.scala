@@ -461,6 +461,11 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // up/down capture ratios vs the equal-weight market
+    "q289_capture_ratio" -> ((s, d) =>
+      EventSeries.captureRatios(staged(s, d))
+        .orderBy(col("user_id"))),
+
     // stale-feed audit: zero-change days, longest flatline run
     "q286_price_staleness" -> ((s, d) =>
       EventSeries.priceStaleness(staged(s, d))
@@ -1801,6 +1806,61 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q289: bridge-rounded market mean per date, split at its own
+    // discrete median; counts cancel in the capture ratios
+    "q289_capture_ratio" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          mkt0 AS (
+            SELECT date,
+                   CASE WHEN sm < 0
+                   THEN -((abs(sm) * 2 + nm) // (2 * nm))
+                   ELSE (abs(sm) * 2 + nm) // (2 * nm) END AS m4
+            FROM (SELECT date, CAST(count(*) AS BIGINT) AS nm,
+                         CAST(sum(x) AS BIGINT) AS sm
+                  FROM x GROUP BY 1) t),
+          mr AS (
+            SELECT date, m4,
+                   row_number() OVER (ORDER BY m4 ASC, date ASC)
+                     AS rn,
+                   count(*) OVER () AS n
+            FROM mkt0),
+          mkt AS (
+            SELECT date, m4,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN m4 END)
+                     OVER () AS med
+            FROM mr),
+          j AS (
+            SELECT user_id, x.x, mkt.m4, mkt.med
+            FROM x JOIN mkt ON x.date = mkt.date
+            WHERE mkt.m4 <> mkt.med),
+          g AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN m4 > med THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nu,
+                   CAST(sum(CASE WHEN m4 > med THEN x ELSE 0 END)
+                     AS BIGINT) AS su,
+                   CAST(sum(CASE WHEN m4 > med THEN m4 ELSE 0 END)
+                     AS BIGINT) AS mu,
+                   CAST(sum(CASE WHEN m4 < med THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nd,
+                   CAST(sum(CASE WHEN m4 < med THEN x ELSE 0 END)
+                     AS BIGINT) AS sd,
+                   CAST(sum(CASE WHEN m4 < med THEN m4 ELSE 0 END)
+                     AS BIGINT) AS md
+            FROM j GROUP BY 1)
+          SELECT user_id, nu AS n_strong_days, nd AS n_weak_days,
+                 round(CAST(su AS DOUBLE)
+                       / nullif(CAST(mu AS DOUBLE), 0), 4)
+                   AS strong_capture,
+                 round(CAST(sd AS DOUBLE)
+                       / nullif(CAST(md AS DOUBLE), 0), 4)
+                   AS weak_capture
+          FROM g WHERE nu >= 5 AND nd >= 5 ORDER BY 1"""),
 
     // q286: gaps-and-islands on the zero-change flag (island id =
     // running non-stale count)

@@ -770,6 +770,11 @@ object TextQueries {
       graft.operators.EmbeddingStats.centroidDrift(
         Tables.embeddings(s, d))),
 
+    // kNN-digraph in-degree histogram — the hubness pathology audit
+    "q288_hubness" -> ((s, d) =>
+      graft.operators.Similarity.hubness(Tables.embeddings(s, d), 5)
+        .orderBy(col("in_degree"))),
+
     // leave-one-out 5-NN majority-vote accuracy per label
     "q269_knn_classifier" -> ((s, d) =>
       graft.operators.Similarity.knnClassify(Tables.embeddings(s, d), 5)
@@ -2999,6 +3004,29 @@ object TextQueries {
                        OR indent_share > 0.2
                      THEN 1 ELSE 0 END AS BIGINT) AS is_code
          FROM d ORDER BY doc_id""",
+    "q288_hubness" ->
+      """WITH a AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+         s AS (
+           SELECT qid, nid,
+                  round(list_cosine_similarity(qv, cv), 4) AS sim
+           FROM a, c WHERE qid <> nid),
+         r AS (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid) AS rnk
+           FROM s),
+         deg AS (
+           SELECT nid, CAST(count(*) AS BIGINT) AS in_degree
+           FROM r WHERE rnk <= 5 GROUP BY 1),
+         alld AS (
+           SELECT coalesce(deg.in_degree, 0) AS in_degree
+           FROM embeddings LEFT JOIN deg ON vec_id = nid)
+         SELECT in_degree, CAST(count(*) AS BIGINT) AS n_points
+         FROM alld GROUP BY 1 ORDER BY 1""",
     "q269_knn_classifier" ->
       """WITH a AS (
            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
