@@ -582,6 +582,36 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Forecast-backtest error table per key: MAE of the naive (lag-1)
+    * and seasonal-naive (lag-`season`) close forecasts on exact 4dp
+    * scaled longs, and MASE = MAE_seasonal/MAE_naive through one
+    * exact integer bridge (`Σs·n_n / (n_s·Σn)` — counts folded in).
+    * The accuracy floor every fancier forecaster must beat. One
+    * window + one hash aggregate. */
+  def forecastErrors(staged: DataFrame, season: Int = 7,
+                     minDays: Int = 20): DataFrame = {
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    val w = WindowFns.series(col("user_id"), col("date"))
+    val src = staged.select(col("user_id"), col("date"), c4.as("c"))
+      .withColumn("e1", abs(col("c") - lag(col("c"), 1).over(w)))
+      .withColumn("es", abs(col("c") - lag(col("c"), season).over(w)))
+    val g = src.groupBy(col("user_id"))
+      .agg(count(col("e1")).cast("long").as("n1"),
+        sum(col("e1")).cast("long").as("s1"),
+        count(col("es")).cast("long").as("ns"),
+        sum(col("es")).cast("long").as("ss"))
+      .where(col("n1") >= minDays && col("ns") >= minDays &&
+        col("s1") > 0)
+    g.select(col("user_id"), col("n1").as("n_naive"),
+      col("ns").as("n_seasonal"),
+      graft.functions.ExactRound.ratio(col("s1"),
+        col("n1") * 10000L, 4).as("mae_naive"),
+      graft.functions.ExactRound.ratio(col("ss"),
+        col("ns") * 10000L, 4).as("mae_seasonal"),
+      graft.functions.ExactRound.ratio(col("ss") * col("n1"),
+        col("ns") * col("s1"), 4).as("mase"))
+  }
+
   /** Strong/weak-market capture ratios per key against the
     * equal-weight market: days split at the market's own DISCRETE
     * MEDIAN daily return (the fixture market drifts upward — a 0

@@ -68,4 +68,38 @@ object SkewTools {
     * directly. Falls back to the full-row hash. */
   private def monotonicallyIncreasingRowMarker(df: DataFrame): Column =
     xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+
+  /** Join-key skew profile — the diagnostic that decides whether
+    * [[saltedJoin]]/AQE skew handling is needed BEFORE the join
+    * ships: per-key frequencies folded to one summary row per labeled
+    * key (n_keys, rows, hottest key and its count, the exact-disc p99
+    * frequency, and the exact skew factor max/mean =
+    * max·n_keys/rows). Two hash aggregates per key column. */
+  def keySkewProfile(labeled: Seq[(String, DataFrame, String)])
+      : DataFrame = {
+    val parts = labeled.map { case (label, df, keyCol) =>
+      val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").asc, col("k").asc)
+      val ranked = counts.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      ranked.agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("c")).cast("long").as("n_rows"),
+          max(struct(col("c").as("c"), col("k").as("k"))).as("hot"),
+          max(when(col("rn") === call_function("div",
+            col("n") * 99 + 99, lit(100L)), col("c"))).as("p99_freq"))
+        .select(lit(label).as("key_label"), col("n_keys"),
+          col("n_rows"), col("hot.k").as("hottest_key"),
+          col("hot.c").as("hottest_count"),
+          col("p99_freq").cast("long").as("p99_freq"),
+          graft.functions.ExactRound.ratio(
+            col("hot.c") * col("n_keys"), col("n_rows"), 4)
+            .as("skew_factor"))
+    }
+    parts.reduce(_.union(_))
+  }
 }

@@ -253,6 +253,13 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // join-key skew diagnostic over the two hot fact keys
+    "q292_key_skew" -> ((s, d) =>
+      graft.operators.SkewTools.keySkewProfile(Seq(
+          ("orders.o_custkey", Tables.orders(s, d), "o_custkey"),
+          ("lineitem.l_partkey", Tables.lineitem(s, d), "l_partkey")))
+        .orderBy(col("key_label"))),
+
     // inter-purchase gap profile: exact day gaps, discrete median
     "q290_order_gaps" -> ((s, d) =>
       graft.operators.EventSeries.orderGaps(Tables.orders(s, d))

@@ -461,6 +461,11 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // naive vs seasonal-naive forecast MAE + exact MASE
+    "q291_forecast_error" -> ((s, d) =>
+      EventSeries.forecastErrors(staged(s, d), 7)
+        .orderBy(col("user_id"))),
+
     // up/down capture ratios vs the equal-weight market
     "q289_capture_ratio" -> ((s, d) =>
       EventSeries.captureRatios(staged(s, d))
@@ -1806,6 +1811,78 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q291: |error| on 4dp scaled longs; MASE folds the counts into
+    // one integer bridge
+    "q291_forecast_error" -> (BARS +
+      """, c AS (
+            SELECT user_id, date,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c
+            FROM bars),
+          e AS (
+            SELECT user_id,
+                   abs(c - lag(c, 1) OVER w) AS e1,
+                   abs(c - lag(c, 7) OVER w) AS es
+            FROM c WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+          g AS (
+            SELECT user_id, CAST(count(e1) AS BIGINT) AS n1,
+                   CAST(sum(e1) AS BIGINT) AS s1,
+                   CAST(count(es) AS BIGINT) AS ns,
+                   CAST(sum(es) AS BIGINT) AS ss
+            FROM e GROUP BY 1)
+          SELECT user_id, n1 AS n_naive, ns AS n_seasonal,
+                 CAST((s1 * 20000 + n1 * 10000) // (2 * n1 * 10000)
+                   AS DOUBLE) / 10000 AS mae_naive,
+                 CAST((ss * 20000 + ns * 10000) // (2 * ns * 10000)
+                   AS DOUBLE) / 10000 AS mae_seasonal,
+                 CAST((ss * n1 * 20000 + ns * s1) // (2 * ns * s1)
+                   AS DOUBLE) / 10000 AS mase
+          FROM g WHERE n1 >= 20 AND ns >= 20 AND s1 > 0
+          ORDER BY 1"""),
+
+    // q292: per-key frequency table folded to one summary row — the
+    // decide-before-you-join skew diagnostic
+    "q292_key_skew" ->
+      """WITH oc AS (
+           SELECT CAST(o_custkey AS BIGINT) AS k,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         orr AS (
+           SELECT *, row_number() OVER (ORDER BY c ASC, k ASC) AS rn,
+                  count(*) OVER () AS n
+           FROM oc),
+         og AS (
+           SELECT 'orders.o_custkey' AS key_label,
+                  CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  max(struct_pack(c := c, k := k)) AS hot,
+                  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN c END) AS BIGINT) AS p99_freq
+           FROM orr),
+         lc AS (
+           SELECT CAST(l_partkey AS BIGINT) AS k,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+         lr AS (
+           SELECT *, row_number() OVER (ORDER BY c ASC, k ASC) AS rn,
+                  count(*) OVER () AS n
+           FROM lc),
+         lg AS (
+           SELECT 'lineitem.l_partkey' AS key_label,
+                  CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  max(struct_pack(c := c, k := k)) AS hot,
+                  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN c END) AS BIGINT) AS p99_freq
+           FROM lr),
+         u AS (SELECT * FROM og UNION ALL SELECT * FROM lg)
+         SELECT key_label, n_keys, n_rows, hot.k AS hottest_key,
+                hot.c AS hottest_count, p99_freq,
+                CAST((hot.c * n_keys * 20000 + n_rows)
+                     // (2 * n_rows) AS DOUBLE) / 10000
+                  AS skew_factor
+         FROM u ORDER BY 1""",
 
     // q289: bridge-rounded market mean per date, split at its own
     // discrete median; counts cancel in the capture ratios
