@@ -582,6 +582,57 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Activity-calendar gap audit per user: span vs active days,
+    * missing-day total, and the longest silent stretch — one lag pass
+    * over each user's distinct activity dates, all-integer day
+    * arithmetic. The per-key summary the q151 gap-FILL operator is
+    * sized from. */
+  def calendarGaps(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val gapped = days
+      .withColumn("gap",
+        (datediff(col("d"), lag(col("d"), 1).over(w)) - 1).cast("long"))
+    gapped.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("active_days"),
+        (datediff(max(col("d")), min(col("d"))) + 1).cast("long")
+          .as("span_days"),
+        coalesce(sum(col("gap")), lit(0L)).cast("long")
+          .as("missing_days"),
+        coalesce(max(col("gap")), lit(0L)).cast("long")
+          .as("longest_gap"))
+      .withColumn("coverage", graft.functions.ExactRound.ratio(
+        col("active_days"), col("span_days"), 4))
+  }
+
+  /** Activity-decile migration matrix: users ranked into deciles by
+    * event count in the first and second half of the observation
+    * window (exact split at the median event date), with the joint
+    * counts — who climbs, who churns. All ranks are deterministic
+    * total orders; output is the bounded deciles² grid. */
+  def decileMigration(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val ext = events.agg(min(to_date(col("ts"))).as("lo"),
+      max(to_date(col("ts"))).as("hi"))
+    val tagged = events.crossJoin(broadcast(ext))
+      .select(col("user_id"),
+        when(datediff(to_date(col("ts")), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), lit("a")).otherwise(lit("b"))
+          .as("half"))
+    val cnt = tagged.groupBy(col("user_id"), col("half"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    def deciles(h: String) = {
+      val w = Window.orderBy(col("c").desc, col("user_id").asc)
+      cnt.where(col("half") === h)
+        .withColumn("dec", ntile(buckets).over(w).cast("long"))
+        .select(col("user_id"), col("dec").as(s"dec_$h"))
+    }
+    deciles("a").join(deciles("b"), Seq("user_id"), "outer")
+      .groupBy(coalesce(col("dec_a"), lit(0L)).as("decile_first"),
+        coalesce(col("dec_b"), lit(0L)).as("decile_second"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Forecast-backtest error table per key: MAE of the naive (lag-1)
     * and seasonal-naive (lag-`season`) close forecasts on exact 4dp
     * scaled longs, and MASE = MAE_seasonal/MAE_naive through one

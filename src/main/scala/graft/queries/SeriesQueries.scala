@@ -461,6 +461,17 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // per-user activity-calendar gap audit (missing days, longest
+    // silent stretch, exact coverage)
+    "q294_calendar_gaps" -> ((s, d) =>
+      EventSeries.calendarGaps(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
+    // activity-decile migration matrix between window halves
+    "q295_decile_migration" -> ((s, d) =>
+      EventSeries.decileMigration(Tables.events(s, d), 10)
+        .orderBy(col("decile_first"), col("decile_second"))),
+
     // naive vs seasonal-naive forecast MAE + exact MASE
     "q291_forecast_error" -> ((s, d) =>
       EventSeries.forecastErrors(staged(s, d), 7)
@@ -1811,6 +1822,62 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q294: one lag pass per user over distinct activity dates
+    "q294_calendar_gaps" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         g AS (
+           SELECT user_id, d,
+                  CAST(date_diff('day',
+                    lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
+                    - 1 AS BIGINT) AS gap
+           FROM days),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+                  CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT)
+                    AS span_days,
+                  CAST(coalesce(sum(gap), 0) AS BIGINT)
+                    AS missing_days,
+                  CAST(coalesce(max(gap), 0) AS BIGINT)
+                    AS longest_gap
+           FROM g GROUP BY 1)
+         SELECT user_id, active_days, span_days, missing_days,
+                longest_gap,
+                CAST((active_days * 20000 + span_days)
+                     // (2 * span_days) AS DOUBLE) / 10000 AS coverage
+         FROM a ORDER BY 1""",
+
+    // q295: exact median-date split; total-ordered ntile per half;
+    // 0 = absent from that half
+    "q295_decile_migration" ->
+      """WITH ext AS (
+           SELECT min(CAST(ts AS DATE)) AS lo,
+                  max(CAST(ts AS DATE)) AS hi
+           FROM events),
+         tagged AS (
+           SELECT user_id,
+                  CASE WHEN date_diff('day', lo, CAST(ts AS DATE)) * 2
+                         <= date_diff('day', lo, hi)
+                  THEN 'a' ELSE 'b' END AS half
+           FROM events, ext),
+         cnt AS (
+           SELECT user_id, half, CAST(count(*) AS BIGINT) AS c
+           FROM tagged GROUP BY 1, 2),
+         da AS (
+           SELECT user_id, CAST(ntile(10) OVER (ORDER BY c DESC,
+             user_id ASC) AS BIGINT) AS dec_a
+           FROM cnt WHERE half = 'a'),
+         db AS (
+           SELECT user_id, CAST(ntile(10) OVER (ORDER BY c DESC,
+             user_id ASC) AS BIGINT) AS dec_b
+           FROM cnt WHERE half = 'b')
+         SELECT coalesce(dec_a, 0) AS decile_first,
+                coalesce(dec_b, 0) AS decile_second,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM da FULL OUTER JOIN db USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // q291: |error| on 4dp scaled longs; MASE folds the counts into
     // one integer bridge

@@ -227,6 +227,24 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // language-mix entropy per source — is a source monolingual or a
+    // crawl mixture; same 6dp-decimal order-free term sum as q268
+    "q293_lang_mix_entropy" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      cnt.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_langs"),
+          sum(col("c")).cast("long").as("n_docs"),
+          sum(round(col("c").cast("double") *
+              log(col("c").cast("double")), 6).cast("decimal(28,6)"))
+            .cast("double").as("_s"))
+        .select(col("source"), col("n_langs"), col("n_docs"),
+          round(log(col("n_docs").cast("double")) -
+            col("_s") / col("n_docs"), 4).as("entropy_nats"))
+        .orderBy(col("source"))
+    }),
+
     // shared-prefix template groups (boilerplate screen)
     "q281_template_groups" -> ((s, d) =>
       graft.operators.Relevance.templateGroups(Tables.documents(s, d))
@@ -2939,6 +2957,21 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q293_lang_mix_entropy" ->
+      """WITH cnt AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+                  CAST(sum(c) AS BIGINT) AS n_docs,
+                  CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s
+           FROM cnt GROUP BY 1)
+         SELECT source, n_langs, n_docs,
+                round(ln(CAST(n_docs AS DOUBLE)) - s / n_docs, 4)
+                  AS entropy_nats
+         FROM g ORDER BY 1""",
     "q281_template_groups" ->
       """SELECT substr(text, 1, 40) AS prefix,
                 CAST(count(*) AS BIGINT) AS n_docs,
