@@ -582,6 +582,55 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Churn-definition sensitivity: how many users count as churned
+    * under each inactivity threshold (days since last activity as of
+    * the corpus max date) — the one-pass readout that keeps teams
+    * from anchoring on an arbitrary cutoff. Exact integer day
+    * arithmetic, bounded output. */
+  def churnSensitivity(events: DataFrame,
+                       thresholds: Seq[Int] = Seq(7, 14, 28))
+      : DataFrame = {
+    val ext = events.agg(max(to_date(col("ts"))).as("asof"))
+    val last = events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"))
+      .crossJoin(broadcast(ext))
+      .select(datediff(col("asof"), col("last_d")).cast("long")
+        .as("idle"))
+    val aggs = thresholds.map(t =>
+      sum(when(col("idle") >= t, 1L).otherwise(0L)).cast("long")
+        .as(s"churned_${t}d"))
+    val g = last.agg(count(lit(1)).cast("long").as("n_users"),
+      aggs: _*)
+    // long → rows: one row per threshold with the exact churn rate
+    thresholds.map { t =>
+      g.select(lit(t.toLong).as("threshold_days"), col("n_users"),
+        col(s"churned_${t}d").as("n_churned"),
+        graft.functions.ExactRound.ratio(col(s"churned_${t}d"),
+          col("n_users"), 4).as("churn_rate"))
+    }.reduce(_.union(_))
+  }
+
+  /** Daily whale-dominance share: the exact share of each day's
+    * events produced by its top-`k` users (rank by count desc, user
+    * asc). Heavy whale share means per-key partitions skew — the
+    * event-side twin of the relational key-skew diagnostic. */
+  def whaleShare(events: DataFrame, k: Int = 10): DataFrame = {
+    val cnt = events.groupBy(to_date(col("ts")).as("d"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy(col("d"))
+      .orderBy(col("c").desc, col("user_id").asc)
+    cnt.withColumn("rn", row_number().over(w))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(when(col("rn") <= k, col("c")).otherwise(0L)).cast("long")
+          .as("top_events"))
+      .select(graft.queries.iso(col("d")).as("date"), col("n_users"),
+        col("n_events"),
+        graft.functions.ExactRound.ratio(col("top_events"),
+          col("n_events"), 4).as("whale_share"))
+  }
+
   /** Activity-calendar gap audit per user: span vs active days,
     * missing-day total, and the longest silent stretch — one lag pass
     * over each user's distinct activity dates, all-integer day

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and split assignment.
@@ -170,6 +171,32 @@ object Sampling {
     when(pct < trainPct, "train")
       .when(pct < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Uniformity audit of the hash splitter itself: bucket the key
+    * space into `buckets` via the SAME md5 arithmetic the splits use,
+    * then the chi-square statistic against uniform — each cell's
+    * `(o·B − n)²·B/(n·B²)` reduced to the exact bridge
+    * `(o·B − n)²/(n·B)` in scaled longs. A biased key population
+    * (e.g. ids sharing a suffix) shows here before it skews every
+    * downstream split. */
+  def splitUniformity(df: DataFrame, keyCol: String,
+                      buckets: Int = 10): DataFrame = {
+    val b = lit(buckets.toLong)
+    val cells = df.select((hashBucket(col(keyCol)) % buckets)
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withN = cells.withColumn("n", sum(col("o")).over(tot)
+      .cast("long"))
+    val dev = col("o") * b - col("n")
+    withN.select(col("bucket"), col("o").as("n_keys"),
+      graft.functions.ExactRound.ratio(col("n"), b, 4).as("expected"),
+      graft.functions.ExactRound.ratio(
+        dev.cast("decimal(38,0)") * dev,
+        col("n").cast("decimal(38,0)") * b, 4).as("chi2_term"))
   }
 
   /** STRATIFIED split with EXACT proportions: within each label, rank

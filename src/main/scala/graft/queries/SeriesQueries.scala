@@ -461,6 +461,16 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // churn-rate sensitivity under 7/14/28-day inactivity cutoffs
+    "q297_churn_sensitivity" -> ((s, d) =>
+      EventSeries.churnSensitivity(Tables.events(s, d))
+        .orderBy(col("threshold_days"))),
+
+    // daily top-10 whale share of events — exact dominance audit
+    "q298_whale_share" -> ((s, d) =>
+      EventSeries.whaleShare(Tables.events(s, d), 10)
+        .orderBy(col("date"))),
+
     // per-user activity-calendar gap audit (missing days, longest
     // silent stretch, exact coverage)
     "q294_calendar_gaps" -> ((s, d) =>
@@ -1136,7 +1146,7 @@ object SeriesQueries {
                  WHEN abs(pct_change) > 2 THEN 'medium_move'
                  ELSE 'small_move' END AS move_category
           FROM staged ORDER BY 1, 2"""),
-    "q59_asof_join" -> (STAGED +
+    "q59_as_of_join" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1147,7 +1157,7 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
-    "q84_asof_tolerance" -> (STAGED +
+    "q84_as_of_tolerance" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1159,7 +1169,7 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
-    "q85_asof_forward" -> (STAGED +
+    "q85_as_of_forward" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1171,7 +1181,7 @@ object SeriesQueries {
                    AS next_signal
           FROM bars b
           ORDER BY 1, 2"""),
-    "q89_asof_nearest" -> (STAGED +
+    "q89_as_of_nearest" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1822,6 +1832,59 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q297: idle days vs the corpus as-of date, exact rates
+    "q297_churn_sensitivity" ->
+      """WITH ext AS (SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
+         idle AS (
+           SELECT CAST(date_diff('day', max(CAST(ts AS DATE)), as_of)
+             AS BIGINT) AS idle
+           FROM events, ext GROUP BY user_id, as_of),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(CASE WHEN idle >= 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c7,
+                  CAST(sum(CASE WHEN idle >= 14 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c14,
+                  CAST(sum(CASE WHEN idle >= 28 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c28
+           FROM idle)
+         SELECT CAST(7 AS BIGINT) AS threshold_days, n_users,
+                c7 AS n_churned,
+                CAST((c7 * 20000 + n_users) // (2 * n_users)
+                  AS DOUBLE) / 10000 AS churn_rate
+         FROM g
+         UNION ALL
+         SELECT CAST(14 AS BIGINT), n_users, c14,
+                CAST((c14 * 20000 + n_users) // (2 * n_users)
+                  AS DOUBLE) / 10000
+         FROM g
+         UNION ALL
+         SELECT CAST(28 AS BIGINT), n_users, c28,
+                CAST((c28 * 20000 + n_users) // (2 * n_users)
+                  AS DOUBLE) / 10000
+         FROM g ORDER BY 1""",
+
+    // q298: per-date rank window, exact top-10 share
+    "q298_whale_share" ->
+      """WITH cnt AS (
+           SELECT CAST(ts AS DATE) AS d, user_id,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT d, c, row_number() OVER (PARTITION BY d
+             ORDER BY c DESC, user_id ASC) AS rn
+           FROM cnt),
+         g AS (
+           SELECT d, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(c) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END)
+                    AS BIGINT) AS top_events
+           FROM rk GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS date, n_users, n_events,
+                CAST((top_events * 20000 + n_events) // (2 * n_events)
+                  AS DOUBLE) / 10000 AS whale_share
+         FROM g ORDER BY 1""",
 
     // q294: one lag pass per user over distinct activity dates
     "q294_calendar_gaps" ->

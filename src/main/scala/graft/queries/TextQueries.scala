@@ -227,6 +227,12 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // uniformity audit of the md5 splitter itself — chi2 per bucket
+    "q296_split_uniformity" -> ((s, d) =>
+      graft.operators.Sampling.splitUniformity(
+          Tables.documents(s, d), "doc_id", 10)
+        .orderBy(col("bucket"))),
+
     // language-mix entropy per source — is a source monolingual or a
     // crawl mixture; same 6dp-decimal order-free term sum as q268
     "q293_lang_mix_entropy" -> ((s, d) => {
@@ -2957,6 +2963,25 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q296_split_uniformity" ->
+      """WITH h AS (
+           SELECT (CAST(concat('0x', substr(md5(CAST(doc_id
+             AS VARCHAR)), 1, 8)) AS BIGINT) % 10) AS bucket
+           FROM documents),
+         cells AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS o
+           FROM h GROUP BY 1),
+         wn AS (
+           SELECT bucket, o, CAST(sum(o) OVER () AS BIGINT) AS n
+           FROM cells)
+         SELECT bucket, o AS n_keys,
+                CAST((n * 20000 + 10) // 20 AS DOUBLE) / 10000
+                  AS expected,
+                CAST((CAST(o * 10 - n AS HUGEINT) * (o * 10 - n)
+                      * 20000 + CAST(n AS HUGEINT) * 10)
+                     // (2 * CAST(n AS HUGEINT) * 10) AS DOUBLE)
+                  / 10000 AS chi2_term
+         FROM wn ORDER BY 1""",
     "q293_lang_mix_entropy" ->
       """WITH cnt AS (
            SELECT source, lang, CAST(count(*) AS BIGINT) AS c
