@@ -224,6 +224,30 @@ object AnalyticsViews {
           greatest(col("b") + col("c"), lit(1L)), 4).as("chi2"))
   }
 
+  /** Two-dimensional skyline (Pareto front): rows maximizing `maxCol`
+    * while minimizing `minCol` that no other row dominates (≥ on the
+    * max axis, ≤ on the min axis, strict on at least one). One RANGE
+    * window — `min(minCol) over (ORDER BY maxCol RANGE 1 FOLLOWING →
+    * ∞)` is the best min-value among STRICTLY better max-values, so
+    * dominance is a single comparison; equal-max ties resolve through
+    * a second min over the current range. O(n log n), no self-join —
+    * runs over the entity dimension, not facts. */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String)
+      : DataFrame = {
+    val better = Window.orderBy(col(maxCol).asc)
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val peers = Window.partitionBy(col(maxCol))
+    val bestAbove = min(col(minCol)).over(better)
+    val bestPeer = min(col(minCol)).over(peers)
+    df.withColumn("_ba", bestAbove)
+      .withColumn("_bp", bestPeer)
+      // dominated by a strictly-better max with min ≤ ours, or by an
+      // equal-max peer with a strictly smaller min
+      .where((col("_ba").isNull || col("_ba") > col(minCol)) &&
+        col(minCol) === col("_bp"))
+      .drop("_ba", "_bp")
+  }
+
   /** Cohen's kappa per key — chance-corrected agreement between the
     * predicted and actual class series:
     * `κ = (n·Σagree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)` on exact

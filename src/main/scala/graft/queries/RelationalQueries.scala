@@ -253,6 +253,29 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // skyline / Pareto front: best customers on (spend ↑, recency ↓)
+    // that nobody dominates — one RANGE window, no self-join
+    "q299_skyline" -> ((s, d) => {
+      val asof = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("as_of"))
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("spend_cents"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+        .crossJoin(broadcast(asof))
+        .select(col("o_custkey"),
+          col("spend_cents"),
+          datediff(col("as_of"), col("last_d")).cast("long")
+            .as("recency_days"))
+      graft.operators.AnalyticsViews.skyline2d(cust,
+          "spend_cents", "recency_days")
+        .select(col("o_custkey"),
+          (col("spend_cents").cast("double") / 100).as("total_spend"),
+          col("recency_days"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // join-key skew diagnostic over the two hot fact keys
     "q292_key_skew" -> ((s, d) =>
       graft.operators.SkewTools.keySkewProfile(Seq(
@@ -693,6 +716,33 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q299_skyline" ->
+      """WITH ext AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS as_of
+           FROM orders),
+         cust AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                    * 100 AS BIGINT)) AS BIGINT) AS spend_cents,
+                  CAST(date_diff('day',
+                    max(CAST(o_orderdate AS DATE)), as_of) AS BIGINT)
+                    AS recency_days
+           FROM orders, ext GROUP BY o_custkey, as_of),
+         w AS (
+           SELECT *,
+                  min(recency_days) OVER (ORDER BY spend_cents
+                    RANGE BETWEEN 1 FOLLOWING
+                    AND UNBOUNDED FOLLOWING) AS ba,
+                  min(recency_days) OVER (PARTITION BY spend_cents)
+                    AS bp
+           FROM cust)
+         SELECT o_custkey,
+                CAST(spend_cents AS DOUBLE) / 100 AS total_spend,
+                recency_days
+         FROM w
+         WHERE (ba IS NULL OR ba > recency_days)
+           AND recency_days = bp
+         ORDER BY o_custkey""",
     "q290_order_gaps" ->
       """WITH g AS (
            SELECT o_custkey, o_orderkey,
