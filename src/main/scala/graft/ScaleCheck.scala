@@ -536,6 +536,98 @@ object ScaleCheck {
       scored.unpersist()
     }
     docs.unpersist()
+
+    // round-7 session-5 pack: agreement/rank stats (windows + hash
+    // aggs on the shared keys), the quadratic-per-key Kendall join,
+    // exact-disc quantile patterns, and the embedding-space audits
+    // (bounded-cluster fan-outs vs all-pairs probes)
+    locally {
+      val ev5 = inflate(Tables.events(spark, sfDir), "user_id",
+        Seq("event_id"), mult).cache()
+      val n5 = ev5.count()
+      val bars5 = EventSeries.dailyBars(ev5)
+      val staged5 = EventSeries.stgDailyPrices(bars5)
+      time("runs_test", n5) { sink(EventSeries.runsTest(staged5)) }
+      time("skew_kurtosis", n5) { sink(EventSeries.skewKurt(staged5)) }
+      time("var_es_5pct", n5) { sink(EventSeries.varEs(staged5)) }
+      time("adx14_vortex", n5) {
+        val (dip, dim2, adx) = graft.functions.Indicators.adx(
+          col("high"), col("low"), col("close"),
+          graft.functions.WindowFns.series(col("user_id"), col("date")),
+          14)
+        sink(bars5.select(col("user_id"), col("date"), dip, dim2, adx))
+      }
+      time("ad_line_cumsum", n5) { sink(EventSeries.adLine(bars5)) }
+      time("calendar_range_mean", n5) {
+        sink(EventSeries.calendarMean(bars5, 7))
+      }
+      time("cross_sectional_rank", n5) {
+        sink(EventSeries.crossSectionalRank(staged5))
+      }
+      time("capture_ratios", n5) {
+        sink(EventSeries.captureRatios(staged5))
+      }
+      time("forecast_mase", n5) {
+        sink(EventSeries.forecastErrors(staged5))
+      }
+      time("ljung_box", n5) { sink(EventSeries.ljungBox(staged5)) }
+      time("dow_anova", n5) { sink(EventSeries.dowAnova(staged5)) }
+      // quadratic in each key's OWN series length (time-inflation
+      // would square it; user-inflation keeps per-key windows at
+      // fixture length — the production shape for a bounded universe)
+      time("kendall_tau_pairs", n5) {
+        sink(EventSeries.kendallTau(staged5))
+      }
+      time("session_stats", n5) {
+        sink(EventSeries.sessionStats(EventSeries.sessions(ev5, 30)))
+      }
+      time("whale_share", n5) { sink(EventSeries.whaleShare(ev5)) }
+      time("churn_sensitivity", n5) {
+        sink(EventSeries.churnSensitivity(ev5))
+      }
+      time("decile_migration", n5) {
+        sink(EventSeries.decileMigration(ev5))
+      }
+      time("calendar_gaps", n5) { sink(EventSeries.calendarGaps(ev5)) }
+      ev5.unpersist()
+
+      val emb5 = inflate(Tables.embeddings(spark, sfDir), "vec_id",
+        Seq(), mult).cache()
+      val ne5 = emb5.count()
+      // bounded-cluster fan-out (points × dims × 10 labels) — linear
+      time("silhouette_centroid", ne5) {
+        sink(graft.operators.EmbeddingStats.silhouette(emb5))
+      }
+      time("davies_bouldin", ne5) {
+        sink(graft.operators.EmbeddingStats.daviesBouldin(emb5))
+      }
+      time("centroid_classifier", ne5) {
+        sink(graft.operators.EmbeddingStats.centroidClassify(emb5))
+      }
+      emb5.unpersist()
+
+      val docs5 = inflate(Tables.documents(spark, sfDir), "doc_id",
+        Seq(), mult).cache()
+      val nd5 = docs5.count()
+      time("vocab_richness", nd5) {
+        sink(graft.operators.Relevance.vocabRichness(docs5))
+      }
+      time("burstiness_top50", nd5) {
+        sink(graft.operators.Relevance.burstiness(docs5))
+      }
+      time("template_groups", nd5) {
+        sink(graft.operators.Relevance.templateGroups(docs5))
+      }
+      time("vocab_growth", nd5) {
+        sink(graft.operators.Relevance.vocabGrowth(docs5))
+      }
+      time("code_detection_scan", nd5) {
+        sink(docs5.select(col("doc_id"),
+          graft.functions.TextFns.complexWordCount(col("text")),
+          graft.functions.TextFns.gunningFog(col("text"))))
+      }
+      docs5.unpersist()
+    }
     spark.stop()
   }
 }

@@ -253,6 +253,17 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // bipartite degree profile of the supply graph: suppliers per
+    // part (distinct-pair degree → bounded histogram)
+    "q301_supply_degree" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).cast("long").as("n_parts"))
+        .orderBy(col("degree"))),
+
     // skyline / Pareto front: best customers on (spend ↑, recency ↓)
     // that nobody dominates — one RANGE window, no self-join
     "q299_skyline" -> ((s, d) => {
@@ -716,6 +727,14 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q301_supply_degree" ->
+      """WITH pairs AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         deg AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+           FROM pairs GROUP BY 1)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_parts
+         FROM deg GROUP BY 1 ORDER BY 1""",
     "q299_skyline" ->
       """WITH ext AS (
            SELECT max(CAST(o_orderdate AS DATE)) AS as_of

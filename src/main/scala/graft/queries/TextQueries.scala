@@ -227,6 +227,20 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // encoding-corruption audit: U+FFFD replacement chars (the
+    // transcoding-failure marker) + stray control chars per doc
+    "q300_encoding_corruption" -> ((s, d) => {
+      val repl = (length(col("text")) - length(regexp_replace(
+        col("text"), "�", ""))).cast("long")
+      val ctrl = (length(col("text")) - length(regexp_replace(
+        col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+        .cast("long")
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+          repl.as("n_replacement"), ctrl.as("n_control"),
+          ((repl + ctrl) > 0).cast("long").as("is_corrupt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // uniformity audit of the md5 splitter itself — chi2 per bucket
     "q296_split_uniformity" -> ((s, d) =>
       graft.operators.Sampling.splitUniformity(
@@ -2963,6 +2977,19 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q300_encoding_corruption" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+                  CAST(length(text) - length(regexp_replace(text,
+                    '�', '', 'g')) AS BIGINT) AS n_replacement,
+                  CAST(length(text) - length(regexp_replace(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                    AS BIGINT) AS n_control
+           FROM documents)
+         SELECT doc_id, source, n_replacement, n_control,
+                CAST(CASE WHEN n_replacement + n_control > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_corrupt
+         FROM c ORDER BY doc_id""",
     "q296_split_uniformity" ->
       """WITH h AS (
            SELECT (CAST(concat('0x', substr(md5(CAST(doc_id
