@@ -253,6 +253,28 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // join-cardinality estimator: |A⋈B| = Σ_k a_k·b_k off the two key
+    // histograms — the plan-before-you-join audit (exact, since the
+    // histograms are exact); reports the hottest output key too
+    "q304_join_cardinality" -> ((s, d) => {
+      val a = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).cast("long").as("ca"))
+      val b = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).cast("long").as("cb"))
+      val na = a.agg(count(lit(1)).cast("long").as("n_keys_left"))
+      val nb = b.agg(count(lit(1)).cast("long").as("n_keys_right"))
+      a.join(b, Seq("k"))
+        .agg(count(lit(1)).cast("long").as("n_matching_keys"),
+          sum(col("ca") * col("cb")).cast("long").as("join_rows"),
+          max(struct((col("ca") * col("cb")).as("p"),
+            (-col("k")).as("nk"))).as("hot"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("n_keys_left"), col("n_keys_right"),
+          col("n_matching_keys"), col("join_rows"),
+          (-col("hot.nk")).as("hottest_key"),
+          col("hot.p").as("hottest_rows"))
+    }),
+
     // bipartite degree profile of the supply graph: suppliers per
     // part (distinct-pair degree → bounded histogram)
     "q301_supply_degree" -> ((s, d) =>
@@ -727,6 +749,24 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q304_join_cardinality" ->
+      """WITH a AS (
+           SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+           FROM lineitem GROUP BY 1),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_left FROM a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_right
+                FROM b),
+         j AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+                  CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+                  max(struct_pack(p := ca * cb, nk := -k)) AS hot
+           FROM a JOIN b USING (k))
+         SELECT n_keys_left, n_keys_right, n_matching_keys, join_rows,
+                -hot.nk AS hottest_key, hot.p AS hottest_rows
+         FROM j, na, nb""",
     "q301_supply_degree" ->
       """WITH pairs AS (
            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -227,6 +227,35 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // exact-duplicate family-size histogram (md5 digest groups)
+    "q302_dup_family_sizes" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(count(lit(1)).cast("long").as("family"))
+        .groupBy(col("family"))
+        .agg(count(lit(1)).cast("long").as("n_families"))
+        .orderBy(col("family"))),
+
+    // per-source quality drift between corpus halves (doc_id split),
+    // exact scaled means off the 4dp quality score
+    "q303_source_quality_drift" -> ((s, d) => {
+      val ext = Tables.documents(s, d)
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val q4 = (TextFns.qualityScore(col("text"))
+        .cast("decimal(14,4)") * 10000).cast("long")
+      val half = when(col("doc_id") * 2 <= col("lo") + col("hi"),
+        lit(1L)).otherwise(lit(2L))
+      Tables.documents(s, d).crossJoin(broadcast(ext))
+        .select(col("source"), half.as("h"), q4.as("q"))
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("q")).cast("long").as("_s"))
+        .select(col("source"), col("h").as("half"), col("n_docs"),
+          graft.functions.ExactRound.ratio(col("_s"),
+            col("n_docs") * 10000L, 4).as("mean_quality"))
+        .orderBy(col("source"), col("half"))
+    }),
+
     // encoding-corruption audit: U+FFFD replacement chars (the
     // transcoding-failure marker) + stray control chars per doc
     "q300_encoding_corruption" -> ((s, d) => {
@@ -2977,6 +3006,47 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q302_dup_family_sizes" ->
+      """WITH fam AS (
+           SELECT md5(text) AS digest, CAST(count(*) AS BIGINT)
+             AS family
+           FROM documents GROUP BY 1)
+         SELECT family, CAST(count(*) AS BIGINT) AS n_families
+         FROM fam GROUP BY 1 ORDER BY 1""",
+    "q303_source_quality_drift" -> (TOKS +
+      """, ext AS (
+            SELECT min(doc_id) AS lo, max(doc_id) AS hi
+            FROM documents),
+          q AS (
+            SELECT source,
+                   CASE WHEN doc_id * 2 <= lo + hi THEN 1 ELSE 2 END
+                     AS half,
+                   CAST(CAST(
+                     round((CASE WHEN len(w) BETWEEN 10 AND 100000
+                            THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN CAST(len(list_filter(w, x ->
+                         list_contains(['the','a','an','and','of',
+                           'to','in','is','it','that'], x)))
+                         AS DOUBLE)
+                         / nullif(len(w), 0) > 0.05
+                        THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN CAST(length(text)
+                         - length(regexp_replace(text,
+                             '[.,!?;:''"()\[\]-]', '', 'g'))
+                         AS DOUBLE)
+                         / nullif(length(text), 0) < 0.1
+                        THEN 0.3 ELSE 0.0 END), 4)
+                     AS DECIMAL(14,4)) * 10000 AS BIGINT) AS q4
+            FROM t, ext),
+          g AS (
+            SELECT source, half, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q4) AS BIGINT) AS s
+            FROM q GROUP BY 1, 2)
+          SELECT source, CAST(half AS BIGINT) AS half, n_docs,
+                 CAST((s * 20000 + n_docs * 10000)
+                      // (2 * n_docs * 10000) AS DOUBLE) / 10000
+                   AS mean_quality
+          FROM g ORDER BY 1, 2"""),
     "q300_encoding_corruption" ->
       """WITH c AS (
            SELECT doc_id, source,
