@@ -582,6 +582,34 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Global 2-D histogram of (close, volume): equal-width clamped
+    * bins over each axis's extent (the Drift.psi bin arithmetic,
+    * engine-identical doubles), exact cell counts and shares — the
+    * density grid a scatter dashboard bins server-side. One bounded
+    * extent broadcast + one (bx, by) hash aggregate. */
+  def hist2d(bars: DataFrame, bins: Int = 8): DataFrame = {
+    val ext = bars.agg(min(col("close")).as("cmin"),
+      max(col("close")).as("cmax"),
+      min(col("volume").cast("double")).as("vmin"),
+      max(col("volume").cast("double")).as("vmax"))
+    def bin(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L))
+        .otherwise(least(greatest(floor(((v - lo) * bins) / (hi - lo)),
+          lit(0.0)), lit(bins - 1.0)).cast("long"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    bars.crossJoin(broadcast(ext))
+      .select(bin(col("close"), col("cmin"), col("cmax")).as("bin_x"),
+        bin(col("volume").cast("double"), col("vmin"), col("vmax"))
+          .as("bin_y"))
+      .groupBy(col("bin_x"), col("bin_y"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("_t", sum(col("n")).over(tot).cast("long"))
+      .select(col("bin_x"), col("bin_y"), col("n"),
+        graft.functions.ExactRound.ratio(col("n"), col("_t"), 4)
+          .as("share"))
+  }
+
   /** Churn-definition sensitivity: how many users count as churned
     * under each inactivity threshold (days since last activity as of
     * the corpus max date) — the one-pass readout that keeps teams

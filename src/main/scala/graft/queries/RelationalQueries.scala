@@ -253,6 +253,53 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // partition-sizing advisor: exact byte/row stats per table →
+    // recommended shuffle partitions for a target partition size
+    // (ceil division in exact integers; 128 MiB target)
+    "q305_partition_advisor" -> ((s, d) => {
+      def statsOf(label: String, df: DataFrame,
+                  rowBytes: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(rowBytes.cast("long")).cast("long").as("est_bytes"))
+          .select(lit(label).as("table_name"), col("n_rows"),
+            col("est_bytes"),
+            greatest(call_function("div",
+              col("est_bytes") + (134217728L - 1), lit(134217728L)),
+              lit(1L)).as("recommended_partitions"))
+      val li = statsOf("lineitem", Tables.lineitem(s, d),
+        // fixed-width columns: 4 longs + 1 int + 4 doubles + 2 chars
+        // + ts ≈ 81 bytes
+        lit(81))
+      val doc = statsOf("documents", Tables.documents(s, d),
+        octet_length(col("text")) + lit(40))
+      li.union(doc).orderBy(col("table_name"))
+    }),
+
+    // exact 10% hash-sample bias audit: full vs sampled mean order
+    // value and the signed error — validates the md5 sampler on real
+    // data (both means in exact cents, bridge-rounded)
+    "q307_sample_bias" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        cents.as("cents"))
+      val sampled = graft.operators.Sampling.sampleByHash(
+        base, "o_orderkey", 0.1)
+      val f = base.agg(count(lit(1)).cast("long").as("n_full"),
+        sum(col("cents")).cast("long").as("s_full"))
+      val m = sampled.agg(count(lit(1)).cast("long").as("n_sample"),
+        sum(col("cents")).cast("long").as("s_sample"))
+      f.crossJoin(broadcast(m))
+        .select(col("n_full"), col("n_sample"),
+          graft.functions.ExactRound.ratio(col("s_full"),
+            col("n_full") * 100L, 2).as("mean_full"),
+          graft.functions.ExactRound.ratio(col("s_sample"),
+            col("n_sample") * 100L, 2).as("mean_sample"),
+          graft.functions.ExactRound.ratio(col("n_sample") * 10000,
+            col("n_full"), 0).divide(lit(10000.0))
+            .as("sample_fraction"))
+    }),
+
     // join-cardinality estimator: |A⋈B| = Σ_k a_k·b_k off the two key
     // histograms — the plan-before-you-join audit (exact, since the
     // histograms are exact); reports the hottest output key too
@@ -749,6 +796,49 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q305_partition_advisor" ->
+      """WITH li AS (
+           SELECT 'lineitem' AS table_name,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(count(*) * 81 AS BIGINT) AS est_bytes
+           FROM lineitem),
+         doc AS (
+           SELECT 'documents',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(strlen(text) + 40) AS BIGINT)
+           FROM documents),
+         u AS (SELECT * FROM li UNION ALL SELECT * FROM doc)
+         SELECT table_name, n_rows, est_bytes,
+                greatest((est_bytes + 134217727) // 134217728, 1)
+                  AS recommended_partitions
+         FROM u ORDER BY 1""",
+    "q307_sample_bias" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(concat('0x', substr(md5(CAST(o_orderkey
+                    AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+           FROM orders),
+         f AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_full,
+                  CAST(sum(cents) AS BIGINT) AS s_full
+           FROM base),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_sample,
+                  CAST(sum(cents) AS BIGINT) AS s_sample
+           FROM base WHERE bucket < 429496730)
+         SELECT n_full, n_sample,
+                CAST((s_full * 200 + n_full * 100)
+                     // (2 * n_full * 100) AS DOUBLE) / 100
+                  AS mean_full,
+                CAST((s_sample * 200 + n_sample * 100)
+                     // (2 * n_sample * 100) AS DOUBLE) / 100
+                  AS mean_sample,
+                CAST((n_sample * 10000 * 2 + n_full)
+                     // (2 * n_full) AS DOUBLE) / 10000
+                  AS sample_fraction
+         FROM f, m""",
     "q304_join_cardinality" ->
       """WITH a AS (
            SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca

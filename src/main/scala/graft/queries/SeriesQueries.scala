@@ -461,6 +461,11 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // global (close × volume) density grid, exact cell shares
+    "q306_hist2d" -> ((s, d) =>
+      EventSeries.hist2d(bars(s, d), 8)
+        .orderBy(col("bin_x"), col("bin_y"))),
+
     // churn-rate sensitivity under 7/14/28-day inactivity cutoffs
     "q297_churn_sensitivity" -> ((s, d) =>
       EventSeries.churnSensitivity(Tables.events(s, d))
@@ -1832,6 +1837,32 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q306: psi-style clamped equal-width bins on both axes
+    "q306_hist2d" -> (BARS +
+      """, ext AS (
+            SELECT min(close) AS cmin, max(close) AS cmax,
+                   min(CAST(volume AS DOUBLE)) AS vmin,
+                   max(CAST(volume AS DOUBLE)) AS vmax
+            FROM bars),
+          g AS (
+            SELECT CASE WHEN cmax = cmin THEN 0
+                   ELSE CAST(least(greatest(floor(((close - cmin) * 8)
+                     / (cmax - cmin)), 0), 7) AS BIGINT) END AS bin_x,
+                   CASE WHEN vmax = vmin THEN 0
+                   ELSE CAST(least(greatest(floor(((CAST(volume
+                     AS DOUBLE) - vmin) * 8) / (vmax - vmin)), 0), 7)
+                     AS BIGINT) END AS bin_y
+            FROM bars, ext),
+          c AS (
+            SELECT bin_x, bin_y, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY 1, 2),
+          w AS (
+            SELECT *, CAST(sum(n) OVER () AS BIGINT) AS t FROM c)
+          SELECT bin_x, bin_y, n,
+                 CAST((n * 20000 + t) // (2 * t) AS DOUBLE) / 10000
+                   AS share
+          FROM w ORDER BY 1, 2"""),
 
     // q297: idle days vs the corpus as-of date, exact rates
     "q297_churn_sensitivity" ->
