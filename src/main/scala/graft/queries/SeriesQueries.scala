@@ -1151,7 +1151,7 @@ object SeriesQueries {
                  WHEN abs(pct_change) > 2 THEN 'medium_move'
                  ELSE 'small_move' END AS move_category
           FROM staged ORDER BY 1, 2"""),
-    "q59_as_of_join" -> (STAGED +
+    "q59_asof_join" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1162,7 +1162,7 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
-    "q84_as_of_tolerance" -> (STAGED +
+    "q84_asof_tolerance" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1174,7 +1174,7 @@ object SeriesQueries {
           FROM bars b ASOF LEFT JOIN sparse s
             ON b.user_id = s.user_id AND b.date >= s.date
           ORDER BY 1, 2"""),
-    "q85_as_of_forward" -> (STAGED +
+    "q85_asof_forward" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
@@ -1186,7 +1186,7 @@ object SeriesQueries {
                    AS next_signal
           FROM bars b
           ORDER BY 1, 2"""),
-    "q89_as_of_nearest" -> (STAGED +
+    "q89_asof_nearest" -> (STAGED +
       """, sparse AS (
             SELECT user_id, date,
                    CASE WHEN pct_change > 0 THEN 'positive'
