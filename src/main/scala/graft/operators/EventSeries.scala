@@ -582,6 +582,62 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Equal-weight market index: the bridge-exact per-date market mean
+    * return chains into a level via `exp(Σ ln(1+r))` — each log term
+    * rounds to a 10dp decimal before the running sum, so the
+    * accumulation is order-free and the only doubles are the final
+    * exp/round. Starts at 100. One bounded date-frame window. */
+  def marketIndex(staged: DataFrame): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val mkt = staged.where(col("pct_change").isNotNull)
+      .select(col("date"), x4.as("x"))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).cast("long").as("nm"),
+        sum(col("x")).cast("long").as("sm"))
+      .select(col("date"), col("nm"),
+        (when(col("sm") < 0,
+          -call_function("div", abs(col("sm")) * 2 + col("nm"),
+            col("nm") * 2))
+          .otherwise(call_function("div",
+            abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
+          .as("m4"))
+    // index construction winsorizes the market move at ±10% — the
+    // fixture's near-zero closes produce 10⁵%-scale "returns" that
+    // would blow the level past 1e19 (and into exp-ulp territory)
+    val m4c = least(greatest(col("m4"), lit(-100000L)), lit(100000L))
+    val lr = round(log(lit(1.0) +
+      m4c.cast("double") / 1000000), 10).cast("decimal(38,10)")
+    val w = Window.orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mkt.withColumn("_lr", lr)
+      .withColumn("_cum", sum(col("_lr")).over(w).cast("double"))
+      .select(graft.queries.iso(col("date")).as("date"), col("nm"),
+        (m4c.cast("double") / 10000).as("mkt_ret"),
+        round(lit(100.0) * exp(col("_cum")), 4).as("index_level"))
+  }
+
+  /** Peak session concurrency per day — the sweep-line classic: +1 at
+    * each session start, −1 past its end, running sum over the
+    * (time, delta) order (ends process before starts at the same
+    * instant), max per calendar day. All-integer, deterministic total
+    * order. */
+  def peakConcurrency(sessions: DataFrame): DataFrame = {
+    val starts = sessions.select(col("start_us").cast("long").as("us"),
+      lit(1L).as("delta"))
+    val ends = sessions.select((col("end_us").cast("long") + 1)
+      .as("us"), lit(-1L).as("delta"))
+    val w = Window.orderBy(col("us").asc, col("delta").asc)
+    starts.union(ends)
+      .withColumn("cc", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("delta") === 1)
+      .select(graft.queries.iso(to_date(timestamp_micros(col("us"))))
+        .as("date"), col("cc"))
+      .groupBy(col("date"))
+      .agg(max(col("cc")).cast("long").as("peak_concurrent"))
+  }
+
   /** Global 2-D histogram of (close, volume): equal-width clamped
     * bins over each axis's extent (the Drift.psi bin arithmetic,
     * engine-identical doubles), exact cell counts and shares — the

@@ -461,6 +461,16 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // equal-weight market index level (order-free log chain)
+    "q308_market_index" -> ((s, d) =>
+      EventSeries.marketIndex(staged(s, d)).orderBy(col("date"))),
+
+    // sweep-line peak session concurrency per day
+    "q309_peak_concurrency" -> ((s, d) =>
+      EventSeries.peakConcurrency(
+          EventSeries.sessions(Tables.events(s, d), 30))
+        .orderBy(col("date"))),
+
     // global (close × volume) density grid, exact cell shares
     "q306_hist2d" -> ((s, d) =>
       EventSeries.hist2d(bars(s, d), 8)
@@ -1837,6 +1847,58 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q308: bridge-exact market mean per date; ln(1+r) terms rounded
+    // to 10dp decimals before the running sum
+    "q308_market_index" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          mkt AS (
+            SELECT date, nm,
+                   CASE WHEN sm < 0
+                   THEN -((abs(sm) * 2 + nm) // (2 * nm))
+                   ELSE (abs(sm) * 2 + nm) // (2 * nm) END AS m4
+            FROM (SELECT date, CAST(count(*) AS BIGINT) AS nm,
+                         CAST(sum(x) AS BIGINT) AS sm
+                  FROM x GROUP BY 1) t),
+          lr AS (
+            SELECT date, nm,
+                   least(greatest(m4, -100000), 100000) AS m4,
+                   CAST(round(ln(1.0 + CAST(least(greatest(m4,
+                     -100000), 100000) AS DOUBLE) / 1000000), 10)
+                     AS DECIMAL(38,10)) AS lr
+            FROM mkt),
+          c AS (
+            SELECT date, nm, m4,
+                   CAST(sum(lr) OVER (ORDER BY date
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+            FROM lr)
+          SELECT strftime(date, '%Y-%m-%d') AS date, nm,
+                 CAST(m4 AS DOUBLE) / 10000 AS mkt_ret,
+                 round(100.0 * exp(cum), 4) AS index_level
+          FROM c ORDER BY 1"""),
+
+    // q309: +1/−1 sweep, ends before starts at the same instant,
+    // per-day max of the running level
+    "q309_peak_concurrency" -> (SESSIONS_CTE + """
+         , pts AS (
+            SELECT start_us AS us, CAST(1 AS BIGINT) AS delta
+            FROM sess
+            UNION ALL
+            SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+          sw AS (
+            SELECT us, delta,
+                   CAST(sum(delta) OVER (ORDER BY us ASC, delta ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+            FROM pts)
+          SELECT strftime(CAST(make_timestamp(us) AS DATE),
+                   '%Y-%m-%d') AS date,
+                 CAST(max(cc) AS BIGINT) AS peak_concurrent
+          FROM sw WHERE delta = 1
+          GROUP BY 1 ORDER BY 1"""),
 
     // q306: psi-style clamped equal-width bins on both axes
     "q306_hist2d" -> (BARS +
