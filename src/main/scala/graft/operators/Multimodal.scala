@@ -244,12 +244,13 @@ object Multimodal {
 
   /** REAL video-container frame sampling: walk the RIFF AVI structure
     * ([[graft.functions.MediaCodecs.decodeAviMjpeg]]), keep every
-    * `everyK`-th MJPG frame, decode each kept frame via the JDK's
-    * ImageIO (each frame is an independent baseline JPEG — the whole
-    * point of MJPEG as the JVM-decodable container). Lossy frames ⇒
-    * spec-pinned like [[ImageIODecoder]]; containers or frames that
-    * fail to decode contribute no rows. Partition-local flatMap:
-    * linear, shuffle-free, scales with executors. */
+    * `everyK`-th MJPG frame, decode each kept frame with the pure-JVM
+    * baseline JPEG codec (each frame is an independent baseline JPEG —
+    * the whole point of MJPEG as the portable container); non-baseline
+    * frames fall back to the ImageIO seam. Lossy frames ⇒ spec-pinned
+    * like [[ImageIODecoder]]; containers or frames that fail both
+    * contribute no rows. Partition-local flatMap: linear,
+    * shuffle-free, scales with executors. */
   def frameSampleAvi(media: DataFrame, everyK: Int = 2): DataFrame = {
     require(everyK > 0, "everyK must be positive")
     val spark = media.sparkSession
@@ -261,14 +262,22 @@ object Multimodal {
           frames.iterator.zipWithIndex
             .filter(_._2 % everyK == 0)
             .flatMap { case (jpeg, i) =>
-              val bi =
-                try {
-                  javax.imageio.ImageIO.setUseCache(false)
-                  Option(javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(jpeg)))
-                } catch { case scala.util.control.NonFatal(_) => None }
-              bi.map(img => (r.doc_id, i.toLong, img.getWidth.toLong,
-                img.getHeight.toLong, biLumaSum(img)))
+              val own = graft.functions.MediaCodecs
+                .decodeJpegBaseline(jpeg)
+                .map(img => (r.doc_id, i.toLong, img.width.toLong,
+                  img.height.toLong, argbLumaSum(img.argb)))
+              own.orElse {
+                val bi =
+                  try {
+                    javax.imageio.ImageIO.setUseCache(false)
+                    Option(javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(jpeg)))
+                  } catch {
+                    case scala.util.control.NonFatal(_) => None
+                  }
+                bi.map(img => (r.doc_id, i.toLong, img.getWidth.toLong,
+                  img.getHeight.toLong, biLumaSum(img)))
+              }
             }
         case None => Iterator.empty
       }
