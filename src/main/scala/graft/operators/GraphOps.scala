@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics over co-occurrence graphs — the
+  * market-basket graph here (parts bought together in one order), the
+  * same shapes serve any co-occurrence edge list. Everything is exact
+  * integer arithmetic on canonical (a < b) edges.
+  *
+  * Scale shape: edge construction is a fact self-join on the order key
+  * (co-partitioned, fan-out quadratic only in ORDER SIZE — bounded by
+  * basket width, never corpus size); the triangle join is edge⋈edge on
+  * a shared endpoint then a semi-join back on the closing edge — the
+  * standard distributed triangle enumeration, linear in wedges of the
+  * THRESHOLDED (sparse) graph. */
+object GraphOps {
+
+  /** Canonical co-purchase edge list: part pairs sharing ≥ `minOrders`
+    * distinct orders. */
+  def coPurchaseEdges(lineitem: DataFrame,
+                      minOrders: Int = 2): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pa"))
+    val b = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pb"))
+    a.join(b, Seq("ok")).where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(countDistinct(col("ok")).cast("long").as("n_orders"))
+      .where(col("n_orders") >= minOrders)
+  }
+
+  /** Global triangle census of a canonical edge list `(pa, pb)`:
+    * edge count, wedge count `Σ_v C(deg_v, 2)`, triangle count via
+    * the two-hop join + closing-edge semi-join, and the transitivity
+    * coefficient `3·triangles/wedges` through the exact bridge. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).cache()
+    val deg = e.select(col("pa").as("v"))
+      .union(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
+    val wedges = deg.agg(
+      sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
+        .cast("long").as("n_wedges"),
+      count(lit(1)).cast("long").as("n_vertices"))
+    val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    // paths a<b<c through b, closed by edge (a, c)
+    val e1 = e.select(col("pa").as("a"), col("pb").as("b"))
+    val e2 = e.select(col("pa").as("b"), col("pb").as("c"))
+    val paths = e1.join(e2, Seq("b"))
+    val tri = paths.join(e.select(col("pa").as("a"),
+        col("pb").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    nE.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        graft.functions.ExactRound.ratio(col("n_triangles") * 3,
+          greatest(col("n_wedges"), lit(1L)), 4).as("transitivity"))
+  }
+}

@@ -253,6 +253,17 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // market-basket co-purchase graph: canonical part-pair edges
+    "q310_copurchase_edges" -> ((s, d) =>
+      graft.operators.GraphOps.coPurchaseEdges(Tables.lineitem(s, d), 2)
+        .orderBy(col("pa"), col("pb"))),
+
+    // triangle census + transitivity of the co-purchase graph
+    "q311_triangles" -> ((s, d) =>
+      graft.operators.GraphOps.triangleStats(
+        graft.operators.GraphOps.coPurchaseEdges(
+          Tables.lineitem(s, d), 2))),
+
     // partition-sizing advisor: exact byte/row stats per table →
     // recommended shuffle partitions for a target partition size
     // (ceil division in exact integers; 128 MiB target)
@@ -796,6 +807,42 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q310_copurchase_edges" ->
+      """SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                CAST(count(DISTINCT a.l_orderkey) AS BIGINT)
+                  AS n_orders
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+         ORDER BY 1, 2""",
+    "q311_triangles" ->
+      """WITH e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         deg AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT pa AS v FROM e
+             UNION ALL SELECT pb FROM e) t GROUP BY 1),
+         w AS (
+           SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT)
+                    AS n_wedges,
+                  CAST(count(*) AS BIGINT) AS n_vertices
+           FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+           WHERE EXISTS (SELECT 1 FROM e e3
+                         WHERE e3.pa = e1.pa AND e3.pb = e2.pb))
+         SELECT n_vertices, n_edges, n_wedges, n_triangles,
+                CAST((n_triangles * 3 * 20000 + greatest(n_wedges, 1))
+                     // (2 * greatest(n_wedges, 1)) AS DOUBLE) / 10000
+                  AS transitivity
+         FROM ne, w, tri""",
     "q305_partition_advisor" ->
       """WITH li AS (
            SELECT 'lineitem' AS table_name,
