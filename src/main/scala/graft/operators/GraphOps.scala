@@ -30,6 +30,35 @@ object GraphOps {
       .where(col("n_orders") >= minOrders)
   }
 
+  /** Fixed-iteration PageRank over an undirected canonical edge list:
+    * `pr' = (1−d)/n + d·Σ_{u∼v} pr_u/deg_u`, `iters` synchronous
+    * rounds from the uniform start. Each neighbor contribution rounds
+    * to a 12dp decimal before the sum, so the aggregation is
+    * order-free and the scores are engine-portable; the oracle
+    * unrolls the same rounds. One (edge ⋈ rank) join + hash agg per
+    * round — the standard message-passing shape. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = und.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val n = deg.count()
+    var pr = deg.select(col("src").as("v"),
+      lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = und.join(pr, col("src") === col("v"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          round(col("pr") / col("deg").cast("double"), 12)
+            .cast("decimal(38,12)").as("c"))
+      pr = contrib.groupBy(col("dst").as("v"))
+        .agg((lit((1.0 - damping) / n) +
+          lit(damping) * sum(col("c")).cast("double")).as("pr"))
+    }
+    pr.select(col("v"), round(col("pr") * 1000, 6).as("pr_permille"))
+  }
+
   /** Global triangle census of a canonical edge list `(pa, pb)`:
     * edge count, wedge count `Σ_v C(deg_v, 2)`, triangle count via
     * the two-hop join + closing-edge semi-join, and the transitivity

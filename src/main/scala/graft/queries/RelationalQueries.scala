@@ -253,6 +253,13 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // 5-round synchronous PageRank over the co-purchase graph
+    "q312_pagerank" -> ((s, d) =>
+      graft.operators.GraphOps.pageRank(
+          graft.operators.GraphOps.coPurchaseEdges(
+            Tables.lineitem(s, d), 2), iters = 5)
+        .orderBy(col("v"))),
+
     // market-basket co-purchase graph: canonical part-pair edges
     "q310_copurchase_edges" -> ((s, d) =>
       graft.operators.GraphOps.coPurchaseEdges(Tables.lineitem(s, d), 2)
@@ -807,6 +814,40 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q312_pagerank" -> {
+      // the 5 synchronous rounds unrolled, each with the SAME 12dp
+      // per-contribution rounding as the Spark loop; the (1−d)/n
+      // literal is written as (1.0 - 0.85)/n so the binary double
+      // matches Scala's (1.0 - damping)
+      val rounds = (1 to 5).map { i =>
+        s""", c$i AS (
+             SELECT dst, CAST(round(pr / CAST(deg AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS c
+             FROM und JOIN pr${i - 1} ON src = v JOIN deg USING (src)),
+           pr$i AS (
+             SELECT dst AS v,
+                    (1.0 - 0.85) / n + 0.85 * CAST(sum(c) AS DOUBLE)
+                      AS pr
+             FROM c$i CROSS JOIN nn GROUP BY dst, n)"""
+      }.mkString
+      s"""WITH e0 AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         und AS (
+           SELECT pa AS src, pb AS dst FROM e0
+           UNION ALL SELECT pb, pa FROM e0),
+         deg AS (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM und GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         pr0 AS (SELECT src AS v, 1.0 / n AS pr FROM deg CROSS JOIN nn)
+         $rounds
+         SELECT v, round(pr * 1000, 6) AS pr_permille
+         FROM pr5 ORDER BY v"""
+    },
     "q310_copurchase_edges" ->
       """SELECT a.l_partkey AS pa, b.l_partkey AS pb,
                 CAST(count(DISTINCT a.l_orderkey) AS BIGINT)
