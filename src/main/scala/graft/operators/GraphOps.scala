@@ -59,6 +59,39 @@ object GraphOps {
     pr.select(col("v"), round(col("pr") * 1000, 6).as("pr_permille"))
   }
 
+  /** Synchronous min-label propagation over an undirected edge list:
+    * `label' = min(label, min over neighbors' labels)`, a FIXED
+    * `rounds` of rounds — the result ("min label reachable within k
+    * hops") is well-defined and engine-identical even before
+    * convergence, which keeps the oracle honest; k ≥ graph diameter
+    * makes it exact connected components (the convergence-checked
+    * pointer-jump variant in [[Dedup]] is the production path — this
+    * is its oracle-replayable twin). Returns the component-size
+    * histogram. */
+  def minLabelComponents(edges: DataFrame, rounds: Int = 16)
+      : DataFrame = {
+    val und = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+    var lab = und.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val nbr = und.join(lab, col("src") === col("v"))
+        .select(col("dst").as("v2"), col("label"))
+        .groupBy(col("v2")).agg(min(col("label")).as("nl"))
+      lab = lab.join(nbr, col("v") === col("v2"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label"))
+        // truncate the lineage — 16 stacked self-joins otherwise blow
+        // up Catalyst analysis exponentially
+        .localCheckpoint(eager = true)
+    }
+    lab.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).cast("long").as("n_components"))
+  }
+
   /** Global triangle census of a canonical edge list `(pa, pb)`:
     * edge count, wedge count `Σ_v C(deg_v, 2)`, triangle count via
     * the two-hop join + closing-edge semi-join, and the transitivity

@@ -253,6 +253,13 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // component-size histogram via 16-round synchronous min-label
+    "q313_components" -> ((s, d) =>
+      graft.operators.GraphOps.minLabelComponents(
+          graft.operators.GraphOps.coPurchaseEdges(
+            Tables.lineitem(s, d), 2), rounds = 16)
+        .orderBy(col("size"))),
+
     // 5-round synchronous PageRank over the co-purchase graph
     "q312_pagerank" -> ((s, d) =>
       graft.operators.GraphOps.pageRank(
@@ -814,6 +821,34 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q313_components" -> {
+      val rounds = (1 to 16).map { i =>
+        s""", n$i AS MATERIALIZED (
+             SELECT dst AS v2, min(label) AS nl
+             FROM und JOIN l${i - 1} ON src = v GROUP BY dst),
+           l$i AS MATERIALIZED (
+             SELECT l.v,
+                    least(l.label, coalesce(n$i.nl, l.label)) AS label
+             FROM l${i - 1} l LEFT JOIN n$i ON l.v = n$i.v2)"""
+      }.mkString
+      s"""WITH e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         und AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM e0
+           UNION ALL SELECT pb, pa FROM e0),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS v, src AS label FROM und)
+         $rounds,
+         sz AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS size
+           FROM l16 GROUP BY 1)
+         SELECT size, CAST(count(*) AS BIGINT) AS n_components
+         FROM sz GROUP BY 1 ORDER BY 1"""
+    },
     "q312_pagerank" -> {
       // the 5 synchronous rounds unrolled, each with the SAME 12dp
       // per-contribution rounding as the Spark loop; the (1−d)/n
