@@ -582,6 +582,47 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** windowFunnel: the deepest ordered step chain
+    * `steps(0) → steps(1) → steps(2)` completed within `windowUs`
+    * micros of the anchor step, per user. Greedy-earliest chains are
+    * optimal for existence (taking the earliest next step can only
+    * leave more window), so two struct-min window passes — "next
+    * purchase after me" then "(earliest next view, ITS next
+    * purchase)" — replace any event-pair join; per-user counts of the
+    * max level reached. All-integer micros on the shared user
+    * ordering. */
+  def windowFunnel(events: DataFrame,
+                   steps: Seq[String] = Seq("click", "view",
+                     "purchase"),
+                   windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    require(steps.size == 3, "three-step funnel")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wf = w.rowsBetween(1, Window.unboundedFollowing)
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type").as("t"))
+    val withP = base.withColumn("np",
+      min(when(col("t") === steps(2), col("us"))).over(wf))
+    // a MaxValue sentinel keeps the struct ordering total when two
+    // views share a microsecond and one has no following purchase
+    val withV = withP.withColumn("vs",
+      min(when(col("t") === steps(1),
+        struct(col("us").as("vts"),
+          coalesce(col("np"), lit(Long.MaxValue)).as("pts"))))
+        .over(wf))
+    val lvl = withV.where(col("t") === steps(0))
+      .select(col("user_id"), col("us"),
+        when(col("vs").isNotNull &&
+          col("vs.vts") <= col("us") + windowUs,
+          when(col("vs.pts") <= col("us") + windowUs, lit(3L))
+            .otherwise(lit(2L)))
+          .otherwise(lit(1L)).as("level"))
+    lvl.groupBy(col("user_id"))
+      .agg(max(col("level")).cast("long").as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Equal-weight market index: the bridge-exact per-date market mean
     * return chains into a level via `exp(Σ ln(1+r))` — each log term
     * rounds to a 10dp decimal before the running sum, so the

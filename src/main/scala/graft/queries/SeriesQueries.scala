@@ -461,6 +461,11 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // windowFunnel: click→view→purchase within 6h, level counts
+    "q314_window_funnel" -> ((s, d) =>
+      EventSeries.windowFunnel(Tables.events(s, d))
+        .orderBy(col("funnel_level"))),
+
     // equal-weight market index level (order-free log chain)
     "q308_market_index" -> ((s, d) =>
       EventSeries.marketIndex(staged(s, d)).orderBy(col("date"))),
@@ -1847,6 +1852,42 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q314: the same two struct-min window passes — earliest next
+    // view carries ITS next purchase
+    "q314_window_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  event_type AS t
+           FROM events),
+         wp AS (
+           SELECT *, min(CASE WHEN t = 'purchase' THEN us END)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS np
+           FROM base),
+         wv AS (
+           SELECT *, min(CASE WHEN t = 'view'
+                    THEN struct_pack(vts := us,
+                      pts := coalesce(np, 9223372036854775807)) END)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS vs
+           FROM wp),
+         lvl AS (
+           SELECT user_id,
+                  CASE WHEN vs IS NOT NULL
+                         AND vs.vts <= us + 21600000000
+                  THEN CASE WHEN vs.pts <= us + 21600000000
+                       THEN 3 ELSE 2 END
+                  ELSE 1 END AS level
+           FROM wv WHERE t = 'click'),
+         g AS (
+           SELECT user_id, CAST(max(level) AS BIGINT)
+                    AS funnel_level
+           FROM lvl GROUP BY 1)
+         SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     // q308: bridge-exact market mean per date; ln(1+r) terms rounded
     // to 10dp decimals before the running sum
