@@ -273,6 +273,42 @@ object ModelEval {
           .cast("double") / den, 4).as("mcc"))
   }
 
+  /** Weight-of-evidence / information-value table over score deciles
+    * (the credit-scoring feature-power staple): per decile
+    * `WOE = ln(pos_share/neg_share)` with Laplace-smoothed EXACT
+    * bridge shares, IV contribution `(pos_share − neg_share)·WOE`
+    * rounded to a 6dp decimal so the total is order-free. Decile
+    * assignment is a deterministic total order (score desc, key/date
+    * tiebreak). */
+  def woeIv(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("user_id").asc,
+      col("date").asc)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val d = scored.withColumn("decile",
+        ntile(buckets).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("label")).cast("long").as("np"))
+      .withColumn("nn", col("n") - col("np"))
+      .withColumn("tp", sum(col("np")).over(tot).cast("long"))
+      .withColumn("tn", sum(col("nn")).over(tot).cast("long"))
+    // Laplace +1 keeps empty cells finite; shares through 8dp bridges
+    def share(c: Column, t: Column) =
+      graft.functions.ExactRound.ratio(c + 1, t + lit(2L), 8)
+    val ps = share(col("np"), col("tp"))
+    val ns = share(col("nn"), col("tn"))
+    val woe = log(ps / ns)
+    d.select(col("decile"), col("n"), col("np").as("n_pos"),
+        col("nn").as("n_neg"), round(woe, 4).as("woe"),
+        round((ps - ns) * woe, 6).cast("decimal(28,6)").as("_iv"))
+      .withColumn("iv_total",
+        sum(col("_iv")).over(tot).cast("double"))
+      .select(col("decile"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("_iv").cast("double").as("iv_term"),
+        round(col("iv_total"), 6).as("iv_total"))
+  }
+
   /** Reciprocal rank of the FIRST positive per key under the score
     * ordering (score desc, date asc tiebreak — a deterministic total
     * order): `rr = 1/rank` through the exact 6dp bridge. Keys with no

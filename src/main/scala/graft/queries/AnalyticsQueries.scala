@@ -161,6 +161,10 @@ object AnalyticsQueries {
       AnalyticsViews.balancedAccuracy(base(s, d))
         .orderBy(col("user_id"))),
 
+    // WOE / information value over score deciles
+    "q315_woe_iv" -> ((s, d) =>
+      ModelEval.woeIv(scoredFrame(s, d), 10).orderBy(col("decile"))),
+
     // reciprocal rank of the first positive under the score order
     "q241_mrr" -> ((s, d) =>
       ModelEval.mrr(scoredFrame(s, d)).orderBy(col("user_id"))),
@@ -657,6 +661,41 @@ object AnalyticsQueries {
           WHERE tp + fp > 0 AND tp + fn > 0
             AND tn + fp > 0 AND tn + fn > 0
           ORDER BY 1"""),
+
+    // q315: Laplace-smoothed 8dp bridge shares; IV terms as 6dp
+    // decimals before the order-free total
+    "q315_woe_iv" -> (SCORED +
+      """, dec AS (
+            SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC,
+              user_id ASC, date ASC) AS BIGINT) AS decile
+            FROM scored),
+          g AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS np
+            FROM dec GROUP BY 1),
+          t AS (
+            SELECT decile, n, np, n - np AS nn,
+                   CAST(sum(np) OVER () AS BIGINT) AS tp,
+                   CAST(sum(n - np) OVER () AS BIGINT) AS tn
+            FROM g),
+          f AS (
+            SELECT decile, n, np, nn,
+                   CAST(((np + 1) * 200000000 + (tp + 2))
+                     // (2 * (tp + 2)) AS DOUBLE) / 100000000 AS ps,
+                   CAST(((nn + 1) * 200000000 + (tn + 2))
+                     // (2 * (tn + 2)) AS DOUBLE) / 100000000 AS ns
+            FROM t),
+          iv AS (
+            SELECT decile, n, np AS n_pos, nn AS n_neg,
+                   round(ln(ps / ns), 4) AS woe,
+                   CAST(round((ps - ns) * ln(ps / ns), 6)
+                     AS DECIMAL(28,6)) AS ivt
+            FROM f)
+          SELECT decile, n, n_pos, n_neg, woe,
+                 CAST(ivt AS DOUBLE) AS iv_term,
+                 round(CAST(sum(ivt) OVER () AS DOUBLE), 6)
+                   AS iv_total
+          FROM iv ORDER BY 1"""),
 
     // q241: deterministic total order (score desc, date asc); 1/rank
     // through the 6dp bridge

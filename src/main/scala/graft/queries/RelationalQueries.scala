@@ -253,6 +253,24 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // monthly revenue with exact MoM growth percent
+    "q316_mom_growth" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(cents).cast("long").as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+      m.withColumn("pc", lag(col("c"), 1).over(w))
+        .select(iso(to_date(col("m"))).as("month"), col("n_orders"),
+          (col("c").cast("double") / 100).as("revenue"),
+          graft.functions.ExactRound.signedRatio(
+            (col("c") - col("pc")) * 100, col("pc"), 4)
+            .as("mom_growth_pct"))
+        .orderBy(col("month"))
+    }),
+
     // component-size histogram via 16-round synchronous min-label
     "q313_components" -> ((s, d) =>
       graft.operators.GraphOps.minLabelComponents(
@@ -821,6 +839,24 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q316_mom_growth" ->
+      """WITH m AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                    * 100 AS BIGINT)) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT m, n_orders, c, lag(c) OVER (ORDER BY m) AS pc
+           FROM m)
+         SELECT strftime(CAST(m AS DATE), '%Y-%m-%d') AS month,
+                n_orders, CAST(c AS DOUBLE) / 100 AS revenue,
+                CAST(CASE WHEN (c - pc) * 100 < 0
+                     THEN -((abs((c - pc) * 100) * 20000 + pc)
+                            // (2 * pc))
+                     ELSE ((c - pc) * 100 * 20000 + pc) // (2 * pc)
+                     END AS DOUBLE) / 10000 AS mom_growth_pct
+         FROM g ORDER BY 1""",
     "q313_components" -> {
       val rounds = (1 to 16).map { i =>
         s""", n$i AS MATERIALIZED (
