@@ -40,4 +40,24 @@ object StreamingTopK {
         col("rank").cast("long").as("rank"), col("key"),
         col("n").cast("long").as("n"))
   }
+
+  /** Catalyst-NATIVE session windows (`session_window` — dynamic
+    * event-time gap sessions maintained by the engine's own state
+    * store), the declarative twin of the custom
+    * `flatMapGroupsWithState` sessionizer in [[Sessionize]]: same gap
+    * rule, but merging/expiry is the engine's responsibility, which
+    * at cluster scale means state-store compaction/RocksDB spilling
+    * come for free. */
+  def sessionWindowCounts(stream: DataFrame,
+                          gap: String = "30 minutes",
+                          tsCol: String = "ts",
+                          keyCol: String = "user_id",
+                          watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"),
+        col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"))
 }

@@ -59,6 +59,47 @@ class StreamingTopKSpec extends SparkSuite {
       ("2024-06-02", 3L, "click", 1L)))
   }
 
+  test("native session_window sessions match the custom batch " +
+    "sessionizer's (user, n_events) multiset end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft_sw_src")
+    val tmp = Files.createTempDirectory("graft_sw_tmp").toString
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val rows = Seq(
+      (1L, "2024-06-01 10:00:00"), (1L, "2024-06-01 10:10:00"),
+      (1L, "2024-06-01 11:30:00"),
+      (2L, "2024-06-01 09:00:00"), (2L, "2024-06-01 09:20:00"),
+      (2L, "2024-06-01 09:40:00"))
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t), u) }
+    rows.toDF("user_id", "ts", "event_id").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, srcDir.resolve("d.parquet"))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+      .parquet(srcDir.toString)
+    val cp = Files.createTempDirectory("graft_sw_cp").toString
+    val q = graft.streaming.StreamingTopK
+      .sessionWindowCounts(stream, "30 minutes")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sw_sessions")
+      .select("key", "n_events")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // custom batch sessionizer on the same rows
+    val batch = rows.toDF("user_id", "ts", "event_id")
+      .withColumn("value", col("event_id").cast("double"))
+    val want = graft.operators.EventSeries.sessions(batch, 30)
+      .select(col("user_id"), col("n_events").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got == Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
   test("the stateful stage matches a batch groupBy on the same data") {
     val batch = Seq(
       ("2024-06-01 09:00:00", "a"), ("2024-06-01 10:00:00", "a"),
