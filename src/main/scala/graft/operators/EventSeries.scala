@@ -582,6 +582,87 @@ object EventSeries {
       .where(col("n") >= minN)
   }
 
+  /** Lead-lag structure vs the equal-weight market: per key, the
+    * Pearson correlation of the key's return with the market's at
+    * relative lags −1/0/+1 (does the key LEAD the common move, track
+    * it, or follow it) — all OLS moments on exact 4dp scaled longs,
+    * one √ per correlation. Market means are bridge-exact integers
+    * broadcast back; the lag alignment is one window pass. */
+  def leadLag(staged: DataFrame, minN: Int = 20): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+    val mkt = src.groupBy(col("date"))
+      .agg(count(lit(1)).cast("long").as("nm"),
+        sum(col("x")).cast("long").as("sm"))
+      .select(col("date"),
+        (when(col("sm") < 0,
+          -call_function("div", abs(col("sm")) * 2 + col("nm"),
+            col("nm") * 2))
+          .otherwise(call_function("div",
+            abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
+          .as("m"))
+    val wm = Window.orderBy(col("date"))
+    val mkt3 = mkt
+      .withColumn("m_prev", lag(col("m"), 1).over(wm))
+      .withColumn("m_next", lead(col("m"), 1).over(wm))
+    val j = src.join(broadcast(mkt3), Seq("date"))
+    def corrOf(y: Column, tag: String): Seq[Column] = {
+      val yd = y.cast("decimal(38,0)")
+      val xd = col("x").cast("decimal(38,0)")
+      Seq(count(y).cast("long").as(s"n_$tag"),
+        sum(when(y.isNotNull, col("x"))).cast("long").as(s"sx_$tag"),
+        sum(y).cast("long").as(s"sy_$tag"),
+        sum(when(y.isNotNull, xd * col("x"))).as(s"sxx_$tag"),
+        sum(yd * y).as(s"syy_$tag"),
+        sum(xd * y).as(s"sxy_$tag"))
+    }
+    val g = j.groupBy(col("user_id"))
+      .agg(corrOf(col("m_prev"), "lag").head,
+        (corrOf(col("m_prev"), "lag").tail ++
+          corrOf(col("m"), "sync") ++
+          corrOf(col("m_next"), "lead")): _*)
+      .where(col("n_sync") >= minN)
+    def r(tag: String): Column = {
+      val n = col(s"n_$tag")
+      val num = (n * col(s"sxy_$tag") -
+        col(s"sx_$tag").cast("decimal(38,0)") * col(s"sy_$tag"))
+        .cast("double")
+      val dx = (n * col(s"sxx_$tag") -
+        col(s"sx_$tag").cast("decimal(38,0)") * col(s"sx_$tag"))
+        .cast("double")
+      val dy = (n * col(s"syy_$tag") -
+        col(s"sy_$tag").cast("decimal(38,0)") * col(s"sy_$tag"))
+        .cast("double")
+      round(num / nullif(sqrt(dx * dy), lit(0.0)), 4)
+    }
+    g.select(col("user_id"), col("n_sync").as("n_days"),
+      r("lag").as("r_follows_market"),
+      r("sync").as("r_sync"),
+      r("lead").as("r_leads_market"))
+  }
+
+  /** Peak event burst per user: the busiest minute (events in one
+    * clock minute) and the burst ratio vs the user's mean per active
+    * minute — the rate-anomaly screen. All-integer. */
+  def burstMinutes(events: DataFrame): DataFrame = {
+    val minuteBucket = call_function("div", unix_micros(col("ts")),
+      lit(60000000L))
+    val perMin = events.groupBy(col("user_id"),
+        minuteBucket.as("minute"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    perMin.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_active_minutes"),
+        sum(col("c")).cast("long").as("n_events"),
+        max(col("c")).cast("long").as("peak_minute_events"))
+      .select(col("user_id"), col("n_active_minutes"),
+        col("n_events"), col("peak_minute_events"),
+        graft.functions.ExactRound.ratio(
+          col("peak_minute_events") * col("n_active_minutes") * 10000,
+          col("n_events"), 0).divide(lit(10000.0)).as("burst_ratio"))
+  }
+
   /** windowFunnel: the deepest ordered step chain
     * `steps(0) → steps(1) → steps(2)` completed within `windowUs`
     * micros of the anchor step, per user. Greedy-earliest chains are

@@ -461,6 +461,15 @@ object SeriesQueries {
     "q239_runs_test" -> ((s, d) =>
       EventSeries.runsTest(staged(s, d)).orderBy(col("user_id"))),
 
+    // lead-lag correlation structure vs the equal-weight market
+    "q317_lead_lag" -> ((s, d) =>
+      EventSeries.leadLag(staged(s, d)).orderBy(col("user_id"))),
+
+    // busiest-minute burst ratio per user
+    "q318_burst_minutes" -> ((s, d) =>
+      EventSeries.burstMinutes(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
     // windowFunnel: click→view→purchase within 6h, level counts
     "q314_window_funnel" -> ((s, d) =>
       EventSeries.windowFunnel(Tables.events(s, d))
@@ -1852,6 +1861,104 @@ object SeriesQueries {
                  round(CAST(sy4 AS DOUBLE) / n / 10000
                        - b * (CAST(sx AS DOUBLE) / n), 4) AS intercept
           FROM f ORDER BY 1"""),
+
+    // q317: bridge-exact market means; HUGEINT correlation moments at
+    // each relative lag; one sqrt per r
+    "q317_lead_lag" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          mkt AS (
+            SELECT date,
+                   CASE WHEN sm < 0
+                   THEN -((abs(sm) * 2 + nm) // (2 * nm))
+                   ELSE (abs(sm) * 2 + nm) // (2 * nm) END AS m
+            FROM (SELECT date, CAST(count(*) AS BIGINT) AS nm,
+                         CAST(sum(x) AS BIGINT) AS sm
+                  FROM x GROUP BY 1) t),
+          m3 AS (
+            SELECT date, m,
+                   lag(m) OVER (ORDER BY date) AS m_prev,
+                   lead(m) OVER (ORDER BY date) AS m_next
+            FROM mkt),
+          j AS (SELECT x.user_id, x.x, m3.m, m3.m_prev, m3.m_next
+                FROM x JOIN m3 ON x.date = m3.date),
+          g AS (
+            SELECT user_id,
+                   CAST(count(m_prev) AS BIGINT) AS n_lag,
+                   CAST(sum(CASE WHEN m_prev IS NOT NULL THEN x END)
+                     AS BIGINT) AS sx_lag,
+                   CAST(sum(m_prev) AS BIGINT) AS sy_lag,
+                   sum(CASE WHEN m_prev IS NOT NULL
+                       THEN CAST(x AS HUGEINT) * x END) AS sxx_lag,
+                   sum(CAST(m_prev AS HUGEINT) * m_prev) AS syy_lag,
+                   sum(CAST(x AS HUGEINT) * m_prev) AS sxy_lag,
+                   CAST(count(m) AS BIGINT) AS n_sync,
+                   CAST(sum(x) AS BIGINT) AS sx_sync,
+                   CAST(sum(m) AS BIGINT) AS sy_sync,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx_sync,
+                   sum(CAST(m AS HUGEINT) * m) AS syy_sync,
+                   sum(CAST(x AS HUGEINT) * m) AS sxy_sync,
+                   CAST(count(m_next) AS BIGINT) AS n_lead,
+                   CAST(sum(CASE WHEN m_next IS NOT NULL THEN x END)
+                     AS BIGINT) AS sx_lead,
+                   CAST(sum(m_next) AS BIGINT) AS sy_lead,
+                   sum(CASE WHEN m_next IS NOT NULL
+                       THEN CAST(x AS HUGEINT) * x END) AS sxx_lead,
+                   sum(CAST(m_next AS HUGEINT) * m_next) AS syy_lead,
+                   sum(CAST(x AS HUGEINT) * m_next) AS sxy_lead
+            FROM j GROUP BY 1)
+          SELECT user_id, n_sync AS n_days,
+                 round(CAST(n_lag * sxy_lag
+                         - CAST(sx_lag AS HUGEINT) * sy_lag AS DOUBLE)
+                   / nullif(sqrt(
+                       CAST(n_lag * sxx_lag - CAST(sx_lag AS HUGEINT)
+                         * sx_lag AS DOUBLE)
+                     * CAST(n_lag * syy_lag - CAST(sy_lag AS HUGEINT)
+                         * sy_lag AS DOUBLE)), 0), 4)
+                   AS r_follows_market,
+                 round(CAST(n_sync * sxy_sync
+                         - CAST(sx_sync AS HUGEINT) * sy_sync
+                         AS DOUBLE)
+                   / nullif(sqrt(
+                       CAST(n_sync * sxx_sync
+                         - CAST(sx_sync AS HUGEINT) * sx_sync
+                         AS DOUBLE)
+                     * CAST(n_sync * syy_sync
+                         - CAST(sy_sync AS HUGEINT) * sy_sync
+                         AS DOUBLE)), 0), 4) AS r_sync,
+                 round(CAST(n_lead * sxy_lead
+                         - CAST(sx_lead AS HUGEINT) * sy_lead
+                         AS DOUBLE)
+                   / nullif(sqrt(
+                       CAST(n_lead * sxx_lead
+                         - CAST(sx_lead AS HUGEINT) * sx_lead
+                         AS DOUBLE)
+                     * CAST(n_lead * syy_lead
+                         - CAST(sy_lead AS HUGEINT) * sy_lead
+                         AS DOUBLE)), 0), 4) AS r_leads_market
+          FROM g WHERE n_sync >= 20 ORDER BY 1"""),
+
+    // q318: minute-bucket counts, exact burst ratio
+    "q318_burst_minutes" ->
+      """WITH pm AS (
+           SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS n_active_minutes,
+                  CAST(sum(c) AS BIGINT) AS n_events,
+                  CAST(max(c) AS BIGINT) AS peak_minute_events
+           FROM pm GROUP BY 1)
+         SELECT user_id, n_active_minutes, n_events,
+                peak_minute_events,
+                CAST((peak_minute_events * n_active_minutes * 10000
+                      * 2 + n_events) // (2 * n_events) AS DOUBLE)
+                  / 10000 AS burst_ratio
+         FROM g ORDER BY 1""",
 
     // q314: the same two struct-min window passes — earliest next
     // view carries ITS next purchase
