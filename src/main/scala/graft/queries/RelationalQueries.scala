@@ -253,6 +253,27 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // repeat-purchase rate per market segment, exact shares
+    "q320_repeat_rate" -> ((s, d) => {
+      val perCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+            .cast("long").as("n_repeat"),
+          sum(when(col("n_orders") === 0, 1L).otherwise(0L))
+            .cast("long").as("n_never"))
+        .select(col("c_mktsegment"), col("n_cust"), col("n_repeat"),
+          col("n_never"),
+          graft.functions.ExactRound.ratio(col("n_repeat"),
+            col("n_cust"), 4).as("repeat_rate"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // monthly revenue with exact MoM growth percent
     "q316_mom_growth" -> ((s, d) => {
       val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
@@ -839,6 +860,24 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q320_repeat_rate" ->
+      """WITH pc AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT c_mktsegment, coalesce(n_orders, 0) AS n_orders
+           FROM customer LEFT JOIN pc ON c_custkey = o_custkey),
+         g AS (
+           SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat,
+                  CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_never
+           FROM c GROUP BY 1)
+         SELECT c_mktsegment, n_cust, n_repeat, n_never,
+                CAST((n_repeat * 20000 + n_cust) // (2 * n_cust)
+                  AS DOUBLE) / 10000 AS repeat_rate
+         FROM g ORDER BY 1""",
     "q316_mom_growth" ->
       """WITH m AS (
            SELECT date_trunc('month', o_orderdate) AS m,

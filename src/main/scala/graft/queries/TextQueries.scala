@@ -227,6 +227,36 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // does length predict quality? per-source Pearson of (n_chars,
+    // 4dp quality) on exact HUGEINT moments
+    "q319_len_quality_corr" -> ((s, d) => {
+      val q4 = (TextFns.qualityScore(col("text"))
+        .cast("decimal(14,4)") * 10000).cast("long")
+      val src = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"),
+          q4.as("y"))
+      val xd = col("x").cast("decimal(38,0)")
+      val yd = col("y").cast("decimal(38,0)")
+      val g = src.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(xd * col("x")).as("sxx"),
+          sum(yd * col("y")).as("syy"),
+          sum(xd * col("y")).as("sxy"))
+        .where(col("n") > 2)
+      val num = (col("n") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+      val dx = (col("n") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+      val dy = (col("n") * col("syy") -
+        col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+      g.select(col("source"), col("n").as("n_docs"),
+          round(num / nullif(sqrt(dx * dy), lit(0.0)), 4)
+            .as("len_quality_r"))
+        .orderBy(col("source"))
+    }),
+
     // exact-duplicate family-size histogram (md5 digest groups)
     "q302_dup_family_sizes" -> ((s, d) =>
       Tables.documents(s, d)
@@ -3006,6 +3036,43 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q319_len_quality_corr" -> (TOKS +
+      """, q AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(CAST(
+                     round((CASE WHEN len(w) BETWEEN 10 AND 100000
+                            THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN CAST(len(list_filter(w, x ->
+                         list_contains(['the','a','an','and','of',
+                           'to','in','is','it','that'], x)))
+                         AS DOUBLE)
+                         / nullif(len(w), 0) > 0.05
+                        THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN CAST(length(text)
+                         - length(regexp_replace(text,
+                             '[.,!?;:''"()\[\]-]', '', 'g'))
+                         AS DOUBLE)
+                         / nullif(length(text), 0) < 0.1
+                        THEN 0.3 ELSE 0.0 END), 4)
+                     AS DECIMAL(14,4)) * 10000 AS BIGINT) AS y
+            FROM t),
+          g AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+            FROM q GROUP BY 1)
+          SELECT source, n AS n_docs,
+                 round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                     AS DOUBLE)
+                   / nullif(sqrt(
+                       CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                         AS DOUBLE)
+                     * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                         AS DOUBLE)), 0), 4) AS len_quality_r
+          FROM g WHERE n > 2 ORDER BY 1"""),
     "q302_dup_family_sizes" ->
       """WITH fam AS (
            SELECT md5(text) AS digest, CAST(count(*) AS BIGINT)
