@@ -253,6 +253,25 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // revenue cohort triangle: first-order YEAR cohorts × order age
+    // in years, exact cents
+    "q321_cohort_revenue" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val first = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate"))).cast("long").as("cohort"))
+      Tables.orders(s, d)
+        .join(first, Seq("o_custkey"))
+        .groupBy(col("cohort"),
+          (year(col("o_orderdate")).cast("long") - col("cohort"))
+            .as("age_years"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          countDistinct(col("o_custkey")).cast("long")
+            .as("n_customers"),
+          (sum(cents).cast("double") / 100).as("revenue"))
+        .orderBy(col("cohort"), col("age_years"))
+    }),
+
     // repeat-purchase rate per market segment, exact shares
     "q320_repeat_rate" -> ((s, d) => {
       val perCust = Tables.orders(s, d).groupBy(col("o_custkey"))
@@ -860,6 +879,21 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q321_cohort_revenue" ->
+      """WITH f AS (
+           SELECT o_custkey,
+                  CAST(min(year(o_orderdate)) AS BIGINT) AS cohort
+           FROM orders GROUP BY 1)
+         SELECT cohort,
+                CAST(year(o_orderdate) AS BIGINT) - cohort
+                  AS age_years,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(count(DISTINCT orders.o_custkey) AS BIGINT)
+                  AS n_customers,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS DOUBLE) / 100 AS revenue
+         FROM orders JOIN f USING (o_custkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q320_repeat_rate" ->
       """WITH pc AS (
            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

@@ -227,6 +227,27 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // vocabulary stability between corpus halves — type-set Jaccard
+    "q322_vocab_stability" -> ((s, d) => {
+      val ext = Tables.documents(s, d)
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val tok = Tables.documents(s, d).crossJoin(broadcast(ext))
+        .select(when(col("doc_id") * 2 <= col("lo") + col("hi"),
+          lit("a")).otherwise(lit("b")).as("h"),
+          explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .where(col("token") =!= "").distinct()
+      val a = tok.where(col("h") === "a").select(col("token"))
+      val b = tok.where(col("h") === "b").select(col("token"))
+      val nA = a.count()
+      val nB = b.count()
+      a.join(b, Seq("token"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .select(lit(nA).as("types_first"), lit(nB).as("types_second"),
+          col("n_shared"),
+          graft.functions.ExactRound.ratio(col("n_shared"),
+            lit(nA + nB) - col("n_shared"), 4).as("jaccard"))
+    }),
+
     // does length predict quality? per-source Pearson of (n_chars,
     // 4dp quality) on exact HUGEINT moments
     "q319_len_quality_corr" -> ((s, d) => {
@@ -3036,6 +3057,34 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q322_vocab_stability" ->
+      """WITH ext AS (
+           SELECT min(doc_id) AS lo, max(doc_id) AS hi
+           FROM documents),
+         tok AS (
+           SELECT DISTINCT
+                  CASE WHEN doc_id * 2 <= lo + hi
+                  THEN 'a' ELSE 'b' END AS h,
+                  unnest(regexp_split_to_array(trim(lower(text)),
+                    '\s+')) AS token
+           FROM documents, ext),
+         tk AS (SELECT h, token FROM tok WHERE token <> ''),
+         a AS (SELECT DISTINCT token FROM tk WHERE h = 'a'),
+         b AS (SELECT DISTINCT token FROM tk WHERE h = 'b'),
+         sh AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_shared
+           FROM a WHERE EXISTS (SELECT 1 FROM b
+                                WHERE b.token = a.token)),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS types_first
+                FROM a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS types_second
+                FROM b)
+         SELECT types_first, types_second, n_shared,
+                CAST((n_shared * 20000
+                      + (types_first + types_second - n_shared))
+                     // (2 * (types_first + types_second - n_shared))
+                  AS DOUBLE) / 10000 AS jaccard
+         FROM na, nb, sh""",
     "q319_len_quality_corr" -> (TOKS +
       """, q AS (
             SELECT source, CAST(n_chars AS BIGINT) AS x,
