@@ -253,6 +253,56 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ABC (Pareto) classification of parts by revenue: A ≤ 80% of
+    // cumulative cents, B ≤ 95%, C the tail — exact integer
+    // cumulatives over the bounded part dimension
+    "q323_abc_analysis" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).cast("long").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("l_partkey").asc)
+      val tot = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      rev.withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("long"))
+        .withColumn("t", sum(col("c")).over(tot).cast("long"))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("t") * 80, "A")
+            .when(col("cum") * 100 <= col("t") * 95, "B")
+            .otherwise(lit("C")))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          (sum(col("c")).cast("double") / 100).as("revenue"))
+        .orderBy(col("cls"))
+    }),
+
+    // price-dispersion audit per part: the same part transacting at
+    // spread-out prices — exact cents extremes + bridge spread pct
+    "q324_price_dispersion" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          min(cents).as("mn"), max(cents).as("mx"))
+        .where(col("n_lines") >= 5 && col("mn") > 0)
+        .select(col("l_partkey"), col("n_lines"),
+          (col("mn").cast("double") / 100).as("min_price"),
+          (col("mx").cast("double") / 100).as("max_price"),
+          graft.functions.ExactRound.ratio(
+            (col("mx") - col("mn")) * 100, col("mn"), 4)
+            .as("spread_pct"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // revenue cohort triangle: first-order YEAR cohorts × order age
     // in years, exact cents
     "q321_cohort_revenue" -> ((s, d) => {
@@ -879,6 +929,43 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q323_abc_analysis" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(CAST(l_extendedprice
+                    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS c
+           FROM lineitem GROUP BY 1),
+         cum AS (
+           SELECT l_partkey, c,
+                  CAST(sum(c) OVER (ORDER BY c DESC, l_partkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(sum(c) OVER () AS BIGINT) AS t
+           FROM rev),
+         cls AS (
+           SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                       WHEN cum * 100 <= t * 95 THEN 'B'
+                       ELSE 'C' END AS cls, c
+           FROM cum)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(c) AS DOUBLE) / 100 AS revenue
+         FROM cls GROUP BY 1 ORDER BY 1""",
+    "q324_price_dispersion" ->
+      """WITH g AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(min(CAST(CAST(l_extendedprice
+                    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS mn,
+                  CAST(max(CAST(CAST(l_extendedprice
+                    AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS mx
+           FROM lineitem GROUP BY 1)
+         SELECT l_partkey, n_lines,
+                CAST(mn AS DOUBLE) / 100 AS min_price,
+                CAST(mx AS DOUBLE) / 100 AS max_price,
+                CAST(((mx - mn) * 100 * 20000 + mn) // (2 * mn)
+                  AS DOUBLE) / 10000 AS spread_pct
+         FROM g WHERE n_lines >= 5 AND mn > 0 ORDER BY 1""",
     "q321_cohort_revenue" ->
       """WITH f AS (
            SELECT o_custkey,
