@@ -643,6 +643,34 @@ object EventSeries {
       r("lead").as("r_leads_market"))
   }
 
+  /** Inter-arrival coefficient of variation per user: CV = σ/μ of the
+    * micros gaps between consecutive events — CV ≈ 1 reads Poisson,
+    * ≫ 1 bursty, ≪ 1 machine-regular (the bot/cron screen). Exact
+    * integer gap moments, one √ at the end. */
+  def interArrivalCv(events: DataFrame, minGaps: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val g = events
+      .withColumn("gap", us - lag(us, 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gap")).cast("long").as("s"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("q"))
+      .where(col("n") >= minGaps && col("s") > 0)
+    val nd = col("n").cast("double")
+    val mu = col("s").cast("double") / nd
+    val varr = (col("n").cast("decimal(38,0)") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+      (nd * (nd - 1))
+    g.select(col("user_id"), col("n").as("n_gaps"),
+      // s/(n·10⁶) is the round-tie class — bridge it
+      graft.functions.ExactRound.ratio(col("s"), col("n") * 100L, 0)
+        .divide(lit(10000.0)).as("mean_gap_secs"),
+      round(sqrt(varr) / mu, 4).as("cv"))
+  }
+
   /** Peak event burst per user: the busiest minute (events in one
     * clock minute) and the burst ratio vs the user's mean per active
     * minute — the rate-anomaly screen. All-integer. */

@@ -465,6 +465,11 @@ object SeriesQueries {
     "q317_lead_lag" -> ((s, d) =>
       EventSeries.leadLag(staged(s, d)).orderBy(col("user_id"))),
 
+    // inter-arrival CV — Poisson vs bursty vs bot-regular screen
+    "q326_interarrival_cv" -> ((s, d) =>
+      EventSeries.interArrivalCv(Tables.events(s, d))
+        .orderBy(col("user_id"))),
+
     // busiest-minute burst ratio per user
     "q318_burst_minutes" -> ((s, d) =>
       EventSeries.burstMinutes(Tables.events(s, d))
@@ -1940,6 +1945,28 @@ object SeriesQueries {
                          - CAST(sy_lead AS HUGEINT) * sy_lead
                          AS DOUBLE)), 0), 4) AS r_leads_market
           FROM g WHERE n_sync >= 20 ORDER BY 1"""),
+
+    // q326: exact HUGEINT gap moments, bridge mean, one sqrt
+    "q326_interarrival_cv" ->
+      """WITH g0 AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    AS gap
+           FROM events),
+         g AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(gap) AS BIGINT) AS s,
+                  sum(CAST(gap AS HUGEINT) * gap) AS q
+           FROM g0 WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT user_id, n AS n_gaps,
+                CAST((s * 2 + n * 100) // (2 * n * 100) AS DOUBLE)
+                  / 10000 AS mean_gap_secs,
+                round(sqrt(CAST(CAST(n AS HUGEINT) * q
+                        - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS cv
+         FROM g WHERE n >= 10 AND s > 0 ORDER BY 1""",
 
     // q318: minute-bucket counts, exact burst ratio
     "q318_burst_minutes" ->

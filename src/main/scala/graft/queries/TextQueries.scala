@@ -227,6 +227,21 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // sentence-capitalization rate — the grammaticality probe OCR and
+    // boilerplate strips fail: share of sentence starts that are
+    // uppercase letters, exact counts
+    "q325_capitalization" -> ((s, d) => {
+      val starts = size(regexp_extract_all(col("text"),
+        lit("(^|[.!?]\\s+)[A-Za-z]"), lit(0))).cast("long")
+      val upper = size(regexp_extract_all(col("text"),
+        lit("(^|[.!?]\\s+)[A-Z]"), lit(0))).cast("long")
+      Tables.documents(s, d).select(col("doc_id"),
+          starts.as("n_sentence_starts"), upper.as("n_capitalized"),
+          graft.functions.ExactRound.ratio(upper,
+            greatest(starts, lit(1L)), 4).as("cap_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary stability between corpus halves — type-set Jaccard
     "q322_vocab_stability" -> ((s, d) => {
       val ext = Tables.documents(s, d)
@@ -3057,6 +3072,20 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q325_capitalization" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text,
+                    '(^|[.!?]\s+)[A-Za-z]')) AS BIGINT) AS starts,
+                  CAST(len(regexp_extract_all(text,
+                    '(^|[.!?]\s+)[A-Z]')) AS BIGINT) AS upper
+           FROM documents)
+         SELECT doc_id, starts AS n_sentence_starts,
+                upper AS n_capitalized,
+                CAST((upper * 20000 + greatest(starts, 1))
+                     // (2 * greatest(starts, 1)) AS DOUBLE) / 10000
+                  AS cap_rate
+         FROM c ORDER BY 1""",
     "q322_vocab_stability" ->
       """WITH ext AS (
            SELECT min(doc_id) AS lo, max(doc_id) AS hi
