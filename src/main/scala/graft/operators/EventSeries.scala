@@ -643,6 +643,68 @@ object EventSeries {
       r("lead").as("r_leads_market"))
   }
 
+  /** Empirical tail-probability table per key: the exact share of
+    * daily returns at or below each fixed threshold — the CDF read at
+    * the points risk limits are written against. One conditional hash
+    * aggregate, all bridges. */
+  def tailProbs(staged: DataFrame, minDays: Int = 20): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), x4.as("x"))
+    def le(t: Long) =
+      sum(when(col("x") <= t, 1L).otherwise(0L)).cast("long")
+    val g = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        le(-50000L).as("c_m5"), le(-10000L).as("c_m1"),
+        le(0L).as("c_0"), le(10000L).as("c_p1"))
+      .where(col("n") >= minDays)
+    def p(c: String) =
+      graft.functions.ExactRound.ratio(col(c), col("n"), 4)
+    g.select(col("user_id"), col("n").as("n_days"),
+      p("c_m5").as("p_le_m5"), p("c_m1").as("p_le_m1"),
+      p("c_0").as("p_le_0"), p("c_p1").as("p_le_p1"))
+  }
+
+  /** Stop-loss rule backtest per key: enter at the first close, exit
+    * at the FIRST close below `stopPct`% of entry (exact integer
+    * cross-multiplied compare), else hold to the end; the rule's
+    * return vs buy-and-hold. Deterministic first-trigger via one
+    * min-date aggregate; returns through signed bridges. */
+  def stopLossBacktest(bars: DataFrame, stopPct: Int = 5): DataFrame = {
+    val c4 = (col("close").cast("decimal(14,4)") * 10000).cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val withEntry = bars
+      .withColumn("c4", c4)
+      .withColumn("e4", first(c4).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+    // stop triggers when c4·100 < e4·(100 − stopPct) — exact ints
+    val trig = withEntry
+      .where(col("rn") > 1 &&
+        col("c4") * 100 < col("e4") * (100 - stopPct))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("rn").as("r"), col("c4").as("xc")))
+        .as("t"))
+      .select(col("user_id"), col("t.xc").as("exit4"))
+    val ends = withEntry.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        max(struct(col("rn"), col("c4"))).as("_last"),
+        min(struct(col("rn"), col("c4"), col("e4"))).as("_first"))
+      .select(col("user_id"), col("n_days"),
+        col("_first.e4").as("entry4"), col("_last.c4").as("final4"))
+    ends.join(trig, Seq("user_id"), "left")
+      .where(col("entry4") > 0)
+      .select(col("user_id"), col("n_days"),
+        (col("exit4").isNotNull).cast("long").as("stopped_out"),
+        graft.functions.ExactRound.signedRatio(
+          (coalesce(col("exit4"), col("final4")) - col("entry4"))
+            * 100, col("entry4"), 4).as("rule_return_pct"),
+        graft.functions.ExactRound.signedRatio(
+          (col("final4") - col("entry4")) * 100, col("entry4"), 4)
+          .as("hold_return_pct"))
+  }
+
   /** Inter-arrival coefficient of variation per user: CV = σ/μ of the
     * micros gaps between consecutive events — CV ≈ 1 reads Poisson,
     * ≫ 1 bursty, ≪ 1 machine-regular (the bot/cron screen). Exact

@@ -465,6 +465,15 @@ object SeriesQueries {
     "q317_lead_lag" -> ((s, d) =>
       EventSeries.leadLag(staged(s, d)).orderBy(col("user_id"))),
 
+    // empirical CDF at the risk-limit points, exact shares
+    "q327_tail_probs" -> ((s, d) =>
+      EventSeries.tailProbs(staged(s, d)).orderBy(col("user_id"))),
+
+    // 5% stop-loss rule vs buy-and-hold, exact first-trigger
+    "q328_stop_loss" -> ((s, d) =>
+      EventSeries.stopLossBacktest(bars(s, d), 5)
+        .orderBy(col("user_id"))),
+
     // inter-arrival CV — Poisson vs bursty vs bot-regular screen
     "q326_interarrival_cv" -> ((s, d) =>
       EventSeries.interArrivalCv(Tables.events(s, d))
@@ -1945,6 +1954,79 @@ object SeriesQueries {
                          - CAST(sy_lead AS HUGEINT) * sy_lead
                          AS DOUBLE)), 0), 4) AS r_leads_market
           FROM g WHERE n_sync >= 20 ORDER BY 1"""),
+
+    // q327: conditional shares at fixed scaled thresholds
+    "q327_tail_probs" -> (STAGED +
+      """, x AS (
+            SELECT user_id,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN x <= -50000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_m5,
+                   CAST(sum(CASE WHEN x <= -10000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_m1,
+                   CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_0,
+                   CAST(sum(CASE WHEN x <= 10000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_p1
+            FROM x GROUP BY 1)
+          SELECT user_id, n AS n_days,
+                 CAST((c_m5 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
+                   AS p_le_m5,
+                 CAST((c_m1 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
+                   AS p_le_m1,
+                 CAST((c_0 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
+                   AS p_le_0,
+                 CAST((c_p1 * 20000 + n) // (2 * n) AS DOUBLE) / 10000
+                   AS p_le_p1
+          FROM g WHERE n >= 20 ORDER BY 1"""),
+
+    // q328: exact integer first-trigger; signed-bridge percent
+    // returns
+    "q328_stop_loss" -> (BARS +
+      """, c AS (
+            SELECT user_id, date,
+                   CAST(CAST(close AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS c4,
+                   row_number() OVER w AS rn,
+                   first_value(CAST(CAST(close AS DECIMAL(14,4))
+                     * 10000 AS BIGINT)) OVER w AS e4
+            FROM bars
+            WINDOW w AS (PARTITION BY user_id ORDER BY date
+                         ROWS UNBOUNDED PRECEDING)),
+          trig AS (
+            SELECT user_id, min(struct_pack(r := rn, xc := c4)).xc
+                     AS exit4
+            FROM c WHERE rn > 1 AND c4 * 100 < e4 * 95
+            GROUP BY 1),
+          ends AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                   max(struct_pack(rn := rn, c4 := c4)).c4 AS final4,
+                   min(struct_pack(rn := rn, c4 := c4, e4 := e4)).e4
+                     AS entry4
+            FROM c GROUP BY 1)
+          SELECT e.user_id, n_days,
+                 CAST(CASE WHEN t.exit4 IS NOT NULL
+                   THEN 1 ELSE 0 END AS BIGINT) AS stopped_out,
+                 CAST(CASE WHEN (coalesce(t.exit4, final4) - entry4)
+                        * 100 < 0
+                      THEN -((abs((coalesce(t.exit4, final4)
+                              - entry4) * 100) * 20000 + entry4)
+                             // (2 * entry4))
+                      ELSE ((coalesce(t.exit4, final4) - entry4)
+                            * 100 * 20000 + entry4) // (2 * entry4)
+                      END AS DOUBLE) / 10000 AS rule_return_pct,
+                 CAST(CASE WHEN (final4 - entry4) * 100 < 0
+                      THEN -((abs((final4 - entry4) * 100) * 20000
+                              + entry4) // (2 * entry4))
+                      ELSE ((final4 - entry4) * 100 * 20000 + entry4)
+                           // (2 * entry4) END AS DOUBLE) / 10000
+                   AS hold_return_pct
+          FROM ends e LEFT JOIN trig t ON e.user_id = t.user_id
+          WHERE entry4 > 0 ORDER BY 1"""),
 
     // q326: exact HUGEINT gap moments, bridge mean, one sqrt
     "q326_interarrival_cv" ->
