@@ -643,6 +643,79 @@ object EventSeries {
       r("lead").as("r_leads_market"))
   }
 
+  /** Weekly momentum-portfolio turnover: each week's top-`k` keys
+    * by total return (exact scaled sums, key tiebreak), then
+    * `turnover = 1 − |overlap|/k` between consecutive weeks — the
+    * rebalancing-cost driver. Bounded week×k tables, one lag join. */
+  def portfolioTurnover(staged: DataFrame, k: Int = 10): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val monthly = staged.where(col("pct_change").isNotNull)
+      .groupBy(date_trunc("week", col("date")).as("m"),
+        col("user_id"))
+      .agg(sum(x4).cast("long").as("r4"))
+    val w = Window.partitionBy(col("m"))
+      .orderBy(col("r4").desc, col("user_id").asc)
+    val top = monthly.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("m"), col("user_id"))
+    val months = top.select(col("m")).distinct()
+    val wm = Window.orderBy(col("m"))
+    val pairs = months.withColumn("pm", lag(col("m"), 1).over(wm))
+      .where(col("pm").isNotNull)
+    val overlap = pairs
+      .join(top.select(col("m").as("pm"), col("user_id")), Seq("pm"))
+      .join(top, Seq("m", "user_id"), "left_semi")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).cast("long").as("n_kept"))
+    pairs.join(overlap, Seq("m"), "left")
+      .select(graft.queries.iso(to_date(col("m"))).as("week"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        graft.functions.ExactRound.ratio(
+          lit(k.toLong) - coalesce(col("n_kept"), lit(0L)),
+          lit(k.toLong), 4).as("turnover"))
+  }
+
+  /** Information ratio vs the equal-weight market: per key, the mean
+    * and sample σ of the DAILY EXCESS return (x − market, both exact
+    * 4dp scaled longs, so every moment is an exact integer) and
+    * `IR = mean/σ·√252`. One bounded market broadcast + one hash
+    * aggregate. */
+  def informationRatio(staged: DataFrame, minN: Int = 20,
+                       periodsPerYear: Int = 252): DataFrame = {
+    val x4 = (col("pct_change").cast("decimal(14,4)") * 10000)
+      .cast("long")
+    val src = staged.where(col("pct_change").isNotNull)
+      .select(col("user_id"), col("date"), x4.as("x"))
+    val mkt = src.groupBy(col("date"))
+      .agg(count(lit(1)).cast("long").as("nm"),
+        sum(col("x")).cast("long").as("sm"))
+      .select(col("date"),
+        (when(col("sm") < 0,
+          -call_function("div", abs(col("sm")) * 2 + col("nm"),
+            col("nm") * 2))
+          .otherwise(call_function("div",
+            abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
+          .as("m"))
+    val j = src.join(broadcast(mkt), Seq("date"))
+      .select(col("user_id"), (col("x") - col("m")).as("e"))
+    val g = j.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("e")).cast("long").as("s"),
+        sum(col("e").cast("decimal(38,0)") * col("e")).as("q"))
+      .where(col("n") >= minN)
+    val nd = col("n").cast("double")
+    val mu = col("s").cast("double") / nd
+    val sd = sqrt((col("n").cast("decimal(38,0)") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+      (nd * (nd - 1)))
+    g.select(col("user_id"), col("n").as("n_days"),
+      graft.functions.ExactRound.signedRatio(col("s"), col("n"), 0)
+        .divide(lit(10000.0)).as("mean_excess"),
+      round(mu / nullif(sd, lit(0.0)) *
+        math.sqrt(periodsPerYear.toDouble), 4).as("ir_annualized"))
+  }
+
   /** Empirical tail-probability table per key: the exact share of
     * daily returns at or below each fixed threshold — the CDF read at
     * the points risk limits are written against. One conditional hash

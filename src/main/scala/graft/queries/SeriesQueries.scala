@@ -465,6 +465,17 @@ object SeriesQueries {
     "q317_lead_lag" -> ((s, d) =>
       EventSeries.leadLag(staged(s, d)).orderBy(col("user_id"))),
 
+    // weekly top-10 momentum portfolio turnover
+    "q329_turnover" -> ((s, d) =>
+      EventSeries.portfolioTurnover(staged(s, d), 10)
+        .orderBy(col("week"))),
+
+    // information ratio vs the equal-weight market — exact excess
+    // moments
+    "q330_information_ratio" -> ((s, d) =>
+      EventSeries.informationRatio(staged(s, d))
+        .orderBy(col("user_id"))),
+
     // empirical CDF at the risk-limit points, exact shares
     "q327_tail_probs" -> ((s, d) =>
       EventSeries.tailProbs(staged(s, d)).orderBy(col("user_id"))),
@@ -1954,6 +1965,76 @@ object SeriesQueries {
                          - CAST(sy_lead AS HUGEINT) * sy_lead
                          AS DOUBLE)), 0), 4) AS r_leads_market
           FROM g WHERE n_sync >= 20 ORDER BY 1"""),
+
+    // q329: bounded month×k top tables, one lag join
+    "q329_turnover" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date_trunc('week', date) AS m,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          monthly AS (
+            SELECT m, user_id, CAST(sum(x) AS BIGINT) AS r4
+            FROM x GROUP BY 1, 2),
+          top AS (
+            SELECT m, user_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY m
+                ORDER BY r4 DESC, user_id ASC) AS rn
+              FROM monthly) t WHERE rn <= 10),
+          months AS (SELECT DISTINCT m FROM top),
+          pairs AS (
+            SELECT m, lag(m) OVER (ORDER BY m) AS pm FROM months),
+          pp AS (SELECT * FROM pairs WHERE pm IS NOT NULL),
+          ov AS (
+            SELECT pp.m, CAST(count(*) AS BIGINT) AS n_kept
+            FROM pp
+            JOIN top tp ON tp.m = pp.pm
+            WHERE EXISTS (SELECT 1 FROM top tc
+                          WHERE tc.m = pp.m
+                            AND tc.user_id = tp.user_id)
+            GROUP BY 1)
+          SELECT strftime(CAST(pp.m AS DATE), '%Y-%m-%d') AS week,
+                 coalesce(ov.n_kept, 0) AS n_kept,
+                 CAST(((10 - coalesce(ov.n_kept, 0)) * 20000 + 10)
+                      // 20 AS DOUBLE) / 10000 AS turnover
+          FROM pp LEFT JOIN ov ON pp.m = ov.m
+          ORDER BY 1"""),
+
+    // q330: exact excess moments vs the bridge-exact market mean
+    "q330_information_ratio" -> (STAGED +
+      """, x AS (
+            SELECT user_id, date,
+                   CAST(CAST(pct_change AS DECIMAL(14,4)) * 10000
+                     AS BIGINT) AS x
+            FROM staged WHERE pct_change IS NOT NULL),
+          mkt AS (
+            SELECT date,
+                   CASE WHEN sm < 0
+                   THEN -((abs(sm) * 2 + nm) // (2 * nm))
+                   ELSE (abs(sm) * 2 + nm) // (2 * nm) END AS m
+            FROM (SELECT date, CAST(count(*) AS BIGINT) AS nm,
+                         CAST(sum(x) AS BIGINT) AS sm
+                  FROM x GROUP BY 1) t),
+          e AS (
+            SELECT user_id, x.x - mkt.m AS e
+            FROM x JOIN mkt ON x.date = mkt.date),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS s,
+                   sum(CAST(e AS HUGEINT) * e) AS q
+            FROM e GROUP BY 1)
+          SELECT user_id, n AS n_days,
+                 CAST(CASE WHEN s < 0
+                      THEN -((abs(s) * 2 + n) // (2 * n))
+                      ELSE (s * 2 + n) // (2 * n) END AS DOUBLE)
+                   / 10000 AS mean_excess,
+                 round((CAST(s AS DOUBLE) / n)
+                   / nullif(sqrt(CAST(CAST(n AS HUGEINT) * q
+                       - CAST(s AS HUGEINT) * s AS DOUBLE)
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1))), 0)
+                   * sqrt(252.0), 4) AS ir_annualized
+          FROM g WHERE n >= 20 ORDER BY 1"""),
 
     // q327: conditional shares at fixed scaled thresholds
     "q327_tail_probs" -> (STAGED +
