@@ -643,6 +643,39 @@ object EventSeries {
       r("lead").as("r_leads_market"))
   }
 
+  /** Event-mix trend: OLS slope of one event type's DAILY SHARE
+    * (bridge-exact 6dp scaled long) against the day index — is the
+    * mix drifting toward purchases. All OLS moments exact integers;
+    * one bounded date-frame window for the index. */
+  def mixTrend(events: DataFrame,
+               eventType: String = "purchase"): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("event_type") === eventType, 1L).otherwise(0L))
+          .cast("long").as("k"))
+    val share6 = call_function("div",
+      col("k") * 2000000L + col("n"), col("n") * 2)
+    val w = Window.orderBy(col("d"))
+    val src = daily.withColumn("y", share6)
+      .withColumn("x", (row_number().over(w) - 1).cast("long"))
+    val xd = col("x").cast("decimal(38,0)")
+    val g = src.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(xd * col("y")).as("sxy"),
+      sum(xd * col("x")).as("sxx"))
+    val num = (col("nd") * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+    val den = (col("nd") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    g.select(lit(eventType).as("event_type"),
+      col("nd").as("n_days"),
+      graft.functions.ExactRound.ratio(col("sy"),
+        col("nd") * 100L, 0).divide(lit(10000.0)).as("mean_share"),
+      round(num / nullif(den, lit(0.0)) / 1000000, 8)
+        .as("share_slope_per_day"))
+  }
+
   /** Weekly momentum-portfolio turnover: each week's top-`k` keys
     * by total return (exact scaled sums, key tiebreak), then
     * `turnover = 1 − |overlap|/k` between consecutive weeks — the

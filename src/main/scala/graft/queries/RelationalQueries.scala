@@ -253,6 +253,26 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // discount-band effectiveness: revenue and quantity by discount
+    // band per brand — does discounting move volume (exact cents)
+    "q331_discount_bands" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val d100 = (col("l_discount").cast("decimal(5,2)") * 100)
+        .cast("long")
+      val band = when(d100 === 0, "0_none")
+        .when(d100 <= 5, "1_low").otherwise(lit("2_high"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), band.as("discount_band"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("l_quantity").cast("long")).cast("long")
+            .as("total_qty"),
+          (sum(cents).cast("double") / 100).as("revenue"))
+        .orderBy(col("p_brand"), col("discount_band"))
+    }),
+
     // ABC (Pareto) classification of parts by revenue: A ≤ 80% of
     // cumulative cents, B ≤ 95%, C the tail — exact integer
     // cumulatives over the bounded part dimension
@@ -929,6 +949,20 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q331_discount_bands" ->
+      """SELECT p_brand,
+                CASE WHEN CAST(CAST(l_discount AS DECIMAL(5,2)) * 100
+                       AS BIGINT) = 0 THEN '0_none'
+                     WHEN CAST(CAST(l_discount AS DECIMAL(5,2)) * 100
+                       AS BIGINT) <= 5 THEN '1_low'
+                     ELSE '2_high' END AS discount_band,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS total_qty,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS DOUBLE) / 100 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q323_abc_analysis" ->
       """WITH rev AS (
            SELECT l_partkey,

@@ -465,6 +465,10 @@ object SeriesQueries {
     "q317_lead_lag" -> ((s, d) =>
       EventSeries.leadLag(staged(s, d)).orderBy(col("user_id"))),
 
+    // purchase-share trend slope over the observation window
+    "q332_mix_trend" -> ((s, d) =>
+      EventSeries.mixTrend(Tables.events(s, d), "purchase")),
+
     // weekly top-10 momentum portfolio turnover
     "q329_turnover" -> ((s, d) =>
       EventSeries.portfolioTurnover(staged(s, d), 10)
@@ -1965,6 +1969,36 @@ object SeriesQueries {
                          - CAST(sy_lead AS HUGEINT) * sy_lead
                          AS DOUBLE)), 0), 4) AS r_leads_market
           FROM g WHERE n_sync >= 20 ORDER BY 1"""),
+
+    // q332: 6dp bridge shares, exact OLS moments on the day index
+    "q332_mix_trend" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         src AS (
+           SELECT (k * 2000000 + n) // (n * 2) AS y,
+                  CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                    AS x
+           FROM daily),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  sum(CAST(x AS HUGEINT) * y) AS sxy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM src)
+         SELECT 'purchase' AS event_type, nd AS n_days,
+                CAST((sy * 2 + nd * 100) // (2 * nd * 100) AS DOUBLE)
+                  / 10000 AS mean_share,
+                round(CAST(nd * sxy - CAST(sx AS HUGEINT) * sy
+                    AS DOUBLE)
+                  / nullif(CAST(nd * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE), 0) / 1000000, 8)
+                  AS share_slope_per_day
+         FROM g""",
 
     // q329: bounded month×k top tables, one lag join
     "q329_turnover" -> (STAGED +
