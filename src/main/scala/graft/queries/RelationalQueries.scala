@@ -253,6 +253,38 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // priority mix by order-value quartile (exact disc quartile
+    // bucketing × priority cross-tab with exact shares)
+    "q333_priority_by_value" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").asc, col("o_orderkey").asc)
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents.as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window
+              .unboundedFollowing)).cast("long"))
+      val q = when(col("rn") * 4 <= col("n"), 1L)
+        .when(col("rn") * 2 <= col("n"), 2L)
+        .when(col("rn") * 4 <= col("n") * 3, 3L).otherwise(4L)
+      val g = ranked.withColumn("quartile", q)
+        .groupBy(col("quartile"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("quartile"))
+      g.withColumn("_t", sum(col("n_orders")).over(tot).cast("long"))
+        .select(col("quartile"), col("o_orderpriority"),
+          col("n_orders"),
+          graft.functions.ExactRound.ratio(col("n_orders"),
+            col("_t"), 4).as("share"))
+        .orderBy(col("quartile"), col("o_orderpriority"))
+    }),
+
     // discount-band effectiveness: revenue and quantity by discount
     // band per brand — does discounting move volume (exact cents)
     "q331_discount_bands" -> ((s, d) => {
@@ -949,6 +981,34 @@ object RelationalQueries {
            FROM events)
          SELECT user_id, event_id, date, event_type, value
          FROM e WHERE rn = 1 ORDER BY user_id""",
+    "q333_priority_by_value" ->
+      """WITH r AS (
+           SELECT o_orderkey, o_orderpriority,
+                  row_number() OVER (ORDER BY
+                    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER () AS n
+           FROM orders),
+         qq AS (
+           SELECT o_orderpriority,
+                  CASE WHEN rn * 4 <= n THEN 1
+                       WHEN rn * 2 <= n THEN 2
+                       WHEN rn * 4 <= n * 3 THEN 3 ELSE 4 END
+                    AS quartile
+           FROM r),
+         g AS (
+           SELECT CAST(quartile AS BIGINT) AS quartile,
+                  o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM qq GROUP BY 1, 2),
+         t AS (
+           SELECT *, CAST(sum(n_orders) OVER (PARTITION BY quartile)
+             AS BIGINT) AS tt
+           FROM g)
+         SELECT quartile, o_orderpriority, n_orders,
+                CAST((n_orders * 20000 + tt) // (2 * tt) AS DOUBLE)
+                  / 10000 AS share
+         FROM t ORDER BY 1, 2""",
     "q331_discount_bands" ->
       """SELECT p_brand,
                 CASE WHEN CAST(CAST(l_discount AS DECIMAL(5,2)) * 100
