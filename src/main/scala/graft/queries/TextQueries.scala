@@ -227,6 +227,21 @@ object TextQueries {
           TextFns.fleschReadingEase(col("text")).as("flesch"))
         .orderBy(col("doc_id"))),
 
+    // opening diversity per source: distinct first tokens over docs —
+    // the template-boilerplate complement at token granularity
+    "q334_opening_diversity" -> ((s, d) => {
+      val first = element_at(TextFns.tokens(lower(col("text"))), 1)
+      Tables.documents(s, d)
+        .select(col("source"), first.as("f"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("f")).cast("long").as("n_openings"))
+        .select(col("source"), col("n_docs"), col("n_openings"),
+          graft.functions.ExactRound.ratio(col("n_openings"),
+            col("n_docs"), 4).as("opening_diversity"))
+        .orderBy(col("source"))
+    }),
+
     // sentence-capitalization rate — the grammaticality probe OCR and
     // boilerplate strips fail: share of sentence starts that are
     // uppercase letters, exact counts
@@ -3072,6 +3087,20 @@ object TextQueries {
                       / (CAST(n_first AS DOUBLE) * n_second * 1000000),
                   6) AS l2_shift
          FROM g""",
+    "q334_opening_diversity" ->
+      """WITH f AS (
+           SELECT source,
+                  (regexp_split_to_array(trim(lower(text)),
+                    '\s+'))[1] AS f
+           FROM documents),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT f) AS BIGINT) AS n_openings
+           FROM f GROUP BY 1)
+         SELECT source, n_docs, n_openings,
+                CAST((n_openings * 20000 + n_docs) // (2 * n_docs)
+                  AS DOUBLE) / 10000 AS opening_diversity
+         FROM g ORDER BY 1""",
     "q325_capitalization" ->
       """WITH c AS (
            SELECT doc_id,
