@@ -191,8 +191,20 @@ object Pca {
   /** The covariance matrix as EXACT relational algebra — the q118
     * hash-oracle twin of [[fit]]'s aggregate: per row, the upper
     * triangle of xxᵀ is generated map-side (d(d+1)/2 structs — no
-    * self-join), then one groupBy(i,j) computes
-    * cov = E[xy] − E[x]E[y], 6dp. Output (i, j, cov), i <= j.
+    * self-join), then one groupBy(i,j) computes the covariance of the
+    * 6dp-QUANTIZED values in exact integer arithmetic. Output
+    * (i, j, cov), i <= j, cov rounded half-away at 6dp.
+    *
+    * Exactness (the q128/q87 decimal bridge, applied after the r07
+    * driver gate caught `round(avg(x·y) − avg(x)·avg(y), 6)` landing
+    * on a 6dp boundary whose double differed by one ulp between
+    * Spark's and DuckDB's summation orders): each element is lifted to
+    * a micro-int `x6 = round(x,6)·10⁶` (exact LONG), the aggregation
+    * carries Σx6·y6 / Σx6 / Σy6 as DECIMAL(38,0) — order-independent
+    * integer sums — and the single final division
+    * `cov = (n·Σx6y6 − Σx6·Σy6) / (n²·10¹²)` rounds the scaled
+    * integer quotient half-away ([[graft.functions.ExactRound]]), so
+    * both engines produce bit-identical doubles.
     *
     * The pair rows are produced by two NESTED `posexplode` generators
     * (row → (i, x) → (i, j, x, y) via a column-arg `slice`), which
@@ -206,27 +218,35 @@ object Pca {
     * HOF 24.1 s vs this plan 3.45 s (~7× from codegen alone, the rest
     * was the partition collapse). A literal-unrolled 2080-element
     * array was rejected too — the ~8000-node expression tree stalls
-    * driver-side planning. Same (i, j, x, y) multiset into the same
-    * aggregate, so the q118 hash oracle is unchanged (re-verified at
-    * both SFs). */
+    * driver-side planning. */
   def covarianceMatrix(df: DataFrame, dim: Int,
                        vecCol: String = "embedding"): DataFrame = {
     val v = Similarity.asDouble(col(vecCol))
+    def micro(c: Column): Column =
+      (round(c, 6).cast("decimal(28,6)") * 1000000).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     // pre-fan-out explicit parallelism (the fanoutRepartition lesson,
     // round-robin flavor): each input row becomes d(d+1)/2 pair rows,
     // so a few-partition upstream (a cache, a coalesced scan) would
     // serialize the whole expansion
-    df.filter(size(v) === dim)
+    val agg = df.filter(size(v) === dim)
       .select(v.as("v"))
       .repartition(df.sparkSession.sessionState.conf
         .numShufflePartitions)
       .select(col("v"), posexplode(col("v")).as(Seq("i", "x")))
-      .select(col("i"), col("x"),
+      .select(col("i"), micro(col("x")).as("x6"),
         posexplode(slice(col("v"), col("i") + 1, lit(dim) - col("i")))
           .as(Seq("jr", "y")))
       .groupBy(col("i").cast("long").as("i"),
         (col("i") + col("jr")).cast("long").as("j"))
-      .agg(round(avg(col("x") * col("y")) -
-        avg(col("x")) * avg(col("y")), 6).as("cov"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x6")) * micro(col("y"))).as("sxy"),
+        sum(dec(col("x6"))).as("sx"),
+        sum(dec(micro(col("y")))).as("sy"))
+    agg.select(col("i"), col("j"),
+      graft.functions.ExactRound.signedRatio(
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          dec(col("n")) * col("n") * 1000000, 0)
+        .divide(lit(1000000.0)).as("cov"))
   }
 }

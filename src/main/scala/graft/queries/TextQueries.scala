@@ -1863,16 +1863,34 @@ object TextQueries {
             FROM h)
           SELECT lang, lang_guess, count(*) AS n
           FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
-    // q118: covariance as E[xy] - E[x]E[y] over the dim-pair fanout,
-    // 6dp — identical formulation to Pca.covarianceMatrix
+    // q118: covariance of the 6dp-quantized elements in EXACT integer
+    // arithmetic (micro-int lift, HUGEINT sums, one half-away-rounded
+    // final division) — identical formulation to Pca.covarianceMatrix.
+    // The earlier round(avg(xy) - avg(x)avg(y), 6) double form hit a
+    // 6dp rounding boundary at the r07 driver gate (summation-order
+    // ulp); this is order-independent on both engines.
     "q118_covariance" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
                     WHERE len(embedding) = 64),
-            p AS (SELECT i, j, v[i + 1] AS x, v[j + 1] AS y
+            p AS (SELECT i, j,
+                    CAST(CAST(round(v[i + 1], 6) AS DECIMAL(28,6))
+                         * 1000000 AS HUGEINT) AS x6,
+                    CAST(CAST(round(v[j + 1], 6) AS DECIMAL(28,6))
+                         * 1000000 AS HUGEINT) AS y6
                   FROM e, range(0, 64) r1(i), range(0, 64) r2(j)
-                  WHERE j >= i)
-         SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) AS cov
-         FROM p GROUP BY i, j ORDER BY i, j""",
+                  WHERE j >= i),
+            a AS (SELECT i, j, count(*) AS n, sum(x6 * y6) AS sxy,
+                         sum(x6) AS sx, sum(y6) AS sy
+                  FROM p GROUP BY 1, 2),
+            b AS (SELECT i, j, n * sxy - sx * sy AS num,
+                         CAST(n AS HUGEINT) * n * 1000000 AS den
+                  FROM a)
+         SELECT i, j,
+                CAST(CASE WHEN num < 0
+                       THEN -((2 * (-num) + den) // (2 * den))
+                       ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
+                  / 1000000 AS cov
+         FROM b ORDER BY i, j""",
     // q117b: exact-regime PQ ≡ brute-force L2 top-k over the capped
     // corpus (k covers every distinct subvector — see the Spark side)
     "q117b_pq_knn_exact" ->
