@@ -219,11 +219,16 @@ object Pca {
     * was the partition collapse). A literal-unrolled 2080-element
     * array was rejected too — the ~8000-node expression tree stalls
     * driver-side planning. */
+  /** 6dp micro-int lift: `round(x,6)·10⁶` as an exact LONG — the
+    * shared quantization of the exact-arithmetic surface (q118/q119
+    * covariance + projection, mirroring EmbeddingStats' dec6). */
+  private[graft] def micro6(c: Column): Column =
+    (round(c, 6).cast("decimal(28,6)") * 1000000).cast("long")
+
   def covarianceMatrix(df: DataFrame, dim: Int,
                        vecCol: String = "embedding"): DataFrame = {
     val v = Similarity.asDouble(col(vecCol))
-    def micro(c: Column): Column =
-      (round(c, 6).cast("decimal(28,6)") * 1000000).cast("long")
+    def micro(c: Column): Column = micro6(c)
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // pre-fan-out explicit parallelism (the fanoutRepartition lesson,
     // round-robin flavor): each input row becomes d(d+1)/2 pair rows,
@@ -248,5 +253,93 @@ object Pca {
           col("n") * col("sxy") - col("sx") * col("sy"),
           dec(col("n")) * col("n") * 1000000, 0)
         .divide(lit(1000000.0)).as("cov"))
+  }
+
+  /** Deterministic micro-int PCA components: mean and components are
+    * derived from EXACT inputs — the micro-int mean (one exact-decimal
+    * aggregation, half-away-rounded to micro units) and the exact 6dp
+    * [[covarianceMatrix]] — so two runs (any partitioning) produce
+    * bit-identical tables. Fixed-sweep [[jacobiEigen]] on the 6dp
+    * covariance runs driver-side (d×d, microseconds); component
+    * weights are quantized to micro-ints. This is the hash-gradeable
+    * twin of [[fit]] (whose float treeAggregate is stable only to
+    * ~1e-9): q119 persists this table and BOTH engines replay the
+    * projection algebra over it in exact integer arithmetic.
+    *
+    * Scale: two bounded aggregations over the corpus (mean + the
+    * covariance fan-out) collecting d and d(d+1)/2 rows — driver state
+    * is dim-bounded, never corpus-bounded. */
+  final case class ExactPcaComponents(dim: Int, mu6: Array[Long],
+                                      w6: Array[Array[Long]]) {
+    /** (comp, i, w6, mu6) rows — the staged/broadcast table form. */
+    def toTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (for {
+        c <- w6.indices
+        i <- 0 until dim
+      } yield (c.toLong, i.toLong, w6(c)(i), mu6(i)))
+        .toDF("comp", "i", "w6", "mu6")
+    }
+  }
+
+  def fitExactMicro(df: DataFrame, dim: Int, k: Int,
+                    vecCol: String = "embedding"): ExactPcaComponents = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= $dim")
+    val v = Similarity.asDouble(col(vecCol))
+    // exact micro mean: decimal sums of micro-ints, one half-away
+    // integer division per dim (BigInt driver-side — d rows)
+    val moments = df.filter(size(v) === dim)
+      .select(posexplode(v).as(Seq("i", "x")))
+      .select(col("i"), micro6(col("x")).as("x6"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6").cast("decimal(38,0)")).as("s"))
+      .collect()
+    val mu6 = new Array[Long](dim)
+    moments.foreach { r =>
+      val i = r.getInt(0)
+      val n = BigInt(r.getLong(1))
+      val s = BigInt(r.getDecimal(2).toBigInteger)
+      val q = (s.abs * 2 + n) / (n * 2)
+      mu6(i) = (if (s < 0) -q else q).toLong
+    }
+    // exact 6dp covariance → driver matrix → fixed-sweep Jacobi
+    val covRows = covarianceMatrix(df, dim, vecCol).collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getDouble(2)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    val w6 = order.take(k).map { i =>
+      canonicalSign(evecs.map(_(i))).map(w => math.round(w * 1e6))
+    }.toArray
+    ExactPcaComponents(dim, mu6, w6)
+  }
+
+  /** Exact projection off a (comp, i, w6, mu6) component table:
+    * explode the vectors to micro-ints, broadcast-join the dim-bounded
+    * table, and compute `Σᵢ (x6ᵢ − mu6ᵢ)·w6ᵢ` as an exact LONG sum —
+    * one shuffle (the per-(id, comp) aggregation), values
+    * half-away-rounded at 6dp. Output (idCol, component, value) scalar
+    * rows — hash-gradeable cross-engine because every step up to the
+    * final division is integer arithmetic both engines replay. */
+  def projectExact(df: DataFrame, compTable: DataFrame, dim: Int,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val v = Similarity.asDouble(col(vecCol))
+    df.filter(size(v) === dim)
+      .select(col(idCol), posexplode(v).as(Seq("i", "x")))
+      .select(col(idCol), col("i").cast("long").as("i"),
+        micro6(col("x")).as("x6"))
+      .join(broadcast(compTable), Seq("i"))
+      .groupBy(col(idCol), col("comp"))
+      .agg(sum((col("x6") - col("mu6")) * col("w6")).as("p12"))
+      .select(col(idCol), col("comp").as("component"),
+        graft.functions.ExactRound.signedRatio(
+            col("p12"), lit(1000000L), 0)
+          .divide(lit(1000000.0)).as("value"))
   }
 }

@@ -485,17 +485,25 @@ object TextQueries {
       Pca.covarianceMatrix(Tables.embeddings(s, d), dim = 64)
         .orderBy(col("i"), col("j"))),
 
-    // PCA projection to 8 components (fit = one treeAggregate pass +
-    // driver Jacobi on the 64x64 covariance; project = pure map with
-    // the component matrix as plan literals). Rows-only: fitted
-    // components are FP-stable only to ~1e-9 (merge order), not
-    // hash-replayable; q118 anchors the covariance and PcaSpec pins
-    // the eigen property, planted-direction recovery, and
-    // reconstruction.
+    // PCA projection to 8 components, HASH-GRADEABLE via the q47/q48
+    // staging pattern: components are fit DETERMINISTICALLY from exact
+    // inputs (micro-int mean + the exact q118 covariance, fixed-sweep
+    // driver Jacobi), quantized to micro-ints and PERSISTED; both
+    // engines then replay the projection as exact integer algebra over
+    // (embeddings ⋈ staged components) — the oracle independently
+    // recomputes every dot product, only the dim-bounded fitted
+    // weights pass through. Output is scalar (vec_id, component,
+    // value) rows (an array column broke the driver's pandas sort at
+    // r07). The float-path Pca.fit/project stays spec-pinned (PcaSpec:
+    // eigen property, planted-direction recovery, reconstruction).
     "q119_pca_project" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Pca.project(e, Pca.fit(e, dim = 64, k = 8))
-        .orderBy(col("vec_id"))
+      val comps = Pca.fitExactMicro(e, dim = 64, k = 8)
+      comps.toTable(s).coalesce(1).write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q119")
+      val staged = s.read.parquet(s"${MLQueries.stageDir(d)}/q119")
+      Pca.projectExact(e, staged, dim = 64)
+        .orderBy(col("vec_id"), col("component"))
     }),
 
     // embedding-cosine similar pairs above threshold (exact)
@@ -1891,6 +1899,28 @@ object TextQueries {
                        ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
                   / 1000000 AS cov
          FROM b ORDER BY i, j""",
+    // q119: the projection algebra replayed INDEPENDENTLY over the
+    // staged micro-int component table — same x6 lift as q118, exact
+    // integer dot products, one half-away division; only the fitted
+    // (comp, i, w6, mu6) weights pass through from the stage
+    "q119_pca_project" -> s"""
+         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE len(embedding) = 64),
+            x AS (SELECT vec_id, i,
+                    CAST(CAST(round(v[i + 1], 6) AS DECIMAL(28,6))
+                         * 1000000 AS BIGINT) AS x6
+                  FROM e, range(0, 64) r(i)),
+            c AS (SELECT comp, i, w6, mu6
+                  FROM read_parquet('${MLQueries.StageToken}/q119/*.parquet')),
+            p AS (SELECT x.vec_id, c.comp,
+                         sum((x.x6 - c.mu6) * c.w6) AS p12
+                  FROM x JOIN c USING (i) GROUP BY 1, 2)
+         SELECT vec_id, comp AS component,
+                CAST(CASE WHEN p12 < 0
+                       THEN -((2 * (-p12) + 1000000) // 2000000)
+                       ELSE (2 * p12 + 1000000) // 2000000 END AS DOUBLE)
+                  / 1000000 AS value
+         FROM p ORDER BY vec_id, comp""",
     // q117b: exact-regime PQ ≡ brute-force L2 top-k over the capped
     // corpus (k covers every distinct subvector — see the Spark side)
     "q117b_pq_knn_exact" ->

@@ -110,6 +110,26 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("fitExactMicro is bit-deterministic and projectExact tracks " +
+    "the float projection") {
+    val c1 = Pca.fitExactMicro(corpus, dim = 6, k = 2)
+    val c2 = Pca.fitExactMicro(corpus, dim = 6, k = 2)
+    assert(c1.mu6.sameElements(c2.mu6))
+    c1.w6.zip(c2.w6).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // exact projection ≈ float projection: both center on (near-)equal
+    // means and project on (near-)equal axes; micro quantization of
+    // weights/means bounds the drift at ~|x|·d·1e-6
+    val exact = Pca.projectExact(corpus, c1.toTable(spark), dim = 6)
+      .orderBy("vec_id", "component")
+      .select("value").as[Double].collect()
+    val m = Pca.fit(corpus, dim = 6, k = 2)
+    val fl = Pca.project(corpus, m).orderBy("vec_id")
+      .select("proj").as[Seq[Double]].collect().flatten
+    assert(exact.length == fl.length)
+    exact.zip(fl).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-3, s"$a vs $b") }
+  }
+
   test("covarianceMatrix emits the full upper triangle with exact " +
     "diagonal variance") {
     val rows = Pca.covarianceMatrix(corpus, 6).collect()
