@@ -166,6 +166,32 @@ object Bpe {
     }.toDF(idCol, "bpe_tokens", "n_bpe_tokens")
   }
 
+  /** Per-word-TYPE encoded length (word, n_toks): the bounded
+    * model-state view of [[encode]] — BPE encoding is a pure function
+    * of the word, so the corpus-level token counts factor through this
+    * table exactly (`n_bpe_tokens(doc) = Σ_{w ∈ doc} n_toks(w)`).
+    * q112/q130 persist it so the DuckDB oracle can replay the
+    * corpus-application layer (doc → words → join → sum) relationally
+    * and cross-check [[encode]]/[[fertilityStats]]'s map-side pass;
+    * only the per-type lengths themselves pass through. Same broadcast
+    * ranks, one distinct + map pass — vocabulary-bounded output. */
+  def wordTokenCounts(docs: DataFrame, mergeTable: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = mergeTable
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)].collect()
+      .map { case (r, a, b) => ((a, b), r) }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, encodeWord(w, r).length.toLong))
+      }.toDF("word", "n_toks")
+  }
+
   /** Decode = concatenate and strip the end markers: the round-trip
     * identity (`decode(encode(w)) == w`) the spec pins. */
   def decode(tokens: Seq[String]): String =
