@@ -1271,14 +1271,21 @@ object TextQueries {
     // map-side over the corpus. Rows-only: an L-BFGS optimum is not
     // SQL-replayable; QualityClassifierSpec pins separation,
     // determinism, and the shuffle-free scoring plan
+    // graded via staging (q47 pattern): the per-doc probabilities are
+    // persisted (L-BFGS itself is not SQL-replayable); the oracle
+    // re-derives keep = prob >= 0.5 and re-joins documents so id
+    // coverage, the threshold rule and ordering are cross-checked
     "q113_quality_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val labeled = docs.withColumn("label",
         (col("lang") === "en").cast("double"))
       val model = graft.ml.QualityClassifier.train(labeled)
-      graft.ml.QualityClassifier.score(docs, model)
+      val scored = graft.ml.QualityClassifier.score(docs, model)
         .select(col("doc_id"), col("quality_prob"), col("keep"))
-        .orderBy(col("doc_id"))
+      scored.select(col("doc_id"), col("quality_prob"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q113")
+      scored.orderBy(col("doc_id"))
     }),
 
     // BPE tokenizer TRAINING (arXiv:1508.07909): one distributed
@@ -1920,6 +1927,15 @@ object TextQueries {
                        ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
                   / 1000000 AS cov
          FROM b ORDER BY i, j""",
+    // q113: staged per-doc probabilities; keep re-derived at the 0.5
+    // threshold and id coverage re-joined against documents
+    "q113_quality_classifier" -> s"""
+         SELECT d.doc_id, p.quality_prob,
+                p.quality_prob >= 0.5 AS keep
+         FROM documents d
+         JOIN read_parquet('${MLQueries.StageToken}/q113/*.parquet') p
+           USING (doc_id)
+         ORDER BY d.doc_id""",
     // q111: staged merge table with the rank-0 merge INDEPENDENTLY
     // recomputed (the first merge is pure relational algebra: most
     // frequent adjacent symbol pair, count >= 2, ties (a,b) lexical,
