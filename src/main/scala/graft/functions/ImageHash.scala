@@ -42,7 +42,14 @@ object ImageHash {
 
   /** 64-bit perceptual hash: bit (u·8+v) is set when DCT coefficient
     * (u,v) of the pooled raster exceeds the lower median of the 8×8
-    * low-frequency block. */
+    * low-frequency block — computed EXCLUDING the DC coefficient
+    * (0,0), as the published pHash recipe does: DC is the global
+    * brightness term and typically the largest coefficient, so
+    * including it in the median made one bit near-constant and shifted
+    * the threshold with overall brightness (weakening robustness to
+    * brightness changes). The DC bit itself is derived from the same
+    * DC-free median (DC ≫ median for any non-dark image → the bit
+    * tracks "image is not near-black", carrying negligible weight). */
   def phash64(pixels: Array[Int], w: Int, h: Int): Long = {
     val n = 32
     val p = pool(pixels, w, h, n)
@@ -68,8 +75,8 @@ object ImageHash {
       }
       u += 1
     }
-    val sorted = coef.clone().sorted
-    val median = sorted(31) // lower median of the 64
+    val sorted = coef.drop(1).sorted
+    val median = sorted(31) // lower median of the 63 AC coefficients
     var bits = 0L
     var i = 0
     while (i < 64) {

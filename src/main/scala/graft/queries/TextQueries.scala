@@ -669,7 +669,16 @@ object TextQueries {
             MediaCodecs.encodePng(MediaCodecs.GrayImage(w, h, px)))
         }).toDF()
       val hashed = Multimodal.imagePhash(media).filter(col("valid"))
+      // staging gate: pHashes persisted; the oracle replays the pair
+      // search as an exact all-pairs bit_count(xor) join — 4×16-bit
+      // banding at maxHamming=3 is EXACT by pigeonhole (3 differing
+      // bits touch ≤3 of 4 bands), so the operator must equal it
+      hashed.select(col("doc_id"), col("phash")).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q131")
       Dedup.hammingBandPairs(hashed, "phash", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -690,6 +699,13 @@ object TextQueries {
             MediaCodecs.encodePng(MediaCodecs.GrayImage(w, h, px)))
         }).toDF()
       val hashed = Multimodal.imagePhash(media).filter(col("valid"))
+      // staging gate: pHashes persisted; the oracle recomputes the
+      // exact hamming≤3 edge set and the connected-component minimum
+      // via a recursive-CTE transitive closure — the converged
+      // label-propagation result must match it exactly
+      hashed.select(col("doc_id"), col("phash")).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q134")
       Dedup.hammingDedupGroups(hashed, "phash", "doc_id",
           maxHamming = 3)
         .orderBy(col("doc_id"))
@@ -1927,6 +1943,34 @@ object TextQueries {
                        ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
                   / 1000000 AS cov
          FROM b ORDER BY i, j""",
+    // q131: exact all-pairs hamming join over the staged pHashes —
+    // the banded path is exact at maxHamming=3 (pigeonhole over 4
+    // bands), so the LSH operator must reproduce this precisely
+    "q131_image_phash_pairs" -> s"""
+         WITH h AS (SELECT doc_id, phash
+                    FROM read_parquet('${MLQueries.StageToken}/q131/*.parquet'))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                  AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY id_a, id_b""",
+    // q134: connected-component minimum over the exact hamming≤3
+    // edge set, via recursive-CTE transitive closure — the converged
+    // min-label propagation must agree on every node
+    "q134_image_dedup_groups" -> s"""
+         WITH RECURSIVE
+            h AS (SELECT doc_id, phash
+                  FROM read_parquet('${MLQueries.StageToken}/q134/*.parquet')),
+            e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM h a JOIN h b ON a.doc_id <> b.doc_id
+                  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM h
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         SELECT a AS doc_id, min(b) AS canonical
+         FROM reach GROUP BY a ORDER BY doc_id""",
     // q113: staged per-doc probabilities; keep re-derived at the 0.5
     // threshold and id coverage re-joined against documents
     "q113_quality_classifier" -> s"""

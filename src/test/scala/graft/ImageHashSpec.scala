@@ -39,6 +39,19 @@ class ImageHashSpec extends SparkSuite {
     assert(hamming(h1, h3) > 10, s"hamming ${hamming(h1, h3)}")
   }
 
+  test("global brightness shift leaves the hash nearly unchanged " +
+    "(DC excluded from the median)") {
+    val base = textured(64, 64, 5)
+    // pure (unclamped) shift: brightness lands entirely in the DC
+    // term, every AC coefficient is bit-identical — with DC excluded
+    // from the threshold the hash cannot move at all (real images add
+    // a little saturation clipping on top; that is genuine signal)
+    val brighter = base.map(_ + 30)
+    val h1 = ImageHash.phash64(base, 64, 64)
+    val h2 = ImageHash.phash64(brighter, 64, 64)
+    assert(hamming(h1, h2) == 0, s"hamming ${hamming(h1, h2)}")
+  }
+
   test("hash survives a 2x downscale of the same scene") {
     val big = textured(64, 64, 21)
     // box-downscale by 2 (exact means of 2x2 blocks)
