@@ -410,6 +410,35 @@ object Multimodal {
       "flatness", "valid")
   }
 
+  /** The mean power SPECTRUM itself, one row per (doc, AC bin):
+    * REAL WAV decode → framed FFT ([[graft.functions.Dsp]]) → per-bin
+    * mean power quantized to micro units (`p6 = round(p·10⁶)` as an
+    * exact LONG). This is the stageable model-state view of
+    * [[audioSpectral]]: the DSP (decode + FFT) happens once here, and
+    * the downstream feature algebra — centroid, rolloff, flatness —
+    * becomes pure relational arithmetic over (doc_id, bin, p6) that
+    * BOTH engines can replay exactly (q129's staging gate). Bins are
+    * 1..frameLen/2 (DC dropped — constant offset is not spectral
+    * shape, matching [[graft.functions.Dsp.spectralFeatures]]).
+    * Undecodable or sub-frame-length payloads contribute no rows.
+    * Pure flatMap over partitions: linear, shuffle-free. */
+  def audioSpectrum(media: DataFrame, frameLen: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      graft.functions.MediaCodecs.decodeWav(bytes).toSeq.flatMap { clip =>
+        val power = graft.functions.Dsp
+          .meanPowerSpectrum(clip.samples, frameLen)
+        if (power.isEmpty) Seq.empty
+        else (1 until power.length).map(b =>
+          (r.doc_id, clip.samples.length.toLong,
+            clip.sampleRate.toLong, b.toLong,
+            math.round(power(b) * 1e6)))
+      }
+    }.toDF("doc_id", "n_samples", "sample_rate", "bin", "p6")
+  }
+
   /** Perceptual hash per image (REAL PNG/BMP decode → 32×32 box pool
     * → 8×8 DCT sign bits, [[graft.functions.ImageHash]]): the 64-bit
     * fingerprint that makes image near-dup detection the same

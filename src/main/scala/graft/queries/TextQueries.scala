@@ -737,6 +737,13 @@ object TextQueries {
     // spectral shape over the same WAV round trip via the pure-JVM
     // FFT — rows-only (double-precision DSP has no SQL replay);
     // DspSpec pins the kernel on analytically-known signals
+    // graded via staging: the REAL decode+FFT happens once
+    // (audioSpectrum → quantized per-bin mean power persisted); both
+    // engines then replay the feature algebra — centroid (exact
+    // integer ratio, 1dp), rolloff (exact integer cumulative
+    // threshold), flatness (micro-nat lift, the q88 scheme) — over the
+    // staged bins. The double-DSP operator surface (audioSpectral)
+    // stays spec-pinned by DspSpec on analytically-known signals.
     "q129_spectral" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -747,10 +754,41 @@ object TextQueries {
           Multimodal.MediaRow(id, "audio",
             MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
         }).toDF()
-      Multimodal.audioSpectral(media)
-        .filter(col("valid"))
-        .select(col("doc_id"), col("n_samples"), col("centroid_hz"),
-          col("rolloff_hz"), col("flatness"))
+      Multimodal.audioSpectrum(media).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q129")
+      val st = s.read.parquet(s"${MLQueries.stageDir(d)}/q129")
+      val dec = (c: org.apache.spark.sql.Column) =>
+        c.cast("decimal(38,0)")
+      val ln6 = (round(log(col("p6") / lit(1000000) + lit(1e-12)), 6)
+        .cast("decimal(28,6)") * 1000000).cast("long")
+      val agg = st
+        .groupBy(col("doc_id"), col("n_samples"), col("sample_rate"))
+        .agg(sum(dec(col("p6"))).as("tot"),
+          sum(dec(col("p6")) * col("bin")).as("wsum"),
+          count(lit(1)).as("nb"),
+          sum(ln6).as("lnsum"))
+        .filter(col("tot") > 0)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("bin"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val rolled = st
+        .withColumn("cum", sum(dec(col("p6"))).over(wc))
+        .withColumn("t", sum(dec(col("p6"))).over(wt))
+        .filter(col("cum") * 100 >= col("t") * 85)
+        .groupBy(col("doc_id")).agg(min(col("bin")).as("roll"))
+      agg.join(rolled, Seq("doc_id"))
+        .select(col("doc_id"), col("n_samples"),
+          graft.functions.ExactRound.ratio(
+              col("wsum") * col("sample_rate") * 10,
+              col("tot") * 256, 0).divide(lit(10.0)).as("centroid_hz"),
+          (col("roll") * col("sample_rate") / lit(256.0))
+            .as("rolloff_hz"),
+          round(exp(col("lnsum").cast("double")
+              / (col("nb") * lit(1000000.0)))
+            / (col("tot").cast("double")
+              / (col("nb") * lit(1000000.0))), 6).as("flatness"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1943,6 +1981,38 @@ object TextQueries {
                        ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
                   / 1000000 AS cov
          FROM b ORDER BY i, j""",
+    // q129: feature algebra replayed over the staged quantized
+    // spectrum — exact integer centroid/rolloff, micro-nat flatness
+    "q129_spectral" -> s"""
+         WITH s AS (SELECT doc_id, n_samples, sample_rate, bin, p6
+                    FROM read_parquet('${MLQueries.StageToken}/q129/*.parquet')),
+            a AS (SELECT doc_id, n_samples, sample_rate,
+                         sum(CAST(p6 AS HUGEINT)) AS tot,
+                         sum(CAST(p6 AS HUGEINT) * bin) AS wsum,
+                         count(*) AS nb,
+                         sum(CAST(CAST(round(ln(p6 / 1000000 + 1e-12),
+                                  6) AS DECIMAL(28,6))
+                             * 1000000 AS BIGINT)) AS lnsum
+                  FROM s GROUP BY 1, 2, 3
+                  HAVING sum(CAST(p6 AS HUGEINT)) > 0),
+            r AS (SELECT doc_id, min(bin) AS roll FROM (
+                    SELECT doc_id, bin,
+                           sum(CAST(p6 AS HUGEINT)) OVER
+                             (PARTITION BY doc_id ORDER BY bin) AS cum,
+                           sum(CAST(p6 AS HUGEINT)) OVER
+                             (PARTITION BY doc_id) AS t
+                    FROM s) WHERE cum * 100 >= t * 85 GROUP BY 1)
+         SELECT a.doc_id, a.n_samples,
+                CAST((2 * (a.wsum * a.sample_rate * 10) + a.tot * 256)
+                     // (2 * (a.tot * 256)) AS DOUBLE) / 10
+                  AS centroid_hz,
+                CAST(r.roll * a.sample_rate AS DOUBLE) / 256
+                  AS rolloff_hz,
+                round(exp(CAST(a.lnsum AS DOUBLE) / (a.nb * 1000000.0))
+                      / (CAST(a.tot AS DOUBLE) / (a.nb * 1000000.0)), 6)
+                  AS flatness
+         FROM a JOIN r USING (doc_id)
+         ORDER BY a.doc_id""",
     // q131: exact all-pairs hamming join over the staged pHashes —
     // the banded path is exact at maxHamming=3 (pigeonhole over 4
     // bands), so the LSH operator must reproduce this precisely
