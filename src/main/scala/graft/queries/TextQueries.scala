@@ -1498,6 +1498,19 @@ object TextQueries {
           .select(explode(TextFns.tokens(col("text"))).as("token")),
         "token", k = 20)),
 
+    // the EXACT twin of q108 over the same token stream — groupBy
+    // count top-k with the (count desc, token) tiebreak, hash-oracled
+    // cross-engine; SketchesSpec pins the CMS estimates against these
+    // exact counts (never under, ≤ eps·N over, head order preserved).
+    // q108 itself stays rows-only by design (estimates depend on
+    // Spark's CMS hash seeds).
+    "q108b_heavy_hitters_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
     // the EXACT twin of q67 — same output shape, exact distinct counts
     // + interpolated percentiles, hash-oracled: anchors the sketch
     // path's semantics cross-engine (SketchesSpec then pins the approx
@@ -1981,6 +1994,14 @@ object TextQueries {
                        ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
                   / 1000000 AS cov
          FROM b ORDER BY i, j""",
+    // q108b: exact token top-k, deterministic tiebreak
+    "q108b_heavy_hitters_exact" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text),
+                             '\s+')) AS token
+                    FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS n
+         FROM w WHERE token <> ''
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
     // q129: feature algebra replayed over the staged quantized
     // spectrum — exact integer centroid/rolloff, micro-nat flatness
     "q129_spectral" -> s"""
