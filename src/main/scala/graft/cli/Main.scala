@@ -245,6 +245,17 @@ object Main {
         write(Writes.upsert(existing, preds,
           Seq("user_id", "prediction_date", "model_version")),
           "predictions")
+        // S9: the reference's predictions CSV export (predict.py:
+        // 209-211 writes a header'd CSV of the run's predictions) —
+        // `--format csv [--csv-out DIR]`. A per-run export, not a
+        // table dump: the upserted parquet table stays the system of
+        // record; the CSV is the hand-off artifact.
+        if (opts.get("format").contains("csv")) {
+          val out = opts.getOrElse("csv-out", path("predictions_csv"))
+          preds.coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(out)
+          println(s"[cli] ml-predict: csv export at $out")
+        }
         println(s"[cli] ml-predict: " +
           s"${spark.read.parquet(path("predictions")).count()} rows")
 

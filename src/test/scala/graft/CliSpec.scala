@@ -45,6 +45,17 @@ class CliSpec extends SparkSuite {
     Main.run(spark, "ml-predict", src, wh, opts)
     assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
 
+    // S9: --format csv writes a header'd CSV of the run's predictions
+    // (reference predict.py:209-211) alongside the parquet upsert
+    Main.run(spark, "ml-predict", src, wh,
+      opts ++ Map("format" -> "csv"))
+    val csv = spark.read.option("header", "true")
+      .csv(s"$wh/predictions_csv")
+    assert(csv.count() == nKeys)
+    assert(csv.columns.toSet.subsetOf(preds.columns.toSet) &&
+      csv.columns.contains("predicted_class"))
+    assert(spark.read.parquet(s"$wh/predictions").count() == nKeys)
+
     // the train appended to the run registry; a second train makes the
     // search meaningful and ml-best-run resolves without error
     Main.run(spark, "ml-train", src, wh, opts)
