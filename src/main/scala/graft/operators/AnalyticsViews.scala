@@ -226,26 +226,29 @@ object AnalyticsViews {
 
   /** Two-dimensional skyline (Pareto front): rows maximizing `maxCol`
     * while minimizing `minCol` that no other row dominates (≥ on the
-    * max axis, ≤ on the min axis, strict on at least one). One RANGE
-    * window — `min(minCol) over (ORDER BY maxCol RANGE 1 FOLLOWING →
-    * ∞)` is the best min-value among STRICTLY better max-values, so
-    * dominance is a single comparison; equal-max ties resolve through
-    * a second min over the current range. O(n log n), no self-join —
+    * max axis, ≤ on the min axis, strict on at least one). Strict
+    * dominance comes from a `dense_rank` over the max axis — `min(
+    * minCol) over (ORDER BY rank RANGE 1 FOLLOWING → ∞)` is the best
+    * min-value among STRICTLY better max-values for ANY axis type
+    * (a RANGE offset of 1 directly on `maxCol` is only strict for
+    * integer axes: a fractional dominator in (v, v+1) would fall
+    * outside the frame); equal-max ties resolve through a second min
+    * over the rank's peer group. O(n log n), one sort, no self-join —
     * runs over the entity dimension, not facts. */
   def skyline2d(df: DataFrame, maxCol: String, minCol: String)
       : DataFrame = {
-    val better = Window.orderBy(col(maxCol).asc)
+    val rk = Window.orderBy(col(maxCol).asc)
+    val better = Window.orderBy(col("_dr").asc)
       .rangeBetween(1L, Window.unboundedFollowing)
-    val peers = Window.partitionBy(col(maxCol))
-    val bestAbove = min(col(minCol)).over(better)
-    val bestPeer = min(col(minCol)).over(peers)
-    df.withColumn("_ba", bestAbove)
-      .withColumn("_bp", bestPeer)
+    val peers = Window.partitionBy(col("_dr"))
+    df.withColumn("_dr", dense_rank().over(rk))
+      .withColumn("_ba", min(col(minCol)).over(better))
+      .withColumn("_bp", min(col(minCol)).over(peers))
       // dominated by a strictly-better max with min ≤ ours, or by an
       // equal-max peer with a strictly smaller min
       .where((col("_ba").isNull || col("_ba") > col(minCol)) &&
         col(minCol) === col("_bp"))
-      .drop("_ba", "_bp")
+      .drop("_dr", "_ba", "_bp")
   }
 
   /** Cohen's kappa per key — chance-corrected agreement between the

@@ -36,6 +36,18 @@ class SkylineSpec extends SparkSuite {
     assert(sky(Seq((1L, 10L, 5L))) == Set(1L))
   }
 
+  test("fractional max axis: a dominator within (v, v+1) still " +
+    "dominates (dense_rank strictness, not RANGE +1 on the value)") {
+    // (1): 10.0/5.0 is dominated by (2): 10.5/3.0 — a RANGE offset of
+    // 1 directly on the double axis would put 10.5 outside 10.0's
+    // strictly-better frame and leave (1) on the skyline
+    val rows = Seq((1L, 10.0, 5.0), (2L, 10.5, 3.0), (3L, 11.0, 4.0))
+      .toDF("id", "score", "cost")
+    val got = AnalyticsViews.skyline2d(rows, "score", "cost")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("splitUniformity chi2 terms are zero on a perfectly uniform " +
     "bucket population") {
     // construct keys whose md5 buckets are NOT uniform and check the
