@@ -117,9 +117,17 @@ object Bench {
     else errors.map(JsonUtil.quote).mkString(""","errors":[""", ",", "]")
 
   private def timeHeadline(spark: SparkSession, sfDir: String, runs: Int)
+      : (Seq[(String, Double)], Seq[String]) =
+    timeQueries(spark, sfDir, runs, headline)
+
+  /** Warm best-of-`runs` wall time per named query (noop-format
+    * materialization, same discipline as the headline leg) — shared
+    * with [[Crossover]]. */
+  private[graft] def timeQueries(spark: SparkSession, sfDir: String,
+                                 runs: Int, names: Seq[String])
       : (Seq[(String, Double)], Seq[String]) = {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = names.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -197,10 +205,15 @@ object Bench {
     }
   }
 
+  private def duckdbTimes(dir: String, runs: Int)
+      : Option[(Double, Map[String, Double])] =
+    duckdbTimesFor(dir, runs, headline)
+
   /** DuckDB side of the 32× ratio via tools/duck_bench.py (driver-side
     * python; the library itself never depends on it): (total, per-query
     * best times). None when the script/interpreter is unavailable. */
-  private def duckdbTimes(dir: String, runs: Int)
+  private[graft] def duckdbTimesFor(dir: String, runs: Int,
+                                    names: Seq[String])
       : Option[(Double, Map[String, Double])] =
     try {
       val script = Seq("tools/duck_bench.py", "/root/repo/tools/duck_bench.py")
@@ -209,7 +222,7 @@ object Bench {
       val oracleFile = java.io.File.createTempFile("graft_oracle32", ".json")
       oracleFile.deleteOnExit()
       val json = SparkEntry.oracleSql
-        .filter { case (k, _) => headline.contains(k) }
+        .filter { case (k, _) => names.contains(k) }
         .map { case (k, v) => JsonUtil.quote(k) + ": " + JsonUtil.quote(v) }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(oracleFile.toPath, json)

@@ -199,12 +199,24 @@ object Pca {
     * driver gate caught `round(avg(x·y) − avg(x)·avg(y), 6)` landing
     * on a 6dp boundary whose double differed by one ulp between
     * Spark's and DuckDB's summation orders): each element is lifted to
-    * a micro-int `x6 = round(x,6)·10⁶` (exact LONG), the aggregation
-    * carries Σx6·y6 / Σx6 / Σy6 as DECIMAL(38,0) — order-independent
-    * integer sums — and the single final division
-    * `cov = (n·Σx6y6 − Σx6·Σy6) / (n²·10¹²)` rounds the scaled
-    * integer quotient half-away ([[graft.functions.ExactRound]]), so
-    * both engines produce bit-identical doubles.
+    * a micro-int `x6 = round(x,6)·10⁶` (exact LONG), every sum is
+    * exact integer arithmetic — order-independent — and the single
+    * final division `cov = (n·Σx6y6 − Σx6·Σy6) / (n²·10¹²)` rounds
+    * the scaled integer quotient half-away
+    * ([[graft.functions.ExactRound]]), so both engines produce
+    * bit-identical doubles.
+    *
+    * Overflow-safe WITHOUT decimal aggregation (a straight
+    * DECIMAL(38,0) `sum(x6·y6)` measured 10.5 s vs the old double
+    * plan's 3.4 s at the 32× ScaleCheck — decimal partial aggregates
+    * fall out of efficient codegen): the product sum is split into
+    * floor-shift hi/lo LONG halves (`xy = (xy >> 20)·2²⁰ + (xy &
+    * 0xFFFFF)`, exact for negatives under arithmetic shift), each
+    * bounded by 2²⁰ per row so plain LONG sums hold to ~2⁴³ rows per
+    * (i,j) group — far past any corpus (the linear Σx6 sums at |x6| ≤
+    * 10⁶ hold to ~9·10¹² rows the same way). The halves recombine
+    * into DECIMAL once per GROUP (2080 rows), where decimal cost is
+    * irrelevant.
     *
     * The pair rows are produced by two NESTED `posexplode` generators
     * (row → (i, x) → (i, j, x, y) via a column-arg `slice`), which
@@ -234,23 +246,30 @@ object Pca {
     // round-robin flavor): each input row becomes d(d+1)/2 pair rows,
     // so a few-partition upstream (a cache, a coalesced scan) would
     // serialize the whole expansion
+    val xy = col("x6") * col("y6")
+    // micro-lift ONCE per element (d per row) BEFORE the d(d+1)/2
+    // fan-out: the round+decimal cast per PAIR row cost ~2× the whole
+    // aggregation at 32× (the transform lambda is interpreted, but it
+    // runs d times per row, not d²/2)
     val agg = df.filter(size(v) === dim)
-      .select(v.as("v"))
+      .select(transform(v, x => micro(x)).as("v6"))
       .repartition(df.sparkSession.sessionState.conf
         .numShufflePartitions)
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "x")))
-      .select(col("i"), micro(col("x")).as("x6"),
-        posexplode(slice(col("v"), col("i") + 1, lit(dim) - col("i")))
-          .as(Seq("jr", "y")))
+      .select(col("v6"), posexplode(col("v6")).as(Seq("i", "x6")))
+      .select(col("i"), col("x6"),
+        posexplode(slice(col("v6"), col("i") + 1, lit(dim) - col("i")))
+          .as(Seq("jr", "y6")))
       .groupBy(col("i").cast("long").as("i"),
         (col("i") + col("jr")).cast("long").as("j"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("x6")) * micro(col("y"))).as("sxy"),
-        sum(dec(col("x6"))).as("sx"),
-        sum(dec(micro(col("y")))).as("sy"))
+        sum(shiftright(xy, 20)).as("sxy_hi"),
+        sum(xy.bitwiseAND(lit(0xFFFFFL))).as("sxy_lo"),
+        sum(col("x6")).as("sx"),
+        sum(col("y6")).as("sy"))
+    val sxy = dec(col("sxy_hi")) * (1L << 20) + col("sxy_lo")
     agg.select(col("i"), col("j"),
       graft.functions.ExactRound.signedRatio(
-          col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * sxy - dec(col("sx")) * col("sy"),
           dec(col("n")) * col("n") * 1000000, 0)
         .divide(lit(1000000.0)).as("cov"))
   }
