@@ -105,8 +105,67 @@ object Bench {
         // main leg only
         s""","bench32":{"spark_sec":$total32$duckPart,"runs":$runs32,"mult":32,"queries":$qs32${errJson(errors32)}}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"${errJson(errors)}$b32}""")
+    val b128 = bench128(spark, cpus.toInt, sfDir).map {
+      case (results128, duck128, runs128, errors128) =>
+        val qs128 = results128.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val duckPart = duck128.map { case (_, perQ) =>
+          val dq = perQ.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          val ratios = results128.flatMap { case (k, v) =>
+            perQ.get(k).filter(_ > 0).map(d128 =>
+              "\"" + k + "\":" + f"${v / d128}%.2f")
+          }.mkString("{", ",", "}")
+          s""","duckdb_queries":$dq,"ratios":$ratios"""
+        }.getOrElse("")
+        s""","bench128":{"spark_sec":${results128.map(_._2).sum}$duckPart,"runs":$runs128,"mult":128,"queries":$qs128${errJson(errors128)}}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"${errJson(errors)}$b32$b128}""")
     spark.stop()
+  }
+
+  /** Crossover leg (round-7 verdict item 5): the headline queries
+    * whose 32× ratios sit above the 2× per-query bar are sub-second
+    * queries dominated by Spark's fixed per-job cost; the claim that
+    * their ratios FALL with data size is demonstrated, not argued, by
+    * timing exactly that set on the 128× inflation with the DuckDB
+    * oracle replayed on the same files. Materialization is one-time
+    * (fingerprint-cached like the 32× leg); opt out with
+    * SPARK_GRAFT_BENCH128=0; any failure skips the leg. */
+  private def bench128(spark: SparkSession, cpus: Int, sfDir: String)
+      : Option[(Seq[(String, Double)],
+        Option[(Double, Map[String, Double])], Int, Seq[String])] = {
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH128", "1") == "0") return None
+    try {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF128_DIR",
+        "/tmp/graft_sf128")
+      val want = InflateFixtures.fingerprint(sfDir, 128, cpus)
+      val marker = new java.io.File(dir, InflateFixtures.FingerprintFile)
+      val complete = Tables.names.forall(n =>
+        new java.io.File(s"$dir/$n.parquet/_SUCCESS").exists()) &&
+        marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == want
+      if (!complete) {
+        System.err.println(s"[bench128] materializing $dir (one-time)")
+        InflateFixtures.materialize(spark, sfDir, dir, mult = 128,
+          cpus = cpus)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      Tables.names.foreach { n =>
+        try Tables.table(spark, dir, n).limit(1).write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      val runs128 = sys.env.getOrElse("SPARK_GRAFT_BENCH128_RUNS", "2").toInt
+      val (results, errors) =
+        timeQueries(spark, dir, runs128, Crossover.slow)
+      Some((results, duckdbTimesFor(dir, runs128, Crossover.slow),
+        runs128, errors))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench128] skipped: $e")
+        None
+    }
   }
 
   /** A loud in-JSON marker for any failed query run — an executor error

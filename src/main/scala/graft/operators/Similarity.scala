@@ -31,7 +31,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(graft.plans.VectorExpressions.cosineSim(a, b), 4)
 
-  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Numeric array → array<double> via the codegen'd kernel — value-
+    * identical to `transform(c, _.cast("double"))`, minus the
+    * per-element interpreted lambda (graft.plans.ToDoubleArray). */
+  def asDouble(c: Column): Column =
+    graft.plans.VectorExpressions.toDoubleArray(c)
 
   /** The predicate `round(cosine(a,b),4) >= tau`, bit-identical but
     * cheap on the miss path: HALF_UP 4dp rounding moves a value by at
@@ -207,35 +211,41 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
+    // raw vectors straight into the fused kernel: CosineSimilarity
+    // widens float elements in-loop (bit-identical to a cast pass), so
+    // the corpus side never materializes a double[] copy per row
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qvec")))
+      col(vecCol).as("qvec")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cvec"))
+      col(vecCol).as("cvec"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
     topKPerKey(scored, k)
   }
 
-  /** Two-phase top-k: partial top-k per (key, scan partition) — map-side
-    * bounded — then global merge per key. No reducer materializes more
-    * than numPartitions×k candidates per key, so a hot query key cannot
-    * OOM a single task at cluster scale. */
+  /** Two-phase top-k via `row_number` + rank-limit pushdown: the
+    * filter on a row_number window triggers Spark's WindowGroupLimit
+    * rule, which inserts a PARTIAL per-partition group limit before
+    * the exchange — map-side bounded exactly like the previous manual
+    * collect_list/array_sort two-phase formulation (no reducer sees
+    * more than numPartitions×k candidates per key), but without
+    * materializing per-group candidate ARRAYS: the old partial
+    * collect_list built and sorted a struct array per (key, partition)
+    * — measured ~0.3 s of q35's 1.5 s at the 128× crossover — where
+    * the window limit keeps a running k-bounded insertion state per
+    * group. Plan shape (WindowGroupLimit Partial below the exchange,
+    * Final above) is pinned in PlanShapeSpec. Ordering contract
+    * unchanged: rounded sim desc, neighbor_id asc — total order,
+    * engine-portable. */
   def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
-    // struct(-sim, id): ascending struct sort == sim desc, id asc
-    val item = struct((-col("sim")).as("neg_sim"),
-      col("neighbor_id").as("neighbor_id"))
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("_p"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("cand"))
-    partial
-      .groupBy(col("query_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, k)
-        .as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "it")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("it.neighbor_id").as("neighbor_id"),
-        round(-col("it.neg_sim"), 4).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("_rn").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
   }
 
   /** Leave-one-out kNN classification readout over a labeled

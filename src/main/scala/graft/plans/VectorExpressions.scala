@@ -23,22 +23,53 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (matches `dot/nullif(norm*norm,0)`).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression {
 
-  override def inputTypes = Seq(ArrayType(DoubleType),
-    ArrayType(DoubleType))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(e, _) =>
+        CosineSimilarity.Getters.contains(e.simpleString)
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"array<numeric> required, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // non-double children are widened per element INSIDE the loop —
+  // value-identical to a prior cast-to-double pass (float→double and
+  // integral→double are exact for these magnitudes) but without
+  // materializing a double[] copy per row. Null ELEMENTS are undefined
+  // input here, exactly as they were for the original double-only
+  // kernel (primitive getters don't check null slots); embedding/code
+  // columns carry no null elements.
+  private def elem(t: DataType): String =
+    t.asInstanceOf[ArrayType].elementType.simpleString
+
+  private def get(arr: ArrayData, i: Int, t: String): Double = t match {
+    case "float" => arr.getFloat(i).toDouble
+    case "int" => arr.getInt(i).toDouble
+    case "bigint" => arr.getLong(i).toDouble
+    case "smallint" => arr.getShort(i).toDouble
+    case "tinyint" => arr.getByte(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (tx, ty) = (elem(left.dataType), elem(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = get(x, i, tx); val yi = get(y, i, ty)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -56,12 +87,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xi = ctx.freshName("xi")
     val yi = ctx.freshName("yi")
     val denom = ctx.freshName("denom")
+    def getter(arr: String, idx: String, t: DataType): String =
+      s"(double) $arr.${CosineSimilarity.Getters(elem(t))}($idx)"
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
       |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
       |for (int $i = 0; $i < $n; $i++) {
-      |  double $xi = $a.getDouble($i);
-      |  double $yi = $b.getDouble($i);
+      |  double $xi = ${getter(a, i, left.dataType)};
+      |  double $yi = ${getter(b, i, right.dataType)};
       |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
       |}
       |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -76,6 +109,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** element simpleString → ArrayData accessor name (the accepted
+    * numeric element types). */
+  val Getters: Map[String, String] = Map(
+    "double" -> "getDouble", "float" -> "getFloat",
+    "int" -> "getInt", "bigint" -> "getLong",
+    "smallint" -> "getShort", "tinyint" -> "getByte")
 }
 
 /** Native fused ±1 signed projection: all `outDim` Johnson-Lindenstrauss
@@ -348,11 +390,125 @@ case class ArgMaxCosine(child: Expression, ids: Array[Long],
       newChild: Expression): ArgMaxCosine = copy(child = newChild)
 }
 
+/** Native numeric-array → array<double> cast: the codegen'd
+  * replacement for `transform(v, x -> cast(x as double))`, which is an
+  * interpreted higher-order function (ArrayTransform has no doGenCode)
+  * — one lambda frame per ELEMENT per row. Every embedding operator
+  * casts its float vectors up front (`Similarity.asDouble`), so that
+  * interpretation tax fronted every vector query: isolated at the 128×
+  * crossover, the q35 corpus cast alone was ~0.5 s of a 1.55 s query.
+  * This kernel is one plain Java copy loop inside the generated stage;
+  * a rare null ELEMENT falls back to a boxed copy of that row (same
+  * output as the transform formulation).
+  *
+  * Value semantics are exactly `cast(float as double)` / identity on
+  * double / integral widening — bit-identical to the HOF it replaces,
+  * so no oracle moves. */
+case class ToDoubleArray(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if Seq("float", "double", "int", "bigint",
+          "smallint", "tinyint").contains(t.simpleString) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"array<numeric> required, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "to_double_array"
+
+  /** Per-element accessor call for the child's element type. */
+  private def getter(arr: String, i: String): String =
+    elemType.simpleString match {
+      case "float" => s"(double) $arr.getFloat($i)"
+      case "double" => s"$arr.getDouble($i)"
+      case "int" => s"(double) $arr.getInt($i)"
+      case "bigint" => s"(double) $arr.getLong($i)"
+      case "smallint" => s"(double) $arr.getShort($i)"
+      case _ => s"(double) $arr.getByte($i)"
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val get: Int => Double = elemType.simpleString match {
+      case "float" => i => arr.getFloat(i).toDouble
+      case "double" => i => arr.getDouble(i)
+      case "int" => i => arr.getInt(i).toDouble
+      case "bigint" => i => arr.getLong(i).toDouble
+      case "smallint" => i => arr.getShort(i).toDouble
+      case _ => i => arr.getByte(i).toDouble
+    }
+    if ((0 until n).exists(arr.isNullAt)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null else get(i)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = get(i); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val out = ctx.freshName("out")
+    val hasNull = ctx.freshName("hasNull")
+    val boxed = ctx.freshName("boxed")
+    val j = ctx.freshName("j")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |int $n = $v.numElements();
+      |boolean $hasNull = false;
+      |double[] $out = new double[$n];
+      |for (int $i = 0; $i < $n; $i++) {
+      |  if ($v.isNullAt($i)) { $hasNull = true; break; }
+      |  $out[$i] = ${getter(v, i)};
+      |}
+      |if ($hasNull) {
+      |  Object[] $boxed = new Object[$n];
+      |  for (int $j = 0; $j < $n; $j++) {
+      |    $boxed[$j] = $v.isNullAt($j)
+      |      ? null : (Object) Double.valueOf(${getter(v, j)});
+      |  }
+      |  ${ev.value} =
+      |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+      |} else {
+      |  ${ev.value} =
+      |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ToDoubleArray = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-API handle on the native kernel. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd numeric-array → array<double> cast (see
+    * [[ToDoubleArray]]). */
+  def toDoubleArray(v: Column): Column =
+    Bridge.column(ToDoubleArray(Bridge.expression(v)))
 
   /** Nearest centroid of `v` by 4dp cosine (smallest-id tiebreak) as
     * `struct<cluster, sim>`; `centroids` is (id, vector) rows — sorted
