@@ -50,15 +50,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(PqEncode(child, Array(1.0, 2.0, 3.0, 4.5), Array(2), 2) != q1)
   }
 
-  test("q01 scan is pruned to the four referenced lineitem columns") {
+  test("q01 splits into two pruned scans: the keyless-agg branch never " +
+    "reads l_suppkey, the distinct branch reads ONLY it") {
     val p = plan("q01_global_agg")
-    val readSchema = p.linesIterator
-      .find(_.contains("ReadSchema")).getOrElse("")
-    assert(readSchema.contains("l_quantity") &&
-      readSchema.contains("l_extendedprice") &&
-      readSchema.contains("l_suppkey") && readSchema.contains("l_shipdate"))
-    assert(!readSchema.contains("l_comment") &&
-      !readSchema.contains("l_orderkey"))
+    val schemas = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 2, s"expected two scans, got:\n$p")
+    val main = schemas.find(_.contains("l_quantity")).getOrElse("")
+    assert(main.contains("l_extendedprice") &&
+      main.contains("l_shipdate") && !main.contains("l_suppkey"))
+    val distinct = schemas.find(!_.contains("l_quantity")).getOrElse("")
+    assert(distinct.contains("l_suppkey") &&
+      !distinct.contains("l_extendedprice"))
+    schemas.foreach(s => assert(!s.contains("l_comment") &&
+      !s.contains("l_orderkey")))
   }
 
   test("q51 pushes its predicates into the parquet scan") {
