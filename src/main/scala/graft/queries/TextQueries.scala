@@ -53,12 +53,17 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens, char count, mean token length
-    "q28_token_stats" -> ((s, d) =>
+    // — fused one-scan TokenStats kernel (semantics pinned against the
+    // split/aggregate HOF twin in TextFnsSpec; q28 oracle unchanged)
+    "q28_token_stats" -> ((s, d) => {
+      val st = graft.plans.TokenStats.column(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
-          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          st.getField("n_tokens").as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_measured"),
-          TextFns.meanTokenLengthR4(col("text")).as("mean_tok_len"))
-        .orderBy(col("doc_id"))),
+          graft.functions.ExactRound.ratio(st.getField("sum_tok_len"),
+            st.getField("n_tokens"), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
 
     // quality scoring: stopword ratio, punctuation density, composite
     "q29_quality" -> ((s, d) =>

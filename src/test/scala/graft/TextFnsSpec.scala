@@ -6,6 +6,26 @@ import graft.functions.TextFns
 class TextFnsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("native TokenStats kernel matches the split/aggregate HOF twin " +
+    "cell-for-cell, including separator-edge and multibyte inputs") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("text")
+      .unionByName(Seq("", " ", "  ", "\t", "\t\t", "\n", "a", " a ",
+        "\ta b\n", "a  b", "é ☃ x", "ab", "x\r", "\fx",
+        "многа слов", null).map(Tuple1(_)).toDF("text"))
+    val t = TextFns.tokens(col("text"))
+    val st = graft.plans.TokenStats.column(col("text"))
+    val diffs = corpus.select(
+        size(t).cast("long").as("hof_n"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("hof_sum"),
+        st.getField("n_tokens").as("k_n"),
+        st.getField("sum_tok_len").as("k_sum"))
+      .filter(!(col("hof_n") <=> col("k_n")) ||
+        !(col("hof_sum") <=> col("k_sum")))
+    assert(diffs.count() == 0, diffs.limit(5).collect().mkString("; "))
+  }
+
   test("native WordNGrams kernel is cell-for-cell identical to the " +
     "composed zip_with formulation, including degenerate inputs") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
