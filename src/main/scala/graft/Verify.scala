@@ -29,6 +29,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet in
+        // place — the checker would grade the stale result as current
+        // (bit a q92 analysis error during round 8: the row read OK
+        // against week-old output)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
       }
     }
     def q(s: String): String = JsonUtil.quote(s)

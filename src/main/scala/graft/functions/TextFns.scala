@@ -19,8 +19,11 @@ object TextFns {
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — the fused [[graft.plans.TokenStats]]
+    * byte scan (value-identical to `size(split(trim(text), "\\s+"))`,
+    * spec-pinned; int-typed like `size()` was). */
+  def tokenCount(text: Column): Column =
+    graft.plans.TokenStats.column(text).getField("n_tokens").cast("int")
 
   /** Punctuation character count (explicit class, engine-portable). */
   def punctCount(text: Column): Column =
@@ -55,11 +58,13 @@ object TextFns {
   }
 
   /** [[meanTokenLength]] rounded 4dp in exact integer arithmetic (sum
-    * of lengths over count — same tie exposure). */
+    * of lengths over count — same tie exposure). Fused TokenStats
+    * scan; `n_tokens >= 1` for non-null text, so the old
+    * `nullif(size,0)` guard is vacuous and dropped. */
   def meanTokenLengthR4(text: Column): Column = {
-    val t = tokens(text)
-    ExactRound.ratio(aggregate(t, lit(0L), (acc, x) => acc + length(x)),
-      nullif(size(t), lit(0)), 4)
+    val st = graft.plans.TokenStats.column(text)
+    ExactRound.ratio(st.getField("sum_tok_len"),
+      st.getField("n_tokens"), 4)
   }
 
   /** Composite quality score in [0,1]: length band + stopword presence +
