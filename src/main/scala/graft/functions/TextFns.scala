@@ -107,7 +107,8 @@ object TextFns {
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Robust to token order / duplication — the "fingerprint dedup" key. */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+    graft.plans.FastMd5.column(
+      array_join(array_sort(array_distinct(tokens(text))), " "))
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, symbol runs
     * (whitespace dropped) — the GPT-2 pre-tokenizer shape reduced to an

@@ -225,7 +225,7 @@ object Decontaminate {
     val L = minTokens
     val grams = gramFrame(corpus, L, textCol, idCol)
       .select(col(idCol), col("n_tokens"), col("pos"),
-        md5(col("gram")).as("_g"))
+        graft.plans.FastMd5.column(col("gram")).as("_g"))
     val byGram = Window.partitionBy(col("_g"))
       .orderBy(col(idCol), col("pos"))
     val dups = grams

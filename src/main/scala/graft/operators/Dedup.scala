@@ -22,7 +22,7 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame =
     docs
-      .groupBy(md5(col(textCol)).as("content_hash"))
+      .groupBy(graft.plans.FastMd5.column(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
   /** Near-dup groups with QUALITY-AWARE canonical selection: within
@@ -135,7 +135,8 @@ object Dedup {
     * docs as mutual duplicates. Null buckets are filtered by callers —
     * degenerate docs are singletons, never candidates. */
   private def bandBucket(prefix: Column, sigs: Seq[Column]): Column =
-    md5(sigs.foldLeft(prefix)((acc, s) => concat(acc, lit("|"), s)))
+    graft.plans.FastMd5.column(
+      sigs.foldLeft(prefix)((acc, s) => concat(acc, lit("|"), s)))
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band bucket become a candidate pair.

@@ -93,7 +93,8 @@ object Packing {
     val binned = base.withColumn("bin",
       expr(s"n_tok DIV $binSize"))
     val w = Window.partitionBy(col("bin"))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(graft.plans.FastMd5.column(col(idCol).cast("string")),
+        col(idCol))
     val batches = binned
       .withColumn("batch",
         floor((row_number().over(w) - lit(1)) / lit(batchSize))

@@ -19,7 +19,8 @@ object Sampling {
 
   /** Uniform bucket in [0, 2³²) from the md5 of the key's string form. */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    conv(substring(graft.plans.FastMd5.column(key.cast("string")), 1, 8),
+      16, 10).cast("long")
 
   /** Keep rows whose bucket falls below `fraction` of the bucket space
     * — a stable, nested `fraction`-sample. */
@@ -212,7 +213,8 @@ object Sampling {
       "trainFraction must be in (0, 1]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(labelCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .orderBy(graft.plans.FastMd5.column(col(keyCol).cast("string")),
+        col(keyCol))
     df.withColumn("_rk", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))))
