@@ -237,10 +237,46 @@ object Pca {
   private[graft] def micro6(c: Column): Column =
     (round(c, 6).cast("decimal(28,6)") * 1000000).cast("long")
 
+  /** The exact-arithmetic envelope of [[covarianceMatrix]]'s hi/lo
+    * LONG split (default `maxAbs`): per-row products stay ≤ 2⁴⁰ (so
+    * the shifted hi half is ≤ 2²⁰ and plain LONG sums hold to ~2⁴³
+    * rows per group) while every micro-lifted element satisfies
+    * |x6| ≤ 2²⁰ — i.e. elements in [−1.048576, 1.048576]. Any
+    * [-1,1]-normalized embedding qualifies. */
+  private[graft] val DefaultMaxAbs: Double = (1L << 20) / 1e6
+
+  /** Exact 6dp covariance as relational algebra — see the plan notes
+    * above. `maxAbs` is the element-magnitude envelope the hi/lo LONG
+    * split is exact under (r08 advice: the overflow condition is a
+    * property of the PUBLIC operator, not just the q118 fixture
+    * path). Elements whose |value| exceeds it fail LOUDLY via
+    * `raise_error` instead of overflowing `x6·y6` silently (an
+    * un-normalized caller at elements ~3·10³ would otherwise produce
+    * wrong covariances with no error). Raising `maxAbs` trades group
+    * capacity: with B = maxAbs·10⁶ micro-units, the per-row hi half
+    * is ≤ B²/2²⁰, so LONG sums stay exact to ~2⁸³/B² rows per (i,j)
+    * group (B=2²⁰ → 2⁴³ rows; B=2²⁴ (elements ≤ ~16.8) → 2³⁵ rows)
+    * and the linear Σx6 sums to ~2⁶³/B. */
   def covarianceMatrix(df: DataFrame, dim: Int,
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       maxAbs: Double = DefaultMaxAbs): DataFrame = {
+    // keep the product itself far from Long overflow regardless of
+    // group size: B ≤ 2³⁰ micro-units → x6·y6 ≤ 2⁶⁰
+    require(maxAbs > 0 && maxAbs * 1e6 <= (1L << 30),
+      s"maxAbs must be in (0, ${(1L << 30) / 1e6}]; got $maxAbs")
+    val maxAbsMicro = math.round(maxAbs * 1e6)
     val v = Similarity.asDouble(col(vecCol))
-    def micro(c: Column): Column = micro6(c)
+    // guarded micro lift: d branches per row, pre-fan-out — negligible
+    // next to the d(d+1)/2 pair expansion it protects
+    def micro(c: Column): Column = {
+      val m = micro6(c)
+      when(abs(m) > maxAbsMicro, raise_error(concat(
+        lit(s"covarianceMatrix: |element| > $maxAbs overflows the " +
+          "exact hi/lo product split at this envelope — normalize " +
+          "or pre-scale the vectors (or raise maxAbs, trading " +
+          "rows-per-group capacity); got "), c.cast("string"))))
+        .otherwise(m)
+    }
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // pre-fan-out explicit parallelism (the fanoutRepartition lesson,
     // round-robin flavor): each input row becomes d(d+1)/2 pair rows,
@@ -302,7 +338,8 @@ object Pca {
   }
 
   def fitExactMicro(df: DataFrame, dim: Int, k: Int,
-                    vecCol: String = "embedding"): ExactPcaComponents = {
+                    vecCol: String = "embedding",
+                    maxAbs: Double = DefaultMaxAbs): ExactPcaComponents = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= $dim")
     val v = Similarity.asDouble(col(vecCol))
     // exact micro mean: decimal sums of micro-ints, one half-away
@@ -323,7 +360,7 @@ object Pca {
       mu6(i) = (if (s < 0) -q else q).toLong
     }
     // exact 6dp covariance → driver matrix → fixed-sweep Jacobi
-    val covRows = covarianceMatrix(df, dim, vecCol).collect()
+    val covRows = covarianceMatrix(df, dim, vecCol, maxAbs).collect()
     val cov = Array.ofDim[Double](dim, dim)
     covRows.foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt

@@ -749,6 +749,14 @@ object TextQueries {
     // threshold), flatness (micro-nat lift, the q88 scheme) — over the
     // staged bins. The double-DSP operator surface (audioSpectral)
     // stays spec-pinned by DspSpec on analytically-known signals.
+    // The per-bin micro-nat ln is STAGED too (r08 advice): Java
+    // Math.log and DuckDB's libm are not bit-identical, so a value
+    // within an ulp of a 6dp boundary could flip lnsum between
+    // engines if each recomputed ln(p6) per bin (~bins×docs flip
+    // opportunities). With ln6 computed once Spark-side and persisted
+    // next to p6, both engines replay ONLY exact integer sums; the
+    // single residual transcendental is flatness' one exp per doc
+    // over identical integer-derived inputs.
     "q129_spectral" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -759,20 +767,22 @@ object TextQueries {
           Multimodal.MediaRow(id, "audio",
             MediaCodecs.encodeWav(MediaCodecs.PcmAudio(16000, samples)))
         }).toDF()
-      Multimodal.audioSpectrum(media).coalesce(1)
+      Multimodal.audioSpectrum(media)
+        .withColumn("ln6",
+          (round(log(col("p6") / lit(1000000) + lit(1e-12)), 6)
+            .cast("decimal(28,6)") * 1000000).cast("long"))
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"${MLQueries.stageDir(d)}/q129")
       val st = s.read.parquet(s"${MLQueries.stageDir(d)}/q129")
       val dec = (c: org.apache.spark.sql.Column) =>
         c.cast("decimal(38,0)")
-      val ln6 = (round(log(col("p6") / lit(1000000) + lit(1e-12)), 6)
-        .cast("decimal(28,6)") * 1000000).cast("long")
       val agg = st
         .groupBy(col("doc_id"), col("n_samples"), col("sample_rate"))
         .agg(sum(dec(col("p6"))).as("tot"),
           sum(dec(col("p6")) * col("bin")).as("wsum"),
           count(lit(1)).as("nb"),
-          sum(ln6).as("lnsum"))
+          sum(col("ln6")).as("lnsum"))
         .filter(col("tot") > 0)
       val wc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("bin"))
@@ -2008,17 +2018,18 @@ object TextQueries {
          FROM w WHERE token <> ''
          GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
     // q129: feature algebra replayed over the staged quantized
-    // spectrum — exact integer centroid/rolloff, micro-nat flatness
+    // spectrum — exact integer centroid/rolloff, micro-nat flatness.
+    // ln6 is STAGED (computed once Spark-side), so this replay is
+    // pure integer algebra — DuckDB's ln() never runs (its libm and
+    // Java's Math.log may disagree by an ulp at a 6dp boundary).
     "q129_spectral" -> s"""
-         WITH s AS (SELECT doc_id, n_samples, sample_rate, bin, p6
+         WITH s AS (SELECT doc_id, n_samples, sample_rate, bin, p6, ln6
                     FROM read_parquet('${MLQueries.StageToken}/q129/*.parquet')),
             a AS (SELECT doc_id, n_samples, sample_rate,
                          sum(CAST(p6 AS HUGEINT)) AS tot,
                          sum(CAST(p6 AS HUGEINT) * bin) AS wsum,
                          count(*) AS nb,
-                         sum(CAST(CAST(round(ln(p6 / 1000000 + 1e-12),
-                                  6) AS DECIMAL(28,6))
-                             * 1000000 AS BIGINT)) AS lnsum
+                         sum(CAST(ln6 AS HUGEINT)) AS lnsum
                   FROM s GROUP BY 1, 2, 3
                   HAVING sum(CAST(p6 AS HUGEINT)) > 0),
             r AS (SELECT doc_id, min(bin) AS roll FROM (

@@ -57,7 +57,7 @@ class PcaSpec extends SparkSuite {
     "relational covariance") {
     val m = Pca.fit(corpus, dim = 6, k = 2)
     val cov = Array.ofDim[Double](6, 6)
-    Pca.covarianceMatrix(corpus, 6).collect().foreach { r =>
+    Pca.covarianceMatrix(corpus, 6, maxAbs = 32.0).collect().foreach { r =>
       val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt,
         r.getDouble(2))
       cov(i)(j) = c; cov(j)(i) = c
@@ -112,8 +112,8 @@ class PcaSpec extends SparkSuite {
 
   test("fitExactMicro is bit-deterministic and projectExact tracks " +
     "the float projection") {
-    val c1 = Pca.fitExactMicro(corpus, dim = 6, k = 2)
-    val c2 = Pca.fitExactMicro(corpus, dim = 6, k = 2)
+    val c1 = Pca.fitExactMicro(corpus, dim = 6, k = 2, maxAbs = 32.0)
+    val c2 = Pca.fitExactMicro(corpus, dim = 6, k = 2, maxAbs = 32.0)
     assert(c1.mu6.sameElements(c2.mu6))
     c1.w6.zip(c2.w6).foreach { case (a, b) => assert(a.sameElements(b)) }
     // exact projection ≈ float projection: both center on (near-)equal
@@ -130,9 +130,33 @@ class PcaSpec extends SparkSuite {
       assert(math.abs(a - b) < 1e-3, s"$a vs $b") }
   }
 
+  test("covarianceMatrix rejects elements outside the exact-arithmetic " +
+    "envelope LOUDLY instead of overflowing x6*y6 silently") {
+    // un-normalized caller: elements ~3e3 would drive x6*y6 toward
+    // Long.MaxValue — the r08-advice scenario the guard exists for
+    val big = Seq((1L, Seq(3000.0f, 0.1f)), (2L, Seq(0.2f, -0.3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.covarianceMatrix(big, 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflows the exact hi/lo")),
+      s"unexpected error: $e")
+    // the spec corpus (elements ~3±10) passes under an explicit
+    // envelope; the default envelope admits any [-1,1] embedding
+    assert(Pca.covarianceMatrix(corpus, 6, maxAbs = 32.0)
+      .collect().length == 21)
+    // bound is inclusive-ish at the micro grid: 1.048576 passes the
+    // default, the next micro step up fails
+    val edge = Seq((1L, Seq(1.048576f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Pca.covarianceMatrix(edge, 2).collect().length == 3)
+  }
+
   test("covarianceMatrix emits the full upper triangle with exact " +
     "diagonal variance") {
-    val rows = Pca.covarianceMatrix(corpus, 6).collect()
+    val rows = Pca.covarianceMatrix(corpus, 6, maxAbs = 32.0).collect()
     assert(rows.length == 21) // 6*7/2
     // spot-check one diagonal against a driver-side computation
     val xs = corpus.select(col("embedding")(0).cast("double"))

@@ -215,6 +215,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q35 top-k runs WindowGroupLimit Partial BELOW the exchange " +
+    "and Final above it — the map-side bound that keeps any reducer " +
+    "from materializing more than partitions*k candidates per key") {
+    // Similarity.topKPerKey rewrote the manual collect_list two-phase
+    // merge into row_number + filter, which is map-side bounded ONLY
+    // because Spark's WindowGroupLimit optimizer rule fires. A config
+    // or version regression would silently revert to shuffling EVERY
+    // candidate for a hot key to one reducer — this pin fails first
+    // (r08 advice: the safety property was claimed but untested).
+    val p = plan("q35_knn")
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2,
+      s"expected Partial+Final WindowGroupLimit pair:\n$p")
+    // tree prints top-down: Final (reduce side) above the hash
+    // exchange, Partial (map side) below it
+    val lines = p.linesIterator.toVector
+    val fi = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final"))
+    val ei = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val pi = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(fi >= 0 && ei > fi && pi > ei,
+      s"WindowGroupLimit Partial not below the exchange " +
+        s"(final=$fi, exchange=$ei, partial=$pi):\n$p")
+  }
+
   test("q118 covariance is a two-phase partial aggregate over the " +
     "map-side pair fanout — no self-join") {
     val p = plan("q118_covariance")
