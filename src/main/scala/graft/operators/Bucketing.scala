@@ -16,6 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Bucket-count guidance: size buckets so one bucket ≈ one task's
   * comfortable working set (128–512 MB); both sides need the same
   * bucket count (or a divisor) for co-location.
+  *
+  * Measured (round-9 A/B, graft.AbBucket, q06's orders⋈customer at
+  * the 128× inflation, warm best-of-3): co-bucketed SMJ 1.69 s and
+  * bucketed scan + broadcast 1.49 s vs 1.97–2.21 s for the same join
+  * over flat parquet — ~25% from layout alone on a single join, on
+  * top of removing the per-join shuffle that dominates when the key
+  * is hot across a workload.
   */
 object Bucketing {
 

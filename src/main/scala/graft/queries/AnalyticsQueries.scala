@@ -12,6 +12,19 @@ import graft.operators.{AnalyticsViews, EventSeries, ModelEval}
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // Partial-aggregate experiment (round-9 verdict item 3, graft
+  // .AbPartial at 128×, warm best-of-3 ×2 passes): the bar aggregate's
+  // combine factor is ~1 (keys grow with the inflation at ~5
+  // events/(user,day)), so pre-partitioning raw events by user_id —
+  // the only realizable "skip the doomed partial" in Spark 4.1 (no
+  // skip-partial-aggregate conf exists) — removes one of the two
+  // exchanges (raw-row shuffle feeds aggregate AND window in one
+  // stage). Measured a WASH: q41 3.33 vs 3.48 s then 3.41 vs 3.14 s
+  // on the re-pass; q44 2.08 vs 2.09 s. The saved bar-row exchange
+  // (~n/5 rows) is offset by shuffling raw rows instead of partial
+  // rows of ~the same cardinality. Below the 1.3× adoption bar →
+  // current declarative form kept (it also lets Catalyst re-combine
+  // when a DIFFERENT fixture does have map-side duplication).
   private def base(s: SparkSession, d: String): DataFrame =
     AnalyticsViews.predictionBase(
       EventSeries.dailyBars(Tables.events(s, d)))

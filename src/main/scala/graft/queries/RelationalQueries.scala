@@ -95,6 +95,16 @@ object RelationalQueries {
     // wall. Remaining DuckDB gap (~12×, 1.84 s vs 0.21 s) is hash-join
     // probe throughput (row-at-a-time codegen vs vectorized radix
     // join), not plan shape.
+    // Layout A/B (round-9, graft.AbBucket at 128×, warm best-of-3):
+    // writing orders+customer bucketed/sorted by custkey
+    // (operators.Bucketing) converts the probe to a merge —
+    // co-bucketed SMJ 1.69 s, bucketed scan + broadcast 1.49 s, vs
+    // 1.97-2.21 s over the flat fixture files. ~25% from layout
+    // alone; at 100 TB the bucketed write is the standing fix for a
+    // REPEATED join key (one-time write cost, every later join/agg on
+    // custkey shuffle-free). The gate query keeps reading the
+    // driver's flat fixtures — layout is the user's storage decision,
+    // not a query rewrite.
     "q06_join3" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)),
