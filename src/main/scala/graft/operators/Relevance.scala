@@ -320,6 +320,49 @@ object Relevance {
         col("dl").as("doc_len"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * combine any number of ranked lists by `Σ 1/(k + rank_i)` — the
+    * standard hybrid-search combiner for a lexical leg ([[bm25]]) and
+    * a semantic leg ([[Similarity.bruteForceTopK]] / the ANN paths)
+    * because it needs NO score calibration between legs, only ranks.
+    * A document absent from a leg contributes 0 (the standard
+    * convention); ties break by id.
+    *
+    * Exactness: each term is quantized half-up to an exact micro unit
+    * `round(10⁶/(k+rank))` through the [[graft.functions.ExactRound]]
+    * integer bridge, so the fused score is a SUM OF EXACT LONGS —
+    * order-independent and engine-portable (the double sum
+    * `1/61 + 1/62 + …` never terminates in binary and its rounding is
+    * summation-order dependent). Quantization error ≤ 5·10⁻⁷ per term
+    * — three orders below the k=60 term GAPS that determine ranks.
+    *
+    * Scale: the inputs are per-query top-k lists (topK-bounded, never
+    * corpus-bounded), so the union + hash aggregate + the single
+    * unpartitioned rank window all run over ≤ Σ legs·topK rows — the
+    * window is NOT a corpus-scale sort. For a multi-query batch, call
+    * per query or extend the window with the query-id partition key. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int = 60, topK: Int = 20,
+              idCol: String = "doc_id", rankCol: String = "rank")
+      : DataFrame = {
+    require(legs.nonEmpty, "need at least one ranked leg")
+    require(k >= 1, s"rrf smoothing k must be >= 1; got $k")
+    val slim = legs.map(df =>
+      df.select(col(idCol), col(rankCol).cast("long").as("_r")))
+    val term6 = graft.functions.ExactRound.scaled(
+      lit(1L), lit(k.toLong) + col("_r"), 6)
+    slim.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_legs"),
+        sum(term6).cast("long").as("_s6"),
+        min(col("_r")).as("best_rank"))
+      .withColumn("fused_rank", row_number().over(Window.orderBy(
+        col("_s6").desc, col(idCol).asc)).cast("long"))
+      .where(col("fused_rank") <= topK)
+      .select(col(idCol), col("fused_rank"),
+        (col("_s6").cast("double") / 1e6).as("rrf_score"),
+        col("n_legs"), col("best_rank"))
+  }
+
   /** Per-document lexical diversity: type/token ratio, hapax ratio
     * (both in ExactRound integer arithmetic) and the unigram
     * self-entropy of the document — Σ c/n·ln(n/c) computed with the

@@ -209,6 +209,24 @@ object TextQueries {
           query = Seq("spark", "join", "window"), topK = 20)
         .orderBy(col("rank"))),
 
+    // hybrid-search rank fusion: the BM25 lexical top-20 (q163's
+    // surface) and the cosine semantic top-20 for one query vector
+    // combined by reciprocal-rank fusion — the calibration-free
+    // combiner every hybrid retrieval stack ships. Scores are sums
+    // of exact micro-unit longs (ExactRound), so the oracle replays
+    // the identical integer algebra.
+    "q335_rrf_fusion" -> ((s, d) => {
+      val lex = Relevance.bm25(Tables.documents(s, d),
+          query = Seq("spark", "join", "window"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val sem = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Relevance.rrfFuse(Seq(lex, sem), k = 60, topK = 20)
+        .orderBy(col("fused_rank"))
+    }),
+
     // per-doc lexical diversity: TTR/hapax in exact integer rounding,
     // unigram self-entropy via the micro-nat DECIMAL bridge
     // per-doc character-entropy gate — the pre-tokenization binary/
@@ -1556,6 +1574,60 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }))
 
+  /** BM25 top-20 CTE chain (TOKS must precede; ends with `r` carrying
+    * (doc_id, dl, score, rank)) — shared verbatim by the q163 oracle
+    * and q335's lexical fusion leg. */
+  private val bm25Chain: String =
+    """, tok2 AS (
+            SELECT doc_id, unnest(w) AS token FROM t),
+          tok3 AS (SELECT * FROM tok2 WHERE token <> ''),
+          per AS (
+            SELECT doc_id, count(*) AS dl,
+              sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS tf0,
+              sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf1,
+              sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS tf2
+            FROM tok3 GROUP BY 1),
+          st AS (
+            SELECT sum(dl) AS total_tokens,
+              sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+              (SELECT count(*) FROM documents) AS n_docs
+            FROM per),
+          sc AS (
+            SELECT doc_id, dl,
+              round(
+                (CASE WHEN tf0 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df0 AS DOUBLE) + 0.5e0)
+                      / (CAST(df0 AS DOUBLE) + 0.5e0))
+                   * CAST(tf0 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf0 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END)
+                + (CASE WHEN tf1 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df1 AS DOUBLE) + 0.5e0)
+                      / (CAST(df1 AS DOUBLE) + 0.5e0))
+                   * CAST(tf1 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf1 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END)
+                + (CASE WHEN tf2 > 0 THEN
+                   ln(1e0 + (n_docs - CAST(df2 AS DOUBLE) + 0.5e0)
+                      / (CAST(df2 AS DOUBLE) + 0.5e0))
+                   * CAST(tf2 AS DOUBLE) * (1.2e0 + 1)
+                   / (CAST(tf2 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
+                      + 0.75e0 * dl
+                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                 ELSE 0e0 END), 4) AS score
+            FROM per, st),
+          r AS (
+            SELECT doc_id, dl, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank
+            FROM sc WHERE score > 0)"""
+
   /** Brute-force cosine top-k oracle (q35) — shared verbatim by
     * q57b_ivf_knn_full, whose nProbe=nCentroids degenerate is provably
     * brute force. */
@@ -2335,59 +2407,47 @@ object TextQueries {
          FROM top CROSS JOIN d ORDER BY token""",
     // q163: DOUBLE literals (e-notation) + the engine's exact
     // expression shape so every per-token term folds identically
-    "q163_bm25" -> (TOKS +
-      """, tok2 AS (
-            SELECT doc_id, unnest(w) AS token FROM t),
-          tok3 AS (SELECT * FROM tok2 WHERE token <> ''),
-          per AS (
-            SELECT doc_id, count(*) AS dl,
-              sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS tf0,
-              sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf1,
-              sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS tf2
-            FROM tok3 GROUP BY 1),
-          st AS (
-            SELECT sum(dl) AS total_tokens,
-              sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
-              (SELECT count(*) FROM documents) AS n_docs
-            FROM per),
-          sc AS (
-            SELECT doc_id, dl,
-              round(
-                (CASE WHEN tf0 > 0 THEN
-                   ln(1e0 + (n_docs - CAST(df0 AS DOUBLE) + 0.5e0)
-                      / (CAST(df0 AS DOUBLE) + 0.5e0))
-                   * CAST(tf0 AS DOUBLE) * (1.2e0 + 1)
-                   / (CAST(tf0 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
-                      + 0.75e0 * dl
-                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
-                 ELSE 0e0 END)
-                + (CASE WHEN tf1 > 0 THEN
-                   ln(1e0 + (n_docs - CAST(df1 AS DOUBLE) + 0.5e0)
-                      / (CAST(df1 AS DOUBLE) + 0.5e0))
-                   * CAST(tf1 AS DOUBLE) * (1.2e0 + 1)
-                   / (CAST(tf1 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
-                      + 0.75e0 * dl
-                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
-                 ELSE 0e0 END)
-                + (CASE WHEN tf2 > 0 THEN
-                   ln(1e0 + (n_docs - CAST(df2 AS DOUBLE) + 0.5e0)
-                      / (CAST(df2 AS DOUBLE) + 0.5e0))
-                   * CAST(tf2 AS DOUBLE) * (1.2e0 + 1)
-                   / (CAST(tf2 AS DOUBLE) + 1.2e0 * ((1 - 0.75e0)
-                      + 0.75e0 * dl
-                        / (CAST(total_tokens AS DOUBLE) / n_docs)))
-                 ELSE 0e0 END), 4) AS score
-            FROM per, st),
-          r AS (
-            SELECT doc_id, dl, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id)
-                     AS rank
-            FROM sc WHERE score > 0)
+    "q163_bm25" -> (TOKS + bm25Chain +
+      """
           SELECT doc_id, CAST(rank AS BIGINT) AS rank, score,
                  CAST(dl AS BIGINT) AS doc_len
           FROM r WHERE rank <= 20 ORDER BY rank"""),
+    // q335: both legs replayed exactly — the shared BM25 chain and a
+    // single-query cosine top-20 — then the fusion is PURE integer
+    // algebra: each term round(10^6/(60+rank)) via the half-up
+    // integer bridge ((2a+b) // 2b), summed as exact longs
+    "q335_rrf_fusion" -> (TOKS + bm25Chain +
+      """, lex AS (
+            SELECT doc_id, rank FROM r WHERE rank <= 20),
+          sq AS (SELECT embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id = 0),
+          ss AS (SELECT e.vec_id AS doc_id,
+                        round(list_cosine_similarity(sq.qv,
+                          e.embedding::DOUBLE[]), 4) AS sim
+                 FROM embeddings e, sq WHERE e.vec_id <> 0),
+          sem AS (
+            SELECT doc_id, rank FROM (
+              SELECT doc_id, row_number() OVER
+                       (ORDER BY sim DESC, doc_id) AS rank
+              FROM ss) WHERE rank <= 20),
+          u AS (SELECT doc_id, rank FROM lex
+                UNION ALL SELECT doc_id, rank FROM sem),
+          g AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_legs,
+                   CAST(sum((2000000 + (60 + rank))
+                            // (2 * (60 + rank))) AS BIGINT) AS s6,
+                   CAST(min(rank) AS BIGINT) AS best_rank
+            FROM u GROUP BY 1),
+          f AS (
+            SELECT doc_id, n_legs, s6, best_rank,
+                   row_number() OVER (ORDER BY s6 DESC, doc_id)
+                     AS fused_rank
+            FROM g)
+          SELECT doc_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+                 CAST(s6 AS DOUBLE) / 1000000 AS rrf_score,
+                 n_legs, best_rank
+          FROM f WHERE fused_rank <= 20 ORDER BY fused_rank"""),
     // q164: width-safe decimal entropy product, ExactRound ratios,
     // micro-nat half-up entropy division
     // q182: the lexicalDiversity micro-nat bridge applied to CHARACTER

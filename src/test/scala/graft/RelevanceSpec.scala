@@ -25,6 +25,30 @@ class RelevanceSpec extends SparkSuite {
       (3L, 2L, "cherry", 2L, 0.81093)))
   }
 
+  test("rrfFuse combines ranked legs by exact micro-unit 1/(k+rank) " +
+    "sums — hand-computed fusion, missing-leg zero, id tiebreak") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("doc_id", "rank")
+    val got = Relevance.rrfFuse(Seq(lex, sem), k = 60, topK = 10)
+      .as[(Long, Long, Double, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    def t(r: Long): Long = math.round(1e6 / (60.0 + r)) // exact here
+    // doc 20: r2+r1 -> 16129+16393=32522; doc 10: r1+r3 -> 16393+15873
+    //  = 32266; doc 30: r3 alone 15873; doc 40: r2 alone 16129
+    assert(got == Seq(
+      (20L, 1L, (t(2) + t(1)) / 1e6, 2L, 1L),
+      (10L, 2L, (t(1) + t(3)) / 1e6, 2L, 1L),
+      (40L, 3L, t(2) / 1e6, 1L, 2L),
+      (30L, 4L, t(3) / 1e6, 1L, 3L)))
+    // equal-score tie breaks by doc id: two single-leg docs at the
+    // same rank
+    val a = Seq((5L, 1L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L)).toDF("doc_id", "rank")
+    val tie = Relevance.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(tie.map(x => (x._1, x._2)) == Seq((3L, 1L), (5L, 2L)))
+  }
+
   test("tfIdfTopK corpus size joins as a broadcast, not a cartesian") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val p = Relevance.tfIdfTopK(docs).queryExecution.executedPlan.toString
