@@ -248,6 +248,111 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily re-order a retrieved shortlist so each pick
+    * maximizes `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the
+    * standard redundancy-vs-relevance diversifier between retrieval
+    * and a RAG context window. First pick is pure relevance (the max
+    * over the empty set contributes 0).
+    *
+    * Exactness: relevance and pairwise cosines quantize to 4dp longs
+    * (`round(x·10⁴)`, the repo-wide similarity grid), λ to a micro
+    * unit, and every greedy score is the exact LONG
+    * `λ6·rel4 − (10⁶−λ6)·maxSim4` with ties broken by id — so the
+    * selection order is deterministic and engine-replayable (the
+    * oracle unrolls the same k steps in SQL over the same integers).
+    *
+    * Scale: the INPUT is a per-query shortlist (top-N from the ANN
+    * paths), so this is bounded driver work BY DESIGN — n·d doubles
+    * collected, k·n exact-integer scores — the [[Pca.jacobiEigen]]
+    * class of driver step, not a corpus operation. The distributed
+    * work is producing the shortlist. Guarded at 4096 rows. */
+  /** The exact integer state [[mmrRerank]]'s greedy runs on — ids
+    * ascending, input rel doubles, their 4dp grid longs, and the
+    * quantized pairwise cosine grid. Exposed (package-private) so the
+    * q336 staging gate can persist EXACTLY these integers for the
+    * oracle to replay — the greedy is then engine-replayed over one
+    * shared quantization instead of two independently-computed
+    * cosines (whose last-ulp disagreement would cascade through the
+    * selection). */
+  private[graft] final case class MmrState(ids: Array[Long],
+      rel: Array[Double], rel4: Array[Long], sim4: Array[Array[Long]])
+
+  private[graft] def mmrQuantize(shortlist: DataFrame,
+      idCol: String = "doc_id", vecCol: String = "embedding",
+      relCol: String = "rel"): MmrState = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val rows = shortlist
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        asDouble(col(vecCol)))
+      .as[(Long, Double, Seq[Double])]
+      .collect().sortBy(_._1)
+    require(rows.length <= 4096,
+      s"mmrRerank is a shortlist re-ranker (driver-side greedy); got " +
+        s"${rows.length} rows — run the ANN top-N first")
+    val n = rows.length
+    val vecs = rows.map(_._3.toArray)
+    // raw double cosine, left-to-right accumulation (the
+    // CosineSimilarity kernel's formula), quantized to the 4dp grid
+    def s4(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0L else math.round(dot / den * 1e4)
+    }
+    val sims = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 10000L else s4(vecs(i), vecs(j)))
+    MmrState(rows.map(_._1), rows.map(_._2),
+      rows.map(r => math.round(r._2 * 1e4)), sims)
+  }
+
+  def mmrRerank(shortlist: DataFrame, lambda: Double = 0.5, k: Int = 10,
+                idCol: String = "doc_id", vecCol: String = "embedding",
+                relCol: String = "rel"): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]; got $lambda")
+    require(k >= 1, s"k >= 1; got $k")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val st = mmrQuantize(shortlist, idCol, vecCol, relCol)
+    val n = st.ids.length
+    val l6 = math.round(lambda * 1e6)
+    val taken = new Array[Boolean](n)
+    // max sim4 to the selected set — which can be NEGATIVE (an
+    // anti-similar doc earns a diversity BONUS); only the EMPTY set
+    // contributes 0 (step 1). Initializing to 0 instead of MinValue
+    // silently clamped negative maxima — caught by the q336 oracle
+    // replaying the same greedy over the staged integers.
+    val maxSim = Array.fill(n)(Long.MinValue)
+    def penalty(i: Int): Long =
+      if (maxSim(i) == Long.MinValue) 0L else maxSim(i)
+    val picks = Seq.newBuilder[(Long, Long, Double, Double)]
+    val kk = math.min(k, n)
+    for (step <- 1 to kk) {
+      var best = -1; var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) { // id-ascending, so strict > keeps the lowest id
+        if (!taken(i)) {
+          val s = l6 * st.rel4(i) - (1000000L - l6) * penalty(i)
+          if (s > bestScore) { best = i; bestScore = s }
+        }
+        i += 1
+      }
+      taken(best) = true
+      picks += ((st.ids(best), step.toLong, st.rel(best),
+        bestScore / 1e10))
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && st.sim4(j)(best) > maxSim(j))
+          maxSim(j) = st.sim4(j)(best)
+        j += 1
+      }
+    }
+    picks.result().toDF(idCol, "mmr_rank", relCol, "mmr_score")
+  }
+
   /** Leave-one-out kNN classification readout over a labeled
     * embedding table: majority vote of the k nearest neighbors
     * (vote ties → lowest label), accuracy per true label — the

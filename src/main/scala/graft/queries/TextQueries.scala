@@ -227,6 +227,41 @@ object TextQueries {
         .orderBy(col("fused_rank"))
     }),
 
+    // MMR diversified re-ranking of a retrieved shortlist: the cosine
+    // top-30 for one query vector greedily re-ordered by
+    // λ·rel − (1−λ)·max-sim-to-selected in exact 4dp/micro integer
+    // arithmetic. Graded via STAGING (the q129 pattern): the
+    // quantized state the greedy runs on — rel4 per doc + the 4dp
+    // pairwise sim grid — is persisted once, and the oracle unrolls
+    // the SAME k greedy steps in SQL over those integers. (A first
+    // cut had DuckDB recompute list_cosine_similarity: its last-ulp
+    // disagreement with the JVM kernel flipped one s4 cell and the
+    // greedy cascaded — the exact failure class staging exists for.
+    // The cosine surface itself stays independently verified by
+    // q35/q157.)
+    "q336_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val short = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 30)
+        .select(col("neighbor_id").as("doc_id"), col("sim").as("rel"))
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+      val st = Similarity.mmrQuantize(short)
+      st.ids.indices.map(i => (st.ids(i), st.rel(i), st.rel4(i)))
+        .toDF("id", "rel", "rel4").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q336/rel")
+      (for {
+        i <- st.ids.indices; j <- st.ids.indices if i != j
+      } yield (st.ids(i), st.ids(j), st.sim4(i)(j)))
+        .toDF("ia", "ib", "s4").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${MLQueries.stageDir(d)}/q336/sim")
+      Similarity.mmrRerank(short, lambda = 0.5, k = 10)
+        .orderBy(col("mmr_rank"))
+    }),
+
     // per-doc lexical diversity: TTR/hapax in exact integer rounding,
     // unigram self-entropy via the micro-nat DECIMAL bridge
     // per-doc character-entropy gate — the pre-tokenization binary/
@@ -1628,6 +1663,54 @@ object TextQueries {
                      AS rank
             FROM sc WHERE score > 0)"""
 
+  /** q336 oracle: the MMR greedy loop UNROLLED as k chained CTE
+    * steps over the STAGED integers (rel4 per doc + 4dp pairwise sim
+    * grid — exactly what the operator's greedy consumed), each step
+    * picking argmax(λ6·rel4 − (10⁶−λ6)·max-sim4-to-selected) with the
+    * id tiebreak. Generated programmatically so the SQL and the Scala
+    * loop cannot drift on step count or tie rules; every CTE is
+    * MATERIALIZED — DuckDB otherwise inlines each reference and the
+    * chained steps re-expand exponentially (the first cut exhausted
+    * file handles at step ~9). */
+  private def mmrOracle(k: Int, lambda6: Long): String = {
+    val inv6 = 1000000L - lambda6
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s""", pick1 AS MATERIALIZED (
+              SELECT id, rel, rel4, $lambda6 * rel4 AS score10,
+                     1 AS mmr_rank
+              FROM sl ORDER BY $lambda6 * rel4 DESC, id LIMIT 1),
+            selected1 AS MATERIALIZED (SELECT id FROM pick1)"""
+      else
+        s""", cand$i AS MATERIALIZED (
+              SELECT sl.id, sl.rel, sl.rel4,
+                     $lambda6 * sl.rel4 - $inv6 * coalesce(
+                       (SELECT max(ps.s4) FROM ps
+                        JOIN selected${i - 1} s ON ps.ib = s.id
+                        WHERE ps.ia = sl.id), 0) AS score10
+              FROM sl
+              WHERE sl.id NOT IN (SELECT id FROM selected${i - 1})),
+            pick$i AS MATERIALIZED (
+              SELECT id, rel, rel4, score10, $i AS mmr_rank
+              FROM cand$i ORDER BY score10 DESC, id LIMIT 1),
+            selected$i AS MATERIALIZED (
+              SELECT id FROM selected${i - 1}
+              UNION ALL SELECT id FROM pick$i)"""
+    }.mkString
+    val unionAll =
+      (1 to k).map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")
+    s"""WITH sl AS MATERIALIZED (
+            SELECT id, rel, rel4
+            FROM read_parquet('${MLQueries.StageToken}/q336/rel/*.parquet')),
+          ps AS MATERIALIZED (
+            SELECT ia, ib, s4
+            FROM read_parquet('${MLQueries.StageToken}/q336/sim/*.parquet'))""" +
+      steps + s"""
+        SELECT id AS doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, rel,
+               CAST(score10 AS DOUBLE) / 10000000000 AS mmr_score
+        FROM ($unionAll) ORDER BY mmr_rank"""
+  }
+
   /** Brute-force cosine top-k oracle (q35) — shared verbatim by
     * q57b_ivf_knn_full, whose nProbe=nCentroids degenerate is provably
     * brute force. */
@@ -2448,6 +2531,8 @@ object TextQueries {
                  CAST(s6 AS DOUBLE) / 1000000 AS rrf_score,
                  n_legs, best_rank
           FROM f WHERE fused_rank <= 20 ORDER BY fused_rank"""),
+    // q336: the MMR greedy unrolled in SQL — see mmrOracle
+    "q336_mmr_rerank" -> mmrOracle(k = 10, lambda6 = 500000L),
     // q164: width-safe decimal entropy product, ExactRound ratios,
     // micro-nat half-up entropy division
     // q182: the lexicalDiversity micro-nat bridge applied to CHARACTER

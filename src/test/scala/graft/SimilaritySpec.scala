@@ -88,6 +88,45 @@ class SimilaritySpec extends SparkSuite {
     assert(partial.nonEmpty)
   }
 
+  test("mmrRerank demotes the near-duplicate of an already-selected " +
+    "doc — hand-computed greedy picks, exact integer scores") {
+    // id 1 most relevant; id 2 is its near-duplicate (sim4 = 9998);
+    // id 3 orthogonal. λ=0.5: pick1 = 1 (pure relevance), pick2 = 3
+    // (2's redundancy penalty 0.9998 sinks it), pick3 = 2 negative.
+    val short = Seq(
+      (1L, 0.9, Seq(1.0f, 0.0f)),
+      (2L, 0.89, Seq(1.0f, 0.02f)),
+      (3L, 0.6, Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "rel", "embedding")
+    val got = Similarity.mmrRerank(short, lambda = 0.5, k = 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._2).toSeq
+    // scores: 500000·9000/1e10 = 0.45; 500000·6000/1e10 = 0.30;
+    // 500000·(8900 − 9998)/1e10 = −0.0549
+    assert(got == Seq(
+      (1L, 1L, 0.9, 0.45),
+      (3L, 2L, 0.6, 0.3),
+      (2L, 3L, 0.89, -0.0549)))
+    // k caps at the shortlist size; ties break by id (two identical
+    // docs: the lower id is picked first)
+    val tied = Seq(
+      (7L, 0.5, Seq(1.0f, 0.0f)),
+      (4L, 0.5, Seq(1.0f, 0.0f)))
+      .toDF("doc_id", "rel", "embedding")
+    val t = Similarity.mmrRerank(tied, lambda = 0.5, k = 5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._2).toSeq
+    assert(t.map(_._1) == Seq(4L, 7L) && t.map(_._2) == Seq(1L, 2L))
+    // an ANTI-similar doc (negative max-sim) earns a diversity BONUS,
+    // not a clamped 0 — the bug the q336 staged oracle caught: score
+    // for the opposite vector = 0.5·4000 − 0.5·(−10000) → 0.7
+    val anti = Seq(
+      (1L, 0.5, Seq(1.0f, 0.0f)),
+      (2L, 0.4, Seq(-1.0f, 0.0f)))
+      .toDF("doc_id", "rel", "embedding")
+    val a2 = Similarity.mmrRerank(anti, lambda = 0.5, k = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._2).toSeq
+    assert(a2 == Seq((1L, 1L, 0.5, 0.25), (2L, 2L, 0.4, 0.7)))
+  }
+
   test("salted aggregation is exact for associative aggregates") {
     import graft.operators.SkewTools
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
