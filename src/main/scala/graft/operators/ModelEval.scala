@@ -325,6 +325,44 @@ object ModelEval {
           .as("rr"))
   }
 
+  /** The nDCG log₂ discount grid: disc(i) = round(10⁶/log₂(i+1)) as
+    * exact micro-int LONGS, generated ONCE in the JVM and embedded as
+    * literals in both the plan and the oracle SQL — no engine
+    * evaluates a logarithm at query time (the cross-engine libm
+    * divergence class the PLANS.md round-9 audit catalogs). */
+  private[graft] def ndcgDiscounts(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => math.round(1e6 * math.log(2) / math.log(i + 1.0)))
+
+  /** nDCG@k per key over binary labels under the deterministic score
+    * order (score desc, date asc): `DCG@k = Σ_{i≤k} labelᵢ·disc(i)`
+    * and — binary labels make the ideal ranking "all positives
+    * first", so no second sort — `IDCG@k = Σ_{i≤min(n_pos,k)}
+    * disc(i)`, a k-bounded literal prefix-sum lookup. Both are exact
+    * LONG sums of the generated micro-int discounts; ndcg rounds
+    * through the integer bridge. Keys with no positive drop
+    * (nDCG undefined). One sort-window per key, nothing global. */
+  def ndcgAtK(scored: DataFrame, k: Int = 10,
+              key: String = "user_id"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000; got $k")
+    val disc = ndcgDiscounts(k)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("score").desc, col("date").asc)
+    val discAt = element_at(array(disc.map(lit): _*),
+      col("rnk").cast("int"))
+    scored.withColumn("rnk", row_number().over(w))
+      .groupBy(col(key))
+      .agg(sum(col("label")).cast("long").as("n_pos"),
+        sum(when(col("rnk") <= k && col("label") === 1, discAt)
+          .otherwise(lit(0L))).cast("long").as("dcg6"))
+      .where(col("n_pos") > 0)
+      .withColumn("idcg6", element_at(array(cum.map(lit): _*),
+        least(col("n_pos"), lit(k.toLong)).cast("int")))
+      .select(col(key), col("n_pos"), col("dcg6"),
+        graft.functions.ExactRound.ratio(col("dcg6"), col("idcg6"), 6)
+          .as("ndcg_at"))
+  }
+
   /** Precision@k / recall@k per key under the same deterministic score
     * order: exact integer hit counts, exact bridge ratios. The window
     * sorts each key's eval series inside its own partition — no global

@@ -86,6 +86,39 @@ object AnalyticsQueries {
       .drop("nc")
   }
 
+  /** q337 oracle: nDCG@k over the scored frame with the SAME
+    * JVM-generated micro-int log₂ discounts the plan embeds
+    * ([[ModelEval.ndcgDiscounts]]) — rendered as CASE literals so
+    * neither engine evaluates a logarithm at query time; the fusion is
+    * exact integer sums + one half-up bridge division. */
+  private def ndcgOracle(k: Int): String = {
+    val disc = ModelEval.ndcgDiscounts(k)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val discCase = disc.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val cumCase = cum.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    SCORED + s""", rk AS (
+            SELECT user_id, label,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, date ASC) AS rnk
+            FROM scored),
+          g AS (
+            SELECT user_id, CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN rnk <= $k AND label = 1
+                     THEN CASE rnk $discCase END ELSE 0 END)
+                     AS BIGINT) AS dcg6
+            FROM rk GROUP BY 1),
+          h AS (
+            SELECT user_id, n_pos, dcg6,
+                   CASE least(n_pos, $k) $cumCase END AS idcg6
+            FROM g WHERE n_pos > 0)
+          SELECT user_id, n_pos, dcg6,
+                 CAST((dcg6 * 2000000 + idcg6) // (2 * idcg6)
+                   AS DOUBLE) / 1000000 AS ndcg_at
+          FROM h ORDER BY 1"""
+  }
+
   /** staged + scored CTE, oracle twin of [[scoredFrame]]. */
   private val SCORED: String = SeriesQueries.STAGED +
     """, scored AS (
@@ -185,6 +218,12 @@ object AnalyticsQueries {
     // precision/recall@10 per key — exact hit counts and bridges
     "q242_precision_at_k" -> ((s, d) =>
       ModelEval.precisionAtK(scoredFrame(s, d), 10)
+        .orderBy(col("user_id"))),
+
+    // nDCG@10 per key — log2 discounts generated once as micro-int
+    // literals shared by plan and oracle; DCG/IDCG are exact long sums
+    "q337_ndcg_at_k" -> ((s, d) =>
+      ModelEval.ndcgAtK(scoredFrame(s, d), 10)
         .orderBy(col("user_id"))),
 
     // Benford first-digit audit of the value column
@@ -746,6 +785,11 @@ object AnalyticsQueries {
                  CAST((hits * 20000 + n_pos) // (2 * n_pos) AS DOUBLE)
                    / 10000 AS recall_at
           FROM g WHERE n_pos > 0 ORDER BY 1"""),
+
+    // q337: the SAME generated micro-int log2 discounts the plan uses
+    // (ModelEval.ndcgDiscounts) — DCG/IDCG as exact long sums, no
+    // runtime logarithm in either engine
+    "q337_ndcg_at_k" -> ndcgOracle(10),
 
     // q238: per-class recall through a 6dp bridge, mean through a 4dp
     // bridge — integer arithmetic end to end

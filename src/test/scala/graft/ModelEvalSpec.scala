@@ -34,6 +34,34 @@ class ModelEvalSpec extends SparkSuite {
     wins / (pos.size * neg.size)
   }
 
+  test("ndcgAtK: hand-computed binary nDCG from the generated " +
+    "micro-int discount grid; perfect ranker reads 1; no-positive " +
+    "keys drop") {
+    // one key, 5 ranked items, labels [1,0,1,0,0] at k=3:
+    // DCG = disc(1)+disc(3) = 1000000+500000; IDCG(n_pos=2) =
+    // disc(1)+disc(2) = 1630930 → ndcg = 0.919721 (exact bridge)
+    val s = Seq(
+      (1L, "2024-01-01", 0.9, 1), (1L, "2024-01-02", 0.8, 0),
+      (1L, "2024-01-03", 0.7, 1), (1L, "2024-01-04", 0.6, 0),
+      (1L, "2024-01-05", 0.5, 0),
+      // key 2: positives fill the top — perfect ranker
+      (2L, "2024-01-01", 0.9, 1), (2L, "2024-01-02", 0.8, 1),
+      (2L, "2024-01-03", 0.7, 0),
+      // key 3: no positive — must drop
+      (3L, "2024-01-01", 0.9, 0))
+      .toDF("user_id", "date_s", "score", "label")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("score"), col("label"))
+    val got = ModelEval.ndcgAtK(s, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1500000L, 0.919721),
+      (2L, 2L, 1630930L, 1.0)))
+    // the discount grid itself: disc(1)=1e6 exactly, monotone
+    val d = ModelEval.ndcgDiscounts(10)
+    assert(d.head == 1000000L && d == d.sortBy(-_))
+  }
+
   test("rocAuc equals the brute-force pairwise AUC with tie credit") {
     val out = ModelEval.rocAuc(scored).orderBy("user_id")
       .select("user_id", "auc").as[(Long, Double)].collect().toMap
