@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scratch A/B (round-9 verdict item 4): q06_join3's remaining gap at
@@ -11,49 +11,54 @@ import org.apache.spark.sql.functions._
   * so the join plans as a zero-exchange sort-merge over pre-sorted
   * runs — probe becomes a merge. Times (warm best-of-3):
   *   A: current broadcast plan over flat parquet
-  *   B: co-bucketed SMJ (broadcast disabled to force the merge path)
+  *   B: co-bucketed SMJ (merge hint forces the path)
   *   C: co-bucketed + broadcast still allowed (what a user would get)
+  * Measured at 128×: A 1.97-2.21 s, B 1.69 s, C 1.49 s — recorded in
+  * BASELINE.md round 9 and at the call sites.
   */
 object AbBucket {
   def main(args: Array[String]): Unit = {
-    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "128")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      s"/tmp/graft_sf$mult")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_bucket_wh")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = AbBench.session(
+      "spark.sql.warehouse.dir" -> "/tmp/graft_bucket_wh")
+    val dir = AbBench.scaleDir()
 
-    def time(label: String, f: () => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        f().write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[ab] $label%-24s best=${ts.min}%.3f  all=${ts.map(t => f"$t%.2f").mkString(",")}")
-      ts.min
-    }
     def agg(j: DataFrame): DataFrame =
       j.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("n_name"))
 
-    // one-time bucketed write (cached across runs via table existence)
-    if (!spark.catalog.tableExists("orders_b")) {
+    // one-time bucketed write, FINGERPRINTED on (source dir, buckets)
+    // — existence alone silently reused a stale-scale table after a
+    // SPARK_GRAFT_SCALE change, timing legs B/C on different data
+    // than leg A (the InflateFixtures lesson), and a crash between
+    // the two writes left a half-cache the existence check passed
+    val marker = new java.io.File("/tmp/graft_bucket_wh/_AB_FINGERPRINT")
+    val want = s"src=$dir;buckets=$buckets"
+    val fresh = spark.catalog.tableExists("orders_b") &&
+      spark.catalog.tableExists("customer_b") &&
+      marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == want
+    if (!fresh) {
       println("[ab] writing bucketed tables (one-time)")
+      if (marker.exists()) marker.delete()
+      // a fresh JVM's in-memory catalog does not know a previous
+      // run's tables, but their managed LOCATIONS persist on disk and
+      // saveAsTable refuses to reuse them — drop both names AND
+      // delete both locations before rewriting
+      Seq("orders_b", "customer_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_bucket_wh/$t"))
+      }
       operators.Bucketing.writeBucketed(
         Tables.orders(spark, dir), "orders_b", "o_custkey", buckets)
       operators.Bucketing.writeBucketed(
         Tables.customer(spark, dir)
           .withColumnRenamed("c_custkey", "o_custkey"),
         "customer_b", "o_custkey", buckets)
+      java.nio.file.Files.writeString(marker.toPath, want)
     }
     Tables.orders(spark, dir).limit(1).write.format("noop")
       .mode("overwrite").save()
@@ -77,13 +82,13 @@ object AbBucket {
         .join(broadcast(Tables.nation(spark, dir)),
           col("c_nationkey") === col("n_nationkey")))
 
-    time("q06A_broadcast_flat", qA _)
+    AbBench.time("q06A_broadcast_flat", qA _)
     val pB = qB().queryExecution.executedPlan.toString
     println(s"[ab] planB SMJ=${pB.contains("SortMergeJoin")} " +
       s"exchanges=${"Exchange hashpartitioning".r.findAllIn(pB).size}")
-    time("q06B_bucketed_smj", qB _)
-    time("q06C_bucketed_bhj", qC _)
-    time("q06A_broadcast_flat2", qA _)
+    AbBench.time("q06B_bucketed_smj", qB _)
+    AbBench.time("q06C_bucketed_bhj", qC _)
+    AbBench.time("q06A_broadcast_flat2", qA _)
     spark.stop()
   }
 }

@@ -348,8 +348,15 @@ object Relevance {
     require(k >= 1, s"rrf smoothing k must be >= 1; got $k")
     val slim = legs.map(df =>
       df.select(col(idCol), col(rankCol).cast("long").as("_r")))
+    // ranks must be positive: the ExactRound bridge requires den > 0,
+    // and a rank ≤ −k would otherwise divide by zero (ANSI error) or
+    // silently drop a null term from the sum (non-ANSI). Fail loudly
+    // — the check is one branch per (bounded) leg row.
+    val rGuard = when(col("_r").isNull || col("_r") < 1,
+      raise_error(concat(lit("rrfFuse: rank must be >= 1; got "),
+        col("_r").cast("string")))).otherwise(col("_r"))
     val term6 = graft.functions.ExactRound.scaled(
-      lit(1L), lit(k.toLong) + col("_r"), 6)
+      lit(1L), lit(k.toLong) + rGuard, 6)
     slim.reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_legs"),

@@ -283,14 +283,30 @@ object Similarity {
       relCol: String = "rel"): MmrState = {
     val spark = shortlist.sparkSession
     import spark.implicits._
+    // bound BEFORE collecting: limit(4097) caps what can ever reach
+    // the driver, so a corpus-scale misuse fails in the require below
+    // instead of OOMing the driver during the collect itself
     val rows = shortlist
       .select(col(idCol).cast("long"), col(relCol).cast("double"),
         asDouble(col(vecCol)))
+      .limit(4097)
       .as[(Long, Double, Seq[Double])]
       .collect().sortBy(_._1)
     require(rows.length <= 4096,
       s"mmrRerank is a shortlist re-ranker (driver-side greedy); got " +
-        s"${rows.length} rows — run the ANN top-N first")
+        s"> 4096 rows — run the ANN top-N first")
+    // exact-arithmetic envelope (the covarianceMatrix discipline):
+    // l6·rel4 must stay far from Long overflow, and a truncated
+    // embedding must fail loudly, not cosine over a common prefix
+    rows.foreach { r =>
+      require(math.abs(r._2) <= 1e6,
+        s"mmrRerank: |$relCol| > 1e6 overflows the exact integer " +
+          s"score (id ${r._1}: ${r._2}) — rescale the relevance")
+    }
+    val dims = rows.iterator.map(_._3.length).toSet
+    require(dims.size <= 1,
+      s"mmrRerank: mixed embedding lengths $dims — a truncated vector " +
+        "would silently cosine over the common prefix")
     val n = rows.length
     val vecs = rows.map(_._3.toArray)
     // raw double cosine, left-to-right accumulation (the
@@ -311,12 +327,22 @@ object Similarity {
 
   def mmrRerank(shortlist: DataFrame, lambda: Double = 0.5, k: Int = 10,
                 idCol: String = "doc_id", vecCol: String = "embedding",
-                relCol: String = "rel"): DataFrame = {
+                relCol: String = "rel"): DataFrame =
+    mmrRerank(shortlist.sparkSession,
+      mmrQuantize(shortlist, idCol, vecCol, relCol), lambda, k,
+      idCol, relCol)
+
+  /** The greedy itself over an already-quantized [[MmrState]] — lets
+    * the q336 staging gate persist the state AND rerank from the SAME
+    * quantization (one shortlist job, and the staged-integers ==
+    * greedy-integers invariant holds by construction instead of by
+    * the shortlist recomputing identically). */
+  private[graft] def mmrRerank(spark: org.apache.spark.sql.SparkSession,
+                st: MmrState, lambda: Double, k: Int,
+                idCol: String, relCol: String): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]; got $lambda")
     require(k >= 1, s"k >= 1; got $k")
-    val spark = shortlist.sparkSession
     import spark.implicits._
-    val st = mmrQuantize(shortlist, idCol, vecCol, relCol)
     val n = st.ids.length
     val l6 = math.round(lambda * 1e6)
     val taken = new Array[Boolean](n)

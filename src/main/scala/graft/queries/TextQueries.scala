@@ -258,7 +258,10 @@ object TextQueries {
         .toDF("ia", "ib", "s4").coalesce(1)
         .write.mode("overwrite")
         .parquet(s"${MLQueries.stageDir(d)}/q336/sim")
-      Similarity.mmrRerank(short, lambda = 0.5, k = 10)
+      // rerank from the SAME quantized state that was just staged —
+      // one shortlist job, and the oracle replays these exact integers
+      Similarity.mmrRerank(s, st, lambda = 0.5, k = 10,
+          idCol = "doc_id", relCol = "rel")
         .orderBy(col("mmr_rank"))
     }),
 
