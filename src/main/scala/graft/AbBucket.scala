@@ -33,31 +33,46 @@ object AbBucket {
     // — existence alone silently reused a stale-scale table after a
     // SPARK_GRAFT_SCALE change, timing legs B/C on different data
     // than leg A (the InflateFixtures lesson), and a crash between
-    // the two writes left a half-cache the existence check passed
-    val marker = new java.io.File("/tmp/graft_bucket_wh/_AB_FINGERPRINT")
+    // the two writes left a half-cache the existence check passed.
+    // A fresh JVM's in-memory catalog never knows a previous run's
+    // tables, so a marker hit RE-REGISTERS the persisted locations as
+    // external bucketed tables (CREATE TABLE ... CLUSTERED BY ...
+    // LOCATION) instead of rewriting — the cache now actually hits
+    // across runs (it never could before: tableExists was false in
+    // every fresh JVM, making the fingerprint dead code).
+    val wh = "/tmp/graft_bucket_wh"
+    val marker = new java.io.File(s"$wh/_AB_FINGERPRINT")
     val want = s"src=$dir;buckets=$buckets"
-    val fresh = spark.catalog.tableExists("orders_b") &&
-      spark.catalog.tableExists("customer_b") &&
-      marker.exists() &&
-      java.nio.file.Files.readString(marker.toPath) == want
-    if (!fresh) {
+    val ordersDf = Tables.orders(spark, dir)
+    val customerDf = Tables.customer(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val specs = Seq("orders_b" -> ordersDf, "customer_b" -> customerDf)
+    val cached = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == want &&
+      specs.forall { case (t, _) => new java.io.File(s"$wh/$t")
+        .isDirectory }
+    if (cached) {
+      println("[ab] reusing persisted bucketed tables (fingerprint hit)")
+      specs.foreach { case (t, df) =>
+        if (!spark.catalog.tableExists(t))
+          spark.sql(s"CREATE TABLE $t (${df.schema.toDDL}) " +
+            "USING parquet CLUSTERED BY (o_custkey) " +
+            s"SORTED BY (o_custkey) INTO $buckets BUCKETS " +
+            s"LOCATION '$wh/$t'")
+      }
+    } else {
       println("[ab] writing bucketed tables (one-time)")
       if (marker.exists()) marker.delete()
-      // a fresh JVM's in-memory catalog does not know a previous
-      // run's tables, but their managed LOCATIONS persist on disk and
-      // saveAsTable refuses to reuse them — drop both names AND
-      // delete both locations before rewriting
-      Seq("orders_b", "customer_b").foreach { t =>
+      // stale names AND stale locations both block saveAsTable — drop
+      // and delete before rewriting
+      specs.foreach { case (t, _) =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"/tmp/graft_bucket_wh/$t"))
+          new java.io.File(s"$wh/$t"))
       }
-      operators.Bucketing.writeBucketed(
-        Tables.orders(spark, dir), "orders_b", "o_custkey", buckets)
-      operators.Bucketing.writeBucketed(
-        Tables.customer(spark, dir)
-          .withColumnRenamed("c_custkey", "o_custkey"),
-        "customer_b", "o_custkey", buckets)
+      specs.foreach { case (t, df) =>
+        operators.Bucketing.writeBucketed(df, t, "o_custkey", buckets)
+      }
       java.nio.file.Files.writeString(marker.toPath, want)
     }
     Tables.orders(spark, dir).limit(1).write.format("noop")

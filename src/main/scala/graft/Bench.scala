@@ -82,45 +82,89 @@ object Bench {
     // is measured (warm OS cache, compiled pipelines)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val (results, errors) = timeHeadline(spark, sfDir, runs)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val b32 = bench32(spark, cpus.toInt, sfDir).map {
-      case (total32, results32, duck, runs32, errors32) =>
-        val qs32 = results32.map { case (k, v) => "\"" + k + "\":" + v }
+    val b32opt = bench32(spark, cpus.toInt, sfDir)
+    val b128opt = bench128(spark, cpus.toInt, sfDir)
+
+    // FULL per-query detail (the pre-r10 three-leg JSON) → a committed
+    // file. The driver's artifact keeps only a 2000-char stdout TAIL:
+    // once the three-leg line outgrew that window (r7) the artifact's
+    // "parsed" went null and whole legs fell out of the record — the
+    // stdout line below is now compact BY CONSTRUCTION and the detail
+    // lives here.
+    def legDetail(name: String, sparkSec: Double,
+                  qs: Seq[(String, Double)],
+                  duck: Option[(Double, Map[String, Double])], mult: Int,
+                  legRuns: Int, legErrors: Seq[String]): String = {
+      val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val duckPart = duck.map { case (d, perQ) =>
+        // per-query DuckDB times + ratios so a bar judgment can name
+        // WHICH query is slow instead of guessing from two totals
+        val dq = perQ.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        val duckPart = duck.map { case (d, perQ) =>
-          // per-query DuckDB times + ratios ride along so a bar
-          // judgment can name WHICH query is slow instead of guessing
-          // from two totals
-          val dq = perQ.map { case (k, v) => "\"" + k + "\":" + v }
-            .mkString("{", ",", "}")
-          val ratios = results32.flatMap { case (k, v) =>
-            perQ.get(k).filter(_ > 0).map(d32 =>
-              "\"" + k + "\":" + f"${v / d32}%.2f")
-          }.mkString("{", ",", "}")
-          s""","duckdb_sec":$d,"ratio":${total32 / d},"duckdb_queries":$dq,"ratios":$ratios"""
-        }.getOrElse("")
-        // carries its OWN run count: the top-level "runs" describes the
-        // main leg only
-        s""","bench32":{"spark_sec":$total32$duckPart,"runs":$runs32,"mult":32,"queries":$qs32${errJson(errors32)}}"""
+        val ratios = qs.flatMap { case (k, v) =>
+          perQ.get(k).filter(_ > 0).map(dd =>
+            "\"" + k + "\":" + f"${v / dd}%.2f")
+        }.mkString("{", ",", "}")
+        s""","duckdb_sec":$d,"ratio":${sparkSec / d},"duckdb_queries":$dq,"ratios":$ratios"""
+      }.getOrElse("")
+      // carries its OWN run count: the top-level "runs" describes the
+      // main leg only
+      s""","$name":{"spark_sec":$sparkSec$duckPart,"runs":$legRuns,"mult":$mult,"queries":$qsJson${errJson(legErrors)}}"""
+    }
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val b32d = b32opt.map { case (t32, r32, duck, runs32, errs32) =>
+      legDetail("bench32", t32, r32, duck, 32, runs32, errs32)
     }.getOrElse("")
-    val b128 = bench128(spark, cpus.toInt, sfDir).map {
-      case (results128, duck128, runs128, errors128) =>
-        val qs128 = results128.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}")
-        val duckPart = duck128.map { case (_, perQ) =>
-          val dq = perQ.map { case (k, v) => "\"" + k + "\":" + v }
-            .mkString("{", ",", "}")
-          val ratios = results128.flatMap { case (k, v) =>
-            perQ.get(k).filter(_ > 0).map(d128 =>
-              "\"" + k + "\":" + f"${v / d128}%.2f")
-          }.mkString("{", ",", "}")
-          s""","duckdb_queries":$dq,"ratios":$ratios"""
-        }.getOrElse("")
-        s""","bench128":{"spark_sec":${results128.map(_._2).sum}$duckPart,"runs":$runs128,"mult":128,"queries":$qs128${errJson(errors128)}}"""
+    val b128d = b128opt.map { case (r128, duck, runs128, errs128) =>
+      legDetail("bench128", r128.map(_._2).sum, r128, duck, 128,
+        runs128, errs128)
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"${errJson(errors)}$b32$b128}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qsFull,"sf":"$sfDir"${errJson(errors)}$b32d$b128d}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_detail.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail write failed: $e") }
+
+    // compact FINAL stdout line: leg totals + aggregate ratios only,
+    // per-query times at 3dp for the main leg, error COUNTS not
+    // messages — and a hard length guard that drops the queries map
+    // rather than ever exceeding the driver's tail window
+    def r3(d: Double) = f"$d%.3f"
+    def legCompact(name: String, sparkSec: Double,
+                   duck: Option[(Double, Map[String, Double])], mult: Int,
+                   legRuns: Int, nErr: Int): String = {
+      val duckPart = duck.map { case (d, _) =>
+        s""","duckdb_sec":${r3(d)},"ratio":${f"${sparkSec / d}%.2f"}"""
+      }.getOrElse("")
+      val errPart = if (nErr == 0) "" else s""","n_errors":$nErr"""
+      s""","$name":{"spark_sec":${r3(sparkSec)}$duckPart,"runs":$legRuns,"mult":$mult$errPart}"""
+    }
+    val b32c = b32opt.map { case (t32, _, duck, runs32, errs32) =>
+      legCompact("bench32", t32, duck, 32, runs32, errs32.size)
+    }.getOrElse("")
+    val b128c = b128opt.map { case (r128, duck, runs128, errs128) =>
+      // bench128's duckdb total = sum over the queries actually timed
+      val d128 = duck.map { case (_, perQ) =>
+        (perQ.filter { case (k, _) => r128.exists(_._1 == k) }
+          .values.sum, perQ)
+      }
+      legCompact("bench128", r128.map(_._2).sum, d128, 128, runs128,
+        errs128.size)
+    }.getOrElse("")
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val errPart = if (errors.isEmpty) "" else s""","n_errors":${errors.size}"""
+    def line(withQueries: Boolean) = {
+      val q = if (withQueries) s""","queries":$qsCompact""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"agg":"min"$q,"sf":"$sfDir"$errPart$b32c$b128c,"detail":"$detailPath"}"""
+    }
+    val full = line(withQueries = true)
+    println(if (full.length <= 1900) full else line(withQueries = false))
     spark.stop()
   }
 

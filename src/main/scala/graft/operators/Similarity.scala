@@ -281,20 +281,33 @@ object Similarity {
   private[graft] def mmrQuantize(shortlist: DataFrame,
       idCol: String = "doc_id", vecCol: String = "embedding",
       relCol: String = "rel"): MmrState = {
-    val spark = shortlist.sparkSession
-    import spark.implicits._
     // bound BEFORE collecting: limit(4097) caps what can ever reach
     // the driver, so a corpus-scale misuse fails in the require below
-    // instead of OOMing the driver during the collect itself
-    val rows = shortlist
+    // instead of OOMing the driver during the collect itself.
+    // Collected as Rows (not a primitive-tuple Dataset): a null id/rel/
+    // embedding must fail the loud requires below, naming the offending
+    // id, not die in the encoder or NPE on _._3.length
+    val raw = shortlist
       .select(col(idCol).cast("long"), col(relCol).cast("double"),
         asDouble(col(vecCol)))
       .limit(4097)
-      .as[(Long, Double, Seq[Double])]
-      .collect().sortBy(_._1)
-    require(rows.length <= 4096,
+      .collect()
+    require(raw.length <= 4096,
       s"mmrRerank is a shortlist re-ranker (driver-side greedy); got " +
         s"> 4096 rows — run the ANN top-N first")
+    val rows = raw.map { r =>
+      require(!r.isNullAt(0), s"mmrRerank: null $idCol in the shortlist")
+      val id = r.getLong(0)
+      require(!r.isNullAt(1),
+        s"mmrRerank: null $relCol for id $id — filter or impute " +
+          "relevance before re-ranking")
+      require(!r.isNullAt(2),
+        s"mmrRerank: null $vecCol for id $id")
+      val vec = r.getSeq[Any](2)
+      require(vec.nonEmpty && !vec.contains(null),
+        s"mmrRerank: empty $vecCol or null element for id $id")
+      (id, r.getDouble(1), vec.asInstanceOf[Seq[Double]])
+    }.sortBy(_._1)
     // exact-arithmetic envelope (the covarianceMatrix discipline):
     // l6·rel4 must stay far from Long overflow, and a truncated
     // embedding must fail loudly, not cosine over a common prefix

@@ -237,7 +237,16 @@ case class SignedProject(child: Expression, signs: Array[Byte], dim: Int)
   * HALF_UP)` Spark's own `round()` codegen applies, and the first
   * (ids are REQUIRED ascending) rounded-equal candidate wins.
   * Per-centroid accumulation is ascending-index from 0.0 — bit-equal
-  * to [[CosineSimilarity]] and to DuckDB's `list_cosine_similarity`.
+  * to [[CosineSimilarity]]. Agreement with DuckDB's
+  * `list_cosine_similarity` is EMPIRICAL, not guaranteed to the last
+  * ulp (DuckDB's instruction sequence is its own; one last-ulp
+  * disagreement at a 4dp rounding boundary was observed in the q336
+  * staging work) — which is why rank-sensitive oracles (q335/q336)
+  * stage the engine's sims/ranks instead of recomputing them, and the
+  * remaining cosine-recompute oracle sites (q35/q107/q110/…) sit on
+  * the PLANS.md transcendental-audit watch with the boundary-flip
+  * probability argument (a flip needs a sim within ~1 ulp of a
+  * 0.00005 grid line AND the flipped cell to change an output row).
   *
   * Null/degenerate: null input → null; zero-norm input → null; a
   * zero-norm CENTROID never wins (cosine undefined → excluded);

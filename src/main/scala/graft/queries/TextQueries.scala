@@ -214,15 +214,28 @@ object TextQueries {
     // combined by reciprocal-rank fusion — the calibration-free
     // combiner every hybrid retrieval stack ships. Scores are sums
     // of exact micro-unit longs (ExactRound), so the oracle replays
-    // the identical integer algebra.
+    // the identical integer algebra. The semantic leg's (doc_id, rank)
+    // is STAGED (the q336/q129 pattern): a first cut had DuckDB
+    // recompute the cosine ranking, and a sim within an ulp of a
+    // 0.00005 rounding boundary would flip a semantic rank and cascade
+    // through the fused order — the exact failure class that bit
+    // q336. The cosine top-k surface itself stays independently
+    // oracle-verified by q35/q157; here only the FUSION algebra is
+    // under test, and both engines replay it over one shared ranking.
     "q335_rrf_fusion" -> ((s, d) => {
       val lex = Relevance.bm25(Tables.documents(s, d),
           query = Seq("spark", "join", "window"), topK = 20)
         .select(col("doc_id"), col("rank"))
       val e = Tables.embeddings(s, d)
-      val sem = Similarity
+      val semPath = s"${MLQueries.stageDir(d)}/q335/sem"
+      Similarity
         .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
+        .coalesce(1).write.mode("overwrite").parquet(semPath)
+      // fuse from the SAME staged ranking the oracle will read — the
+      // staged-integers == fused-integers invariant holds by
+      // construction, not by the top-k recomputing identically
+      val sem = s.read.parquet(semPath)
       Relevance.rrfFuse(Seq(lex, sem), k = 60, topK = 20)
         .orderBy(col("fused_rank"))
     }),
@@ -2498,24 +2511,20 @@ object TextQueries {
           SELECT doc_id, CAST(rank AS BIGINT) AS rank, score,
                  CAST(dl AS BIGINT) AS doc_len
           FROM r WHERE rank <= 20 ORDER BY rank"""),
-    // q335: both legs replayed exactly — the shared BM25 chain and a
-    // single-query cosine top-20 — then the fusion is PURE integer
+    // q335: the lexical leg replayed exactly (the shared BM25 chain);
+    // the semantic leg's (doc_id, rank) read from the STAGE (see the
+    // query-side note — recomputing the cosine ranking here risked a
+    // last-ulp boundary flip, the q336 failure class; q35/q157 verify
+    // the cosine top-k independently); then the fusion is PURE integer
     // algebra: each term round(10^6/(60+rank)) via the half-up
     // integer bridge ((2a+b) // 2b), summed as exact longs
     "q335_rrf_fusion" -> (TOKS + bm25Chain +
-      """, lex AS (
+      s""", lex AS (
             SELECT doc_id, rank FROM r WHERE rank <= 20),
-          sq AS (SELECT embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id = 0),
-          ss AS (SELECT e.vec_id AS doc_id,
-                        round(list_cosine_similarity(sq.qv,
-                          e.embedding::DOUBLE[]), 4) AS sim
-                 FROM embeddings e, sq WHERE e.vec_id <> 0),
           sem AS (
-            SELECT doc_id, rank FROM (
-              SELECT doc_id, row_number() OVER
-                       (ORDER BY sim DESC, doc_id) AS rank
-              FROM ss) WHERE rank <= 20),
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q335/sem/*.parquet')),
           u AS (SELECT doc_id, rank FROM lex
                 UNION ALL SELECT doc_id, rank FROM sem),
           g AS (
