@@ -95,7 +95,8 @@ object Bench {
     def legDetail(name: String, sparkSec: Double,
                   qs: Seq[(String, Double)],
                   duck: Option[(Double, Map[String, Double])], mult: Int,
-                  legRuns: Int, legErrors: Seq[String]): String = {
+                  legRuns: Int, legErrors: Seq[String],
+                  extra: Seq[(String, Double)] = Seq.empty): String = {
       val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val duckPart = duck.map { case (d, perQ) =>
@@ -109,18 +110,24 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","duckdb_sec":$d,"ratio":${sparkSec / d},"duckdb_queries":$dq,"ratios":$ratios"""
       }.getOrElse("")
+      // extras (e.g. q06_bucketed) are timings OUTSIDE the headline
+      // totals/ratio — the DuckDB side times the flat files only
+      val extraPart =
+        if (extra.isEmpty) ""
+        else extra.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","extra":{""", ",", "}")
       // carries its OWN run count: the top-level "runs" describes the
       // main leg only
-      s""","$name":{"spark_sec":$sparkSec$duckPart,"runs":$legRuns,"mult":$mult,"queries":$qsJson${errJson(legErrors)}}"""
+      s""","$name":{"spark_sec":$sparkSec$duckPart,"runs":$legRuns,"mult":$mult,"queries":$qsJson$extraPart${errJson(legErrors)}}"""
     }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val b32d = b32opt.map { case (t32, r32, duck, runs32, errs32) =>
       legDetail("bench32", t32, r32, duck, 32, runs32, errs32)
     }.getOrElse("")
-    val b128d = b128opt.map { case (r128, duck, runs128, errs128) =>
+    val b128d = b128opt.map { case (r128, extra, duck, runs128, errs128) =>
       legDetail("bench128", r128.map(_._2).sum, r128, duck, 128,
-        runs128, errs128)
+        runs128, errs128, extra)
     }.getOrElse("")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qsFull,"sf":"$sfDir"${errJson(errors)}$b32d$b128d}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -147,14 +154,21 @@ object Bench {
     val b32c = b32opt.map { case (t32, _, duck, runs32, errs32) =>
       legCompact("bench32", t32, duck, 32, runs32, errs32.size)
     }.getOrElse("")
-    val b128c = b128opt.map { case (r128, duck, runs128, errs128) =>
+    val b128c = b128opt.map { case (r128, extra, duck, runs128, errs128) =>
       // bench128's duckdb total = sum over the queries actually timed
       val d128 = duck.map { case (_, perQ) =>
         (perQ.filter { case (k, _) => r128.exists(_._1 == k) }
           .values.sum, perQ)
       }
-      legCompact("bench128", r128.map(_._2).sum, d128, 128, runs128,
-        errs128.size)
+      val leg = legCompact("bench128", r128.map(_._2).sum, d128, 128,
+        runs128, errs128.size)
+      // surface the bucketed-layout extra in the compact line too —
+      // it's the recurring evidence for the q06 storage answer
+      val extraPart = extra.map { case (k, v) =>
+        s""","$k":${r3(v)}"""
+      }.mkString
+      if (extraPart.isEmpty) leg
+      else leg.patch(leg.lastIndexOf("}"), extraPart + "}", 1)
     }.getOrElse("")
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -179,7 +193,7 @@ object Bench {
     * (fingerprint-cached like the 32× leg); opt out with
     * SPARK_GRAFT_BENCH128=0; any failure skips the leg. */
   private def bench128(spark: SparkSession, cpus: Int, sfDir: String)
-      : Option[(Seq[(String, Double)],
+      : Option[(Seq[(String, Double)], Seq[(String, Double)],
         Option[(Double, Map[String, Double])], Int, Seq[String])] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH128", "1") == "0") return None
     try {
@@ -205,7 +219,17 @@ object Bench {
       val runs128 = sys.env.getOrElse("SPARK_GRAFT_BENCH128_RUNS", "2").toInt
       val (results, errors) =
         timeQueries(spark, dir, runs128, headline)
-      Some((results, duckdbTimesFor(dir, runs128, headline),
+      // recurring q06 bucketed-layout leg (round-9 A/B promoted to the
+      // per-round protocol): the SAME aggregation as q06_join3 but
+      // over orders/customer persisted bucketed+sorted by custkey —
+      // the storage option the engine offers for hot join keys
+      // (Bucketing scaladoc; measured ~25-40% under the flat layout
+      // at 128×). Kept OUT of the headline totals/ratio: the DuckDB
+      // side times the flat files, so folding this in would skew the
+      // aggregate; it rides as its own "extra" entry instead.
+      val extra = q06Bucketed(spark, cpus, dir, want, runs128)
+        .map(t => Seq("q06_bucketed" -> t)).getOrElse(Seq.empty)
+      Some((results, extra, duckdbTimesFor(dir, runs128, headline),
         runs128, errors))
     } catch {
       case e: Throwable =>
@@ -213,6 +237,45 @@ object Bench {
         None
     }
   }
+
+  /** Warm best-of-`runs` time of the q06_join3 aggregation over the
+    * BUCKETED layout — orders/customer persisted bucketed+sorted by
+    * custkey under `<dir>_bucketq06` (one-time, fingerprinted to the
+    * inflation; later sessions re-register the persisted locations
+    * via [[operators.Bucketing.ensureExternalBucketed]]). None on any
+    * failure — this extra never fails the leg. */
+  private[graft] def q06Bucketed(spark: SparkSession, cpus: Int,
+                                 dir: String, fingerprint: String,
+                                 runs: Int)
+      : Option[Double] =
+    try {
+      import org.apache.spark.sql.functions._
+      val base = s"${dir}_bucketq06"
+      operators.Bucketing.ensureExternalBucketed(spark,
+        Tables.table(spark, dir, "orders"),
+        "orders_bq06", "o_custkey", cpus, s"$base/orders_bq06",
+        fingerprint)
+      operators.Bucketing.ensureExternalBucketed(spark,
+        Tables.table(spark, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_bq06", "o_custkey", cpus, s"$base/customer_bq06",
+        fingerprint)
+      def q = operators.Bucketing
+        .cobucketedJoin(spark, "orders_bq06", "customer_bq06",
+          "o_custkey")
+        .join(broadcast(Tables.table(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("n_name"))
+      Some((1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        q.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench128] q06_bucketed skipped: $e"); None }
 
   /** A loud in-JSON marker for any failed query run — an executor error
     * buried in the stderr tail once let a stalled sample pass as a real

@@ -61,7 +61,15 @@ object Crossover {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val (results, errors) = Bench.timeQueries(spark, dir, runs, names)
+    val (results0, errors) = Bench.timeQueries(spark, dir, runs, names)
+    // optional bucketed-layout sibling for q06 (the round-9 storage
+    // A/B promoted to the crossover protocol): timed from the SAME
+    // fingerprinted external tables the bench128 leg uses
+    val results =
+      if (sys.env.getOrElse("SPARK_GRAFT_Q06_BUCKETED", "0") != "1")
+        results0
+      else results0 ++ Bench.q06Bucketed(spark, cpus, dir, want, runs)
+        .map(t => "q06_bucketed" -> t)
     val duck = Bench.duckdbTimesFor(dir, runs, names)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

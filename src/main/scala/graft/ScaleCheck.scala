@@ -269,6 +269,31 @@ object ScaleCheck {
       }
       idx._2.unpersist()
     }
+    // ANN recall@k (q338's metric) swept over nProbe — the tuning
+    // curve a production pipeline reads to pick the probe budget.
+    // Exact baseline computed once (it IS knn_bruteforce_64q); each
+    // row times probed-search + metric and prints the mean recall
+    // over the 64 queries (a 64-row bounded collect).
+    locally {
+      import graft.operators.{IvfIndex, ModelEval}
+      val (centroids, cells) = IvfIndex.build(emb, nCentroids = 16)
+      cells.cache().count()
+      val exact = Similarity.bruteForceTopK(emb, knnQueries, k = 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      exact.count()
+      Seq(1, 2, 4, 8, 16).foreach { p =>
+        var rec = 0.0
+        time(s"ann_recall64q_probe$p", ne) {
+          val ann = IvfIndex
+            .search(centroids, cells, knnQueries, k = 10, nProbe = p)
+            .select(col("query_id"), col("neighbor_id"))
+          rec = ModelEval.annRecallAtK(ann, exact, k = 10)
+            .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+        }
+        println(f"[scale]   recall@10 nProbe=$p%-2d mean=$rec%.4f")
+      }
+      exact.unpersist(); cells.unpersist()
+    }
     // PCA: the fit is ONE treeAggregate pass (fixed d(d+3)/2 state);
     // projection is a pure map with literal components
     time("pca_fit_project", ne) {

@@ -367,6 +367,43 @@ object ModelEval {
     * order: exact integer hit counts, exact bridge ratios. The window
     * sorts each key's eval series inside its own partition — no global
     * order at any scale. */
+  /** ANN recall@k against an exact baseline — the number a production
+    * pipeline tunes nProbe/m/shortlist by: for each query, the share
+    * of the EXACT top-k neighbors the ANN path retrieved.
+    * `ann`/`exact` are both (queryCol, neighborCol) top-k frames (the
+    * shapes [[Similarity.bruteForceTopK]] / [[Similarity.ivfTopK]] /
+    * [[IvfPq.search]] emit). Counts and the 4dp recall are exact
+    * integers (hits / k through the integer bridge), so given a
+    * staged ANN output the metric takes a full hash oracle (q338).
+    *
+    * Scale: both inputs are k-bounded PER QUERY (n_queries × k rows —
+    * corpus-independent), so the join is shortlist-sized; the
+    * expensive work is producing the two top-k frames, which is the
+    * operators' problem, not this metric's. Queries with zero ANN
+    * hits still emit a row (left join from the exact side). Duplicate
+    * (query, neighbor) pairs on the ANN side are collapsed before
+    * counting — a multi-probe union must not double-count a hit. */
+  def annRecallAtK(ann: DataFrame, exact: DataFrame, k: Int,
+                   queryCol: String = "query_id",
+                   neighborCol: String = "neighbor_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val a = ann
+      .select(col(queryCol).as("query_id"),
+        col(neighborCol).as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("_hit", lit(1L))
+    exact
+      .select(col(queryCol).as("query_id"),
+        col(neighborCol).as("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        graft.functions.ExactRound.ratio(col("n_hits"), lit(k.toLong), 4)
+          .as("recall_at_k"))
+  }
+
   def precisionAtK(scored: DataFrame, k: Int = 10,
                    key: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(key))

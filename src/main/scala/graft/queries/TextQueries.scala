@@ -1623,6 +1623,28 @@ object TextQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
           nCentroids = 8, nProbe = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN recall@k — the QUALITY of the approximate paths quantified
+    // as data (the number a 100 TB pipeline tunes nProbe by): each
+    // IVF query's top-10 joined against the brute-force top-10,
+    // exact integer hits / k. The ANN leg is STAGED (Lloyd k-means is
+    // not oracle-replayable — the q336 pattern); the oracle replays
+    // the exact baseline independently (the q35 chain) plus the pure
+    // integer recall algebra over the staged pairs.
+    "q338_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val annPath = s"${MLQueries.stageDir(d)}/q338/ann"
+      Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+        .coalesce(1).write.mode("overwrite").parquet(annPath)
+      // measure from the SAME staged pairs the oracle reads
+      val ann = s.read.parquet(annPath)
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      graft.operators.ModelEval.annRecallAtK(ann, exact, k = 10)
+        .orderBy(col("query_id"))
     }))
 
   /** BM25 top-20 CTE chain (TOKS must precede; ends with `r` carrying
@@ -1727,10 +1749,10 @@ object TextQueries {
         FROM ($unionAll) ORDER BY mmr_rank"""
   }
 
-  /** Brute-force cosine top-k oracle (q35) — shared verbatim by
-    * q57b_ivf_knn_full, whose nProbe=nCentroids degenerate is provably
-    * brute force. */
-  private val knnOracle: String =
+  /** Brute-force cosine top-k CTE chain (ends with `r` carrying
+    * (query_id, neighbor_id, sim, rank)) — shared by the q35/q57b
+    * oracle and q338's exact-baseline leg. */
+  private val knnChain: String =
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
@@ -1741,7 +1763,12 @@ object TextQueries {
             r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
                          row_number() OVER (PARTITION BY qid
                            ORDER BY sim DESC, nid) AS rank
-                  FROM s)
+                  FROM s)"""
+
+  /** Brute-force cosine top-k oracle (q35) — shared verbatim by
+    * q57b_ivf_knn_full, whose nProbe=nCentroids degenerate is provably
+    * brute force. */
+  private val knnOracle: String = knnChain + """
          SELECT query_id, rank, neighbor_id, sim FROM r
          WHERE rank <= 10 ORDER BY query_id, rank"""
 
@@ -4501,6 +4528,31 @@ object TextQueries {
     // IVF with nProbe = nCentroids provably equals brute force — the
     // q35 oracle applies VERBATIM (same queries, same k, same ordering)
     "q57b_ivf_knn_full" -> knnOracle,
+    // q338: exact baseline replayed independently (the q35 chain),
+    // ANN pairs read from the STAGE (Lloyd k-means is not
+    // SQL-replayable), recall = pure integer algebra — hits/k via
+    // the half-up bridge round(h/10, 4dp) = (h*20000 + 10) // 20
+    "q338_ann_recall" -> (knnChain +
+      s""", ex AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+          ann AS (
+            SELECT DISTINCT query_id, neighbor_id
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q338/ann/*.parquet')),
+          j AS (
+            SELECT e.query_id,
+                   CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                   END AS h
+            FROM ex e LEFT JOIN ann a
+              ON e.query_id = a.query_id
+             AND e.neighbor_id = a.neighbor_id),
+          g AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(h) AS BIGINT) AS n_hits
+            FROM j GROUP BY 1)
+        SELECT query_id, n_exact, n_hits,
+               CAST((n_hits * 20000 + 10) // 20 AS DOUBLE) / 10000
+                 AS recall_at_k
+        FROM g ORDER BY query_id"""),
     "q67b_exact_profile" ->
       """SELECT lang, count(*) AS n_docs,
            count(DISTINCT source) AS nd_sources,

@@ -220,4 +220,50 @@ class ModelEvalSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 4L, 0.6931), (2L, 4L, 0.0), (3L, 2L, 0.0)))
   }
+
+  test("annRecallAtK: hand-computed hits/k; zero-hit queries still " +
+    "emit; duplicate ANN pairs don't double-count; full overlap " +
+    "reads 1") {
+    // exact top-3 per query; k = 3
+    val exact = Seq(
+      (0L, 10L), (0L, 11L), (0L, 12L), // q0: ANN finds 2 of 3
+      (1L, 20L), (1L, 21L), (1L, 22L), // q1: ANN finds all 3
+      (2L, 30L), (2L, 31L), (2L, 32L)  // q2: ANN finds none
+    ).toDF("query_id", "neighbor_id")
+    val ann = Seq(
+      (0L, 10L), (0L, 12L), (0L, 99L),
+      (1L, 22L), (1L, 21L), (1L, 20L),
+      // duplicate pair (multi-probe union) must count once
+      (1L, 22L),
+      (2L, 98L), (2L, 97L), (2L, 96L)
+    ).toDF("query_id", "neighbor_id")
+    val out = ModelEval.annRecallAtK(ann, exact, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 3L, 2L, 0.6667), (1L, 3L, 3L, 1.0),
+      (2L, 3L, 0L, 0.0)))
+  }
+
+  test("annRecallAtK: IVF probe-all provably reads recall 1 against " +
+    "brute force on a real embedding frame; pruned probes stay in " +
+    "[0, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = graft.operators.Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = graft.operators.Similarity
+      .ivfTopK(e, q, k = 5, nCentroids = 8, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val rFull = ModelEval.annRecallAtK(full, exact, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rFull.length == 3 && rFull.forall(_._4 == 1.0))
+    val pruned = graft.operators.Similarity
+      .ivfTopK(e, q, k = 5, nCentroids = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val rP = ModelEval.annRecallAtK(pruned, exact, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rP.length == 3 &&
+      rP.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._3 <= r._2))
+  }
 }
