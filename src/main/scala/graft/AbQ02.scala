@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * string-keyed 1.87 s, concat key worse (2.34 s), max(string)
   * recovery catastrophic (13.1 s — a string aggregation buffer kicks
   * the plan out of HashAggregate into ObjectHash/Sort aggregation).
+  *
+  * QUESTION CLOSED (round 10, CROSSOVER_r10.json): the last untried
+  * lever — ONE packed int key `ascii(flag)*256+ascii(status)` decoded
+  * via chr() post-agg, so no string touches the aggregation buffer —
+  * measures 1.861 s vs 1.896 s string-keyed at 512×: a WASH, below
+  * the 1.3× adoption bar. Key hashing was never the cost; the ~1.9 s
+  * over 307M rows is the per-row aggregation-buffer constant of the
+  * minimal two-phase plan. No further q02 levers exist.
   */
 object AbQ02 {
   def main(args: Array[String]): Unit = {

@@ -23,6 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * over flat parquet — ~25% from layout alone on a single join, on
   * top of removing the per-join shuffle that dominates when the key
   * is hot across a workload.
+  *
+  * Since round 10 the claim is re-measured EVERY round, not one-shot:
+  * the bench 128× leg times a `q06_bucketed` extra from fingerprinted
+  * external tables (Bench.q06Bucketed → [[ensureExternalBucketed]];
+  * first in-protocol sample 1.19 s vs 1.80 s flat), and the 512×
+  * crossover carries the same sibling (CROSSOVER_r10: 2.10/2.25 s vs
+  * 6.1–6.7 s flat — the layout is the q06 scale answer; the flat
+  * ratio is the one honest non-faller, a broadcast-probe per-row
+  * constant per the r8 strategy A/B).
   */
 object Bucketing {
 

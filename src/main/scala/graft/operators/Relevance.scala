@@ -341,6 +341,62 @@ object Relevance {
     * unpartitioned rank window all run over ≤ Σ legs·topK rows — the
     * window is NOT a corpus-scale sort. For a multi-query batch, call
     * per query or extend the window with the query-id partition key. */
+  /** The RBO per-depth micro-int weights `u6(d) = round(10⁶·(1−p)·
+    * p^(d−1)/d)` and their suffix sums `S(m) = Σ_{d=m..k} u6(d)` —
+    * GENERATED ONCE in the JVM and embedded as literals in both the
+    * plan and the oracle SQL (the [[ModelEval.ndcgDiscounts]]
+    * discipline: no engine evaluates pow() at query time). */
+  private[graft] def rboDepthWeights(k: Int, p: Double): IndexedSeq[Long] =
+    (1 to k).map(d => math.round(1e6 * (1 - p) *
+      math.pow(p, d - 1) / d))
+
+  private[graft] def rboSuffix(k: Int, p: Double): IndexedSeq[Long] = {
+    val w = rboDepthWeights(k, p)
+    w.indices.map(m => w.drop(m).sum)
+  }
+
+  /** Rank-biased overlap @k (Webber, Moffat & Zobel 2010), the
+    * standard top-weighted "how similar are two rankings" metric —
+    * the retrieval-eval complement of [[rrfFuse]] (which COMBINES
+    * runs; RBO measures their agreement, e.g. lexical vs semantic
+    * legs before deciding fusion is worth it, or an ANN run vs its
+    * exact baseline beyond set-overlap recall).
+    *
+    * Definition used (truncated RBO@k): `Σ_{d=1..k} u6(d)·ov(d)`
+    * where `ov(d) = |A_{1..d} ∩ B_{1..d}|` and `u6(d)` is the
+    * generated micro-int weight (1−p)p^(d−1)/d. Since a doc present
+    * in both runs contributes to every depth `d ≥ max(rA,rB)`, the
+    * sum collapses to one SUFFIX-SUM LOOKUP per common doc — exact
+    * LONG algebra, no per-depth pass, engine-replayable. The micro
+    * quantization (≤5e-7 per depth) is the deterministic definition
+    * both engines replay; it is not a float approximation of one.
+    *
+    * Scale: inputs are top-k lists (k-bounded, never corpus-bounded);
+    * one k-row hash join + one aggregate. Multi-query batches: call
+    * per query or add a query-id join/group key. Ranks must be ≥ 1
+    * (raise_error, the rrfFuse guard); rows beyond k are ignored. */
+  def rboAtK(runA: DataFrame, runB: DataFrame, k: Int = 20,
+             p: Double = 0.9, idCol: String = "doc_id",
+             rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000; got $k")
+    require(p > 0 && p < 1, s"need 0 < p < 1; got $p")
+    val s = rboSuffix(k, p)
+    def leg(df: DataFrame, out: String) = {
+      val r = col(rankCol).cast("long")
+      val guarded = when(r.isNull || r < 1,
+        raise_error(concat(lit(s"rboAtK: $rankCol must be >= 1; got "),
+          r.cast("string")))).otherwise(r)
+      df.select(col(idCol), guarded.as(out)).where(col(out) <= k)
+    }
+    leg(runA, "_ra").join(leg(runB, "_rb"), Seq(idCol))
+      .select(greatest(col("_ra"), col("_rb")).as("_m"))
+      .agg(count(lit(1)).cast("long").as("n_both"),
+        coalesce(sum(element_at(array(s.map(lit): _*),
+          col("_m").cast("int"))), lit(0L)).cast("long").as("rbo6"))
+      .select(col("n_both"), col("rbo6"),
+        (col("rbo6").cast("double") / 1e6).as("rbo"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k: Int = 60, topK: Int = 20,
               idCol: String = "doc_id", rankCol: String = "rank")
       : DataFrame = {

@@ -240,6 +240,27 @@ object TextQueries {
         .orderBy(col("fused_rank"))
     }),
 
+    // rank agreement between the lexical and semantic retrieval legs:
+    // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
+    // top-weighted "are these two rankings finding the same things"
+    // diagnostic a retrieval stack reads BEFORE deciding hybrid
+    // fusion (q335) is worth running. Depth weights are generated
+    // micro-int literals shared by plan and oracle (the q337
+    // discipline — no pow() at query time in either engine); the
+    // semantic leg is staged (its own copy — queries are
+    // self-contained, Verify's run order is not a contract).
+    "q339_rbo" -> ((s, d) => {
+      val lex = Relevance.bm25(Tables.documents(s, d),
+          query = Seq("spark", "join", "window"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val semPath = s"${MLQueries.stageDir(d)}/q339/sem"
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+        .coalesce(1).write.mode("overwrite").parquet(semPath)
+      Relevance.rboAtK(lex, s.read.parquet(semPath), k = 20, p = 0.9)
+    }),
+
     // MMR diversified re-ranking of a retrieved shortlist: the cosine
     // top-30 for one query vector greedily re-ordered by
     // λ·rel − (1−λ)·max-sim-to-selected in exact 4dp/micro integer
@@ -1749,6 +1770,35 @@ object TextQueries {
         FROM ($unionAll) ORDER BY mmr_rank"""
   }
 
+  /** q339 oracle: truncated RBO@k over the replayed lexical leg and
+    * the staged semantic leg. The per-depth suffix sums are the SAME
+    * JVM-generated micro-ints [[Relevance.rboSuffix]] feeds the plan
+    * (generated programmatically so SQL and Scala cannot drift), so
+    * the replay is pure integer algebra. */
+  private def rboOracle(k: Int, p: Double): String = {
+    val s = graft.operators.Relevance.rboSuffix(k, p)
+    val lookup = (1 to k).map(m => s"WHEN m = $m THEN ${s(m - 1)}")
+      .mkString(" ")
+    TOKS + bm25Chain + s""", lex AS (
+            SELECT doc_id, rank FROM r WHERE rank <= $k),
+          sem AS (
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q339/sem/*.parquet')
+            WHERE rank <= $k),
+          b AS (
+            SELECT CASE WHEN l.rank >= s.rank THEN l.rank ELSE s.rank
+                   END AS m
+            FROM lex l JOIN sem s USING (doc_id)),
+          g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_both,
+                   CAST(coalesce(sum(CASE $lookup END), 0) AS BIGINT)
+                     AS rbo6
+            FROM b)
+        SELECT n_both, rbo6, CAST(rbo6 AS DOUBLE) / 1000000 AS rbo
+        FROM g"""
+  }
+
   /** Brute-force cosine top-k CTE chain (ends with `r` carrying
     * (query_id, neighbor_id, sim, rank)) — shared by the q35/q57b
     * oracle and q338's exact-baseline leg. */
@@ -2572,6 +2622,10 @@ object TextQueries {
           FROM f WHERE fused_rank <= 20 ORDER BY fused_rank"""),
     // q336: the MMR greedy unrolled in SQL — see mmrOracle
     "q336_mmr_rerank" -> mmrOracle(k = 10, lambda6 = 500000L),
+    // q339: lexical leg replayed (BM25 chain), semantic leg from the
+    // stage, RBO as one suffix-weight lookup per common doc — the
+    // weights are the SAME JVM-generated micro-ints the plan uses
+    "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q164: width-safe decimal entropy product, ExactRound ratios,
     // micro-nat half-up entropy division
     // q182: the lexicalDiversity micro-nat bridge applied to CHARACTER

@@ -49,6 +49,36 @@ class RelevanceSpec extends SparkSuite {
     assert(tie.map(x => (x._1, x._2)) == Seq((3L, 1L), (5L, 2L)))
   }
 
+  test("rboAtK: hand-computed suffix-weight sum; identical runs read " +
+    "~1-p^k; disjoint runs read 0; ranks beyond k are ignored") {
+    // k=3, p=0.9: u6 = [100000, 45000, 27000], S = [172000, 72000,
+    // 27000]. A=[1,2,3], B=[2,1,4]: common docs 1 (max rank 2) and
+    // 2 (max rank 2) -> rbo6 = 2*S(2) = 144000
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L), (4L, 3L)).toDF("doc_id", "rank")
+    assert(Relevance.rboSuffix(3, 0.9) == Seq(172000L, 72000L, 27000L))
+    val got = Relevance.rboAtK(a, b, k = 3, p = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 144000L, 0.144)))
+    // identical runs: rbo6 = sum_d d*u6(d), which approximates
+    // 1e6*(1-p^k) within the per-depth quantization
+    val full = (1 to 20).map(i => (i.toLong * 7, i.toLong))
+      .toDF("doc_id", "rank")
+    val w = Relevance.rboDepthWeights(20, 0.9)
+    val expect = (1 to 20).map(d => d * w(d - 1)).sum
+    val self = Relevance.rboAtK(full, full, k = 20, p = 0.9)
+      .as[(Long, Long, Double)].collect().head
+    assert(self._1 == 20L && self._2 == expect &&
+      math.abs(self._2 / 1e6 - (1 - math.pow(0.9, 20))) < 2e-5)
+    // disjoint runs; and a rank > k on one side drops that doc
+    val c = Seq((100L, 1L)).toDF("doc_id", "rank")
+    assert(Relevance.rboAtK(a, c, k = 3).as[(Long, Long, Double)]
+      .collect().toSeq == Seq((0L, 0L, 0.0)))
+    val beyond = Seq((1L, 1L), (2L, 9L)).toDF("doc_id", "rank")
+    assert(Relevance.rboAtK(a, beyond, k = 3, p = 0.9)
+      .as[(Long, Long, Double)].collect().head._1 == 1L)
+  }
+
   test("tfIdfTopK corpus size joins as a broadcast, not a cartesian") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val p = Relevance.tfIdfTopK(docs).queryExecution.executedPlan.toString
