@@ -367,6 +367,37 @@ object ModelEval {
     * order: exact integer hit counts, exact bridge ratios. The window
     * sorts each key's eval series inside its own partition — no global
     * order at any scale. */
+  /** Expected reciprocal rank @k (Chapelle et al., CIKM 2009) per key
+    * over binary labels under the deterministic score order. The
+    * cascade model with binary relevance has stop probability 1/2 at
+    * every positive, so the j-th positive at rank r contributes
+    * EXACTLY `1/(r·2^j)` — ERR@k collapses to one exact micro-int
+    * bridge term per in-window positive, summed as longs. The 2^j
+    * factors are k-bounded generated literals (the ndcgDiscounts
+    * discipline: no pow() at query time in either engine). Keys with
+    * no positive inside the top-k drop (ERR undefined, mirroring
+    * [[ndcgAtK]]'s no-positive drop). k ≤ 32 keeps r·2^j far from
+    * Long overflow inside the bridge. */
+  def errAtK(scored: DataFrame, k: Int = 10,
+             key: String = "user_id"): DataFrame = {
+    require(k >= 1 && k <= 32, s"need 1 <= k <= 32; got $k")
+    val pows = (1 to k).map(j => 1L << j)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("score").desc, col("date").asc)
+    val wp = Window.partitionBy(col(key)).orderBy(col("rnk"))
+    val den = col("rnk") *
+      element_at(array(pows.map(lit): _*), col("j").cast("int"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k && col("label") === 1)
+      .withColumn("j", row_number().over(wp))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_pos_at_k"),
+        sum(graft.functions.ExactRound.scaled(lit(1L), den, 6))
+          .cast("long").as("err6"))
+      .select(col(key), col("n_pos_at_k"), col("err6"),
+        (col("err6").cast("double") / 1e6).as("err_at"))
+  }
+
   /** ANN recall@k against an exact baseline — the number a production
     * pipeline tunes nProbe/m/shortlist by: for each query, the share
     * of the EXACT top-k neighbors the ANN path retrieved.

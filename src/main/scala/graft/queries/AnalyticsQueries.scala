@@ -119,6 +119,36 @@ object AnalyticsQueries {
           FROM h ORDER BY 1"""
   }
 
+  /** q340 oracle: ERR@k with the SAME generated 2^j literals the plan
+    * embeds; each in-window positive contributes the exact bridge
+    * term round(10⁶/(rnk·2^j)) — pure integer algebra. */
+  private def errOracle(k: Int): String = {
+    val powCase = (1 to k).map(j => s"WHEN $j THEN ${1L << j}")
+      .mkString(" ")
+    SCORED + s""", rk AS (
+            SELECT user_id, label,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, date ASC) AS rnk
+            FROM scored),
+          p AS (
+            SELECT user_id, rnk,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY rnk) AS j
+            FROM rk WHERE rnk <= $k AND label = 1),
+          t AS (
+            SELECT user_id,
+                   rnk * (CASE j $powCase END) AS den
+            FROM p),
+          g AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pos_at_k,
+                   CAST(sum((2000000 + den) // (2 * den)) AS BIGINT)
+                     AS err6
+            FROM t GROUP BY 1)
+          SELECT user_id, n_pos_at_k, err6,
+                 CAST(err6 AS DOUBLE) / 1000000 AS err_at
+          FROM g ORDER BY 1"""
+  }
+
   /** staged + scored CTE, oracle twin of [[scoredFrame]]. */
   private val SCORED: String = SeriesQueries.STAGED +
     """, scored AS (
@@ -224,6 +254,14 @@ object AnalyticsQueries {
     // literals shared by plan and oracle; DCG/IDCG are exact long sums
     "q337_ndcg_at_k" -> ((s, d) =>
       ModelEval.ndcgAtK(scoredFrame(s, d), 10)
+        .orderBy(col("user_id"))),
+
+    // ERR@k (cascade-model expected reciprocal rank) over the same
+    // scored frame — binary labels make each j-th positive at rank r
+    // contribute exactly 1/(r·2^j), one micro-int bridge term per
+    // positive (generated 2^j literals, the q337 discipline)
+    "q340_err_at_k" -> ((s, d) =>
+      ModelEval.errAtK(scoredFrame(s, d), 10)
         .orderBy(col("user_id"))),
 
     // Benford first-digit audit of the value column
@@ -790,6 +828,8 @@ object AnalyticsQueries {
     // (ModelEval.ndcgDiscounts) — DCG/IDCG as exact long sums, no
     // runtime logarithm in either engine
     "q337_ndcg_at_k" -> ndcgOracle(10),
+    // q340: ERR@k — see errOracle (shared generated 2^j literals)
+    "q340_err_at_k" -> errOracle(10),
 
     // q238: per-class recall through a 6dp bridge, mean through a 4dp
     // bridge — integer arithmetic end to end

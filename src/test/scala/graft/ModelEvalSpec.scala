@@ -221,6 +221,27 @@ class ModelEvalSpec extends SparkSuite {
     assert(out == Seq((1L, 4L, 0.6931), (2L, 4L, 0.0), (3L, 2L, 0.0)))
   }
 
+  test("errAtK: hand-computed cascade terms 1/(r·2^j); perfect first " +
+    "hit reads 0.5; no-positive keys drop") {
+    // key 1: labels [1,0,1,0,0] by score order — positives at ranks
+    // 1 and 3: 1/(1·2)=500000 + round(1e6/(3·4))=83333 -> 0.583333
+    // key 2: single positive at rank 1 -> 0.5
+    // key 3: no positives -> dropped
+    val df = Seq(
+      (1L, 1, 0.9, 1), (1L, 2, 0.8, 0), (1L, 3, 0.7, 1),
+      (1L, 4, 0.6, 0), (1L, 5, 0.5, 0),
+      (2L, 1, 0.9, 1), (2L, 2, 0.8, 0),
+      (3L, 1, 0.9, 0), (3L, 2, 0.8, 0)
+    ).map { case (u, i, s, y) => (u, f"2024-01-$i%02d", s, y) }
+      .toDF("user_id", "date_s", "score", "label")
+      .select(col("user_id"), to_date(col("date_s")).as("date"),
+        col("score"), col("label"))
+    val out = ModelEval.errAtK(df, k = 3).orderBy("user_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 583333L, 0.583333),
+      (2L, 1L, 500000L, 0.5)))
+  }
+
   test("annRecallAtK: hand-computed hits/k; zero-hit queries still " +
     "emit; duplicate ANN pairs don't double-count; full overlap " +
     "reads 1") {
