@@ -219,6 +219,19 @@ object ScaleCheck {
     time("knn_bruteforce_64q", ne) {
       sink(Similarity.bruteForceTopK(emb, knnQueries, k = 10))
     }
+    // shared exact baseline for the ANN recall rows below (IVF sweep +
+    // IVF-PQ): 640 rows cached, computed once outside the timed rows
+    val exactTop10 = Similarity.bruteForceTopK(emb, knnQueries, k = 10)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    exactTop10.count()
+    def meanRecallVs(ann: org.apache.spark.sql.DataFrame,
+                     exact: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.ModelEval
+        .annRecallAtK(ann.select(col("query_id"), col("neighbor_id")),
+          exact, k = 10)
+        .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+    def meanRecall(ann: org.apache.spark.sql.DataFrame): Double =
+      meanRecallVs(ann, exactTop10)
     time("knn_projected_64q", ne) {
       sink(Similarity.projectedTopK(emb, knnQueries, k = 10,
         shortlist = 100, outDim = 32))
@@ -267,32 +280,58 @@ object ScaleCheck {
         sink(IvfPq.search(idx._1, idx._2, idx._3, knnQueries, emb,
           topK = 10, nProbe = 4, refine = 4))
       }
+      // PQ-compression quality next to IVF's pruning quality below:
+      // same metric, same baseline
+      var rec = 0.0
+      time("ivfpq_recall64q_probe4", ne) {
+        rec = meanRecall(IvfPq.search(idx._1, idx._2, idx._3,
+          knnQueries, emb, topK = 10, nProbe = 4, refine = 4))
+      }
+      println(f"[scale]   recall@10 ivfpq probe4 mean=$rec%.4f")
       idx._2.unpersist()
     }
     // ANN recall@k (q338's metric) swept over nProbe — the tuning
     // curve a production pipeline reads to pick the probe budget.
-    // Exact baseline computed once (it IS knn_bruteforce_64q); each
-    // row times probed-search + metric and prints the mean recall
-    // over the 64 queries (a 64-row bounded collect).
+    // Each row times probed-search + metric and prints the mean
+    // recall over the 64 queries (a 64-row bounded collect).
     locally {
-      import graft.operators.{IvfIndex, ModelEval}
+      import graft.operators.IvfIndex
       val (centroids, cells) = IvfIndex.build(emb, nCentroids = 16)
       cells.cache().count()
-      val exact = Similarity.bruteForceTopK(emb, knnQueries, k = 10)
-        .select(col("query_id"), col("neighbor_id")).cache()
-      exact.count()
       Seq(1, 2, 4, 8, 16).foreach { p =>
         var rec = 0.0
         time(s"ann_recall64q_probe$p", ne) {
-          val ann = IvfIndex
-            .search(centroids, cells, knnQueries, k = 10, nProbe = p)
-            .select(col("query_id"), col("neighbor_id"))
-          rec = ModelEval.annRecallAtK(ann, exact, k = 10)
-            .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+          rec = meanRecall(IvfIndex
+            .search(centroids, cells, knnQueries, k = 10, nProbe = p))
         }
         println(f"[scale]   recall@10 nProbe=$p%-2d mean=$rec%.4f")
       }
-      exact.unpersist(); cells.unpersist()
+      cells.unpersist()
+    }
+    exactTop10.unpersist()
+    // QUALITY curve on the RAW corpus: the inflation DUPLICATES
+    // vectors (every query's true top-10 is its own copies, which
+    // land in the same cell under any assignment), so inflated-corpus
+    // recall reads 1.0 at every nProbe — a latency row, not a quality
+    // signal. The pruning-quality curve a pipeline actually tunes by
+    // needs the un-duplicated table.
+    locally {
+      import graft.operators.IvfIndex
+      val raw = Tables.embeddings(spark, sfDir)
+      val q64 = raw.filter(col("vec_id") < 64)
+      val ex = Similarity.bruteForceTopK(raw, q64, k = 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      ex.count()
+      val (c2, cells2) = IvfIndex.build(raw, nCentroids = 16)
+      cells2.cache().count()
+      val curve = Seq(1, 2, 4, 8, 16).map { p =>
+        val rec = meanRecallVs(
+          IvfIndex.search(c2, cells2, q64, k = 10, nProbe = p), ex)
+        f"$p:$rec%.4f"
+      }
+      println(s"[scale]   recall@10 RAW-corpus nProbe curve " +
+        curve.mkString(" "))
+      cells2.unpersist(); ex.unpersist()
     }
     // PCA: the fit is ONE treeAggregate pass (fixed d(d+3)/2 state);
     // projection is a pure map with literal components

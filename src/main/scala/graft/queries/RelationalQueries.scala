@@ -116,6 +116,34 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("n_name"))),
 
+    // the SAME q06 aggregation through the BUCKETED storage path —
+    // orders/customer persisted bucketed+sorted by custkey
+    // (Bucketing.ensureExternalBucketed into the run's private stage)
+    // and joined co-bucketed. Value-identity with the flat path is
+    // ORACLE-pinned every round (q06's SQL verbatim, flat files), on
+    // top of BucketingSpec's zero-Exchange plan pin — the layout that
+    // measured 1.05-1.19 s vs 1.7-1.8 s flat at 128× and 2.1-2.25 s
+    // vs 6.1-6.7 s at 512× (CROSSOVER_r10.json, BENCH_detail.json)
+    "q341_join3_bucketed" -> ((s, d) => {
+      import graft.operators.Bucketing
+      val base = s"${MLQueries.stageDir(d)}/q341"
+      val fp = s"src=$d"
+      Bucketing.ensureExternalBucketed(s, Tables.orders(s, d),
+        "orders_bq341", "o_custkey", 8, s"$base/orders_bq341", fp)
+      Bucketing.ensureExternalBucketed(s,
+        Tables.customer(s, d)
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_bq341", "o_custkey", 8, s"$base/customer_bq341", fp)
+      Bucketing
+        .cobucketedJoin(s, "orders_bq341", "customer_bq341", "o_custkey")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // J4: anti-join (NOT EXISTS) — customers with no recent orders
     "q07_anti_join" -> ((s, d) =>
       Tables.customer(s, d)
@@ -954,6 +982,15 @@ object RelationalQueries {
            FROM orders GROUP BY 1) o ON c_custkey = o_custkey
          ORDER BY c_custkey""",
     "q06_join3" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    // q341: the bucketed-layout path must produce EXACTLY the flat
+    // answer — q06's oracle verbatim (DuckDB reads the flat files;
+    // the engine read the bucketed tables)
+    "q341_join3_bucketed" ->
       """SELECT n_name, count(*) AS n_orders,
          round(sum(o_totalprice),2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
