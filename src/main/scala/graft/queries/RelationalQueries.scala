@@ -144,6 +144,25 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // the AGGREGATION side of the same layout: groupBy on the bucket
+    // key over the bucketed table plans with zero Exchange
+    // (BucketingSpec pins the shape) — this query pins the VALUES:
+    // top-10 customers by revenue from the bucketed scan must equal
+    // DuckDB's answer over the flat files
+    "q342_bucketed_agg" -> ((s, d) => {
+      import graft.operators.Bucketing
+      val base = s"${MLQueries.stageDir(d)}/q341"
+      Bucketing.ensureExternalBucketed(s, Tables.orders(s, d),
+        "orders_bq341", "o_custkey", 8, s"$base/orders_bq341",
+        s"src=$d")
+      s.table("orders_bq341")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
     // J4: anti-join (NOT EXISTS) — customers with no recent orders
     "q07_anti_join" -> ((s, d) =>
       Tables.customer(s, d)
@@ -996,6 +1015,12 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    // q342: the bucketed-scan aggregation against the flat files
+    "q342_bucketed_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice),2) AS revenue
+         FROM orders GROUP BY 1
+         ORDER BY revenue DESC, o_custkey LIMIT 10""",
     "q07_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
