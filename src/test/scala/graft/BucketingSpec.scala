@@ -53,4 +53,44 @@ class BucketingSpec extends SparkSuite {
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
     }
   }
+
+  test("ensureExternalBucketed: fingerprint hit RE-REGISTERS the " +
+    "persisted location without rewriting (fresh-JVM simulation); " +
+    "fingerprint change rewrites; re-registered table keeps the " +
+    "zero-exchange bucketed shape") {
+    val dir = "/root/testdata/sf0.001"
+    val base = "/tmp/graft_bucketing_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    spark.sql("DROP TABLE IF EXISTS ext_orders_b")
+    def ensure(fp: String): Unit =
+      Bucketing.ensureExternalBucketed(spark,
+        Tables.orders(spark, dir), "ext_orders_b", "o_custkey", 4,
+        s"$base/ext_orders_b", fp)
+    ensure("v1")
+    val rows = spark.table("ext_orders_b").count()
+    val marker = new java.io.File(base, "_ext_orders_b_FP")
+    assert(marker.exists())
+    val wroteAt = marker.lastModified()
+    // fresh JVM simulation: the in-memory catalog forgets the name,
+    // the data and marker stay on disk
+    spark.sql("DROP TABLE ext_orders_b")
+    Thread.sleep(5)
+    ensure("v1")
+    assert(marker.lastModified() == wroteAt,
+      "fingerprint hit must not rewrite the data")
+    assert(spark.table("ext_orders_b").count() == rows)
+    // the DDL-registered table is still a real bucketed table: the
+    // bucket-key aggregate plans with zero Exchange
+    val agg = spark.table("ext_orders_b").groupBy(col("o_custkey"))
+      .agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "re-registered bucketed table lost its bucketing metadata")
+    // changed fingerprint → rewrite (marker refreshed)
+    ensure("v2")
+    assert(java.nio.file.Files.readString(marker.toPath)
+      .startsWith("v2;"))
+    assert(spark.table("ext_orders_b").count() == rows)
+    spark.sql("DROP TABLE IF EXISTS ext_orders_b")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
