@@ -431,6 +431,39 @@ object Relevance {
         (col("rbo6").cast("double") / 1e6).as("rbo"))
   }
 
+  /** Multi-query [[rboAtK]]: the same suffix-weight algebra per
+    * query — the join keys on (query, doc) and the aggregate on
+    * query, every group k-bounded. The per-query rank-agreement
+    * readout between two retrieval runs over a query batch (e.g. how
+    * much int8 quantization PERTURBS each query's ranking, beyond
+    * what set-overlap recall shows — q344). A query whose runs share
+    * NO docs drops from the output (its RBO is 0) — left-join the
+    * query list back if explicit zero rows are wanted. */
+  def rboByQuery(runA: DataFrame, runB: DataFrame, k: Int = 20,
+                 p: Double = 0.9, queryCol: String = "query_id",
+                 idCol: String = "doc_id",
+                 rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000; got $k")
+    require(p > 0 && p < 1, s"need 0 < p < 1; got $p")
+    val s = rboSuffix(k, p)
+    def leg(df: DataFrame, out: String) = {
+      val r = col(rankCol).cast("long")
+      val guarded = when(r.isNull || r < 1,
+        raise_error(concat(lit(s"rboByQuery: $rankCol must be >= 1; " +
+          "got "), r.cast("string")))).otherwise(r)
+      df.select(col(queryCol), col(idCol), guarded.as(out))
+        .where(col(out) <= k)
+    }
+    leg(runA, "_ra").join(leg(runB, "_rb"), Seq(queryCol, idCol))
+      .select(col(queryCol), greatest(col("_ra"), col("_rb")).as("_m"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("long").as("n_both"),
+        sum(element_at(array(s.map(lit): _*),
+          col("_m").cast("int"))).cast("long").as("rbo6"))
+      .select(col(queryCol), col("n_both"), col("rbo6"),
+        (col("rbo6").cast("double") / 1e6).as("rbo"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k: Int = 60, topK: Int = 20,
               idCol: String = "doc_id", rankCol: String = "rank")
       : DataFrame = {

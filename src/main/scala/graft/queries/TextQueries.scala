@@ -269,6 +269,34 @@ object TextQueries {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // per-query rank agreement between the full-precision and the
+    // int8-quantized rankings: RBO@10 per query vector — the
+    // quantization-quality readout BEYOND set recall (two rankings
+    // can share all 10 docs yet order them differently; q338's
+    // recall can't see that, RBO can). Legs staged (independently
+    // verified by q35/q92); the per-query suffix-weight algebra is
+    // under test with the SAME generated micro-ints in both engines.
+    "q344_rbo_multiquery" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val full = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val qz = Similarity.quantizeInt8(e)
+        .select(col("vec_id"), col("qvec").as("embedding"))
+      val quant = Similarity
+        .bruteForceTopK(qz, qz.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val base = s"${MLQueries.stageDir(d)}/q344"
+      full.coalesce(1).write.mode("overwrite").parquet(s"$base/full")
+      quant.coalesce(1).write.mode("overwrite").parquet(s"$base/quant")
+      Relevance.rboByQuery(
+          s.read.parquet(s"$base/full"),
+          s.read.parquet(s"$base/quant"), k = 10, p = 0.9)
+        .orderBy(col("query_id"))
+    }),
+
     // rank agreement between the lexical and semantic retrieval legs:
     // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
     // top-weighted "are these two rankings finding the same things"
@@ -1828,6 +1856,37 @@ object TextQueries {
         FROM g"""
   }
 
+  /** q344 oracle: per-query RBO over the two staged legs — the same
+    * generated suffix weights as [[rboOracle]], grouped by query. */
+  private def rboByQueryOracle(k: Int, p: Double): String = {
+    val s = graft.operators.Relevance.rboSuffix(k, p)
+    val lookup = (1 to k).map(m => s"WHEN m = $m THEN ${s(m - 1)}")
+      .mkString(" ")
+    s"""WITH fa AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q344/full/*.parquet')
+            WHERE rank <= $k),
+          fb AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q344/quant/*.parquet')
+            WHERE rank <= $k),
+          b AS (
+            SELECT fa.query_id,
+                   CASE WHEN fa.rank >= fb.rank THEN fa.rank
+                        ELSE fb.rank END AS m
+            FROM fa JOIN fb
+              ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id),
+          g AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_both,
+                   CAST(sum(CASE $lookup END) AS BIGINT) AS rbo6
+            FROM b GROUP BY 1)
+        SELECT query_id, n_both, rbo6,
+               CAST(rbo6 AS DOUBLE) / 1000000 AS rbo
+        FROM g ORDER BY query_id"""
+  }
+
   /** Brute-force cosine top-k CTE chain (ends with `r` carrying
     * (query_id, neighbor_id, sim, rank)) — shared by the q35/q57b
     * oracle and q338's exact-baseline leg. */
@@ -2655,6 +2714,8 @@ object TextQueries {
     // stage, RBO as one suffix-weight lookup per common doc — the
     // weights are the SAME JVM-generated micro-ints the plan uses
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
+    // q344: per-query RBO over the staged full/quantized legs
+    "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
     // q343: both staged ANN legs unioned, the per-query fusion is
     // pure integer algebra (the q335 term form, partitioned by query)
     "q343_rrf_multiquery" ->

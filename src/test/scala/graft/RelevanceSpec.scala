@@ -104,6 +104,15 @@ class RelevanceSpec extends SparkSuite {
     val beyond = Seq((1L, 1L), (2L, 9L)).toDF("doc_id", "rank")
     assert(Relevance.rboAtK(a, beyond, k = 3, p = 0.9)
       .as[(Long, Long, Double)].collect().head._1 == 1L)
+    // per-query variant agrees with the single-query operator per
+    // query; a no-overlap query drops
+    val mA = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val mB = Seq((0L, 2L, 1L), (0L, 1L, 2L), (0L, 4L, 3L),
+      (1L, 8L, 1L)).toDF("query_id", "doc_id", "rank")
+    val byQ = Relevance.rboByQuery(mA, mB, k = 3, p = 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(byQ == Seq((0L, 2L, 144000L, 0.144)))
   }
 
   test("tfIdfTopK corpus size joins as a broadcast, not a cartesian") {
