@@ -62,6 +62,9 @@ object Bucketing {
                              location: String,
                              fingerprint: String): Unit = {
     val locF = new java.io.File(location)
+    require(locF.getParentFile != null,
+      s"ensureExternalBucketed: location '$location' needs a parent " +
+        "directory (the fingerprint marker lives next to the data)")
     val marker = new java.io.File(locF.getParentFile, s"_${table}_FP")
     val want = s"$fingerprint;key=$key;buckets=$buckets"
     val cached = marker.exists() &&
