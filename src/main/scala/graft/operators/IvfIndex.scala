@@ -54,6 +54,41 @@ object IvfIndex {
     (centroidDf, cells)
   }
 
+  /** Incrementally add `delta` vectors to an existing index WITHOUT
+    * re-clustering — the standard IVF maintenance op (centroids stay
+    * fixed between periodic re-trains; cells grow). Each new vector
+    * is assigned to its nearest centroid by squared EUCLIDEAN
+    * distance with ties to the LOWEST cell id — the same argmin rule
+    * as the build's KMeans assignment (first-wins over the ascending
+    * cluster array), so an added vector lands where the build would
+    * have put it. Returns the grown cells frame (the centroids are
+    * unchanged by construction).
+    *
+    * Scale: one broadcast of the k-row centroid table against the
+    * delta (map-side partial `min(struct(dist, cell))` hash
+    * aggregate — no window, no k× shuffle), one delta-sized join to
+    * recover the vector, one union. The probe-all degenerate over
+    * the grown index provably equals brute force over the union
+    * corpus — the q345 hash-oracle anchor. */
+  def add(centroids: DataFrame, cells: DataFrame, delta: DataFrame,
+          vecCol: String = "embedding",
+          idCol: String = "vec_id"): DataFrame = {
+    val d = delta.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("cvec"))
+    val dist2 = aggregate(
+      zip_with(col("cvec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, v) => a + v)
+    val assign = d.join(broadcast(centroids))
+      .select(col("neighbor_id"),
+        struct(dist2.as("d"), col("cell").as("cell")).as("_dc"))
+      .groupBy(col("neighbor_id"))
+      .agg(min(col("_dc")).as("_m"))
+      .select(col("neighbor_id"), col("_m.cell").as("cell"))
+    cells.unionByName(
+      d.join(assign, Seq("neighbor_id"))
+        .select(col("neighbor_id"), col("cvec"), col("cell")))
+  }
+
   /** Persist an index: centroids as one tiny parquet, cells
     * partitioned by cell id (the directory layout IS the inverted
     * file). */

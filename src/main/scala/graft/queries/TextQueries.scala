@@ -1703,6 +1703,24 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental IVF index maintenance: build on a base corpus,
+    // ADD the remaining vectors without re-clustering (fixed
+    // centroids, grown cells — IvfIndex.add), then probe ALL cells:
+    // provably equals brute force over the UNION corpus regardless
+    // of where the adds landed — so q35's oracle applies verbatim
+    // and the maintenance path is hash-anchored (the q57b pattern)
+    "q345_ivf_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cent, cells) =
+        graft.operators.IvfIndex.build(e.filter(col("vec_id") >= 10),
+          nCentroids = 8)
+      val grown = graft.operators.IvfIndex.add(cent, cells,
+        e.filter(col("vec_id") < 10))
+      graft.operators.IvfIndex.search(cent, grown,
+          e.filter(col("vec_id") < 5), k = 10, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN recall@k — the QUALITY of the approximate paths quantified
     // as data (the number a 100 TB pipeline tunes nProbe by): each
     // IVF query's top-10 joined against the brute-force top-10,
@@ -4701,6 +4719,9 @@ object TextQueries {
     // IVF with nProbe = nCentroids provably equals brute force — the
     // q35 oracle applies VERBATIM (same queries, same k, same ordering)
     "q57b_ivf_knn_full" -> knnOracle,
+    // q345: probe-all over the incrementally-grown index == brute
+    // force over the union corpus — q35's oracle verbatim
+    "q345_ivf_incremental" -> knnOracle,
     // q338: exact baseline replayed independently (the q35 chain),
     // ANN pairs read from the STAGE (Lloyd k-means is not
     // SQL-replayable), recall = pure integer algebra — hits/k via

@@ -62,4 +62,32 @@ class IvfIndexSpec extends SparkSuite {
     assert(ivf == bf)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("add assigns by nearest centroid with lowest-cell tiebreak; " +
+    "probe-all over the grown index equals brute force over the " +
+    "union corpus") {
+    // direct assignment rule on hand-built centroids: [1,0] is
+    // equidistant from [0,0] (cell 0) and [2,0] (cell 1) -> cell 0;
+    // [3,0] is nearest cell 1
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(2.0, 0.0)))
+      .toDF("cell", "centroid")
+    val empty = Seq.empty[(Long, Seq[Double], Int)]
+      .toDF("neighbor_id", "cvec", "cell")
+    val delta = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(3.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val grown = IvfIndex.add(cents, empty, delta)
+      .orderBy("neighbor_id")
+      .as[(Long, Seq[Double], Int)].collect().toSeq
+    assert(grown.map(r => (r._1, r._3)) == Seq((100L, 0), (101L, 1)))
+    // maintenance path == brute force under probe-all: build on a
+    // base slice, add the rest, probe all cells
+    val (cent, cells) = IvfIndex.build(
+      emb.filter(col("vec_id") >= 10), nCentroids = 8)
+    val full = IvfIndex.add(cent, cells, emb.filter(col("vec_id") < 10))
+    assert(full.count() == emb.count())
+    val ivf = rows(IvfIndex.search(cent, full, queries, k = 10,
+      nProbe = 8))
+    val bf = rows(Similarity.bruteForceTopK(emb, queries, k = 10))
+    assert(ivf == bf)
+  }
 }
