@@ -379,6 +379,17 @@ object ScaleCheck {
     time("minhash_dedup_groups", nd) {
       sink(Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2))
     }
+    // incremental maintenance path: the inflated corpus is the
+    // persisted index, a raw-SF slice is the arriving batch — the
+    // index side is scanned once, banded map-side, probed by the
+    // broadcast batch (zero index shuffle; contrast minhash_lsh_pairs
+    // which re-bands and self-joins everything)
+    time("incremental_lsh_dedup", nd) {
+      val idx = Dedup.minhashSignatures(docs, k = 8, n = 2)
+      sink(Dedup.incrementalLshDedup(idx,
+        Tables.documents(spark, sfDir), k = 8, bands = 4, n = 2,
+        minMatches = 6))
+    }
     // hot-shingle posting cap (VERDICT r03 #2): give every fixture doc a
     // shared boilerplate header, so the header shingles' posting lists
     // are the WHOLE corpus — the inverted-index self-join would produce

@@ -176,6 +176,82 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental MinHash-LSH dedup: probe a PERSISTED corpus signature
+    * index with a new batch, flagging batch docs whose signature
+    * agreement against any indexed doc reaches `minMatches` of `k` —
+    * the maintenance form of [[minhashLshPairs]] (ingest a day's crawl
+    * without re-banding the corpus), sibling of
+    * [[incrementalByFingerprint]] (exact) and `IvfIndex.add` (ANN).
+    *
+    * `corpusSigs` is [[minhashSignatures]] output (`idCol`,
+    * sig_0..sig_{k-1}) — the compact side table a pipeline persists and
+    * appends each surviving batch's signatures to. Scale shape: the
+    * index is scanned ONCE and banded map-side; the banded BATCH side is
+    * broadcast (an ingest batch, not a second corpus — for corpus-sized
+    * "batches" re-band the union with [[minhashLshPairs]] instead), so
+    * there is ZERO corpus shuffle and only bucket-collision candidates
+    * reach the pair aggregation. The verdict is integer signature
+    * agreement (never a float Jaccard), so it is exactly reproducible
+    * cross-engine (the q346 hash oracle).
+    *
+    * Returns one row per batch doc: (`idCol`, n_candidates, n_dups,
+    * kept) with kept = 1 iff no indexed doc reached `minMatches`.
+    * Shingle-less docs (null signatures) never band, on either side —
+    * the [[bandBucket]] null discipline — so such batch docs come back
+    * (0, 0, kept=1). */
+  def incrementalLshDedup(corpusSigs: DataFrame, batch: DataFrame,
+                          k: Int = 8, bands: Int = 4, n: Int = 2,
+                          minMatches: Int = 6,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    val sigCols = (0 until k).map(i => s"sig_$i")
+    (idCol +: sigCols).foreach { c =>
+      require(corpusSigs.columns.contains(c),
+        s"corpusSigs missing column $c — pass minhashSignatures(corpus, " +
+          s"k = $k) output")
+    }
+    val r = k / bands
+    // band-bucket explode carrying the full signature as one array
+    // column: verification happens right at the bucket match, so the
+    // corpus index is never re-joined by id (one pass total). The
+    // band index needs no join key of its own — bandBucket md5-prefixes
+    // it, so cross-band buckets cannot collide.
+    def banded(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sigs.select(col(idCol).as(idAs),
+          array(sigCols.map(col): _*).as(sigAs),
+          explode(array((0 until bands).map(b =>
+            bandBucket(lit(b.toString), (b * r until (b + 1) * r)
+              .map(i => col(s"sig_$i")))): _*)).as("bucket"))
+        .filter(col("bucket").isNotNull)
+    val bsigs = minhashSignatures(batch, k, n, textCol, idCol)
+      .localCheckpoint() // feeds both the probe and the output spine
+    val cb = banded(corpusSigs, "_cid", "_csig")
+    val bb = banded(bsigs, "_bid", "_bsig")
+    val matches = (0 until k).map(i =>
+        when(element_at(col("_csig"), i + 1) ===
+          element_at(col("_bsig"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = cb.join(broadcast(bb), Seq("bucket"))
+      .select(col("_bid"), col("_cid"), matches.as("_m"))
+      // a pair sharing several bands repeats with the SAME agreement —
+      // max() collapses it without a pre-aggregation distinct
+      .groupBy(col("_bid"), col("_cid")).agg(max(col("_m")).as("m"))
+    val perDoc = pairs.groupBy(col("_bid")).agg(
+      count(lit(1)).cast("long").as("n_candidates"),
+      sum(when(col("m") >= minMatches, 1L).otherwise(0L))
+        .cast("long").as("n_dups"))
+    bsigs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("n_dups"), lit(0L)) === 0, 1L).otherwise(0L)
+          .as("kept"))
+  }
+
   /** Near-dup GROUPS over any 64-bit fingerprint column: verified
     * banded-Hamming edges ([[hammingBandPairs]]) fed to the converged
     * min-label propagation ([[labelPropagate]]) — the component view

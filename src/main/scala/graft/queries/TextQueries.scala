@@ -1721,6 +1721,21 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental MinHash-LSH dedup: a new batch (doc_id % 5 = 0)
+    // probed against the persisted signature index of the rest of the
+    // corpus — the near-dup sibling of q345's IVF maintenance. Small
+    // k (4, 2 bands) keeps the oracle's signature replay compact; the
+    // verdict is integer signature agreement (3 of 4), never a float
+    "q346_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0), k = 4, n = 2)
+      Dedup.incrementalLshDedup(corpusSigs,
+          docs.filter(col("doc_id") % 5 === 0),
+          k = 4, bands = 2, n = 2, minMatches = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN recall@k — the QUALITY of the approximate paths quantified
     // as data (the number a 100 TB pipeline tunes nProbe by): each
     // IVF query's top-10 joined against the brute-force top-10,
@@ -4722,6 +4737,65 @@ object TextQueries {
     // q345: probe-all over the incrementally-grown index == brute
     // force over the union corpus — q35's oracle verbatim
     "q345_ivf_incremental" -> knnOracle,
+    // q346: the q33 signature replay (k=4) split corpus/batch, band
+    // buckets md5('b|sig|sig') (band-prefixed, so bucket alone is the
+    // join key), agreement = integer count of equal signature slots.
+    // sig_0 IS NULL ⟺ shingle-less doc ⟺ null bucket in every band
+    // (signatures are all-or-nothing per doc) — the banding filter.
+    "q346_incremental_lsh" -> (TOKS +
+      """, sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS sh
+            FROM t),
+          sg AS (
+            SELECT doc_id,
+              list_aggregate(list_transform(sh, s -> md5('0|' || s)),
+                'min') AS sig_0,
+              list_aggregate(list_transform(sh, s -> md5('1|' || s)),
+                'min') AS sig_1,
+              list_aggregate(list_transform(sh, s -> md5('2|' || s)),
+                'min') AS sig_2,
+              list_aggregate(list_transform(sh, s -> md5('3|' || s)),
+                'min') AS sig_3
+            FROM sh),
+          cb AS (
+            SELECT doc_id AS cid, sig_0 AS c0, sig_1 AS c1,
+                   sig_2 AS c2, sig_3 AS c3,
+                   md5('0|' || sig_0 || '|' || sig_1) AS bucket
+            FROM sg WHERE doc_id % 5 <> 0 AND sig_0 IS NOT NULL
+            UNION ALL
+            SELECT doc_id, sig_0, sig_1, sig_2, sig_3,
+                   md5('1|' || sig_2 || '|' || sig_3)
+            FROM sg WHERE doc_id % 5 <> 0 AND sig_0 IS NOT NULL),
+          bb AS (
+            SELECT doc_id AS bid, sig_0 AS b0, sig_1 AS b1,
+                   sig_2 AS b2, sig_3 AS b3,
+                   md5('0|' || sig_0 || '|' || sig_1) AS bucket
+            FROM sg WHERE doc_id % 5 = 0 AND sig_0 IS NOT NULL
+            UNION ALL
+            SELECT doc_id, sig_0, sig_1, sig_2, sig_3,
+                   md5('1|' || sig_2 || '|' || sig_3)
+            FROM sg WHERE doc_id % 5 = 0 AND sig_0 IS NOT NULL),
+          pr AS (
+            SELECT bid, cid,
+              max(CAST(c0 = b0 AS INT) + CAST(c1 = b1 AS INT) +
+                  CAST(c2 = b2 AS INT) + CAST(c3 = b3 AS INT)) AS m
+            FROM cb JOIN bb USING (bucket)
+            GROUP BY bid, cid),
+          pd AS (
+            SELECT bid, count(*) AS n_candidates,
+                   sum(CASE WHEN m >= 3 THEN 1 ELSE 0 END) AS n_dups
+            FROM pr GROUP BY bid)
+          SELECT sg.doc_id,
+                 CAST(coalesce(pd.n_candidates, 0) AS BIGINT)
+                   AS n_candidates,
+                 CAST(coalesce(pd.n_dups, 0) AS BIGINT) AS n_dups,
+                 CAST(CASE WHEN coalesce(pd.n_dups, 0) = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM sg LEFT JOIN pd ON sg.doc_id = pd.bid
+          WHERE sg.doc_id % 5 = 0
+          ORDER BY doc_id"""),
     // q338: exact baseline replayed independently (the q35 chain),
     // ANN pairs read from the STAGE (Lloyd k-means is not
     // SQL-replayable), recall = pure integer algebra — hits/k via

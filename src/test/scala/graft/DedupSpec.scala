@@ -302,4 +302,49 @@ class DedupSpec extends SparkSuite {
     val exp = (Seq(sa, sb).min, Seq(sa, sb).max)
     assert(out == Seq((exp._1, exp._2, 1L, sa != sb)))
   }
+
+  test("incrementalLshDedup drops batch docs that near-duplicate the " +
+    "signature index, keeps unrelated and shingle-less docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about spark query engines " +
+        "and distributed shuffles at warehouse scale")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                        // exact dup of corpus doc 1
+      (11L, "unrelated astronomy text on stellar nucleosynthesis " +
+        "inside collapsing supernova cores"),
+      (12L, "word")                       // shingle-less: no 2-grams
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashSignatures(corpus, k = 8, n = 2)
+    val out = Dedup.incrementalLshDedup(idx, batch, k = 8, bands = 4,
+        n = 2, minMatches = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.length == 3)
+    val byId = out.map(r => r._1 -> r).toMap
+    // exact dup: all 8 signatures agree with corpus doc 1 -> dropped
+    assert(byId(10L)._3 >= 1L && byId(10L)._4 == 0L)
+    // unrelated: no candidate reaches 6-of-8 agreement -> kept
+    assert(byId(11L)._3 == 0L && byId(11L)._4 == 1L)
+    // shingle-less: never bands -> (0, 0, kept)
+    assert(byId(12L) == ((12L, 0L, 0L, 1L)))
+  }
+
+  test("incrementalLshDedup fails loudly on a mis-shaped index or an " +
+    "out-of-range threshold") {
+    import spark.implicits._
+    val batch = Seq((1L, base)).toDF("doc_id", "text")
+    val idx = Dedup.minhashSignatures(batch, k = 4, n = 2)
+    val eK = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshDedup(idx, batch, k = 8, bands = 4)
+    }
+    assert(eK.getMessage.contains("sig_4"))
+    val eT = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshDedup(idx, batch, k = 4, bands = 2,
+        minMatches = 5)
+    }
+    assert(eT.getMessage.contains("minMatches"))
+  }
 }
