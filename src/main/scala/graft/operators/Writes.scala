@@ -133,6 +133,45 @@ object Writes {
   def cdcLiveView(state: DataFrame, opCol: String = "op"): DataFrame =
     state.filter(!(col(opCol) <=> "D"))
 
+  /** Snapshot diff — the REVERSE of [[applyCdc]]: given two versions of
+    * a table, derive the change set between them. One row per key
+    * present in either snapshot, labeled `added` (new only), `removed`
+    * (old only), `changed` (both, compareCols differ) or `unchanged` —
+    * the reconciliation/audit view a pipeline runs after every corpus
+    * re-build, and the input a downstream incremental consumer replays.
+    *
+    * Scale shape: each side is PROJECTED to (keys, md5 row fingerprint)
+    * before the full-outer join, so the one unavoidable shuffle carries
+    * a fixed-width row no matter how wide the payload is (diffing a
+    * 100 TB text corpus moves only ids + 32-char digests). The
+    * fingerprint concatenates compareCols with a \u0001 separator and a
+    * \u0002 null sentinel — null-safe and engine-replayable (the q347
+    * oracle compares the raw columns with IS DISTINCT FROM; the two
+    * verdicts agree unless a payload embeds those control bytes, which
+    * the fingerprint shares with every md5 dedup oracle in the gate).
+    *
+    * Returns (keys*, change) — join `added`/`changed` keys back to the
+    * new snapshot when the consumer needs payloads (keys-only probe,
+    * the [[unenriched]] delta discipline). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compare column")
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+ graft.plans.FastMd5.column(
+        compareCols.map(c => coalesce(col(c).cast("string"),
+            lit("\u0002")))
+          .reduce((a, b) => concat(a, lit("\u0001"), b))).as(as): _*)
+    fp(oldSnap, "_fp_old").join(fp(newSnap, "_fp_new"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_new"), "changed")
+          .otherwise("unchanged").as("change"): _*)
+  }
+
   /** SCD type-2 history from a change stream: each upsert becomes a
     * validity interval [its change time, the key's NEXT change time);
     * the key's latest interval stays open (`is_current`) unless a

@@ -1736,6 +1736,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // snapshot diff: two synthesized corpus versions (drop-outs, new
+    // arrivals, a lang re-tag on every 4th shared doc) reconciled to
+    // one added/removed/changed/unchanged verdict per doc_id. The
+    // operator diffs md5 row fingerprints; the oracle re-derives the
+    // same verdicts from raw-column IS DISTINCT FROM — the two agree
+    // exactly unless a payload embeds the fingerprint's control bytes
+    "q347_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vOld = docs.filter(col("doc_id") % 7 =!= 0)
+      val vNew = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("lang", when(col("doc_id") % 4 === 0,
+          upper(col("lang"))).otherwise(col("lang")))
+      graft.operators.Writes.snapshotDiff(vOld, vNew, Seq("doc_id"),
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN recall@k — the QUALITY of the approximate paths quantified
     // as data (the number a 100 TB pipeline tunes nProbe by): each
     // IVF query's top-10 joined against the brute-force top-10,
@@ -4796,6 +4813,30 @@ object TextQueries {
           FROM sg LEFT JOIN pd ON sg.doc_id = pd.bid
           WHERE sg.doc_id % 5 = 0
           ORDER BY doc_id"""),
+    // q347: verdicts re-derived from raw columns (IS DISTINCT FROM)
+    // instead of replaying the md5 fingerprint — stronger, not weaker:
+    // it checks the fingerprint DECISION, not the digest algebra
+    "q347_snapshot_diff" ->
+      """WITH o AS (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 7 <> 0),
+          nw AS (
+            SELECT doc_id, text,
+              CASE WHEN doc_id % 4 = 0 THEN upper(lang) ELSE lang END
+                AS lang,
+              source, n_chars
+            FROM documents WHERE doc_id % 3 <> 0)
+          SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN nw.doc_id IS NULL THEN 'removed'
+                 WHEN (o.text IS DISTINCT FROM nw.text)
+                   OR (o.lang IS DISTINCT FROM nw.lang)
+                   OR (o.source IS DISTINCT FROM nw.source)
+                   OR (o.n_chars IS DISTINCT FROM nw.n_chars)
+                   THEN 'changed'
+                 ELSE 'unchanged' END AS change
+          FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+          ORDER BY doc_id""",
     // q338: exact baseline replayed independently (the q35 chain),
     // ANN pairs read from the STAGE (Lloyd k-means is not
     // SQL-replayable), recall = pure integer algebra — hits/k via

@@ -278,4 +278,49 @@ class WritesSpec extends SparkSuite {
       ("y", 2L, "2024-05-03", Some("2024-05-03"), false),
       ("x", 3L, "2024-05-04", None, true)))
   }
+
+  test("snapshotDiff labels added/removed/changed/unchanged, with " +
+    "null-safe payload comparison") {
+    val vOld = Seq(
+      (1L, Option("a"), Option("en")),   // unchanged
+      (2L, Option("b"), Option("en")),   // changed (lang)
+      (3L, Option("c"), Option("de")),   // removed
+      (4L, None,        Option("fr")),   // null -> value: changed
+      (5L, None,        Option("it"))    // null -> null: unchanged
+    ).toDF("doc_id", "text", "lang")
+    val vNew = Seq(
+      (1L, Option("a"), Option("en")),
+      (2L, Option("b"), Option("EN")),
+      (4L, Option("x"), Option("fr")),
+      (5L, None,        Option("it")),
+      (6L, Option("f"), Option("es"))    // added
+    ).toDF("doc_id", "text", "lang")
+    val out = Writes.snapshotDiff(vOld, vNew, Seq("doc_id"),
+        Seq("text", "lang"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "changed"), (5L, "unchanged"),
+      (6L, "added")))
+  }
+
+  test("snapshotDiff distinguishes a null payload from an empty " +
+    "string and refuses empty key/compare lists") {
+    // null vs "" must differ (the u0002 sentinel makes them distinct
+    // fingerprint inputs); shifting content across the column split
+    // must read as changed, not alias
+    val a = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("p"), Option("q"))).toDF("doc_id", "c1", "c2")
+    val b = Seq((1L, Option(""), Option("x")),
+      (2L, Option("pq"), Option.empty[String]))
+      .toDF("doc_id", "c1", "c2")
+    val out = Writes.snapshotDiff(a, b, Seq("doc_id"), Seq("c1", "c2"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "changed"), (2L, "changed")))
+    intercept[IllegalArgumentException] {
+      Writes.snapshotDiff(a, b, Seq.empty, Seq("c1"))
+    }
+    intercept[IllegalArgumentException] {
+      Writes.snapshotDiff(a, b, Seq("doc_id"), Seq.empty)
+    }
+  }
 }
