@@ -361,6 +361,17 @@ object ScaleCheck {
       sink(graft.operators.SemDedup.semanticDedup(emb, k = 256,
         tau = 0.4))
     }
+    // incremental maintenance path: the inflated corpus plays the
+    // already-kept state (assignment only), a raw-SF slice the batch —
+    // state is scanned once and probed by the broadcast batch
+    time("incremental_semdedup", ne) {
+      val cs = graft.operators.SemDedup.seedCentroids(emb, 64)
+      val st = graft.operators.SemDedup.assign(emb, cs)
+        .select(col("vec_id"), col("vec").as("embedding"),
+          col("cluster"))
+      sink(graft.operators.SemDedup.incrementalSemDedup(cs, st,
+        Tables.embeddings(spark, sfDir), tau = 0.4))
+    }
     emb.unpersist()
 
     val docs = inflate(Tables.documents(spark, sfDir), "doc_id",

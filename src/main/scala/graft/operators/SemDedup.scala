@@ -233,6 +233,59 @@ object SemDedup {
       .withColumn("dropped", lit(true))
   }
 
+  /** Incremental SemDeDup — the maintenance form of [[semanticDedup]]
+    * (ingest a batch against frozen centroids + an immutable kept
+    * corpus), completing the incremental triad with
+    * `Dedup.incrementalByFingerprint` / `Dedup.incrementalLshDedup`
+    * and `IvfIndex.add`.
+    *
+    * A batch example is dropped when (a) it has a same-cluster KEPT
+    * corpus example with cosine ≥ `tau` — the corpus side always wins,
+    * prototypicality notwithstanding, because history is immutable —
+    * or (b) it is dominated WITHIN the batch by the standard
+    * [[semanticDedup]] rule. Both verdicts are computed on the full
+    * batch independently (no transitive re-evaluation through
+    * state-dropped rows), so the prune is deterministic and auditable.
+    *
+    * `keptState` carries (`vec_id`, `vecCol`, cluster) for previously
+    * KEPT examples — the side table a pipeline persists alongside the
+    * centroids. Scale shape: the state is scanned once and probed by
+    * the BROADCAST assigned batch on the cluster key (zero state
+    * shuffle); only the within-batch self-join shuffles, with the
+    * [[dominatedSet]] `maxBlock` hot-cluster armor.
+    *
+    * Output: (vec_id, cluster, centroid_sim, drop_reason, kept) for
+    * every batch row; `drop_reason` ∈ ('state', 'batch', null), with
+    * 'state' taking precedence when both apply. */
+  def incrementalSemDedup(centroids: Array[(Long, Array[Double])],
+                          keptState: DataFrame, batch: DataFrame,
+                          tau: Double,
+                          vecCol: String = "embedding",
+                          maxBlock: Int = 2048): DataFrame = {
+    Seq(idCol, vecCol, "cluster").foreach { c =>
+      require(keptState.columns.contains(c),
+        s"keptState missing column $c — persist (vec_id, $vecCol, " +
+          "cluster) for kept examples")
+    }
+    val asgB = assign(batch, centroids, vecCol).localCheckpoint()
+    val st = keptState.select(
+      Similarity.asDouble(col(vecCol)).as("state_vec"), col("cluster"))
+    val probe = asgB.select(col(idCol), col("vec"), col("cluster"))
+    val droppedByState = st.join(broadcast(probe), Seq("cluster"))
+      .filter(Similarity.cosineAtLeast(col("vec"), col("state_vec"), tau))
+      .select(col(idCol)).distinct()
+      .withColumn("_ds", lit(true))
+    val droppedInBatch = dominatedSet(asgB, tau, maxBlock)
+    asgB.join(droppedByState, Seq(idCol), "left")
+      .join(droppedInBatch, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("centroid_sim"),
+        when(coalesce(col("_ds"), lit(false)), "state")
+          .when(coalesce(col("dropped"), lit(false)), "batch")
+          .as("drop_reason"),
+        (coalesce(col("_ds"), lit(false)) ||
+          coalesce(col("dropped"), lit(false))).unary_!.as("kept"))
+  }
+
   /** D4-style diversification on top of the dedup: within each cluster,
     * keep the `keepFraction` of SURVIVORS farthest from their centroid
     * (lowest centroid similarity — the diverse tail; prototypical

@@ -1753,6 +1753,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental SemDeDup: a batch (vec_id % 4 = 0) assigned to the
+    // state corpus's frozen seed centroids and pruned against the
+    // state's kept set + within itself — the embedding-space member of
+    // the q345/q346 maintenance family. Oracle replays the 4dp cosine
+    // algebra directly (the q107 watch category: assignment and
+    // domination rank on round(cos, 4) in BOTH engines)
+    "q348_incremental_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val state = e.filter(col("vec_id") % 4 =!= 0)
+      val batch = e.filter(col("vec_id") % 4 === 0)
+      val cs = graft.operators.SemDedup.seedCentroids(state, 8)
+      val keptState = graft.operators.SemDedup
+        .semanticDedup(state, k = 8, tau = 0.4)
+        .filter(col("kept")).select(col("vec_id"), col("cluster"))
+        .join(state, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      graft.operators.SemDedup.incrementalSemDedup(cs, keptState,
+          batch, tau = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN recall@k — the QUALITY of the approximate paths quantified
     // as data (the number a 100 TB pipeline tunes nProbe by): each
     // IVF query's top-10 joined against the brute-force top-10,
@@ -4813,6 +4834,57 @@ object TextQueries {
           FROM sg LEFT JOIN pd ON sg.doc_id = pd.bid
           WHERE sg.doc_id % 5 = 0
           ORDER BY doc_id"""),
+    // q348: the q107 replay split state/batch — state assignment +
+    // domination over vec_id % 4 <> 0 (centroids = its 8 smallest
+    // ids), batch assigned to the SAME centroids, dropped on a ≥ tau
+    // kept-state neighbor (state wins) or within-batch domination.
+    // 4dp cosine recompute in both engines — the q107 watch category
+    "q348_incremental_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+          c AS (SELECT vec_id AS cl, e AS ce FROM v
+                WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+          ss AS (SELECT v.vec_id, v.e, c.cl,
+                   round(list_cosine_similarity(v.e, c.ce), 4) AS csim,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_cosine_similarity(v.e, c.ce), 4)
+                       DESC, c.cl) AS rk
+                 FROM v, c WHERE v.vec_id % 4 <> 0),
+          sasg AS (SELECT vec_id, e, cl, csim FROM ss WHERE rk = 1),
+          sdrop AS (SELECT DISTINCT x.vec_id
+            FROM sasg x JOIN sasg y
+              ON x.cl = y.cl AND x.vec_id <> y.vec_id
+             AND (y.csim < x.csim
+                  OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4),
+          skept AS (SELECT s.* FROM sasg s LEFT JOIN sdrop d
+                      ON s.vec_id = d.vec_id
+                    WHERE d.vec_id IS NULL),
+          bs AS (SELECT v.vec_id, v.e, c.cl,
+                   round(list_cosine_similarity(v.e, c.ce), 4) AS csim,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_cosine_similarity(v.e, c.ce), 4)
+                       DESC, c.cl) AS rk
+                 FROM v, c WHERE v.vec_id % 4 = 0),
+          basg AS (SELECT vec_id, e, cl, csim FROM bs WHERE rk = 1),
+          dstate AS (SELECT DISTINCT b.vec_id
+            FROM basg b JOIN skept s ON b.cl = s.cl
+            WHERE round(list_cosine_similarity(b.e, s.e), 4) >= 0.4),
+          dbatch AS (SELECT DISTINCT x.vec_id
+            FROM basg x JOIN basg y
+              ON x.cl = y.cl AND x.vec_id <> y.vec_id
+             AND (y.csim < x.csim
+                  OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4)
+          SELECT b.vec_id, b.cl AS cluster, b.csim AS centroid_sim,
+            CASE WHEN ds.vec_id IS NOT NULL THEN 'state'
+                 WHEN db.vec_id IS NOT NULL THEN 'batch'
+                 ELSE NULL END AS drop_reason,
+            (ds.vec_id IS NULL AND db.vec_id IS NULL) AS kept
+          FROM basg b
+          LEFT JOIN dstate ds ON b.vec_id = ds.vec_id
+          LEFT JOIN dbatch db ON b.vec_id = db.vec_id
+          ORDER BY b.vec_id""",
     // q347: verdicts re-derived from raw columns (IS DISTINCT FROM)
     // instead of replaying the md5 fingerprint — stronger, not weaker:
     // it checks the fingerprint DECISION, not the digest algebra

@@ -124,4 +124,64 @@ class SemDedupSpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     minPruned.foreach { case (cl, lo) => assert(maxKept(cl) <= lo) }
   }
+
+  test("incrementalSemDedup: a kept-state near-dup drops with reason " +
+    "'state' even when MORE prototypical; a near-dup of a state-" +
+    "DROPPED row does not; within-batch domination reads 'batch'") {
+    // one centroid at e0 = (1,0,0,...) so geometry is by hand
+    def v(xs: Double*): Seq[Double] =
+      xs.padTo(4, 0.0)
+    val state = Seq(
+      (0L, v(1.0)),               // seed/centroid, kept
+      (1L, v(1.0, 0.02)),         // near-dup of 0, MORE prototypical?
+      (2L, v(0.2, 1.0))           // distinct direction, kept
+    ).toDF("vec_id", "embedding")
+    val cs = SemDedup.seedCentroids(state, k = 1)
+    val sd = SemDedup.semanticDedup(state, k = 1, tau = 0.99)
+    val keptIds = sd.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    // 0 and 1 are mutual dups: exactly one survives; 2 survives
+    assert(keptIds.contains(2L) && keptIds.size == 2)
+    val droppedStateId = (Set(0L, 1L) -- keptIds).head
+    val keptState = sd.filter(col("kept"))
+      .select(col("vec_id"), col("cluster"))
+      .join(state, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val batch = Seq(
+      (10L, v(1.0, 0.01)),        // cos≈1 with BOTH kept and dropped 0/1
+      (11L, v(0.21, 1.0)),        // near-dup of kept state 2
+      (12L, v(1.0, -3.0)),        // batch pair: near-dup of 13
+      (13L, v(1.0, -3.01)),       // less prototypical than 12? see below
+      (14L, v(-1.0, 0.5))         // unrelated: kept
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.incrementalSemDedup(cs, keptState, batch,
+        tau = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id", "drop_reason", "kept")
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // 10 and 11 duplicate KEPT state rows -> 'state', regardless of
+    // which of 0/1 survived
+    assert(byId(10L) == ((10L, Some("state"), false)))
+    assert(byId(11L) == ((11L, Some("state"), false)))
+    // 12/13 duplicate only each other: exactly one drops, as 'batch'
+    val pair = Seq(byId(12L), byId(13L))
+    assert(pair.count(_._3) == 1)
+    assert(pair.filter(!_._3).forall(_._2 == Some("batch")))
+    assert(byId(14L) == ((14L, None, true)))
+    // the domination rule dropped the MORE prototypical of 0/1 from
+    // the state (csim(0) = 1.0 > csim(1)), so 10's 'state' verdict
+    // above proves the batch compared against the surviving row only
+    assert(droppedStateId == 0L)
+  }
+
+  test("incrementalSemDedup refuses a keptState missing its columns") {
+    val state = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val cs = SemDedup.seedCentroids(state, k = 1)
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.incrementalSemDedup(cs,
+        state.select("vec_id", "embedding"), state, tau = 0.5)
+    }
+    assert(e.getMessage.contains("cluster"))
+  }
 }
