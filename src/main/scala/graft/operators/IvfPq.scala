@@ -60,6 +60,39 @@ object IvfPq {
     (centroids, codes, cb)
   }
 
+  /** Incremental IVF-PQ maintenance: encode `delta` into an existing
+    * index WITHOUT re-training — the compressed sibling of
+    * [[IvfIndex.add]]. Coarse assignment reuses IvfIndex.add's exact
+    * argmin rule verbatim (fed an empty prior-cells frame so only the
+    * delta's assignments come back); residuals are taken against the
+    * assigned centroid and coded with the FROZEN codebooks, exactly
+    * as [[build]] codes its own corpus. Returns the grown codes frame
+    * (existing codes untouched — append-only maintenance under the
+    * [[save]] layout).
+    *
+    * Scale: one k-row centroid broadcast + one delta-sized join; the
+    * index side contributes nothing until the union. Probe-all +
+    * full-coverage refine over the grown index provably equals brute
+    * force over the union corpus — the exact re-rank reads original
+    * vectors, so codebook quality cannot perturb it (the q146b
+    * argument, hash-anchored by q349 for THIS path: even a delta
+    * whose residuals lie nowhere near the trained books must come
+    * back exact). */
+  def add(centroids: DataFrame, codes: DataFrame, cb: Codebooks,
+          delta: DataFrame, vecCol: String = "embedding",
+          idCol: String = "vec_id"): DataFrame = {
+    val noPrior = delta.select(col(idCol).as("neighbor_id"),
+        Similarity.asDouble(col(vecCol)).as("cvec"))
+      .crossJoin(broadcast(centroids.select(col("cell"))))
+      .limit(0) // schema-only: (neighbor_id, cvec, cell)
+    val assigned = IvfIndex.add(centroids, noPrior, delta, vecCol, idCol)
+    codes.unionByName(assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col("neighbor_id"), col("cell"),
+        graft.plans.PqExpressions.pqEncode(
+          zip_with(col("cvec"), col("centroid"), (x, c) => x - c),
+          cb.books, cb.subDim).as("codes")))
+  }
+
   /** Persist an index: centroids + codebooks as tiny parquets, codes
     * PARTITIONED BY cell — the directory layout IS the inverted file,
     * so a probed search reads only the probed cells' directories

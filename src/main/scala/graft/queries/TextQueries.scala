@@ -629,6 +629,26 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental IVF-PQ maintenance (the q345 pattern on the
+    // compressed index): build on vec_id >= 10 of the capped corpus —
+    // so centroids AND codebooks never saw the delta — add vec_id <
+    // 10 with frozen books, then probe all cells with a shortlist
+    // covering every candidate: the exact re-rank makes the result
+    // brute-force L2 over the union regardless of code quality, and
+    // q146b's oracle applies verbatim
+    "q349_ivfpq_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val capped = e.filter(col("vec_id") < 200)
+      val (cent, codes, cb) = IvfPq.build(
+        capped.filter(col("vec_id") >= 10), dim = 64, nCentroids = 8,
+        m = 8, k = 16)
+      val grown = IvfPq.add(cent, codes, cb,
+        capped.filter(col("vec_id") < 10))
+      IvfPq.search(cent, grown, cb, e.filter(col("vec_id") < 5),
+          capped, topK = 10, nProbe = 8, refine = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // full covariance matrix of the embedding corpus as exact
     // relational algebra — upper-triangle xx^T generated map-side per
     // row (no self-join), one groupBy(i,j); the hash-oracle twin of
@@ -2154,6 +2174,26 @@ object TextQueries {
     * cosine >= 0.4 with strictly lower centroid similarity, id
     * tiebreak, marks you dropped). Mirrors SemDedup.assign /
     * SemDedup.semanticDedup term for term. */
+  /** Brute-force L2 top-10 over the capped (vec_id < 200) corpus for
+    * the vec_id < 5 queries — the exact-regime anchor shared by q146b
+    * (probe-all + full-coverage refine) and q349 (the same degenerate
+    * over the incrementally-grown index). */
+  private val ivfPqExactOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 200),
+          s AS (SELECT qid, nid,
+                       round(list_distance(qv, cv), 4) AS dist
+                FROM q, c WHERE qid <> nid),
+          r AS (SELECT qid AS query_id, nid AS neighbor_id, dist,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY dist, nid) AS rank
+                FROM s)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+              dist
+       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private val semDedupCtes: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                   FROM embeddings),
@@ -2969,21 +3009,11 @@ object TextQueries {
           ORDER BY token_a, token_b"""),
     // q146b: probe-all + full-cover shortlist → the exact re-rank is
     // brute-force L2 over the original vectors (same bridge as q117b)
-    "q146b_ivfpq_exact" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 5),
-            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 200),
-            s AS (SELECT qid, nid,
-                         round(list_distance(qv, cv), 4) AS dist
-                  FROM q, c WHERE qid <> nid),
-            r AS (SELECT qid AS query_id, nid AS neighbor_id, dist,
-                         row_number() OVER (PARTITION BY qid
-                           ORDER BY dist, nid) AS rank
-                  FROM s)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-                dist
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q146b_ivfpq_exact" -> ivfPqExactOracle,
+    // q349: probe-all + full-coverage refine over the incrementally
+    // grown index == brute force over the union corpus (the exact
+    // re-rank reads original vectors) — q146b's oracle verbatim
+    "q349_ivfpq_incremental" -> ivfPqExactOracle,
     "q93_trigram_perplexity" -> (TOKS +
       """, tok0 AS (SELECT doc_id, unnest(w) AS token,
                            unnest(range(len(w))) AS pos

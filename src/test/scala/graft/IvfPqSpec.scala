@@ -110,4 +110,35 @@ class IvfPqSpec extends SparkSuite {
       s"codes table should never shuffle on cell:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("add encodes a delta with the frozen books exactly as build " +
+    "codes its own corpus, and the probe-all search over the grown " +
+    "index equals brute force over the union (the q349 anchor)") {
+    val (cent, codes, cb) = IvfPq.build(
+      corpus.filter(col("vec_id") >= 10), dim = 64, nCentroids = 8,
+      m = 8, k = 16)
+    val grown = IvfPq.add(cent, codes, cb,
+      corpus.filter(col("vec_id") < 10)).cache()
+    assert(grown.count() == corpus.count())
+    // delta codes match a direct frozen-book encode of the residual
+    // against the SAME assigned cell
+    val deltaCodes = grown.filter(col("neighbor_id") < 10)
+    val recoded = deltaCodes.select(col("neighbor_id"), col("cell"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cvec")),
+        Seq("neighbor_id"))
+      .join(cent, Seq("cell"))
+      .select(col("neighbor_id"),
+        graft.plans.PqExpressions.pqEncode(
+          zip_with(col("cvec"), col("centroid"), (x, c) => x - c),
+          cb.books, cb.subDim).as("codes"))
+    val a = deltaCodes.select("neighbor_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = recoded.as[(Long, Seq[Int])].collect().toMap
+    assert(a == b && a.size == 10)
+    // end-to-end: grown index in the lossless regime == brute force
+    val got = rows(IvfPq.search(cent, grown, cb, queries, corpus,
+      topK = 10, nProbe = 8, refine = 20))
+    assert(got == rows(bruteL2(corpus, queries, 10)))
+  }
 }
