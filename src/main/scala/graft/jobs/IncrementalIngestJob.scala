@@ -1,0 +1,161 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextClean, TextFns}
+import graft.operators.{Decontaminate, Dedup, SemDedup}
+
+/** Incremental corpus ingest — the daily-batch sibling of
+  * [[CorpusPrepJob]] (which rebuilds from scratch). A new batch runs
+  * the same ladder, but every dedup stage probes PERSISTED state
+  * instead of re-processing the corpus: exact dedup against the
+  * fingerprint set ([[Dedup.incrementalByFingerprint]]), near dedup
+  * against the signature index ([[Dedup.incrementalLshDedup]]), and —
+  * when embeddings ride along — semantic dedup against the frozen
+  * centroids + kept corpus ([[SemDedup.incrementalSemDedup]]). The
+  * job returns the survivors, the APPENDED state for the next batch,
+  * and the per-stage ledger.
+  *
+  * Scale shape: every stage is batch-sized work against a
+  * scanned-once, never-shuffled state side (Bloom-probed fingerprint
+  * column, broadcast banded batch, broadcast assigned batch). A 100 TB
+  * corpus contributes three narrow side tables — fingerprints,
+  * signatures, kept embeddings — and none of its text moves.
+  *
+  * Idempotency contract (spec-pinned): re-ingesting the SURVIVORS
+  * against the state that absorbed them is a total no-op, and a
+  * previously-kept doc can never re-enter. A batch's within-batch-
+  * dropped near-dup orphans are the one asymmetry: the within-batch
+  * verdict groups at band-collision granularity (the q58 scale
+  * contract) while the index probe verifies at `minMatches` signature
+  * agreement, so an orphan below the agreement bar against every
+  * indexed doc may legitimately re-enter on a later crawl.
+  */
+object IncrementalIngestJob {
+
+  /** The persisted between-batches state. `fingerprints` is one
+    * column (`fingerprint`, the [[TextFns.fingerprint]] hex form);
+    * `sigIndex` is [[Dedup.minhashSignatures]] output; the semantic
+    * pair is present only when the pipeline embeds. `centroids` stay
+    * frozen between periodic re-trains (re-train = re-run
+    * [[CorpusPrepJob]]); `keptEmbeddings` carries
+    * (vec_id, embedding, cluster) for kept docs. */
+  final case class State(fingerprints: DataFrame,
+                         sigIndex: DataFrame,
+                         centroids: Option[Array[(Long, Array[Double])]] = None,
+                         keptEmbeddings: Option[DataFrame] = None)
+
+  final case class Config(minQuality: Double = 0.25,
+                          minhashK: Int = 8,
+                          bands: Int = 4,
+                          shingleN: Int = 2,
+                          // signature-agreement dup threshold, of
+                          // minhashK (6-of-8 ≈ Jaccard 0.75)
+                          minMatches: Int = 6,
+                          contaminationN: Int = 5,
+                          contaminationThreshold: Double = 0.5,
+                          semDedupTau: Double = 0.95)
+
+  /** Returns (survivors, appended state, per-stage ledger). The
+    * survivor frame keeps the batch's columns; the appended state is
+    * built from the survivors only — a doc dropped at ANY stage never
+    * pollutes the indexes. `batchEmbeddings` must align vec_id with
+    * the batch's doc_id (the corpus convention). */
+  def run(state: State, batch: DataFrame, evalSet: DataFrame,
+          cfg: Config = Config(),
+          batchEmbeddings: Option[DataFrame] = None)
+      : (DataFrame, State, Seq[(String, Long)]) = {
+    require(state.centroids.isDefined == state.keptEmbeddings.isDefined,
+      "semantic state must come as a (centroids, keptEmbeddings) pair")
+    val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    var previous: DataFrame = null
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      ledger += name -> cached.count()
+      if (previous != null) previous.unpersist()
+      previous = cached
+      cached
+    }
+
+    val input = stage("input", batch.select(
+      col("doc_id"), col("text"), col("lang"), col("source")))
+
+    // map-side gates first (cheapest per row, shrink before any probe):
+    // same canonicalize → scrub → quality order as CorpusPrepJob, so a
+    // batch ingested incrementally hashes identically to one that went
+    // through the full rebuild — the property that keeps the two jobs'
+    // indexes interchangeable
+    val canonical = stage("canonicalized", input.withColumn("text",
+      TextClean.canonicalizeClasses(col("text"))))
+    val scrubbed = stage("scrubbed", canonical.withColumn("text",
+      TextClean.scrub(col("text"))))
+    val scored = stage("quality_gate", scrubbed
+      .filter(TextFns.qualityScore(col("text")) >= cfg.minQuality))
+
+    // benchmark decontamination (eval side broadcasts)
+    val decontaminated = stage("decontaminated", Decontaminate.clean(
+      scored, evalSet, cfg.contaminationN, cfg.contaminationThreshold))
+
+    // exact dedup: within batch + against the fingerprint set
+    // (Bloom-probed state scan, broadcast resolve)
+    val exactDeduped = stage("exact_deduped",
+      Dedup.incrementalByFingerprint(state.fingerprints, decontaminated))
+
+    // near dedup, two verdicts: (a) the banded probe of the signature
+    // index at `minMatches` agreement (corpus wins); (b) within-batch
+    // group labeling at band-collision granularity (the q58 scale
+    // contract — min-id canonical survives). Both are batch-sized.
+    val nearVerdicts = Dedup.incrementalLshDedup(state.sigIndex,
+      exactDeduped, cfg.minhashK, cfg.bands, cfg.shingleN,
+      cfg.minMatches)
+    val vsIndex = exactDeduped.join(
+      nearVerdicts.filter(col("kept") === 1L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val groups = Dedup.minhashDedupGroups(vsIndex, cfg.minhashK,
+      cfg.bands, cfg.shingleN)
+    val nearDeduped = stage("near_deduped", vsIndex.join(
+      groups.filter(col("doc_id") === col("canonical"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+
+    // semantic dedup (optional): assigned batch probes the kept corpus
+    val survivors = (state.centroids, state.keptEmbeddings,
+        batchEmbeddings) match {
+      case (Some(cs), Some(kept), Some(be)) =>
+        val verdicts = SemDedup.incrementalSemDedup(cs, kept,
+          be.join(nearDeduped.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          cfg.semDedupTau)
+        stage("sem_deduped", nearDeduped.join(
+          verdicts.filter(col("kept"))
+            .select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      case (Some(_), Some(_), None) => nearDeduped // no batch vectors
+      case _ => nearDeduped
+    }
+
+    // append the indexes from SURVIVORS only
+    val newPrints = state.fingerprints.unionByName(survivors
+      .select(TextFns.fingerprint(col("text")).as("fingerprint")))
+    val newSigs = state.sigIndex.unionByName(Dedup.minhashSignatures(
+      survivors, cfg.minhashK, cfg.shingleN))
+    val newKept = (state.centroids, state.keptEmbeddings,
+        batchEmbeddings) match {
+      case (Some(cs), Some(kept), Some(be)) =>
+        val survivorVecs = be.join(
+          survivors.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        // normalize the vector dtype across the union: assign emits
+        // double arrays, a raw embeddings table may carry floats
+        Some(kept.select(col("vec_id"),
+            graft.operators.Similarity.asDouble(col("embedding"))
+              .as("embedding"), col("cluster"))
+          .unionByName(SemDedup.assign(survivorVecs, cs)
+            .select(col("vec_id"), col("vec").as("embedding"),
+              col("cluster"))))
+      case _ => state.keptEmbeddings
+    }
+    (survivors, State(newPrints, newSigs, state.centroids, newKept),
+      ledger.toList)
+  }
+}

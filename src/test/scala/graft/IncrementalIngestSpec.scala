@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.jobs.IncrementalIngestJob
+import graft.operators.Dedup
+
+/** The incremental ingest composition: batch-sized work against
+  * persisted state, state appended from survivors only, and the
+  * property that makes the whole design auditable — re-ingesting a
+  * batch against the state it just produced is a total no-op. */
+class IncrementalIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val evalSet = docs.filter(col("doc_id") < 20)
+
+  private def emptyState = IncrementalIngestJob.State(
+    docs.limit(0).select(TextFns.fingerprint(col("text"))
+      .as("fingerprint")),
+    Dedup.minhashSignatures(docs.limit(0)))
+
+  test("bootstrap day 0, ingest day 1 with corpus copies: seen docs " +
+    "drop, fresh docs survive, and re-ingest is a total no-op") {
+    val day0 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 120)
+    val day1Fresh = docs.filter(col("doc_id") >= 120 &&
+      col("doc_id") < 160)
+    // five day-0 docs re-arrive under NEW ids (the re-crawl case)
+    val copies = day0.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val day1 = day1Fresh.unionByName(copies)
+
+    val (s0, st1, led0) = IncrementalIngestJob.run(emptyState, day0,
+      evalSet)
+    led0.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a); case _ => }
+    assert(led0.head == ("input" -> day0.count()))
+    assert(s0.count() == led0.last._2 && s0.count() > 0)
+    // state grew by exactly the survivors
+    assert(st1.fingerprints.count() == s0.count())
+    assert(st1.sigIndex.count() == s0.count())
+
+    val (s1, st2, _) = IncrementalIngestJob.run(st1, day1, evalSet)
+    val kept1 = s1.select("doc_id").as[Long].collect().toSet
+    val survived0 = s0.select("doc_id").as[Long].collect().toSet
+    // every copy whose ORIGINAL survived day 0 must be dropped by the
+    // state probe (identical text -> identical fingerprint)
+    val copyIds = copies.select("doc_id").as[Long].collect().toSet
+    copyIds.foreach { cid =>
+      if (survived0.contains(cid - 100000L))
+        assert(!kept1.contains(cid), s"copy $cid of a kept original " +
+          "survived the incremental probe")
+    }
+    assert(kept1.nonEmpty)
+    assert(st2.fingerprints.count() == s0.count() + s1.count())
+
+    // the no-op property: re-ingesting the SURVIVORS against the
+    // state that just absorbed them drops every row at the
+    // fingerprint probe
+    val (s2, _, led2) = IncrementalIngestJob.run(st2, s1, evalSet)
+    assert(s2.count() == 0, s"survivor re-ingest should be a no-op, " +
+      s"ledger: ${led2.mkString(", ")}")
+    // re-ingesting the WHOLE day can resurface within-batch orphans
+    // (band-collision granularity vs minMatches agreement — see the
+    // job scaladoc), but never a previously-kept doc
+    val (s3, _, _) = IncrementalIngestJob.run(st2, day1, evalSet)
+    val again = s3.select("doc_id").as[Long].collect().toSet
+    assert(again.intersect(kept1).isEmpty,
+      s"previously-kept docs re-survived: ${again.intersect(kept1)}")
+  }
+
+  test("semantic stage wires in when state carries centroids + kept " +
+    "embeddings: a batch vector duplicating a kept one drops its doc") {
+    val day0 = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      (1001L, "one two three four five six seven", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val e0 = Seq(
+      (1000L, Seq(1.0, 0.0, 0.0)),
+      (1001L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val cs = graft.operators.SemDedup.seedCentroids(e0, k = 1)
+    val kept0 = graft.operators.SemDedup.assign(e0, cs)
+      .select(col("vec_id"), col("vec").as("embedding"), col("cluster"))
+    val st = IncrementalIngestJob.State(
+      emptyState.fingerprints, emptyState.sigIndex, Some(cs), Some(kept0))
+    val batch = Seq(
+      // textually fresh, embedding ~duplicates vec 1000
+      (2000L, "totally different words entirely here folks", "en", "web"),
+      // textually fresh, embedding far from both kept vectors
+      (2001L, "unrelated content about distant topics again", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val be = Seq(
+      (2000L, Seq(1.0, 0.001, 0.0)),
+      (2001L, Seq(-0.5, -0.5, 1.0))
+    ).toDF("vec_id", "embedding")
+    val (surv, st2, ledger) = IncrementalIngestJob.run(st, batch,
+      evalSet, IncrementalIngestJob.Config(minQuality = 0.0),
+      Some(be))
+    val ids = surv.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2001L), s"got $ids; ledger $ledger")
+    // kept embeddings grew by the one surviving doc, as doubles
+    assert(st2.keptEmbeddings.get.count() == 3)
+    // a (centroids, no keptEmbeddings) state fails loudly
+    intercept[IllegalArgumentException] {
+      IncrementalIngestJob.run(IncrementalIngestJob.State(
+        emptyState.fingerprints, emptyState.sigIndex, Some(cs), None),
+        batch, evalSet)
+    }
+  }
+}
