@@ -56,6 +56,44 @@ object IncrementalIngestJob {
                           contaminationThreshold: Double = 0.5,
                           semDedupTau: Double = 0.95)
 
+  /** Persist the between-batch state under `dir`: fingerprints and
+    * the signature index as parquet side tables, the k-row centroid
+    * array and kept embeddings only when the semantic stage is live.
+    * The layout is the contract [[loadState]] reopens — the literal
+    * form of "persisted state" in the class doc. */
+  def saveState(state: State, dir: String): Unit = {
+    state.fingerprints.write.mode("overwrite")
+      .parquet(s"$dir/fingerprints")
+    state.sigIndex.write.mode("overwrite").parquet(s"$dir/sig_index")
+    state.centroids.foreach { cs =>
+      val spark = state.fingerprints.sparkSession
+      spark.createDataFrame(
+          cs.toIndexedSeq.map { case (id, v) => (id, v.toSeq) })
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+    state.keptEmbeddings.foreach(_.write.mode("overwrite")
+      .parquet(s"$dir/kept_embeddings"))
+  }
+
+  /** Reopen a [[saveState]] layout. The two big side tables stay lazy
+    * parquet scans; only the k-row centroid table is collected. */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+                dir: String): State = {
+    def opt(sub: String): Option[String] = {
+      val p = s"$dir/$sub"
+      if (new java.io.File(p).exists()) Some(p) else None
+    }
+    val centroids = opt("centroids").map(p =>
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1))
+    State(spark.read.parquet(s"$dir/fingerprints"),
+      spark.read.parquet(s"$dir/sig_index"),
+      centroids,
+      opt("kept_embeddings").map(spark.read.parquet(_)))
+  }
+
   /** Returns (survivors, appended state, per-stage ledger). The
     * survivor frame keeps the batch's columns; the appended state is
     * built from the survivors only — a doc dropped at ANY stage never

@@ -107,5 +107,17 @@ class IncrementalIngestSpec extends SparkSuite {
         emptyState.fingerprints, emptyState.sigIndex, Some(cs), None),
         batch, evalSet)
     }
+
+    // save/load roundtrip: the reopened state drives the batch to the
+    // same survivors as the in-memory one
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_state").toString
+    IncrementalIngestJob.saveState(st, dir)
+    val reopened = IncrementalIngestJob.loadState(spark, dir)
+    assert(reopened.centroids.get.map(_._1).toSeq ==
+      cs.map(_._1).toSeq)
+    val (surv2, _, _) = IncrementalIngestJob.run(reopened, batch,
+      evalSet, IncrementalIngestJob.Config(minQuality = 0.0), Some(be))
+    assert(surv2.select("doc_id").as[Long].collect().toSet == ids)
   }
 }
