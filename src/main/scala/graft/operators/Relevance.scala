@@ -464,6 +464,62 @@ object Relevance {
         (col("rbo6").cast("double") / 1e6).as("rbo"))
   }
 
+  /** Kendall τ rank correlation per query between two top-k runs —
+    * the ORDER-correlation sibling of [[rboByQuery]] (RBO weights the
+    * top of the list; τ counts every pairwise inversion equally):
+    * τ = (C − D) / (s(s−1)/2) over the s docs the runs share, with
+    * C/D the concordant/discordant pair counts. Ranks within a run
+    * are distinct by contract (top-k output, the rrfFuse input rule),
+    * so there are no ties and τ-a coincides with τ-b.
+    *
+    * Exact integer pair counts; the reported 4dp τ goes through the
+    * SIGNED half-up bridge ([[graft.functions.ExactRound.signedRatio]]
+    * — Spark `div` truncates where DuckDB `//` floors, and a negative
+    * τ tie is exactly where they disagree). Scale: shared docs are
+    * k-bounded per query, so the pair self-join is ≤ k(k−1)/2 rows
+    * per query — shortlist algebra, never corpus work. Queries
+    * sharing < 2 docs drop (τ undefined on < 1 pair); left-join the
+    * query list back if explicit rows are wanted. */
+  def kendallTauByQuery(runA: DataFrame, runB: DataFrame, k: Int = 20,
+                        queryCol: String = "query_id",
+                        idCol: String = "doc_id",
+                        rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000; got $k")
+    def leg(df: DataFrame, out: String) = {
+      val r = col(rankCol).cast("long")
+      val guarded = when(r.isNull || r < 1,
+        raise_error(concat(lit(s"kendallTauByQuery: $rankCol must " +
+          "be >= 1; got "), r.cast("string")))).otherwise(r)
+      df.select(col(queryCol), col(idCol), guarded.as(out))
+        .where(col(out) <= k)
+    }
+    val shared = leg(runA, "_ra").join(leg(runB, "_rb"),
+      Seq(queryCol, idCol))
+    val a = shared.select(col(queryCol), col(idCol).as("_ida"),
+      col("_ra").as("_raa"), col("_rb").as("_rba"))
+    val b = shared.select(col(queryCol), col(idCol).as("_idb"),
+      col("_ra").as("_rab"), col("_rb").as("_rbb"))
+    val conc = (col("_raa") - col("_rab")) *
+      (col("_rba") - col("_rbb")) > 0
+    val pairAgg = a.join(b, Seq(queryCol))
+      .where(col("_ida") < col("_idb"))
+      .groupBy(col(queryCol))
+      .agg(sum(when(conc, 1L).otherwise(0L)).cast("long")
+          .as("n_concordant"),
+        sum(when(conc, 0L).otherwise(1L)).cast("long")
+          .as("n_discordant"))
+    shared.groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .join(pairAgg, Seq(queryCol))
+      .select(col(queryCol), col("n_shared"), col("n_concordant"),
+        col("n_discordant"),
+        // τ = 2(C−D) / (s(s−1)) keeps the denominator integral
+        graft.functions.ExactRound.signedRatio(
+          (col("n_concordant") - col("n_discordant")) * 2,
+          col("n_shared") * (col("n_shared") - 1), 4).as("tau"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k: Int = 60, topK: Int = 20,
               idCol: String = "doc_id", rankCol: String = "rank")
       : DataFrame = {

@@ -297,6 +297,33 @@ object TextQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Kendall τ per query over the same staged full-vs-int8 runs as
+    // q344 (its own stage copy — queries are self-contained): RBO
+    // reads top-weighted agreement, τ counts every pairwise inversion
+    // equally. Pure integer pair counts; the 4dp τ uses the SIGNED
+    // half-up bridge on both sides (negative τ is exactly where
+    // Spark div and DuckDB // disagree)
+    "q350_kendall_tau" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val full = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val qz = Similarity.quantizeInt8(e)
+        .select(col("vec_id"), col("qvec").as("embedding"))
+      val quant = Similarity
+        .bruteForceTopK(qz, qz.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val base = s"${MLQueries.stageDir(d)}/q350"
+      full.coalesce(1).write.mode("overwrite").parquet(s"$base/full")
+      quant.coalesce(1).write.mode("overwrite").parquet(s"$base/quant")
+      Relevance.kendallTauByQuery(
+          s.read.parquet(s"$base/full"),
+          s.read.parquet(s"$base/quant"), k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // rank agreement between the lexical and semantic retrieval legs:
     // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
     // top-weighted "are these two rankings finding the same things"
@@ -2827,6 +2854,46 @@ object TextQueries {
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q344: per-query RBO over the staged full/quantized legs
     "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
+    // q350: pure integer pair algebra over the staged runs; τ via the
+    // signed half-up bridge (floor-vs-truncate on negatives is the
+    // exact disagreement the sign split removes)
+    "q350_kendall_tau" ->
+      s"""WITH fa AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS ra
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q350/full/*.parquet')
+            WHERE rank <= 10),
+          fb AS (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rb
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q350/quant/*.parquet')
+            WHERE rank <= 10),
+          sh AS (SELECT fa.query_id, fa.doc_id, ra, rb
+                 FROM fa JOIN fb USING (query_id, doc_id)),
+          pr AS (
+            SELECT x.query_id,
+              CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+              CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_discordant
+            FROM sh x JOIN sh y
+              ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+            GROUP BY 1),
+          sc AS (SELECT query_id,
+                        CAST(count(*) AS BIGINT) AS n_shared
+                 FROM sh GROUP BY 1)
+          SELECT sc.query_id, n_shared, n_concordant, n_discordant,
+            CAST(CASE WHEN n_concordant < n_discordant
+                 THEN -(((n_discordant - n_concordant) * 2 * 20000
+                          + n_shared * (n_shared - 1))
+                        // (2 * n_shared * (n_shared - 1)))
+                 ELSE ((n_concordant - n_discordant) * 2 * 20000
+                        + n_shared * (n_shared - 1))
+                      // (2 * n_shared * (n_shared - 1)) END
+              AS DOUBLE) / 10000 AS tau
+          FROM sc JOIN pr USING (query_id)
+          WHERE n_shared >= 2
+          ORDER BY query_id""",
     // q343: both staged ANN legs unioned, the per-query fusion is
     // pure integer algebra (the q335 term form, partitioned by query)
     "q343_rrf_multiquery" ->

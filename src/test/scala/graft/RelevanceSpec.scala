@@ -280,4 +280,37 @@ class RelevanceSpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 7L, 7L, 0.7), (2L, 2L, 3L, 10L, 1.0)))
   }
+
+  test("kendallTauByQuery: identical order reads +1, reversed -1, one " +
+    "adjacent swap 5-1 of 6 pairs; sub-2-shared queries drop; a " +
+    "non-positive rank fails loudly") {
+    import spark.implicits._
+    def run(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("query_id", "doc_id", "rank")
+    val a = run(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 10L, 1L), (2L, 11L, 2L), (2L, 12L, 3L), (2L, 13L, 4L),
+      (3L, 10L, 1L), (3L, 11L, 2L), (3L, 12L, 3L), (3L, 13L, 4L),
+      (4L, 10L, 1L), (4L, 11L, 2L))
+    val b = run(
+      // q1: identical; q2: reversed; q3: swap ranks of docs 10/11
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 10L, 4L), (2L, 11L, 3L), (2L, 12L, 2L), (2L, 13L, 1L),
+      (3L, 10L, 2L), (3L, 11L, 1L), (3L, 12L, 3L), (3L, 13L, 4L),
+      (4L, 10L, 1L)) // q4 shares only one doc -> drops
+    val out = graft.operators.Relevance
+      .kendallTauByQuery(a, b, k = 10)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 6L, 0L, 1.0),
+      (2L, 4L, 0L, 6L, -1.0),
+      (3L, 4L, 5L, 1L, 0.6667)))
+    val bad = run((1L, 10L, 0L), (1L, 11L, 2L))
+    val e = intercept[Exception] {
+      graft.operators.Relevance.kendallTauByQuery(a, bad, k = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"))
+  }
 }
