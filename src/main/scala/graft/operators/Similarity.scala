@@ -224,6 +224,67 @@ object Similarity {
     topKPerKey(scored, k)
   }
 
+  /** The pairwise-similarity frame behind [[intraListSimilarity]]:
+    * one row per unordered doc pair within a query's top-k, with the
+    * cosine quantized to the repo-wide 1e-4 grid as a LONG
+    * (`round(cos·10⁴)` — the mmrQuantize grid, distributed). Split
+    * out so gate queries can STAGE it: the aggregation downstream is
+    * then pure integer algebra in both engines. */
+  private[graft] def ilsPairs(run: DataFrame, embeddings: DataFrame,
+                              k: Int,
+                              queryCol: String, idCol: String,
+                              rankCol: String, vecCol: String,
+                              embIdCol: String): DataFrame = {
+    val r = col(rankCol).cast("long")
+    val guarded = when(r.isNull || r < 1,
+      raise_error(concat(lit(s"intraListSimilarity: $rankCol must " +
+        "be >= 1; got "), r.cast("string")))).otherwise(r)
+    val slim = run.select(col(queryCol), col(idCol), guarded.as("_r"))
+      .where(col("_r") <= k)
+      .join(embeddings.select(col(embIdCol).as(idCol),
+        asDouble(col(vecCol)).as("_v")), Seq(idCol))
+    val a = slim.select(col(queryCol), col(idCol).as("id_a"),
+      col("_v").as("_va"))
+    val b = slim.select(col(queryCol), col(idCol).as("id_b"),
+      col("_v").as("_vb"))
+    a.join(b, Seq(queryCol)).where(col("id_a") < col("id_b"))
+      .select(col(queryCol), col("id_a"), col("id_b"),
+        round(graft.plans.VectorExpressions.cosineSim(
+          col("_va"), col("_vb")) * 1e4).cast("long").as("sim4"))
+  }
+
+  /** [[intraListSimilarity]]'s aggregation leg over an
+    * [[ilsPairs]]-shaped frame (staged or live): exact pair count +
+    * sim4 sum, mean similarity at 4dp via the SIGNED half-up bridge
+    * (cosines can be negative). */
+  private[graft] def ilsAggregate(pairs: DataFrame,
+                                  queryCol: String): DataFrame =
+    pairs.groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("sim4")).cast("long").as("sum_sim4"))
+      .select(col(queryCol), col("n_pairs"), col("sum_sim4"),
+        graft.functions.ExactRound.signedRatio(col("sum_sim4"),
+          col("n_pairs") * 10000L, 4).as("ils"))
+
+  /** Intra-list similarity @k: the REDUNDANCY of a result list as the
+    * mean pairwise 4dp cosine of its top-k members — the diversity
+    * readout [[mmrRerank]] exists to push down (measure before/after
+    * to price a λ). One embedding join + a k-bounded pair self-join
+    * per query (≤ k(k−1)/2 rows — shortlist algebra, never corpus
+    * work). Queries with fewer than two resolved members drop (no
+    * pairs to average). Output: (queryCol, n_pairs, sum_sim4, ils). */
+  def intraListSimilarity(run: DataFrame, embeddings: DataFrame,
+                          k: Int = 10,
+                          queryCol: String = "query_id",
+                          idCol: String = "doc_id",
+                          rankCol: String = "rank",
+                          vecCol: String = "embedding",
+                          embIdCol: String = "vec_id"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"need 2 <= k <= 1000; got $k")
+    ilsAggregate(ilsPairs(run, embeddings, k, queryCol, idCol,
+      rankCol, vecCol, embIdCol), queryCol)
+  }
+
   /** Two-phase top-k via `row_number` + rank-limit pushdown: the
     * filter on a row_number window triggers Spark's WindowGroupLimit
     * rule, which inserts a PARTIAL per-partition group limit before

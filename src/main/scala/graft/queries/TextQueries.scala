@@ -324,6 +324,25 @@ object TextQueries {
         .orderBy(col("query_id"))
     }),
 
+    // intra-list similarity @10 of the brute-force top-k lists — the
+    // redundancy number MMR (q336) exists to push down. The pairwise
+    // sim4 grid is STAGED (the q336/q344 discipline): the aggregation
+    // both engines replay is pure integer algebra, with the signed
+    // half-up bridge for the 4dp mean
+    "q351_intra_list_sim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val run = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val p = s"${MLQueries.stageDir(d)}/q351/pairs"
+      Similarity.ilsPairs(run, e, k = 10, "query_id", "doc_id",
+          "rank", "embedding", "vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      Similarity.ilsAggregate(s.read.parquet(p), "query_id")
+        .orderBy(col("query_id"))
+    }),
+
     // rank agreement between the lexical and semantic retrieval legs:
     // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
     // top-weighted "are these two rankings finding the same things"
@@ -2854,6 +2873,24 @@ object TextQueries {
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q344: per-query RBO over the staged full/quantized legs
     "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
+    // q351: pure integer aggregation over the staged sim4 pair grid
+    "q351_intra_list_sim" ->
+      s"""WITH p AS (
+            SELECT query_id, CAST(sim4 AS BIGINT) AS sim4
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q351/pairs/*.parquet')),
+          g AS (SELECT query_id,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(sim4) AS BIGINT) AS sum_sim4
+                FROM p GROUP BY 1)
+          SELECT query_id, n_pairs, sum_sim4,
+            CAST(CASE WHEN sum_sim4 < 0
+                 THEN -(((-sum_sim4) * 20000 + n_pairs * 10000)
+                        // (2 * n_pairs * 10000))
+                 ELSE (sum_sim4 * 20000 + n_pairs * 10000)
+                      // (2 * n_pairs * 10000) END
+              AS DOUBLE) / 10000 AS ils
+          FROM g ORDER BY query_id""",
     // q350: pure integer pair algebra over the staged runs; τ via the
     // signed half-up bridge (floor-vs-truncate on negatives is the
     // exact disagreement the sign split removes)

@@ -237,6 +237,52 @@ class SimilaritySpec extends SparkSuite {
     q.unpersist()
   }
 
+  test("intraListSimilarity: hand geometry — two parallel vectors + " +
+    "one orthogonal read ils = round(1/3, 4dp); sub-2-member lists " +
+    "drop; a bad rank fails loudly") {
+    import spark.implicits._
+    val emb = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(2.0, 0.0)), (12L, Seq(0.0, 3.0)),
+      (13L, Seq(1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 13L, 1L) // one member -> no pairs -> drops
+    ).toDF("query_id", "doc_id", "rank")
+    val out = Similarity.intraListSimilarity(run, emb, k = 10)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // pairs: (10,11)=1 -> 10000; (10,12)=0; (11,12)=0
+    assert(out == Seq((1L, 3L, 10000L, 0.3333)))
+    val bad = Seq((1L, 10L, 0L)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[Exception] {
+      Similarity.intraListSimilarity(bad, emb, k = 10).collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"))
+  }
+
+  test("intraListSimilarity: MMR re-ranking never raises the " +
+    "redundancy of the head it diversifies (lambda 0.5 on real " +
+    "embeddings)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q0 = emb.filter(col("vec_id") === 0)
+    val short = Similarity.bruteForceTopK(emb, q0, k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"),
+        col("sim").as("rel"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val mmr = Similarity.mmrRerank(short, lambda = 0.5, k = 10)
+      .select(lit(0L).as("query_id"), col("doc_id"),
+        col("mmr_rank").as("rank"))
+    val plain = short.filter(col("rank") <= 10)
+      .select(lit(0L).as("query_id"), col("doc_id"), col("rank"))
+    def ils(run: org.apache.spark.sql.DataFrame): Double =
+      Similarity.intraListSimilarity(run, emb, k = 10)
+        .select("ils").as[Double].head()
+    assert(ils(mmr) <= ils(plain) + 1e-9)
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
