@@ -320,6 +320,66 @@ object Relevance {
         col("dl").as("doc_len"))
   }
 
+  /** The expansion leg of [[prfExpansionTerms]] over an explicit
+    * feedback set (`idCol`, `doc_len`) — split out so the gate can
+    * STAGE the feedback docs (BM25 ranks on ln(), the transcendental
+    * staging rule) and both engines replay only the integer tf/dl
+    * algebra downstream. */
+  def expansionFromFeedback(docs: DataFrame, feedback: DataFrame,
+                            excludeTerms: Seq[String], fbTerms: Int,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(fbTerms >= 1, s"fbTerms must be >= 1; got $fbTerms")
+    val fb = feedback.select(col(idCol), col("doc_len").cast("long")
+      .as("_dl"))
+    val tf = docs.join(fb, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol)))
+          .as("term"))
+      .where(col("term") =!= "" &&
+        !col("term").isin(excludeTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+      .join(fb, Seq(idCol))
+    tf.select(col("term"),
+        graft.functions.ExactRound.scaled(col("_tf"), col("_dl"), 6)
+          .as("_w6"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n_fb_docs"),
+        sum(col("_w6")).cast("long").as("weight6"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("weight6").desc, col("term"))).cast("long"))
+      .where(col("rank") <= fbTerms)
+      .select(col("term"), col("rank"), col("n_fb_docs"),
+        col("weight6"),
+        (col("weight6").cast("double") / 1e6).as("weight"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM1/Bo1-shaped
+    * tf-weighted variant made exactly replayable): run [[bm25]] for
+    * `query`, take the top `fbDocs` docs as the feedback set, and
+    * score every term they contain by `Σ_d round(10⁶·tf(w,d)/dl_d)` —
+    * each addend an exact micro unit (the [[rrfFuse]] quantization
+    * discipline: the micro grid IS the definition). Original query
+    * terms are excluded; ties break lexicographically. Returns the
+    * top `fbTerms`: (term, rank, n_fb_docs, weight6, weight) — union
+    * them with the original query for the classic second BM25 pass.
+    *
+    * Scale: one BM25 pass, then everything is bounded by the fbDocs
+    * feedback docs' token count; the rank window is
+    * feedback-vocabulary-sized, never corpus-sized. */
+  def prfExpansionTerms(docs: DataFrame, query: Seq[String],
+                        fbDocs: Int = 10, fbTerms: Int = 5,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1; got $fbDocs")
+    expansionFromFeedback(docs,
+      bm25(docs, query, k1, b, fbDocs, textCol, idCol)
+        .select(col(idCol), col("doc_len")),
+      query, fbTerms, textCol, idCol)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * combine any number of ranked lists by `Σ 1/(k + rank_i)` — the
     * standard hybrid-search combiner for a lexical leg ([[bm25]]) and

@@ -343,6 +343,22 @@ object TextQueries {
         .orderBy(col("query_id"))
     }),
 
+    // pseudo-relevance-feedback expansion terms for the q163 BM25
+    // query: top-10 feedback docs -> micro-int tf/dl term weights ->
+    // top-5 expansion candidates. The feedback SET is staged (BM25
+    // ranks on ln() — the transcendental staging rule); the replayed
+    // leg is pure integer algebra
+    "q352_prf_expansion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fbPath = s"${MLQueries.stageDir(d)}/q352/fb"
+      Relevance.bm25(docs, Seq("spark", "join", "window"), topK = 10)
+        .select(col("doc_id"), col("doc_len"))
+        .coalesce(1).write.mode("overwrite").parquet(fbPath)
+      Relevance.expansionFromFeedback(docs, s.read.parquet(fbPath),
+          Seq("spark", "join", "window"), fbTerms = 5)
+        .orderBy(col("rank"))
+    }),
+
     // rank agreement between the lexical and semantic retrieval legs:
     // RBO@20 (rank-biased overlap, Webber et al. 2010) — the
     // top-weighted "are these two rankings finding the same things"
@@ -2873,6 +2889,39 @@ object TextQueries {
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q344: per-query RBO over the staged full/quantized legs
     "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
+    // q352: integer tf/dl micro-unit weights over the staged feedback
+    // set; rank = (weight6 desc, term) — no transcendental replayed
+    "q352_prf_expansion" -> (TOKS +
+      s""", fb AS (
+            SELECT doc_id, CAST(doc_len AS BIGINT) AS dl
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q352/fb/*.parquet')),
+          ft AS (
+            SELECT t.doc_id, unnest(t.w) AS term
+            FROM t JOIN fb ON t.doc_id = fb.doc_id),
+          ft2 AS (SELECT doc_id, term FROM ft
+                  WHERE term <> ''
+                    AND term NOT IN ('spark', 'join', 'window')),
+          tf AS (
+            SELECT f.doc_id, term,
+                   CAST(count(*) AS BIGINT) AS tf, fb.dl
+            FROM ft2 f JOIN fb ON f.doc_id = fb.doc_id
+            GROUP BY 1, 2, 4),
+          w AS (
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS n_fb_docs,
+                   CAST(sum((tf * 2000000 + dl) // (2 * dl))
+                     AS BIGINT) AS weight6
+            FROM tf GROUP BY 1),
+          rk AS (
+            SELECT term, n_fb_docs, weight6,
+                   row_number() OVER (ORDER BY weight6 DESC, term)
+                     AS rank
+            FROM w)
+          SELECT term, CAST(rank AS BIGINT) AS rank, n_fb_docs,
+                 weight6,
+                 CAST(weight6 AS DOUBLE) / 1000000 AS weight
+          FROM rk WHERE rank <= 5 ORDER BY rank"""),
     // q351: pure integer aggregation over the staged sim4 pair grid
     "q351_intra_list_sim" ->
       s"""WITH p AS (

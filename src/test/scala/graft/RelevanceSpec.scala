@@ -313,4 +313,32 @@ class RelevanceSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("rank must be >= 1"))
   }
+
+  test("expansionFromFeedback: hand-computed micro-int tf/dl weights, " +
+    "query terms excluded, lexicographic tiebreak") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b q"), (2L, "a c q"), (3L, "z z z z z")
+    ).toDF("doc_id", "text") // doc 3 is NOT in the feedback set
+    val fb = Seq((1L, 4L), (2L, 3L)).toDF("doc_id", "doc_len")
+    val out = graft.operators.Relevance
+      .expansionFromFeedback(docs, fb, Seq("q"), fbTerms = 2)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // a: 2/4 -> 500000 (doc1) + 1/3 -> 333333 (doc2) = 833333, 2 docs
+    // c: 1/3 -> 333333; b: 1/4 -> 250000; 'q' excluded; 'z' not fed back
+    assert(out == Seq(("a", 1L, 2L, 833333L, 0.833333),
+      ("c", 2L, 1L, 333333L, 0.333333)))
+  }
+
+  test("prfExpansionTerms end-to-end: five fresh terms off the fixture " +
+    "BM25 feedback docs, none from the query") {
+    val out = graft.operators.Relevance.prfExpansionTerms(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      Seq("spark", "join", "window"), fbDocs = 10, fbTerms = 5)
+      .collect()
+    assert(out.length == 5)
+    val terms = out.map(_.getString(0)).toSet
+    assert(terms.intersect(Set("spark", "join", "window")).isEmpty)
+    assert(out.map(_.getLong(1)).toSeq == (1L to 5L))
+  }
 }
