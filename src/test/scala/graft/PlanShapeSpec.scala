@@ -264,6 +264,38 @@ class PlanShapeSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q346 incremental LSH probes the signature index by BROADCAST " +
+    "of the banded batch — one broadcast, and the index side never " +
+    "hash-partitions before the join (shuffles only at the verdict " +
+    "aggregations and the output spine)") {
+    val p = plan("q346_incremental_lsh")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pair agg + per-doc agg + spine join: any rise means the index
+    // side started shuffling
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("incrementalSemDedup (isolated, maxBlock=0) probes the kept " +
+    "state through exactly one broadcast — the state side never " +
+    "exchanges before its join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val state = Seq((1L, Seq(1.0, 0.0), 0L), (2L, Seq(0.0, 1.0), 0L))
+      .toDF("vec_id", "embedding", "cluster")
+    val batch = Seq((10L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    val cs = Array((0L, Array(1.0, 0.0)))
+    val p = graft.operators.SemDedup
+      .incrementalSemDedup(cs, state, batch, tau = 0.9, maxBlock = 0)
+      .queryExecution.executedPlan.toString
+    // the state-probe join keys on cluster: it must be the broadcast
+    // build (batch side), never a sort-merge that would shuffle the
+    // state. (The tiny verdict-assembly joins also broadcast — not
+    // counted here.)
+    assert(p.contains("BroadcastHashJoin [cluster"), p)
+    assert(!p.contains("SortMergeJoin [cluster"), p)
+  }
+
   test("q203 triplet mining is broadcast-anchor + partial struct-max " +
     "aggregate — no window, map-side partials before the exchange") {
     val p = plan("q203_triplets")
