@@ -1837,10 +1837,16 @@ object TextQueries {
 
     // incremental SemDeDup: a batch (vec_id % 4 = 0) assigned to the
     // state corpus's frozen seed centroids and pruned against the
-    // state's kept set + within itself — the embedding-space member of
-    // the q345/q346 maintenance family. Oracle replays the 4dp cosine
-    // algebra directly (the q107 watch category: assignment and
-    // domination rank on round(cos, 4) in BOTH engines)
+    // state's kept set + within itself — the embedding-space member
+    // of the q345/q346 maintenance family. The oracle CONSUMES
+    // similarity comparisons (assignment argmax, tau threshold,
+    // prototypicality domination), so per the PLANS.md round-10 rule
+    // it is STAGED from day one (the q336 discipline): the quantized
+    // batch assignment and both same-cluster sim grids (batch×kept,
+    // batch×batch) land as 1e-4 integer parquet, and DuckDB replays
+    // only integer algebra — sim4 >= 4000 is the tau test, csim4
+    // comparisons the domination. The kept-state derivation itself is
+    // anchored separately (q107).
     "q348_incremental_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val state = e.filter(col("vec_id") % 4 =!= 0)
@@ -1851,6 +1857,29 @@ object TextQueries {
         .filter(col("kept")).select(col("vec_id"), col("cluster"))
         .join(state, Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cluster"))
+      val base = s"${MLQueries.stageDir(d)}/q348"
+      val basg = graft.operators.SemDedup.assign(batch, cs)
+      basg.select(col("vec_id"), col("cluster"),
+          round(col("centroid_sim") * 1e4).cast("long").as("csim4"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/basg")
+      val st = keptState.select(col("vec_id").as("sid"),
+        Similarity.asDouble(col("embedding")).as("svec"),
+        col("cluster"))
+      basg.select(col("vec_id").as("bid"), col("vec"), col("cluster"))
+        .join(st, Seq("cluster"))
+        .select(col("bid"), col("sid"),
+          round(Similarity.cosine(col("vec"), col("svec")) * 1e4)
+            .cast("long").as("sim4"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/cross")
+      val bl = basg.select(col("cluster"), col("vec_id").as("ia"),
+        col("vec").as("va"))
+      val br = basg.select(col("cluster"), col("vec_id").as("ib"),
+        col("vec").as("vb"))
+      bl.join(br, Seq("cluster")).where(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          round(Similarity.cosine(col("va"), col("vb")) * 1e4)
+            .cast("long").as("sim4"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bpairs")
       graft.operators.SemDedup.incrementalSemDedup(cs, keptState,
           batch, tau = 0.4)
         .orderBy(col("vec_id"))
@@ -5017,56 +5046,47 @@ object TextQueries {
           FROM sg LEFT JOIN pd ON sg.doc_id = pd.bid
           WHERE sg.doc_id % 5 = 0
           ORDER BY doc_id"""),
-    // q348: the q107 replay split state/batch — state assignment +
-    // domination over vec_id % 4 <> 0 (centroids = its 8 smallest
-    // ids), batch assigned to the SAME centroids, dropped on a ≥ tau
-    // kept-state neighbor (state wins) or within-batch domination.
-    // 4dp cosine recompute in both engines — the q107 watch category
+    // q348: pure integer replay over the STAGED quantized inputs (the
+    // q336 discipline, mandated by the PLANS.md round-10 rule for any
+    // new oracle whose selection consumes a recomputed cosine):
+    // sim4 >= 4000 is the tau=0.4 test, csim4 integer comparisons the
+    // prototypicality domination, cluster co-membership baked into
+    // the staged grids
     "q348_incremental_semdedup" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                    FROM embeddings),
-          c AS (SELECT vec_id AS cl, e AS ce FROM v
-                WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
-          ss AS (SELECT v.vec_id, v.e, c.cl,
-                   round(list_cosine_similarity(v.e, c.ce), 4) AS csim,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY round(list_cosine_similarity(v.e, c.ce), 4)
-                       DESC, c.cl) AS rk
-                 FROM v, c WHERE v.vec_id % 4 <> 0),
-          sasg AS (SELECT vec_id, e, cl, csim FROM ss WHERE rk = 1),
-          sdrop AS (SELECT DISTINCT x.vec_id
-            FROM sasg x JOIN sasg y
-              ON x.cl = y.cl AND x.vec_id <> y.vec_id
-             AND (y.csim < x.csim
-                  OR (y.csim = x.csim AND y.vec_id < x.vec_id))
-            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4),
-          skept AS (SELECT s.* FROM sasg s LEFT JOIN sdrop d
-                      ON s.vec_id = d.vec_id
-                    WHERE d.vec_id IS NULL),
-          bs AS (SELECT v.vec_id, v.e, c.cl,
-                   round(list_cosine_similarity(v.e, c.ce), 4) AS csim,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY round(list_cosine_similarity(v.e, c.ce), 4)
-                       DESC, c.cl) AS rk
-                 FROM v, c WHERE v.vec_id % 4 = 0),
-          basg AS (SELECT vec_id, e, cl, csim FROM bs WHERE rk = 1),
-          dstate AS (SELECT DISTINCT b.vec_id
-            FROM basg b JOIN skept s ON b.cl = s.cl
-            WHERE round(list_cosine_similarity(b.e, s.e), 4) >= 0.4),
-          dbatch AS (SELECT DISTINCT x.vec_id
-            FROM basg x JOIN basg y
-              ON x.cl = y.cl AND x.vec_id <> y.vec_id
-             AND (y.csim < x.csim
-                  OR (y.csim = x.csim AND y.vec_id < x.vec_id))
-            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.4)
-          SELECT b.vec_id, b.cl AS cluster, b.csim AS centroid_sim,
-            CASE WHEN ds.vec_id IS NOT NULL THEN 'state'
-                 WHEN db.vec_id IS NOT NULL THEN 'batch'
-                 ELSE NULL END AS drop_reason,
-            (ds.vec_id IS NULL AND db.vec_id IS NULL) AS kept
-          FROM basg b
-          LEFT JOIN dstate ds ON b.vec_id = ds.vec_id
-          LEFT JOIN dbatch db ON b.vec_id = db.vec_id
+      s"""WITH b AS (
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   CAST(csim4 AS BIGINT) AS csim4
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q348/basg/*.parquet')),
+          cg AS (
+            SELECT bid, CAST(sim4 AS BIGINT) AS sim4
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q348/cross/*.parquet')),
+          bg AS (
+            SELECT ia, ib, CAST(sim4 AS BIGINT) AS sim4
+            FROM read_parquet(
+              '${MLQueries.StageToken}/q348/bpairs/*.parquet')),
+          ds AS (SELECT DISTINCT bid AS vec_id FROM cg
+                 WHERE sim4 >= 4000),
+          db AS (
+            SELECT DISTINCT p.vec_id FROM (
+              SELECT ia AS vec_id, ib AS other, sim4 FROM bg
+              UNION ALL
+              SELECT ib AS vec_id, ia AS other, sim4 FROM bg) p
+            JOIN b x ON x.vec_id = p.vec_id
+            JOIN b y ON y.vec_id = p.other
+            WHERE p.sim4 >= 4000
+              AND (y.csim4 < x.csim4
+                   OR (y.csim4 = x.csim4 AND y.vec_id < x.vec_id)))
+          SELECT b.vec_id, b.cluster,
+                 CAST(b.csim4 AS DOUBLE) / 10000 AS centroid_sim,
+                 CASE WHEN ds.vec_id IS NOT NULL THEN 'state'
+                      WHEN db.vec_id IS NOT NULL THEN 'batch'
+                      ELSE NULL END AS drop_reason,
+                 (ds.vec_id IS NULL AND db.vec_id IS NULL) AS kept
+          FROM b
+          LEFT JOIN ds ON b.vec_id = ds.vec_id
+          LEFT JOIN db ON b.vec_id = db.vec_id
           ORDER BY b.vec_id""",
     // q347: verdicts re-derived from raw columns (IS DISTINCT FROM)
     // instead of replaying the md5 fingerprint — stronger, not weaker:
