@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.jobs.IncrementalIngestJob
+import graft.streaming.StreamingCorpusIngest
+
+/** The streaming framing of the incremental corpus ingest: micro-batch
+  * sequence == the same batches run through the job by hand, because
+  * every batch loads the state snapshot its predecessor persisted. */
+class StreamingCorpusIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("a two-file drop runs as two micro-batches and lands exactly " +
+    "the survivors the batch-mode job produces on the same split") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val day0 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 120)
+    val copies = day0.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val day1 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 160)
+      .unionByName(copies)
+
+    val srcDir = Files.createTempDirectory("graft_scing_src")
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String,
+                ts: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_scing_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, srcDir.resolve(name))
+      srcDir.resolve(name).toFile.setLastModified(ts)
+    }
+    // distinct mod-times pin the micro-batch order (FileStreamSource
+    // processes oldest first)
+    val t0 = System.currentTimeMillis() - 600000L
+    writeAs(day0, "day0.parquet", t0)
+    writeAs(day1, "day1.parquet", t0 + 120000L)
+
+    val target = Files.createTempDirectory("graft_scing_tgt").toString
+    val state = Files.createTempDirectory("graft_scing_st").toString
+    val cp = Files.createTempDirectory("graft_scing_cp").toString
+    val q = StreamingCorpusIngest.ingest(spark, srcDir.toString,
+      target, state, cp, evalSet, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+
+    val streamed = StreamingCorpusIngest.readCorpus(spark, target)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch-mode reference on the same split
+    val empty = IncrementalIngestJob.State(
+      Seq.empty[String].toDF("fingerprint"),
+      graft.operators.Dedup.minhashSignatures(
+        Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    val (s0, st1, _) = IncrementalIngestJob.run(empty, day0, evalSet)
+    val (s1, _, _) = IncrementalIngestJob.run(st1, day1, evalSet)
+    val reference = (s0.select("doc_id").as[Long].collect() ++
+      s1.select("doc_id").as[Long].collect()).toSet
+    assert(streamed == reference)
+    // two state snapshots persisted, one per batch
+    assert(new java.io.File(state).listFiles()
+      .count(_.getName.startsWith("after_")) == 2)
+  }
+}
