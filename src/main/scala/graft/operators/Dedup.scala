@@ -727,6 +727,22 @@ object Dedup {
       .withColumn("is_leak", col("split_a") =!= col("split_b"))
   }
 
+  /** Leakage-FREE i.i.d. splitting — the constructive fix for what
+    * [[splitLeakage]] measures: split at near-dup GROUP granularity,
+    * every member of a [[minhashDedupGroups]] component inheriting its
+    * canonical id's md5 split, so a duplicate pair can never straddle
+    * train/test (per-doc hashing leaks ~offDiagonal mass; group
+    * hashing leaks zero by construction). Costs the group labeling +
+    * a map-side split expression. Output: (idCol, canonical, split). */
+  def groupAwareSplit(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                      n: Int = 2, trainPct: Int = 80, valPct: Int = 10,
+                      maxIterations: Int = 16,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    minhashDedupGroups(docs, k, bands, n, maxIterations, textCol, idCol)
+      .withColumn("split",
+        Sampling.assignSplit(col("canonical"), trainPct, valPct))
+
   /** Self-audit of the MinHash-LSH approximation against the exact
     * n-gram Jaccard ground truth ON THE SAME corpus: candidate-pair
     * precision (fraction of LSH candidates that truly clear

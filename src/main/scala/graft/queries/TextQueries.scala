@@ -1818,6 +1818,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-free group-aware split: the q58 components + the q65
+    // md5 residue applied to the CANONICAL id, so a dup pair can
+    // never straddle train/test — the constructive fix for the
+    // leakage q215 measures
+    "q353_group_split" -> ((s, d) =>
+      Dedup.groupAwareSplit(Tables.documents(s, d), k = 8, bands = 4,
+          n = 2)
+        .orderBy(col("doc_id"))),
+
     // snapshot diff: two synthesized corpus versions (drop-outs, new
     // arrivals, a lang re-tag on every 4th shared doc) reconciled to
     // one added/removed/changed/unchanged verdict per doc_id. The
@@ -2265,6 +2274,53 @@ object TextQueries {
     * cosine >= 0.4 with strictly lower centroid similarity, id
     * tiebreak, marks you dropped). Mirrors SemDedup.assign /
     * SemDedup.semanticDedup term for term. */
+  /** The q58 MinHash-LSH component chain (8 sigs, 4 bands, band-
+    * bucket edges, recursive reachability) — shared by q58 and q353
+    * so the two oracles cannot drift apart. Ends with `reach(id, r)`;
+    * callers add the final select and apply the WITH RECURSIVE
+    * rewrite. */
+  private val q58Body: String =
+    """, sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS sh
+            FROM t),
+          sig AS (
+            SELECT doc_id,
+              list_aggregate(list_transform(sh, s -> md5('0|' || s)),
+                'min') AS s0,
+              list_aggregate(list_transform(sh, s -> md5('1|' || s)),
+                'min') AS s1,
+              list_aggregate(list_transform(sh, s -> md5('2|' || s)),
+                'min') AS s2,
+              list_aggregate(list_transform(sh, s -> md5('3|' || s)),
+                'min') AS s3,
+              list_aggregate(list_transform(sh, s -> md5('4|' || s)),
+                'min') AS s4,
+              list_aggregate(list_transform(sh, s -> md5('5|' || s)),
+                'min') AS s5,
+              list_aggregate(list_transform(sh, s -> md5('6|' || s)),
+                'min') AS s6,
+              list_aggregate(list_transform(sh, s -> md5('7|' || s)),
+                'min') AS s7
+            FROM sh),
+          banded AS (
+            SELECT doc_id, md5('0|' || s0 || '|' || s1) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, md5('1|' || s2 || '|' || s3) FROM sig
+            UNION ALL
+            SELECT doc_id, md5('2|' || s4 || '|' || s5) FROM sig
+            UNION ALL
+            SELECT doc_id, md5('3|' || s6 || '|' || s7) FROM sig),
+          e AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM sig
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)"""
+
   /** Brute-force L2 top-10 over the capped (vec_id < 200) corpus for
     * the vec_id < 5 queries — the exact-regime anchor shared by q146b
     * (probe-all + full-coverage refine) and q349 (the same degenerate
@@ -4936,49 +4992,26 @@ object TextQueries {
          CAST(16 + (ascii(substr(text, length(text) // 2 + 1, 1)) % 128)
            AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
-    "q58_dedup_groups" -> (TOKS +
-      """, sh AS (
-            SELECT doc_id,
-              list_distinct(list_transform(range(1, len(w)),
-                i -> w[i] || ' ' || w[i+1])) AS sh
-            FROM t),
-          sig AS (
-            SELECT doc_id,
-              list_aggregate(list_transform(sh, s -> md5('0|' || s)),
-                'min') AS s0,
-              list_aggregate(list_transform(sh, s -> md5('1|' || s)),
-                'min') AS s1,
-              list_aggregate(list_transform(sh, s -> md5('2|' || s)),
-                'min') AS s2,
-              list_aggregate(list_transform(sh, s -> md5('3|' || s)),
-                'min') AS s3,
-              list_aggregate(list_transform(sh, s -> md5('4|' || s)),
-                'min') AS s4,
-              list_aggregate(list_transform(sh, s -> md5('5|' || s)),
-                'min') AS s5,
-              list_aggregate(list_transform(sh, s -> md5('6|' || s)),
-                'min') AS s6,
-              list_aggregate(list_transform(sh, s -> md5('7|' || s)),
-                'min') AS s7
-            FROM sh),
-          banded AS (
-            SELECT doc_id, md5('0|' || s0 || '|' || s1) AS bucket FROM sig
-            UNION ALL
-            SELECT doc_id, md5('1|' || s2 || '|' || s3) FROM sig
-            UNION ALL
-            SELECT doc_id, md5('2|' || s4 || '|' || s5) FROM sig
-            UNION ALL
-            SELECT doc_id, md5('3|' || s6 || '|' || s7) FROM sig),
-          e AS (
-            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-            FROM banded a JOIN banded b
-              ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
-          reach(id, r) AS (
-            SELECT doc_id, doc_id FROM sig
-            UNION
-            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+    "q58_dedup_groups" -> (TOKS + q58Body +
+      """
           SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical
           FROM reach GROUP BY id ORDER BY doc_id""")
+      .replaceFirst("WITH t", "WITH RECURSIVE t"),
+    // q353: the q58 component labeling + the q65 md5-residue split
+    // applied to the CANONICAL id (group-granularity splitting)
+    "q353_group_split" -> (TOKS + q58Body +
+      """, lab AS (
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical
+            FROM reach GROUP BY id)
+          SELECT doc_id, canonical,
+            CASE WHEN CAST(concat('0x',
+                   substr(md5(CAST(canonical AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(concat('0x',
+                   substr(md5(CAST(canonical AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM lab ORDER BY doc_id""")
       .replaceFirst("WITH t", "WITH RECURSIVE t"),
     "q35_knn" -> knnOracle,
     // IVF with nProbe = nCentroids provably equals brute force — the

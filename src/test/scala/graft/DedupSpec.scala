@@ -332,6 +332,28 @@ class DedupSpec extends SparkSuite {
     assert(byId(12L) == ((12L, 0L, 0L, 1L)))
   }
 
+  test("groupAwareSplit: every member of a dup group lands in its " +
+    "CANONICAL id's md5 split — a dup pair can never straddle splits") {
+    import spark.implicits._
+    def md5Split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val pct = java.lang.Long.parseLong(hex, 16) % 100
+      if (pct < 80) "train" else if (pct < 90) "val" else "test"
+    }
+    // find an id pair whose PER-DOC splits differ, to prove the group
+    // rule actually overrides the naive assignment
+    val id2 = (2L to 50L).find(i => md5Split(i) != md5Split(1L)).get
+    val docs = Seq((1L, base), (id2, base), (60L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.groupAwareSplit(docs)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, md5Split(1L))))
+    assert(out(id2) == ((id2, 1L, md5Split(1L)))) // inherits canonical
+    assert(out(60L) == ((60L, 60L, md5Split(60L))))
+  }
+
   test("incrementalLshDedup fails loudly on a mis-shaped index or an " +
     "out-of-range threshold") {
     import spark.implicits._
