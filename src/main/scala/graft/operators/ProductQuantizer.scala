@@ -157,6 +157,32 @@ object ProductQuantizer {
       .pqEncode(v, cb.books, cb.subDim).as("codes"))
   }
 
+  /** Per-vector PQ reconstruction error — the storage-side
+    * quantization-quality readout next to the retrieval-side ones
+    * (ANN recall@k, per-query RBO): decode each code array through
+    * the codebook literals, then the 4dp L2 between original and
+    * reconstruction. The number that prices (m, k) against corpus
+    * bytes. Map-side decode (books ride as literals, m lookups +
+    * one flatten per row) + one id join; rows whose vectors didn't
+    * encode (the [[encode]] null rule) are skipped. The distance
+    * recompute is per-row independent REPORTING, so the oracle may
+    * recompute it (the PLANS.md cosine-site rule); the codes and
+    * books themselves are staged by the q354 gate. */
+  def reconstructionError(corpus: DataFrame, cb: Codebooks,
+                          codes: DataFrame,
+                          vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    val rec = flatten(array((0 until cb.m).map { s =>
+      element_at(bookLit(cb.books(s)),
+        element_at(col("codes"), s + 1) + 1)
+    }: _*))
+    corpus.select(col(idCol), Similarity.asDouble(col(vecCol)).as("_v"))
+      .join(codes.select(col(idCol), col("codes"))
+        .filter(col("codes").isNotNull), Seq(idCol))
+      .select(col(idCol),
+        round(sqrt(sqDist(col("_v"), rec)), 4).as("l2_distortion"))
+  }
+
   /** ADC top-k: per query ONE m×k table of exact
     * subvector→centroid squared distances (map-side over the tiny
     * query frame, then broadcast), so scoring a corpus row is m

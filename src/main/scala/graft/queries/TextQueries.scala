@@ -324,6 +324,28 @@ object TextQueries {
         .orderBy(col("query_id"))
     }),
 
+    // per-vector PQ reconstruction distortion (m=8, k=16 on the
+    // capped corpus): the storage-side quantization metric beside
+    // q338's recall and q344's RBO. Codes + codebooks are STAGED
+    // (Lloyd books are not SQL-derivable); the oracle decodes and
+    // recomputes the per-row 4dp L2 — per-row independent reporting,
+    // the allowed recompute class
+    "q354_pq_distortion" -> ((s, d) => {
+      val capped = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val cb = ProductQuantizer.train(capped, dim = 64, m = 8, k = 16)
+      val codes = ProductQuantizer.encode(capped, cb)
+      val base = s"${MLQueries.stageDir(d)}/q354"
+      codes.coalesce(1).write.mode("overwrite").parquet(s"$base/codes")
+      import s.implicits._
+      cb.books.zipWithIndex.flatMap { case (book, sIdx) =>
+        book.zipWithIndex.map { case (c, j) => (sIdx, j, c) }
+      }.toDF("s", "j", "sub").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/books")
+      ProductQuantizer.reconstructionError(capped, cb,
+          s.read.parquet(s"$base/codes"))
+        .orderBy(col("vec_id"))
+    }),
+
     // intra-list similarity @10 of the brute-force top-k lists — the
     // redundancy number MMR (q336) exists to push down. The pairwise
     // sim4 grid is STAGED (the q336/q344 discipline): the aggregation
@@ -2974,6 +2996,29 @@ object TextQueries {
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q344: per-query RBO over the staged full/quantized legs
     "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
+    // q354: decode the staged codes through the staged books, per-row
+    // 4dp L2 recompute (per-row independent reporting — allowed)
+    "q354_pq_distortion" ->
+      s"""WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id < 200),
+          c AS (
+            SELECT vec_id, codes FROM read_parquet(
+              '${MLQueries.StageToken}/q354/codes/*.parquet')
+            WHERE codes IS NOT NULL),
+          cb AS (
+            SELECT s, j, sub FROM read_parquet(
+              '${MLQueries.StageToken}/q354/books/*.parquet')),
+          cd AS (
+            SELECT vec_id, t.r AS s, codes[t.r + 1] AS j
+            FROM c, range(0, 8) t(r)),
+          rv AS (
+            SELECT vec_id, flatten(list(sub ORDER BY s)) AS rec
+            FROM cd JOIN cb USING (s, j) GROUP BY vec_id)
+          SELECT v.vec_id,
+                 round(list_distance(v.e, rv.rec), 4) AS l2_distortion
+          FROM v JOIN rv USING (vec_id)
+          ORDER BY v.vec_id""",
     // q352: integer tf/dl micro-unit weights over the staged feedback
     // set; rank = (weight6 desc, term) — no transcendental replayed
     "q352_prf_expansion" -> (TOKS +

@@ -109,4 +109,23 @@ class PqSpec extends SparkSuite {
       d > d0 || enc.head < others.head._2
     })
   }
+
+  test("reconstructionError: the exact regime (k covers every distinct " +
+    "subvector) reads 0.0 for every row; the lossy regime reads " +
+    "positive, finite distortion") {
+    val cbx = PQ.train(corpus, dim = 8, m = 4, k = 256)
+    val exact = PQ.reconstructionError(corpus, cbx,
+      PQ.encode(corpus, cbx))
+    assert(exact.count() == corpus.count())
+    assert(exact.filter(col("l2_distortion") =!= 0.0).count() == 0)
+    val cb2 = PQ.train(corpus, dim = 8, m = 4, k = 2)
+    val lossy = PQ.reconstructionError(corpus, cb2,
+      PQ.encode(corpus, cb2))
+      .select("l2_distortion").as[Double].collect()
+    assert(lossy.length == corpus.count())
+    assert(lossy.forall(d => d >= 0.0 && !d.isNaN && !d.isInfinite))
+    // 32 clustered points + 2 far stragglers cannot all sit on 2
+    // codewords per subspace
+    assert(lossy.max > 0.0)
+  }
 }
