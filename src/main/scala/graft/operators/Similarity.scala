@@ -73,6 +73,25 @@ object Similarity {
         col("_q.qvec").as("qvec"))
   }
 
+  /** Per-vector int8 dequantization distortion — [[quantizeInt8]]'s
+    * storage-error readout and the int8 twin of
+    * [[ProductQuantizer.reconstructionError]]: dequantize the codes
+    * through the STORED 6dp scale and report the 4dp L2 against the
+    * original. Pure map + one id join; the distance recompute is
+    * per-row independent reporting (the allowed oracle class), and
+    * the quantization algebra itself is the hash-anchored q90 replay. */
+  def int8Distortion(embeddings: DataFrame,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val qz = quantizeInt8(embeddings, vecCol, idCol)
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .join(qz, Seq(idCol))
+      .select(col(idCol),
+        round(sqrt(ProductQuantizer.sqDist(col("_v"),
+          transform(col("qvec"), q => q.cast("double") * col("scale")))),
+          4).as("l2_distortion"))
+  }
+
   /** Seeded ±1 sign matrix (`outDim` rows × `dim`) for the sparse
     * Johnson-Lindenstrauss projection (Achlioptas 2003: ±1 entries
     * preserve pairwise distances like Gaussian ones, and make the

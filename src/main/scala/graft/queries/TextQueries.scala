@@ -324,6 +324,14 @@ object TextQueries {
         .orderBy(col("query_id"))
     }),
 
+    // per-vector int8 dequantization distortion — the q354 twin for
+    // the 4x storage path; no staging needed: the quantization
+    // algebra is q90's hash-anchored replay, and the distance is
+    // per-row independent reporting
+    "q355_int8_distortion" -> ((s, d) =>
+      Similarity.int8Distortion(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))),
+
     // per-vector PQ reconstruction distortion (m=8, k=16 on the
     // capped corpus): the storage-side quantization metric beside
     // q338's recall and q344's RBO. Codes + codebooks are STAGED
@@ -2996,6 +3004,33 @@ object TextQueries {
     "q339_rbo" -> rboOracle(k = 20, p = 0.9),
     // q344: per-query RBO over the staged full/quantized legs
     "q344_rbo_multiquery" -> rboByQueryOracle(k = 10, p = 0.9),
+    // q355: the q90 quantization replay + dequant through the stored
+    // 6dp scale, per-row 4dp L2 recompute
+    "q355_int8_distortion" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, vec,
+                  list_aggregate(list_transform(vec, x -> abs(x)),
+                    'max') AS maxabs
+           FROM v),
+         q AS (
+           SELECT vec_id, vec,
+                  round(maxabs / 127.0, 6) AS scale,
+                  CASE WHEN maxabs = 0
+                    THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(vec,
+                      x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT))
+                  END AS qvec
+           FROM m)
+         SELECT vec_id,
+                round(list_distance(vec,
+                  list_transform(qvec, x -> x * scale)), 4)
+                  AS l2_distortion
+         FROM q ORDER BY vec_id""",
     // q354: decode the staged codes through the staged books, per-row
     // 4dp L2 recompute (per-row independent reporting — allowed)
     "q354_pq_distortion" ->

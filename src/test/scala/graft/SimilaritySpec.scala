@@ -261,6 +261,18 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("rank must be >= 1"))
   }
 
+  test("int8Distortion: zero vector reads 0; the (1.0, 0.5) hand case " +
+    "reads the stored-6dp-scale dequant error at 4dp") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8Distortion(df).orderBy("vec_id")
+      .as[(Long, Double)].collect().toSeq
+    // scale = round(1/127, 6) = 0.007874; codes (127, 64);
+    // deq = (0.999998, 0.503936); L2 = 0.0039362 -> 0.0039
+    assert(out == Seq((1L, 0.0), (2L, 0.0039)))
+  }
+
   test("intraListSimilarity: MMR re-ranking never raises the " +
     "redundancy of the head it diversifies (lambda 0.5 on real " +
     "embeddings)") {
