@@ -332,6 +332,45 @@ class DedupSpec extends SparkSuite {
     assert(byId(12L) == ((12L, 0L, 0L, 1L)))
   }
 
+  test("incrementalLshDedup equals a collected brute-force recompute " +
+    "of band buckets + signature agreement on a real fixture slice") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val idx = Dedup.minhashSignatures(corpus, k = 8, n = 2)
+    val got = Dedup.incrementalLshDedup(idx, batch, k = 8, bands = 4,
+        n = 2, minMatches = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    def sigsOf(df: org.apache.spark.sql.DataFrame): Map[Long, IndexedSeq[String]] =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => if (r.isNullAt(i)) null else r.getString(i)))
+        .toMap
+    val cSigs = sigsOf(idx)
+    val bSigs = sigsOf(Dedup.minhashSignatures(batch, k = 8, n = 2))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def buckets(sig: IndexedSeq[String]): Set[String] =
+      if (sig == null || sig.contains(null)) Set.empty
+      else (0 until 4).map(b =>
+        md5hex(s"$b|${sig(2 * b)}|${sig(2 * b + 1)}")).toSet
+    val expected = bSigs.toSeq.sortBy(_._1).map { case (bid, bs) =>
+      val bb = buckets(bs)
+      val cands = cSigs.filter { case (_, cSig) =>
+        buckets(cSig).exists(bb.contains) }
+      val dups = cands.count { case (_, cSig) =>
+        (0 until 8).count(i => cSig(i) == bs(i)) >= 6 }
+      (bid, cands.size.toLong, dups.toLong,
+        if (dups == 0) 1L else 0L)
+    }
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "fixture slice should contain at " +
+      "least one cross-split near-dup for the test to bite")
+  }
+
   test("groupAwareSplit: every member of a dup group lands in its " +
     "CANONICAL id's md5 split — a dup pair can never straddle splits") {
     import spark.implicits._
