@@ -77,12 +77,16 @@ object IncrementalIngestJob {
   }
 
   /** Reopen a [[saveState]] layout. The two big side tables stay lazy
-    * parquet scans; only the k-row centroid table is collected. */
+    * parquet scans; only the k-row centroid table is collected. The
+    * optional-side-table probe resolves through Hadoop's FileSystem for
+    * the path's scheme — a java.io.File check would read false on
+    * HDFS/S3 and silently skip the semantic stage saveState wrote. */
   def loadState(spark: org.apache.spark.sql.SparkSession,
                 dir: String): State = {
     def opt(sub: String): Option[String] = {
-      val p = s"$dir/$sub"
-      if (new java.io.File(p).exists()) Some(p) else None
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(s"$dir/$sub") else None
     }
     val centroids = opt("centroids").map(p =>
       spark.read.parquet(p).collect()
@@ -98,7 +102,13 @@ object IncrementalIngestJob {
     * survivor frame keeps the batch's columns; the appended state is
     * built from the survivors only — a doc dropped at ANY stage never
     * pollutes the indexes. `batchEmbeddings` must align vec_id with
-    * the batch's doc_id (the corpus convention). */
+    * the batch's doc_id (the corpus convention).
+    *
+    * Cache contract: each stage caches and unpersists its superseded
+    * predecessor, so the RETURNED survivor frame is still cached —
+    * long-lived callers should `survivors.unpersist()` once the
+    * survivors and appended state are written (the streaming wrapper
+    * does; a leak here compounds one frame per micro-batch). */
   def run(state: State, batch: DataFrame, evalSet: DataFrame,
           cfg: Config = Config(),
           batchEmbeddings: Option[DataFrame] = None)

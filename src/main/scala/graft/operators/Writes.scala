@@ -150,15 +150,34 @@ object Writes {
     * verdicts agree unless a payload embeds those control bytes, which
     * the fingerprint shares with every md5 dedup oracle in the gate).
     *
+    * CONTRACT: `keys` must be unique within each snapshot (the usual
+    * table-version invariant). Duplicate keys fan out through the
+    * full-outer join and emit multiple — potentially conflicting —
+    * verdicts for the same key. `validateUniqueKeys = true` checks the
+    * invariant up front (one count + one distinct-count action per
+    * side — cheap next to the diff, but off by default so the pure
+    * two-scan shape stays the production path) and fails loudly
+    * instead of emitting fan-out verdicts.
+    *
     * Returns (keys*, change) — join `added`/`changed` keys back to the
     * new snapshot when the consumer needs payloads (keys-only probe,
     * the [[unenriched]] delta discipline). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String],
-                   compareCols: Seq[String]): DataFrame = {
+                   compareCols: Seq[String],
+                   validateUniqueKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     require(compareCols.nonEmpty,
       "snapshotDiff needs at least one compare column")
+    if (validateUniqueKeys)
+      Seq("old" -> oldSnap, "new" -> newSnap).foreach { case (side, df) =>
+        val keyed = df.select(keys.map(col): _*)
+        val (total, distinct) = (keyed.count(), keyed.distinct().count())
+        require(total == distinct,
+          s"snapshotDiff: $side snapshot has $total rows but only " +
+            s"$distinct distinct keys (${keys.mkString(", ")}) — " +
+            "duplicate keys would fan out conflicting change verdicts")
+      }
     def fp(df: DataFrame, as: String): DataFrame =
       df.select(keys.map(col) :+ graft.plans.FastMd5.column(
         compareCols.map(c => coalesce(col(c).cast("string"),

@@ -38,24 +38,41 @@ object StreamingCorpusIngest {
     reader.parquet(sourceDir)
   }
 
-  private def bootstrapState(spark: SparkSession): IncrementalIngestJob.State = {
+  /** Day-0 empty state, shaped to the CONFIGURED signature width: the
+    * empty signature index must carry sig_0..sig_{minhashK-1} or the
+    * first state append fails (k > default: a require in the probe;
+    * k < default: a unionByName column mismatch) — so cfg threads
+    * through instead of taking minhashSignatures' default k. */
+  private def bootstrapState(spark: SparkSession,
+                             cfg: IncrementalIngestJob.Config)
+      : IncrementalIngestJob.State = {
     import spark.implicits._
     IncrementalIngestJob.State(
       Seq.empty[String].toDF("fingerprint"),
       graft.operators.Dedup.minhashSignatures(
-        Seq.empty[(Long, String)].toDF("doc_id", "text")))
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        k = cfg.minhashK, n = cfg.shingleN))
   }
 
-  /** Latest persisted snapshot strictly before `batchId`, if any. */
+  /** Latest persisted snapshot strictly before `batchId`, if any.
+    * Discovery goes through Hadoop's FileSystem for the path's scheme —
+    * java.io.File would return null on HDFS/S3 state dirs and silently
+    * fall back to the empty bootstrap state every batch (cross-batch
+    * dedup off, no error). */
   private def latestStateBefore(spark: SparkSession, stateDir: String,
                                 batchId: Long): Option[IncrementalIngestJob.State] = {
-    val dirs = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("after_"))
-      .map(_.getName.stripPrefix("after_").toLong)
-      .filter(_ < batchId)
-    if (dirs.isEmpty) None
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("after_"))
+        .flatMap(_.getPath.getName.stripPrefix("after_").toLongOption)
+        .filter(_ < batchId)
+    if (ids.isEmpty) None
     else Some(IncrementalIngestJob.loadState(spark,
-      s"$stateDir/after_${dirs.max}"))
+      s"$stateDir/after_${ids.max}"))
   }
 
   /** Start the ingest: survivors land in `targetDir/batch_id=<id>`,
@@ -68,18 +85,26 @@ object StreamingCorpusIngest {
     readDocs(spark, sourceDir, maxFilesPerTrigger).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) {
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(targetDir))
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(stateDir))
+          // same FileSystem-resolution rule as latestStateBefore: the
+          // target/state dirs may live on any Hadoop-supported scheme
+          Seq(targetDir, stateDir).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
         }
         val prev = latestStateBefore(spark, stateDir, batchId)
-          .getOrElse(bootstrapState(spark))
+          .getOrElse(bootstrapState(spark, cfg))
         val (survivors, next, _) =
           IncrementalIngestJob.run(prev, batch, evalSet, cfg)
         survivors.write.mode("overwrite")
           .parquet(s"$targetDir/batch_id=$batchId")
         IncrementalIngestJob.saveState(next, s"$stateDir/after_$batchId")
+        // run() returns its last staged frame still cached — without
+        // this, one cached frame leaks per micro-batch for the session
+        survivors.unpersist()
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

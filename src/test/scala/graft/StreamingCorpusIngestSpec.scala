@@ -61,4 +61,31 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     assert(new java.io.File(state).listFiles()
       .count(_.getName.startsWith("after_")) == 2)
   }
+
+  test("a non-default minhashK threads into the batch-0 bootstrap " +
+    "state (k=4 ingest runs; the persisted index is 4 signatures wide)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val day0 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 80)
+
+    val srcDir = Files.createTempDirectory("graft_scink_src")
+    val tmp = Files.createTempDirectory("graft_scink_half").toString
+    day0.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, srcDir.resolve("day0.parquet"))
+
+    val target = Files.createTempDirectory("graft_scink_tgt").toString
+    val state = Files.createTempDirectory("graft_scink_st").toString
+    val cp = Files.createTempDirectory("graft_scink_cp").toString
+    val q = StreamingCorpusIngest.ingest(spark, srcDir.toString,
+      target, state, cp, evalSet,
+      cfg = IncrementalIngestJob.Config(minhashK = 4, bands = 2,
+        minMatches = 3))
+    q.awaitTermination() // pre-fix: batch 0 dies on the k mismatch
+    assert(StreamingCorpusIngest.readCorpus(spark, target).count() > 0)
+    val sigCols = IncrementalIngestJob
+      .loadState(spark, s"$state/after_0").sigIndex.columns.toSet
+    assert(sigCols.contains("sig_3") && !sigCols.contains("sig_4"))
+  }
 }

@@ -323,4 +323,25 @@ class WritesSpec extends SparkSuite {
       Writes.snapshotDiff(a, b, Seq("doc_id"), Seq.empty)
     }
   }
+
+  test("snapshotDiff validateUniqueKeys rejects a duplicate-keyed " +
+    "snapshot loudly instead of fanning out conflicting verdicts") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val duped = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    // clean sides pass with the guard on
+    val ok = Writes.snapshotDiff(clean, clean, Seq("doc_id"),
+        Seq("text"), validateUniqueKeys = true)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(ok == Seq((1L, "unchanged"), (2L, "unchanged")))
+    val e = intercept[IllegalArgumentException] {
+      Writes.snapshotDiff(clean, duped, Seq("doc_id"), Seq("text"),
+        validateUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("new snapshot has 3 rows"))
+    // and the default stays the pure two-scan path (no validation):
+    // the duplicate fans out, documented behavior under the contract
+    assert(Writes.snapshotDiff(clean, duped, Seq("doc_id"), Seq("text"))
+      .count() == 3)
+  }
 }
