@@ -81,10 +81,37 @@ object Bench {
     // throughput with codegen compiled, matching how the DuckDB baseline
     // is measured (warm OS cache, compiled pipelines)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val (results, errors) = timeHeadline(spark, sfDir, runs)
+    val (mainRuns, errors) = timeQueriesRuns(spark, sfDir, runs, headline)
+    val results = mainRuns.map { case (k, ts) => k -> ts.min }
     val total = results.map(_._2).sum
+    // the raw-corpus ANN quality curve (recall@10 over nProbe) as a
+    // recurring artifact row — quality-vs-probe is versioned evidence
+    // like every perf claim (measured on the UN-inflated embeddings:
+    // the inflations duplicate vectors, which reads recall 1.0 at
+    // every probe — a latency row, not a quality signal)
+    val recallCurve = annRecallCurve(spark, sfDir)
     val b32opt = bench32(spark, cpus.toInt, sfDir)
     val b128opt = bench128(spark, cpus.toInt, sfDir)
+    // contention outlier guard: a bench32 best-of-N exceeding 5× the
+    // SAME query's bench128 best (4× the data) is physically impossible
+    // as a real regression — the r8-q44/q18 and r10-q11/q15 pattern.
+    // Re-run each such query once now (after both legs, a later window)
+    // and record BOTH numbers so the artifact adjudicates itself.
+    val rerun32: Seq[(String, Double)] = (b32opt, b128opt) match {
+      case (Some((r32, _, _, _, dir32)), Some((r128, _, _, _, _))) =>
+        val best128 = r128.map { case (k, ts) => k -> ts.min }.toMap
+        r32.flatMap { case (name, ts) =>
+          val t32 = ts.min
+          best128.get(name)
+            .filter(t128 => t128 > 0 && t32 > 5 * t128)
+            .map { _ =>
+              System.err.println(s"[bench32] $name best $t32 s exceeds " +
+                "5x its bench128 time — contention suspected, re-running")
+              name -> timeOnce(spark, dir32, name)._1
+            }
+        }
+      case _ => Seq.empty
+    }
 
     // FULL per-query detail (the pre-r10 three-leg JSON) → a committed
     // file. The driver's artifact keeps only a 2000-char stdout TAIL:
@@ -92,13 +119,22 @@ object Bench {
     // "parsed" went null and whole legs fell out of the record — the
     // stdout line below is now compact BY CONSTRUCTION and the detail
     // lives here.
-    def legDetail(name: String, sparkSec: Double,
-                  qs: Seq[(String, Double)],
+    def legDetail(name: String, perRun: Seq[(String, Seq[Double])],
                   duck: Option[(Double, Map[String, Double])], mult: Int,
                   legRuns: Int, legErrors: Seq[String],
-                  extra: Seq[(String, Double)] = Seq.empty): String = {
+                  extra: Seq[(String, Double)] = Seq.empty,
+                  rerun: Seq[(String, Double)] = Seq.empty): String = {
+      val qs = perRun.map { case (k, ts) => k -> ts.min }
+      val sparkSec = qs.map(_._2).sum
       val qsJson = qs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // EVERY run sample, not just the min: a systemically contended
+      // window is invisible in a per-window min but obvious in the raw
+      // samples (r10's bench32 q11 read 39 s in all three runs of one
+      // window vs 2 s clean) — the artifact must carry its own evidence
+      val runsJson = perRun.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString(""","runs_detail":{""", ",", "}")
       val duckPart = duck.map { case (d, perQ) =>
         // per-query DuckDB times + ratios so a bar judgment can name
         // WHICH query is slow instead of guessing from two totals
@@ -116,20 +152,40 @@ object Bench {
         if (extra.isEmpty) ""
         else extra.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","extra":{""", ",", "}")
+      // outlier-guard re-runs (see main): original numbers stay; the
+      // re-measured sample and the adjusted total/ratio ride alongside
+      val rerunPart =
+        if (rerun.isEmpty) ""
+        else {
+          val rr = rerun.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          val adj = qs.map { case (k, v) =>
+            math.min(v, rerun.toMap.getOrElse(k, v)) }.sum
+          val adjRatio = duck.map { case (d, _) =>
+            s""","ratio_rerun_adjusted":${f"${adj / d}%.2f"}""" }
+            .getOrElse("")
+          s""","contention_rerun":$rr,"spark_sec_rerun_adjusted":$adj$adjRatio"""
+        }
       // carries its OWN run count: the top-level "runs" describes the
       // main leg only
-      s""","$name":{"spark_sec":$sparkSec$duckPart,"runs":$legRuns,"mult":$mult,"queries":$qsJson$extraPart${errJson(legErrors)}}"""
+      s""","$name":{"spark_sec":$sparkSec$duckPart,"runs":$legRuns,"mult":$mult,"queries":$qsJson$runsJson$extraPart$rerunPart${errJson(legErrors)}}"""
     }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val b32d = b32opt.map { case (t32, r32, duck, runs32, errs32) =>
-      legDetail("bench32", t32, r32, duck, 32, runs32, errs32)
+    val mainRunsJson = mainRuns.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString(""","runs_detail":{""", ",", "}")
+    val curveJson = recallCurve.map(c => c.map { case (p, r) =>
+        "\"" + p + "\":" + f"$r%.4f" }
+      .mkString(""","ann_recall_curve":{""", ",", "}")).getOrElse("")
+    val b32d = b32opt.map { case (r32, duck, runs32, errs32, _) =>
+      legDetail("bench32", r32, duck, 32, runs32, errs32,
+        rerun = rerun32)
     }.getOrElse("")
     val b128d = b128opt.map { case (r128, extra, duck, runs128, errs128) =>
-      legDetail("bench128", r128.map(_._2).sum, r128, duck, 128,
-        runs128, errs128, extra)
+      legDetail("bench128", r128, duck, 128, runs128, errs128, extra)
     }.getOrElse("")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qsFull,"sf":"$sfDir"${errJson(errors)}$b32d$b128d}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qsFull$mainRunsJson$curveJson,"sf":"$sfDir"${errJson(errors)}$b32d$b128d}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_detail.json")
     try java.nio.file.Files.writeString(
@@ -144,17 +200,34 @@ object Bench {
     def r3(d: Double) = f"$d%.3f"
     def legCompact(name: String, sparkSec: Double,
                    duck: Option[(Double, Map[String, Double])], mult: Int,
-                   legRuns: Int, nErr: Int): String = {
+                   legRuns: Int, nErr: Int,
+                   rerun: Seq[(String, Double)] = Seq.empty,
+                   adjSec: Option[Double] = None): String = {
       val duckPart = duck.map { case (d, _) =>
         s""","duckdb_sec":${r3(d)},"ratio":${f"${sparkSec / d}%.2f"}"""
       }.getOrElse("")
       val errPart = if (nErr == 0) "" else s""","n_errors":$nErr"""
-      s""","$name":{"spark_sec":${r3(sparkSec)}$duckPart,"runs":$legRuns,"mult":$mult$errPart}"""
+      val rerunPart =
+        if (rerun.isEmpty) ""
+        else {
+          val adjRatio = (duck, adjSec) match {
+            case (Some((d, _)), Some(a)) =>
+              s""","ratio_rerun_adjusted":${f"${a / d}%.2f"}"""
+            case _ => ""
+          }
+          s""","n_contention_reruns":${rerun.size}$adjRatio"""
+        }
+      s""","$name":{"spark_sec":${r3(sparkSec)}$duckPart,"runs":$legRuns,"mult":$mult$errPart$rerunPart}"""
     }
-    val b32c = b32opt.map { case (t32, _, duck, runs32, errs32) =>
-      legCompact("bench32", t32, duck, 32, runs32, errs32.size)
+    val b32c = b32opt.map { case (r32, duck, runs32, errs32, _) =>
+      val best = r32.map { case (k, ts) => k -> ts.min }
+      val adj = best.map { case (k, v) =>
+        math.min(v, rerun32.toMap.getOrElse(k, v)) }.sum
+      legCompact("bench32", best.map(_._2).sum, duck, 32, runs32,
+        errs32.size, rerun32, Some(adj))
     }.getOrElse("")
-    val b128c = b128opt.map { case (r128, extra, duck, runs128, errs128) =>
+    val b128c = b128opt.map { case (r128full, extra, duck, runs128, errs128) =>
+      val r128 = r128full.map { case (k, ts) => k -> ts.min }
       // bench128's duckdb total = sum over the queries actually timed
       val d128 = duck.map { case (_, perQ) =>
         (perQ.filter { case (k, _) => r128.exists(_._1 == k) }
@@ -173,9 +246,14 @@ object Bench {
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errPart = if (errors.isEmpty) "" else s""","n_errors":${errors.size}"""
+    // the recall curve is ~60 chars — short enough for the compact
+    // line, so the driver artifact itself carries the quality datapoint
+    val curveCompact = recallCurve.map(c => c.map { case (p, r) =>
+        "\"" + p + "\":" + f"$r%.4f" }
+      .mkString(""","ann_recall_curve":{""", ",", "}")).getOrElse("")
     def line(withQueries: Boolean) = {
       val q = if (withQueries) s""","queries":$qsCompact""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"agg":"min"$q,"sf":"$sfDir"$errPart$b32c$b128c,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"agg":"min"$q$curveCompact,"sf":"$sfDir"$errPart$b32c$b128c,"detail":"$detailPath"}"""
     }
     val full = line(withQueries = true)
     println(if (full.length <= 1900) full else line(withQueries = false))
@@ -193,7 +271,7 @@ object Bench {
     * (fingerprint-cached like the 32× leg); opt out with
     * SPARK_GRAFT_BENCH128=0; any failure skips the leg. */
   private def bench128(spark: SparkSession, cpus: Int, sfDir: String)
-      : Option[(Seq[(String, Double)], Seq[(String, Double)],
+      : Option[(Seq[(String, Seq[Double])], Seq[(String, Double)],
         Option[(Double, Map[String, Double])], Int, Seq[String])] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH128", "1") == "0") return None
     try {
@@ -218,7 +296,7 @@ object Bench {
       }
       val runs128 = sys.env.getOrElse("SPARK_GRAFT_BENCH128_RUNS", "2").toInt
       val (results, errors) =
-        timeQueries(spark, dir, runs128, headline)
+        timeQueriesRuns(spark, dir, runs128, headline)
       // recurring q06 bucketed-layout leg (round-9 A/B promoted to the
       // per-round protocol): the SAME aggregation as q06_join3 but
       // over orders/customer persisted bucketed+sorted by custkey —
@@ -284,31 +362,83 @@ object Bench {
     if (errors.isEmpty) ""
     else errors.map(JsonUtil.quote).mkString(""","errors":[""", ",", "]")
 
-  private def timeHeadline(spark: SparkSession, sfDir: String, runs: Int)
-      : (Seq[(String, Double)], Seq[String]) =
-    timeQueries(spark, sfDir, runs, headline)
+  /** Raw-corpus IVF recall@10 over the nProbe sweep (the ScaleCheck
+    * protocol, promoted to a per-round artifact row): 64 queries,
+    * nCentroids = 16, exact baseline from brute force on the same
+    * un-inflated embeddings. None on any failure or opt-out
+    * (SPARK_GRAFT_RECALL_CURVE=0) — never fails the bench. */
+  private def annRecallCurve(spark: SparkSession, sfDir: String)
+      : Option[Seq[(Int, Double)]] =
+    if (sys.env.getOrElse("SPARK_GRAFT_RECALL_CURVE", "1") == "0") None
+    else try {
+      import org.apache.spark.sql.functions._
+      val raw = Tables.embeddings(spark, sfDir)
+      val q64 = raw.filter(col("vec_id") < 64)
+      val exact = operators.Similarity.bruteForceTopK(raw, q64, k = 10)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      exact.count()
+      val (cent, cells) = operators.IvfIndex.build(raw, nCentroids = 16)
+      cells.cache().count()
+      val curve = Seq(1, 2, 4, 8, 16).map { p =>
+        val rec = operators.ModelEval.annRecallAtK(
+            operators.IvfIndex.search(cent, cells, q64, k = 10,
+              nProbe = p).select(col("query_id"), col("neighbor_id")),
+            exact, k = 10)
+          .agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+        p -> rec
+      }
+      cells.unpersist(); exact.unpersist()
+      Some(curve)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] recall curve skipped: $e"); None }
 
   /** Warm best-of-`runs` wall time per named query (noop-format
     * materialization, same discipline as the headline leg) — shared
-    * with [[Crossover]]. */
+    * with [[Crossover]]. Returns min-of-runs per query PLUS every
+    * individual run time: `min` over one sampling window cannot
+    * reject a systemically contended interval (the r8/r10 bench32
+    * samples), so the artifact carries the raw runs and a contended
+    * window is diagnosable from the record itself. */
   private[graft] def timeQueries(spark: SparkSession, sfDir: String,
                                  runs: Int, names: Seq[String])
-      : (Seq[(String, Double)], Seq[String]) = {
+      : (Seq[(String, Double)], Seq[String]) =
+    timeQueriesRuns(spark, sfDir, runs, names) match {
+      case (perRun, errors) =>
+        (perRun.map { case (k, ts) => k -> ts.min }, errors)
+    }
+
+  /** [[timeQueries]] with the full per-run samples. */
+  private[graft] def timeQueriesRuns(spark: SparkSession, sfDir: String,
+                                     runs: Int, names: Seq[String])
+      : (Seq[(String, Seq[Double])], Seq[String]) = {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        (System.nanoTime() - t0) / 1e9
+      name -> (1 to runs).map { _ =>
+        val (t, err) = timeOnce(spark, sfDir, name)
+        err.foreach(errors += _)
+        t
       }
-      name -> times.min
     }
     (results, errors.toSeq)
+  }
+
+  /** One timed noop-materialized execution: (elapsed sec, error if the
+    * run failed — the elapsed time is recorded either way, so a failed
+    * sample is visible instead of silently shrinking the run count). */
+  private[graft] def timeOnce(spark: SparkSession, sfDir: String,
+                              name: String): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop")
+          .mode("overwrite").save()
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Some(s"$name: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
   }
 
   /** Amortized-scale leg (the number that proves the 2× bar): the sf0.1
@@ -323,8 +453,9 @@ object Bench {
     * driver artifact. Opt out with SPARK_GRAFT_BENCH32=0; any failure
     * skips the leg (stderr note) rather than failing the bench. */
   private def bench32(spark: SparkSession, cpus: Int, sfDir: String)
-      : Option[(Double, Seq[(String, Double)],
-        Option[(Double, Map[String, Double])], Int, Seq[String])] = {
+      : Option[(Seq[(String, Seq[Double])],
+        Option[(Double, Map[String, Double])], Int, Seq[String],
+        String)] = {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH32", "1") == "0") return None
     try {
       val dir = sys.env.getOrElse("SPARK_GRAFT_SF32_DIR", "/tmp/graft_sf32")
@@ -358,9 +489,9 @@ object Bench {
       // ratio 2.85× → 6.30× across two rounds with ZERO source changes;
       // one-shot numbers are not evidence in either direction.
       val runs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH32_RUNS", "3").toInt
-      val (results, errors32) = timeHeadline(spark, dir, runs32)
-      Some((results.map(_._2).sum, results, duckdbTimes(dir, runs32),
-        runs32, errors32))
+      val (results, errors32) = timeQueriesRuns(spark, dir, runs32,
+        headline)
+      Some((results, duckdbTimes(dir, runs32), runs32, errors32, dir))
     } catch {
       // Throwable, not NonFatal: the sf-dir results measured minutes
       // earlier print only after this OPTIONAL leg, so even a

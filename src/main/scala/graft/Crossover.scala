@@ -61,7 +61,8 @@ object Crossover {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val (results0, errors) = Bench.timeQueries(spark, dir, runs, names)
+    val (perRun, errors) = Bench.timeQueriesRuns(spark, dir, runs, names)
+    val results0 = perRun.map { case (k, ts) => k -> ts.min }
     // optional bucketed-layout sibling for q06 (the round-9 storage
     // A/B promoted to the crossover protocol): timed from the SAME
     // fingerprinted external tables the bench128 leg uses
@@ -85,7 +86,12 @@ object Crossover {
     val errPart =
       if (errors.isEmpty) ""
       else errors.map(JsonUtil.quote).mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"crossover","mult":$mult,"runs":$runs,"spark_sec":${results.map(_._2).sum},"queries":$qs$duckPart$errPart,"sf":"$sfDir"}""")
+    // per-run samples, same rationale as Bench's runs_detail: a min
+    // cannot reject a contended window; the raw samples can
+    val runsJson = perRun.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString(""","runs_detail":{""", ",", "}")
+    println(s"""{"metric":"crossover","mult":$mult,"runs":$runs,"spark_sec":${results.map(_._2).sum},"queries":$qs$runsJson$duckPart$errPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
