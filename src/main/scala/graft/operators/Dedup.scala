@@ -551,6 +551,69 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental SimHash dedup: probe a PERSISTED corpus fingerprint
+    * table with a new batch, flagging batch docs within `maxHamming`
+    * of any indexed print — the 64-bit-fingerprint member of the
+    * incremental family ([[incrementalByFingerprint]] exact,
+    * [[incrementalLshDedup]] MinHash, `SemDedup.incrementalSemDedup`
+    * embedding), completing it for the SimHash flavor
+    * ([[simhashPairs]] is its rebuild form).
+    *
+    * `corpusHashes` is (`idCol`, `simhash` int64) — the compact side
+    * table a pipeline persists and appends each surviving batch's
+    * prints to. Scale shape mirrors the q346 probe: the index is
+    * scanned ONCE and banded map-side (4×16-bit pigeonhole — two
+    * prints within Hamming ≤ 3 share at least one exact 16-bit band);
+    * the banded BATCH side is broadcast, so there is zero corpus
+    * shuffle and only bucket-collision candidates reach the exact
+    * Hamming verification. The verdict is integer bit algebra
+    * (bit_count of xor), exactly reproducible cross-engine (q358).
+    *
+    * Returns one row per batch doc: (`idCol`, n_candidates, n_dups,
+    * kept) with kept = 1 iff no indexed print is within `maxHamming`.
+    * Null prints (null text) never band on either side, so such batch
+    * docs come back (0, 0, kept=1) — the [[bandBucket]] discipline. */
+  def incrementalSimhashDedup(corpusHashes: DataFrame, batch: DataFrame,
+                              maxHamming: Int = 3,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] — 4×16-bit banding only " +
+        s"guarantees a shared band up to Hamming 3 (got $maxHamming)")
+    require(corpusHashes.columns.contains("simhash"),
+      "corpusHashes needs a 'simhash' column — pass the persisted " +
+        "(id, simhash) side table (TextFns.simhash64 output)")
+    val bh = batch.select(col(idCol),
+        TextFns.simhash64(col(textCol)).as("simhash"))
+      .localCheckpoint() // feeds both the probe and the output spine
+    def banded(hashed: DataFrame, idAs: String, hAs: String): DataFrame =
+      hashed.filter(col("simhash").isNotNull)
+        .select(col(idCol).as(idAs), col("simhash").as(hAs),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("bucket"))): _*)).as("bb"))
+        .select(col(idAs), col(hAs), col("bb.band"), col("bb.bucket"))
+    val cb = banded(corpusHashes, "_cid", "_ch")
+    val bb = banded(bh, "_bid", "_bh")
+    // a pair sharing several bands repeats with the SAME distance —
+    // min() collapses it without a pre-aggregation distinct
+    val pairs = cb.join(broadcast(bb), Seq("band", "bucket"))
+      .select(col("_bid"), col("_cid"),
+        TextFns.hamming64(col("_ch"), col("_bh")).as("_hd"))
+      .groupBy(col("_bid"), col("_cid")).agg(min(col("_hd")).as("hd"))
+    val perDoc = pairs.groupBy(col("_bid")).agg(
+      count(lit(1)).cast("long").as("n_candidates"),
+      sum(when(col("hd") <= maxHamming, 1L).otherwise(0L))
+        .cast("long").as("n_dups"))
+    bh.select(col(idCol))
+      .join(perDoc.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("n_dups"), lit(0L)) === 0, 1L).otherwise(0L)
+          .as("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold.
     * Delegates to Similarity; see there for the scale path. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95,

@@ -141,6 +141,61 @@ object Similarity {
     projected.select((col(idCol) +: comps): _*)
   }
 
+  /** Empirical Johnson-Lindenstrauss distortion report: for every pair
+    * within the bounded audit sample (`idCol` < `sampleIds`), the
+    * projected-vs-original L2 distance ratio — the measured (1±ε)
+    * envelope that justifies running downstream ANN on the 4×-smaller
+    * [[randomProject]] output, completing the dimensionality-reduction
+    * error story the way PQ/int8 distortion (q354/q355) does for
+    * quantization. A REPORTING operator (per-pair independent — a
+    * last-ulp wobble perturbs one cell, it cannot cascade), run on an
+    * audit sample, not the corpus: the pair join is O(sample²) by
+    * construction and the sample side is tiny and broadcast-joined.
+    *
+    * Determinism: raw projections via the same index-ordered native
+    * kernel as [[randomProject]]; both squared-distance sums are
+    * index-ascending left folds, so the generated oracle's explicit
+    * left-associated term sums reproduce them bit-for-bit before the
+    * 4dp round (the q97/q98 contract); sqrt and division are IEEE
+    * correctly-rounded. `distortion` is null when the original
+    * distance is zero (exact-duplicate vectors have no ratio).
+    *
+    * Output: (id_a, id_b, dist_orig, dist_proj, distortion), 4dp. */
+  def jlDistortion(df: DataFrame, outDim: Int = 16, dim: Int = 64,
+                   seed: Long = 42L, sampleIds: Int = 48,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val signsFlat = jlSigns(outDim, dim, seed).flatten.map(_.toByte).toArray
+    val scale = lit(math.sqrt(outDim.toDouble))
+    val checked = when(
+      assert_true(size(asDouble(col(vecCol))) === dim,
+        lit(s"jlDistortion: dim=$dim but '$vecCol' has a different " +
+          "length")).isNull,
+      asDouble(col(vecCol)))
+    val prepped = df.filter(col(idCol) < sampleIds)
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"),
+        graft.plans.VectorExpressions
+          .signedProject(checked, signsFlat, dim).as("_p"))
+    val a = prepped.select(col(idCol).as("id_a"), col("_v").as("_va"),
+      col("_p").as("_pa"))
+    val b = prepped.select(col(idCol).as("id_b"), col("_v").as("_vb"),
+      col("_p").as("_pb"))
+    // index-ascending left fold; 0.0 + x == x for the non-negative
+    // squares, so the fold equals the oracle's explicit term chain
+    def sumSq(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, w) => (u - w) * (u - w)),
+        lit(0.0), (acc, t) => acc + t)
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sqrt(sumSq(col("_va"), col("_vb"))).as("_do"),
+        (sqrt(sumSq(col("_pa"), col("_pb"))) / scale).as("_dp"))
+      .select(col("id_a"), col("id_b"),
+        round(col("_do"), 4).as("dist_orig"),
+        round(col("_dp"), 4).as("dist_proj"),
+        when(col("_do") > 0, round(col("_dp") / col("_do"), 4))
+          .as("distortion"))
+  }
+
   /** Two-stage retrieval: SHORTLIST on the 16-dim JL projection (4×
     * fewer bytes per candidate comparison), then EXACT re-rank of the
     * shortlist on the full vectors — the standard recall/cost trade of

@@ -1944,6 +1944,67 @@ object TextQueries {
         .select(col("query_id"), col("neighbor_id"))
       graft.operators.ModelEval.annRecallAtK(ann, exact, k = 10)
         .orderBy(col("query_id"))
+    }),
+
+    // the COMPOSED incremental-ingest funnel: the whole
+    // IncrementalIngestJob ladder (canonicalize → scrub → quality gate
+    // → decontaminate → exact dedup vs state + within batch → LSH probe
+    // vs state + within-batch groups) as one driver-oracle row. Every
+    // stage is independently hash-anchored (q99/q74/q29/q69/q31/q346/
+    // q58); this row anchors their COMPOSITION — run()'s stage order,
+    // filters, and survivor plumbing — which until now was only
+    // ScalaTest-pinned. State = the prepped corpus's fingerprint +
+    // signature side tables (the layout a prior rebuild persists; the
+    // state derivations themselves are anchored by q32/q33). Small
+    // k (4, 2 bands, 3-of-4 agreement) keeps the oracle's signature
+    // replay compact, the q346 convention. Output carries the prepped
+    // text's fingerprint so the transform chain is pinned, not just
+    // survivor membership.
+    "q356_ingest_funnel" -> ((s, d) => {
+      import graft.functions.TextClean
+      val docs = Tables.documents(s, d)
+      val prepped = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          TextClean.scrub(TextClean.canonicalizeClasses(col("text"))))
+      val state = graft.jobs.IncrementalIngestJob.State(
+        prepped.select(TextFns.fingerprint(col("text"))
+          .as("fingerprint")),
+        Dedup.minhashSignatures(prepped, k = 4, n = 2))
+      val cfg = graft.jobs.IncrementalIngestJob.Config(
+        minQuality = 0.25, minhashK = 4, bands = 2, shingleN = 2,
+        minMatches = 3, contaminationN = 5,
+        contaminationThreshold = 0.5)
+      val (survivors, _, _) = graft.jobs.IncrementalIngestJob.run(
+        state, docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") < 50), cfg)
+      survivors.select(col("doc_id"), col("lang"), col("source"),
+          TextFns.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // empirical JL distortion: per-pair projected/original distance
+    // ratio over the bounded audit sample — the dimensionality-
+    // reduction twin of q354/q355's quantization distortion (per-pair
+    // independent REPORTING, so the distances recompute cross-engine;
+    // the raw projections replay through q97's literal sign sums)
+    "q357_jl_distortion" -> ((s, d) =>
+      Similarity.jlDistortion(Tables.embeddings(s, d), outDim = 16,
+          dim = 64, seed = 42L, sampleIds = 48)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // incremental SimHash dedup: a new batch (doc_id % 5 = 0) probed
+    // against the persisted simhash prints of the rest of the corpus —
+    // the fourth near-dup flavor of the q345/q346/q348 maintenance
+    // family (exact / MinHash / semantic / SimHash), verdicts in pure
+    // integer bit algebra (banded pigeonhole + bit_count(xor))
+    "q358_incremental_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          TextFns.simhash64(col("text")).as("simhash"))
+      Dedup.incrementalSimhashDedup(corpusHashes,
+          docs.filter(col("doc_id") % 5 === 0), maxHamming = 3)
+        .orderBy(col("doc_id"))
     }))
 
   /** BM25 top-20 CTE chain (TOKS must precede; ends with `r` carrying
@@ -2131,18 +2192,20 @@ object TextQueries {
          SELECT query_id, rank, neighbor_id, sim FROM r
          WHERE rank <= 10 ORDER BY query_id, rank"""
 
-  /** q38 oracle: SimHash64 semantics replayed in SQL — per-token 64-bit
-    * hash from the md5 hex halves, +1/-1 votes per bit, positive-vote
-    * bits summed as a signed 64-bit pattern (the j=0 term is 1L<<63 ==
-    * Long.MinValue, printed negative; partial sums cannot overflow). */
-  private val simhashOracle: String = TOKS + """
+  /** SimHash64 replay body — per-token 64-bit hash from the md5 hex
+    * halves, +1/-1 votes per bit, positive-vote bits summed as a signed
+    * 64-bit pattern (the j=0 term is 1L<<63 == Long.MinValue, printed
+    * negative; partial sums cannot overflow). Appends CTEs to TOKS
+    * ending with `sm(doc_id, simhash)`; ONE renderer shared by q38 and
+    * q358 so the bit algebra cannot fork. */
+  private val simhashBody: String = """
      , sh AS (SELECT doc_id, list_distinct(w) AS toks FROM t),
        h AS (SELECT doc_id, CASE WHEN toks IS NULL THEN NULL ELSE
                list_transform(toks, s ->
                  [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
                   CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)])
-             END AS hs FROM sh)
-     SELECT doc_id, CASE WHEN hs IS NULL THEN NULL ELSE """ +
+             END AS hs FROM sh),
+       sm AS (SELECT doc_id, CASE WHEN hs IS NULL THEN NULL ELSE """ +
     (0 until 64).map { j =>
       val bit =
         if (j < 32) s"(x[1] >> ${31 - j}) & 1"
@@ -2151,7 +2214,10 @@ object TextQueries {
         s" THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << (63 - j)} AS BIGINT)" +
         " ELSE 0 END"
     }.mkString("\n       + ") + """
-     END AS simhash FROM h ORDER BY doc_id"""
+       END AS simhash FROM h)"""
+
+  private val simhashOracle: String = TOKS + simhashBody + """
+     SELECT doc_id, simhash FROM sm ORDER BY doc_id"""
 
   /** q39 oracle: 8 md5-seeded minhash signatures over unigram shingles,
     * 4 bands of 2 rows; docs sharing a band's signature pair are
@@ -2418,6 +2484,32 @@ object TextQueries {
         FROM v ORDER BY vec_id"""
   }
 
+  /** q357 oracle: raw projections via the same literal sign sums as
+    * q97/q98, then per-pair L2 distances as EXPLICIT left-associated
+    * squared-difference chains (the Spark side folds index-ascending —
+    * term-for-term bit-equal), sqrt/divide correctly rounded, 4dp. */
+  private val jlDistortionOracle: String = {
+    val signs = Similarity.jlSigns(16, 64, seed = 42L)
+    val comps = signs.map(jlRawSumSql)
+      .mkString("[\n             ", ",\n             ", "]")
+    val so = (1 to 64).map(i =>
+      s"(a.e[$i] - b.e[$i]) * (a.e[$i] - b.e[$i])").mkString(" + ")
+    val sp = (1 to 16).map(j =>
+      s"(a.pe[$j] - b.pe[$j]) * (a.pe[$j] - b.pe[$j])").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 48),
+         p AS (SELECT vec_id, e, $comps AS pe FROM v)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(sqrt($so), 4) AS dist_orig,
+          round(sqrt($sp) / sqrt(16.0), 4) AS dist_proj,
+          CASE WHEN sqrt($so) > 0
+               THEN round(sqrt($sp) / sqrt(16.0) / sqrt($so), 4)
+               ELSE NULL END AS distortion
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        ORDER BY id_a, id_b"""
+  }
+
   /** q98 oracle: projected components via the same literal sign sums,
     * then shortlist-by-projected-sim and exact re-rank — every stage
     * total-ordered (rounded sim desc, id) like the Spark pipeline. */
@@ -2447,6 +2539,164 @@ object TextQueries {
                 FROM r)
        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
        FROM rr WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** q356 oracle: the WHOLE incremental-ingest funnel composed from the
+    * already-green per-stage replays — prep = the q99 class rewrites +
+    * the q74 scrub chain (one expression, canonicalizeClasses →
+    * emails → urls → phones → whitespace collapse, exactly run()'s
+    * map-side order); quality gate = the q29 formula at 0.25;
+    * decontamination = the q69 5-gram chain (bench = RAW doc_id < 50);
+    * exact dedup = q31/q32's fingerprint with min-id window + LEFT-JOIN
+    * anti against the corpus prints (NOT IN would null out on a null
+    * print); LSH probe = the q346 4-sig/2-band/3-of-4 replay; within-
+    * batch groups = the q58 recursive reachability at k=4. Pure
+    * integer/md5 algebra throughout — no float recompute crosses a
+    * selection boundary (the quality/contamination ratios replay the
+    * SAME IEEE divisions as the Spark side, the q29/q69 precedent). */
+  private val ingestFunnelOracle: String = {
+    import graft.functions.TextClean.{controlRe, unicodeSpaceRe, zeroWidthRe}
+    val prepExpr =
+      "trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "text, '" + controlRe + "', '', 'g'), '" +
+        zeroWidthRe + "', '', 'g'), '" +
+        unicodeSpaceRe + "', ' ', 'g'), " +
+        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '(https?://|www\.)[^\s]+', '<URL>', 'g'),
+           '(^|[^0-9])((\+?[0-9][0-9 ().-]{5,14}[0-9]))($|[^0-9])',
+             '\1<PHONE>\4', 'g'),
+           '\s+', ' ', 'g'))"""
+    """WITH RECURSIVE prep AS (
+          SELECT doc_id, lang, source, """ + prepExpr + """ AS text
+          FROM documents),
+        t AS (SELECT doc_id, lang, source, text,
+                regexp_split_to_array(trim(text), '\s+') AS w
+              FROM prep),
+        qual AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, len(w) AS n_tok,
+              CAST(len(list_filter(w, x -> x IN ('the','a','an','and',
+                'of','to','in','is','it','that'))) AS DOUBLE)
+                / nullif(len(w), 0) AS sr,
+              length(text) - length(regexp_replace(text,
+                '[.,!?;:''"()\[\]-]', '', 'g')) AS np,
+              length(text) AS nc
+            FROM t WHERE doc_id % 5 = 0) q
+          WHERE round((CASE WHEN n_tok BETWEEN 10 AND 100000
+                            THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN sr > 0.05 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN CAST(np AS DOUBLE) / nullif(nc, 0) < 0.1
+                    THEN 0.3 ELSE 0.0 END), 4) >= 0.25),
+        rt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                 AS w
+               FROM documents WHERE doc_id < 50),
+        bench AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+            range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4]))) AS shingle
+          FROM rt),
+        csh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4])) AS sh
+          FROM t WHERE doc_id % 5 = 0),
+        cont AS (
+          SELECT c.doc_id FROM
+            (SELECT doc_id, coalesce(len(sh), 0) AS n_shingles
+             FROM csh) c
+          LEFT JOIN (SELECT i.doc_id, count(*) AS n_hit
+                     FROM (SELECT doc_id, unnest(sh) AS shingle
+                           FROM csh) i
+                     JOIN bench USING (shingle) GROUP BY 1) h
+            ON c.doc_id = h.doc_id
+          WHERE coalesce(h.n_hit, 0) / greatest(c.n_shingles, 1)
+            >= 0.5),
+        d1 AS (SELECT doc_id FROM qual
+               WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        fpb AS (SELECT t.doc_id,
+                  md5(array_to_string(list_sort(list_distinct(w)), ' '))
+                    AS fingerprint
+                FROM t JOIN d1 ON t.doc_id = d1.doc_id),
+        corpfp AS (
+          SELECT DISTINCT
+            md5(array_to_string(list_sort(list_distinct(w)), ' '))
+              AS fingerprint
+          FROM t WHERE doc_id % 5 <> 0),
+        d2 AS (SELECT x.doc_id FROM
+                 (SELECT doc_id, fingerprint,
+                    row_number() OVER (PARTITION BY fingerprint
+                      ORDER BY doc_id) AS rn
+                  FROM fpb) x
+               LEFT JOIN corpfp cf ON x.fingerprint = cf.fingerprint
+               WHERE x.rn = 1 AND cf.fingerprint IS NULL),
+        sh2 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS sh
+                FROM t),
+        sg AS (SELECT doc_id,
+                 list_aggregate(list_transform(sh, s -> md5('0|' || s)),
+                   'min') AS sig_0,
+                 list_aggregate(list_transform(sh, s -> md5('1|' || s)),
+                   'min') AS sig_1,
+                 list_aggregate(list_transform(sh, s -> md5('2|' || s)),
+                   'min') AS sig_2,
+                 list_aggregate(list_transform(sh, s -> md5('3|' || s)),
+                   'min') AS sig_3
+               FROM sh2),
+        cb AS (
+          SELECT doc_id AS cid, sig_0 AS c0, sig_1 AS c1, sig_2 AS c2,
+                 sig_3 AS c3, md5('0|' || sig_0 || '|' || sig_1)
+                   AS bucket
+          FROM sg WHERE doc_id % 5 <> 0 AND sig_0 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, sig_0, sig_1, sig_2, sig_3,
+                 md5('1|' || sig_2 || '|' || sig_3)
+          FROM sg WHERE doc_id % 5 <> 0 AND sig_0 IS NOT NULL),
+        bb AS (
+          SELECT sg.doc_id AS bid, sig_0 AS b0, sig_1 AS b1,
+                 sig_2 AS b2, sig_3 AS b3,
+                 md5('0|' || sig_0 || '|' || sig_1) AS bucket
+          FROM sg JOIN d2 ON sg.doc_id = d2.doc_id
+          WHERE sig_0 IS NOT NULL
+          UNION ALL
+          SELECT sg.doc_id, sig_0, sig_1, sig_2, sig_3,
+                 md5('1|' || sig_2 || '|' || sig_3)
+          FROM sg JOIN d2 ON sg.doc_id = d2.doc_id
+          WHERE sig_0 IS NOT NULL),
+        pr AS (SELECT bid, cid,
+                 max(CAST(c0 = b0 AS INT) + CAST(c1 = b1 AS INT) +
+                     CAST(c2 = b2 AS INT) + CAST(c3 = b3 AS INT)) AS m
+               FROM cb JOIN bb USING (bucket) GROUP BY bid, cid),
+        d3 AS (SELECT doc_id FROM d2
+               WHERE doc_id NOT IN
+                 (SELECT DISTINCT bid FROM pr WHERE m >= 3)),
+        banded AS (
+          SELECT sg.doc_id, md5('0|' || sig_0 || '|' || sig_1)
+            AS bucket
+          FROM sg JOIN d3 ON sg.doc_id = d3.doc_id
+          WHERE sig_0 IS NOT NULL
+          UNION ALL
+          SELECT sg.doc_id, md5('1|' || sig_2 || '|' || sig_3)
+          FROM sg JOIN d3 ON sg.doc_id = d3.doc_id
+          WHERE sig_0 IS NOT NULL),
+        e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              FROM banded a JOIN banded b
+                ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d3
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        fin AS (SELECT id AS doc_id FROM reach GROUP BY id
+                HAVING id = min(r))
+        SELECT t.doc_id, t.lang, t.source,
+          md5(array_to_string(list_sort(list_distinct(t.w)), ' '))
+            AS fingerprint
+        FROM t JOIN fin ON t.doc_id = fin.doc_id
+        ORDER BY t.doc_id"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -5159,6 +5409,39 @@ object TextQueries {
           FROM sg LEFT JOIN pd ON sg.doc_id = pd.bid
           WHERE sg.doc_id % 5 = 0
           ORDER BY doc_id"""),
+    // q356: the composed funnel (see ingestFunnelOracle scaladoc)
+    "q356_ingest_funnel" -> ingestFunnelOracle,
+    // q357: literal-sign projection replay + explicit left-associated
+    // distance chains — bit-equal to the Spark fold before the round
+    "q357_jl_distortion" -> jlDistortionOracle,
+    // q358: the q38 simhash replay split corpus/batch, 4×16-bit
+    // pigeonhole banding ((simhash >> band*16) & 65535 — the mask
+    // discards the arithmetic-vs-logical shift difference), exact
+    // Hamming via bit_count(xor) at the bucket match, per-doc verdict
+    // in the q346 shape
+    "q358_incremental_simhash" -> (TOKS + simhashBody + """
+       , cbs AS (SELECT doc_id AS cid, simhash AS ch, band,
+                  (simhash >> (band * 16)) & 65535 AS bucket
+                FROM sm, (SELECT unnest([0, 1, 2, 3]) AS band) bx
+                WHERE doc_id % 5 <> 0 AND simhash IS NOT NULL),
+         bbs AS (SELECT doc_id AS bid, simhash AS bh, band,
+                  (simhash >> (band * 16)) & 65535 AS bucket
+                FROM sm, (SELECT unnest([0, 1, 2, 3]) AS band) bx
+                WHERE doc_id % 5 = 0 AND simhash IS NOT NULL),
+         prs AS (SELECT bid, cid, min(bit_count(xor(ch, bh))) AS hd
+                FROM cbs JOIN bbs USING (band, bucket)
+                GROUP BY bid, cid),
+         pds AS (SELECT bid, count(*) AS n_candidates,
+                  sum(CASE WHEN hd <= 3 THEN 1 ELSE 0 END) AS n_dups
+                FROM prs GROUP BY bid)
+       SELECT sm.doc_id,
+         CAST(coalesce(pds.n_candidates, 0) AS BIGINT) AS n_candidates,
+         CAST(coalesce(pds.n_dups, 0) AS BIGINT) AS n_dups,
+         CAST(CASE WHEN coalesce(pds.n_dups, 0) = 0 THEN 1 ELSE 0 END
+           AS BIGINT) AS kept
+       FROM sm LEFT JOIN pds ON sm.doc_id = pds.bid
+       WHERE sm.doc_id % 5 = 0
+       ORDER BY doc_id"""),
     // q348: pure integer replay over the STAGED quantized inputs (the
     // q336 discipline, mandated by the PLANS.md round-10 rule for any
     // new oracle whose selection consumes a recomputed cosine):

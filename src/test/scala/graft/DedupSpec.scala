@@ -393,6 +393,67 @@ class DedupSpec extends SparkSuite {
     assert(out(60L) == ((60L, 60L, md5Split(60L))))
   }
 
+  test("incrementalSimhashDedup drops exact/near prints, keeps " +
+    "unrelated and null-text docs, and rejects maxHamming > 3") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Option(base)),
+      (2L, Option("completely different content about spark query " +
+        "engines and distributed shuffles at warehouse scale"))
+    ).toDF("doc_id", "text")
+    val prints = corpus.select(col("doc_id"),
+      graft.functions.TextFns.simhash64(col("text")).as("simhash"))
+    val batch = Seq(
+      (10L, Option(base)),          // exact dup: hamming 0 -> dropped
+      (11L, Option("unrelated astronomy text on stellar " +
+        "nucleosynthesis inside collapsing supernova cores")),
+      (12L, Option.empty[String])   // null text: null print -> kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalSimhashDedup(prints, batch)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(10L)._3 >= 1L && byId(10L)._4 == 0L)
+    assert(byId(11L)._3 == 0L && byId(11L)._4 == 1L)
+    assert(byId(12L) == ((12L, 0L, 0L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimhashDedup(prints, batch, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
+  test("incrementalSimhashDedup equals a collected brute-force " +
+    "recompute of pigeonhole bands + exact Hamming on a fixture slice") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val prints = corpus.select(col("doc_id"),
+      graft.functions.TextFns.simhash64(col("text")).as("simhash"))
+    val got = Dedup.incrementalSimhashDedup(prints, batch)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+
+    def printsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val cP = printsOf(prints)
+    val bP = printsOf(batch.select(col("doc_id"),
+      graft.functions.TextFns.simhash64(col("text")).as("simhash")))
+    def buckets(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >> (b * 16)) & 0xFFFFL)).toSet
+    val expected = bP.toSeq.sortBy(_._1).map { case (bid, bhOpt) =>
+      val cands = bhOpt.toSeq.flatMap { bh =>
+        cP.toSeq.collect { case (cid, Some(ch))
+          if buckets(ch).exists(buckets(bh).contains) => (cid, ch) }
+      }
+      val dups = bhOpt.map(bh => cands.count { case (_, ch) =>
+        java.lang.Long.bitCount(bh ^ ch) <= 3 }).getOrElse(0)
+      (bid, cands.size.toLong, dups.toLong, if (dups == 0) 1L else 0L)
+    }
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "fixture slice should contain at " +
+      "least one cross-split simhash near-dup for the test to bite")
+  }
+
   test("incrementalLshDedup fails loudly on a mis-shaped index or an " +
     "out-of-range threshold") {
     import spark.implicits._

@@ -276,6 +276,16 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q358 incremental SimHash probes the print index by BROADCAST " +
+    "of the banded batch — one broadcast, the index side never " +
+    "hash-partitions before the join") {
+    val p = plan("q358_incremental_simhash")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pair agg + per-doc agg + spine join, same budget as q346
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("incrementalSemDedup (isolated, maxBlock=0) probes the kept " +
     "state through exactly one broadcast — the state side never " +
     "exchanges before its join") {

@@ -170,6 +170,35 @@ class SimilaritySpec extends SparkSuite {
     assert(h1 == h2)
   }
 
+  test("jlDistortion: per-pair distance ratios sit in the measured " +
+    "(1±ε) envelope with mean² ≈ 1; zero-distance pairs report null") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.jlDistortion(emb, outDim = 16, dim = 64,
+        seed = 42L, sampleIds = 48)
+      .select("dist_orig", "dist_proj", "distortion")
+      .as[(Double, Double, Option[Double])].collect()
+    assert(out.length == 48 * 47 / 2)
+    val rs = out.flatMap(_._3)
+    // the fixture sample has no duplicate vectors -> every pair rates
+    assert(rs.length == out.length)
+    // the analytic JL tail bound is VACUOUS at k=16 (the per-pair
+    // failure probability at ε=1 is ~0.5); the pinned envelope is the
+    // MEASURED one — [0.45, 1.55] across all three fixtures — with
+    // margin, plus the E[ratio²]=1 moment the lemma does guarantee
+    assert(rs.forall(r => r > 0.25 && r < 1.75),
+      s"ratio outside envelope: min=${rs.min} max=${rs.max}")
+    val meanSq = rs.map(r => r * r).sum / rs.length
+    assert(math.abs(meanSq - 1.0) < 0.2, s"mean ratio^2 $meanSq")
+    // identical vectors: distance 0 -> null ratio, zero projected dist
+    val dup = Seq((0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.jlDistortion(dup, outDim = 16, dim = 64)
+      .select("dist_orig", "dist_proj", "distortion")
+      .as[(Double, Double, Option[Double])].collect().toSeq
+    assert(z == Seq((0.0, 0.0, None)))
+  }
+
   test("projected two-stage kNN recalls most exact neighbors and its " +
     "re-ranked sims are exact (not projected approximations)") {
     import org.apache.spark.sql.functions._
