@@ -380,6 +380,104 @@ object Relevance {
       query, fbTerms, textCol, idCol)
   }
 
+  /** The RM3 interpolated query model (Abdul-Jaleel et al., TREC 2004):
+    * original query terms weighted (1−α)/|Q|, [[prfExpansionTerms]]'s
+    * feedback terms weighted α·w_t/Σw — returned as the STAGEABLE
+    * weighted-term table `(term, w4, idf4)` the [[rm3Rescore]] second
+    * pass consumes. Weights are exact 1e4 micro units; `idf4` is the
+    * BM25 idf quantized to the same grid — the ONE transcendental
+    * (ln), quantized HERE so the scoring pass and its oracle stay in
+    * pure integer algebra (the q129 staging discipline: the grid is
+    * the definition, and the staged table is the shared source of
+    * truth both engines read). Driver-side work is two bounded
+    * collects: the ≤`fbTerms` expansion rows and the ≤|terms| df
+    * counts — never corpus rows. */
+  def rm3WeightedTerms(docs: DataFrame, query: Seq[String],
+                       fbDocs: Int = 10, fbTerms: Int = 5,
+                       alpha: Double = 0.5,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty, "need at least one query token")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1]; got $alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val expansion = prfExpansionTerms(docs, query, fbDocs, fbTerms,
+        k1, b, textCol, idCol)
+      .select(col("term"), col("weight6"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sumW6 = math.max(expansion.map(_._2).sum, 1L)
+    val origW4 = math.round(1e4 * (1 - alpha) / query.size)
+    val weighted = query.map(_ -> origW4) ++ expansion.map {
+      case (t, w6) => t -> math.round(alpha * 1e4 * w6 / sumW6)
+    }
+    // one bounded df pass over the final term set (≤ |Q| + fbTerms)
+    val terms = weighted.map(_._1)
+    val dfs = docs
+      .select(explode(array_distinct(
+        graft.functions.TextFns.tokens(col(textCol)))).as("term"))
+      .where(col("term").isin(terms.map(t => t: Any): _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = docs.count()
+    weighted.map { case (t, w4) =>
+      val df = dfs.getOrElse(t, 0L).toDouble
+      (t, w4,
+        math.round(1e4 * math.log(1 + (nDocs - df + 0.5) / (df + 0.5))))
+    }.toDF("term", "w4", "idf4")
+  }
+
+  /** RM3 second-pass weighted BM25 over a [[rm3WeightedTerms]] table:
+    * score12(d) = Σ_t w4·idf4·tfsat4(t,d) — a SUM OF EXACT LONGS, so
+    * the ranking is order-independent and engine-portable (q359 hash
+    * oracle) even though it realizes the classic float formula. The
+    * saturation tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) is an exact
+    * RATIONAL at the fixed (k1, b) = (1.2, 3/4): with T = corpus token
+    * count and N = doc count, it equals 44·tf·T / (20·tf·T + 6·T +
+    * 18·dl·N) — all integers — rounded half-up to the 1e4 grid
+    * ([[graft.functions.ExactRound.scaled]]). Overflow-safe while
+    * 8.8e5·tf·T < 2⁶³ (max term frequency × corpus tokens below
+    * ~1e13); shard-and-merge beyond.
+    *
+    * Scale shape: the term table broadcasts; one token scan feeds both
+    * the dl rollup and the term-filtered tf rollup; the score is one
+    * per-doc hash aggregation and the rank window is output-sized. */
+  def rm3Rescore(docs: DataFrame, weightedTerms: DataFrame,
+                 topK: Int = 10, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol)))
+          .as("term"))
+      .where(col("term") =!= "")
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // same stats convention as [[bm25]]: N counts ALL docs, T sums
+    // token counts over docs that have tokens
+    val totals = dl.agg(sum(col("dl")).as("T"))
+      .crossJoin(docs.agg(count(lit(1)).as("N")))
+    val wt = weightedTerms.select(col("term"),
+      col("w4").cast("long").as("w4"),
+      col("idf4").cast("long").as("idf4"))
+    val tf = tok.join(broadcast(wt.select(col("term"))), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .join(broadcast(wt), Seq("term"))
+      .withColumn("tfsat4", graft.functions.ExactRound.scaled(
+        lit(44L) * col("tf") * col("T"),
+        lit(20L) * col("tf") * col("T") + lit(6L) * col("T")
+          + lit(18L) * col("dl") * col("N"), 4))
+      .groupBy(col(idCol))
+      .agg(sum(col("w4") * col("idf4") * col("tfsat4")).as("score12"))
+      .where(col("score12") > 0)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("score12").desc, col(idCol))).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("score12").cast("long")
+        .as("score12"),
+        (col("score12").cast("double") / 1e12).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * combine any number of ranked lists by `Σ 1/(k + rank_i)` — the
     * standard hybrid-search combiner for a lexical leg ([[bm25]]) and

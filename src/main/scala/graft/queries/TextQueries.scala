@@ -2005,6 +2005,23 @@ object TextQueries {
       Dedup.incrementalSimhashDedup(corpusHashes,
           docs.filter(col("doc_id") % 5 === 0), maxHamming = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // RM3 second-pass weighted BM25 — the retrieval step q352 stopped
+    // short of (its oracle problem was the data-dependent term list):
+    // the weighted-term table (term, w4, idf4) is STAGED (weights are
+    // data-dependent, idf is the one transcendental — both quantized
+    // driver-side, the q129 grid-is-the-definition discipline), and
+    // the second pass is a SUM OF EXACT LONGS both engines replay
+    // identically (see Relevance.rm3Rescore)
+    "q359_rm3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val termsPath = s"${MLQueries.stageDir(d)}/q359/terms"
+      Relevance.rm3WeightedTerms(docs, Seq("spark", "join", "window"),
+          fbDocs = 10, fbTerms = 5, alpha = 0.5)
+        .coalesce(1).write.mode("overwrite").parquet(termsPath)
+      Relevance.rm3Rescore(docs, s.read.parquet(termsPath), topK = 10)
+        .orderBy(col("rank"))
     }))
 
   /** BM25 top-20 CTE chain (TOKS must precede; ends with `r` carrying
@@ -5411,6 +5428,38 @@ object TextQueries {
           ORDER BY doc_id"""),
     // q356: the composed funnel (see ingestFunnelOracle scaladoc)
     "q356_ingest_funnel" -> ingestFunnelOracle,
+    // q359: the staged (term, w4, idf4) table is the shared source of
+    // truth; tfsat4 replays ExactRound.scaled's (num·2e4 + den)//(2·den)
+    // on the all-integer rational form of the BM25 saturation, and the
+    // score is a sum of exact longs — no float crosses the ranking
+    "q359_rm3" -> (TOKS + s"""
+       , tok3 AS (SELECT doc_id, unnest(w) AS term FROM t),
+         tok4 AS (SELECT * FROM tok3 WHERE term <> ''),
+         dlt AS (SELECT doc_id, count(*) AS dl FROM tok4 GROUP BY 1),
+         tot AS (SELECT (SELECT sum(dl) FROM dlt) AS tt,
+                        (SELECT count(*) FROM documents) AS nn),
+         wt AS (SELECT term, CAST(w4 AS BIGINT) AS w4,
+                       CAST(idf4 AS BIGINT) AS idf4
+                FROM read_parquet(
+                  '${MLQueries.StageToken}/q359/terms/*.parquet')),
+         tfq AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok4 JOIN wt USING (term) GROUP BY 1, 2),
+         sc AS (SELECT doc_id,
+                  CAST(sum(w4 * idf4 *
+                    ((44 * tf * tt * 20000
+                        + (20 * tf * tt + 6 * tt + 18 * dlt.dl * nn))
+                     // (2 * (20 * tf * tt + 6 * tt + 18 * dlt.dl * nn))))
+                    AS BIGINT) AS score12
+                FROM tfq JOIN dlt USING (doc_id) CROSS JOIN tot
+                JOIN wt USING (term)
+                GROUP BY 1),
+         rk AS (SELECT doc_id, score12,
+                  row_number() OVER (ORDER BY score12 DESC, doc_id)
+                    AS rank
+                FROM sc WHERE score12 > 0)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, score12,
+              CAST(score12 AS DOUBLE) / 1e12 AS score
+       FROM rk WHERE rank <= 10 ORDER BY rank"""),
     // q357: literal-sign projection replay + explicit left-associated
     // distance chains — bit-equal to the Spark fold before the round
     "q357_jl_distortion" -> jlDistortionOracle,

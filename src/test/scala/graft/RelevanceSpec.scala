@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Relevance}
 
 class RelevanceSpec extends SparkSuite {
@@ -340,5 +341,56 @@ class RelevanceSpec extends SparkSuite {
     val terms = out.map(_.getString(0)).toSet
     assert(terms.intersect(Set("spark", "join", "window")).isEmpty)
     assert(out.map(_.getLong(1)).toSeq == (1L to 5L))
+  }
+
+  test("rm3WeightedTerms: original terms carry (1-alpha)/|Q| micro " +
+    "weights, expansion weights sum to ~alpha, idf4 positive") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val wt = graft.operators.Relevance.rm3WeightedTerms(docs,
+        Seq("spark", "join", "window"), fbDocs = 10, fbTerms = 5,
+        alpha = 0.5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(wt.length == 8 && wt.map(_._1).distinct.length == 8)
+    val (orig, exp) = wt.partition(t =>
+      Set("spark", "join", "window")(t._1))
+    assert(orig.length == 3 && orig.forall(_._2 == 1667L)) // 1e4/2/3
+    // expansion micro weights partition alpha up to per-term rounding
+    assert(math.abs(exp.map(_._2).sum - 5000L) <= exp.length)
+    assert(wt.forall(_._3 > 0L))
+  }
+
+  test("rm3Rescore: a doc with NO query term ranks via an expansion " +
+    "term, and integer scoring is faithful to the rational BM25 form") {
+    import spark.implicits._
+    // q only in docs 1-2 (the feedback set); doc 3 carries only the
+    // co-occurring expansion term; doc 4 is noise
+    val docs = Seq(
+      (1L, "q q banana banana split"),
+      (2L, "q banana smoothie"),
+      (3L, "banana banana banana bread"),
+      (4L, "completely unrelated noise words here")
+    ).toDF("doc_id", "text")
+    val wt = graft.operators.Relevance.rm3WeightedTerms(docs, Seq("q"),
+      fbDocs = 2, fbTerms = 1, alpha = 0.5)
+    assert(wt.where(col("term") === "banana").count() == 1)
+    val out = graft.operators.Relevance
+      .rm3Rescore(docs, wt, topK = 10)
+      .orderBy("rank")
+      .select("doc_id", "rank", "score12")
+      .as[(Long, Long, Long)].collect().toSeq
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(3L), "expansion-only doc must score")
+    assert(!ids.contains(4L), "no-term doc must not score")
+    // faithful to the rational form: recompute doc 3's score by hand
+    // (T = 17 tokens over 4 docs, N = 4, dl = 4, one term 'banana'
+    // with tf = 3)
+    val wtRow = wt.where(col("term") === "banana")
+      .as[(String, Long, Long)].collect().head
+    val (tf, tt, dl, nn) = (3L, 17L, 4L, 4L)
+    val den = 20L * tf * tt + 6L * tt + 18L * dl * nn
+    val tfsat4 = (44L * tf * tt * 20000L + den) / (2L * den)
+    val expected3 = wtRow._2 * wtRow._3 * tfsat4
+    assert(out.find(_._1 == 3L).get._3 == expected3)
   }
 }
