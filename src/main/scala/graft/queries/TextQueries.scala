@@ -2007,6 +2007,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the q356 funnel's LEDGER as its own gate row: run() returns the
+    // per-stage survivor counts a pipeline operator alarms on — this
+    // pins the ledger itself (stage order + the count after every
+    // stage), where q356 pins final membership. Same state/config as
+    // q356 so the two rows cross-check.
+    "q360_funnel_ledger" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TextClean
+      val docs = Tables.documents(s, d)
+      val prepped = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          TextClean.scrub(TextClean.canonicalizeClasses(col("text"))))
+      val state = graft.jobs.IncrementalIngestJob.State(
+        prepped.select(TextFns.fingerprint(col("text"))
+          .as("fingerprint")),
+        Dedup.minhashSignatures(prepped, k = 4, n = 2))
+      val cfg = graft.jobs.IncrementalIngestJob.Config(
+        minQuality = 0.25, minhashK = 4, bands = 2, shingleN = 2,
+        minMatches = 3, contaminationN = 5,
+        contaminationThreshold = 0.5)
+      val (survivors, _, ledger) = graft.jobs.IncrementalIngestJob.run(
+        state, docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") < 50), cfg)
+      survivors.unpersist()
+      ledger.zipWithIndex
+        .map { case ((stage, n), i) => (i.toLong, stage, n) }
+        .toDF("stage_idx", "stage", "n_docs")
+        .orderBy(col("stage_idx"))
+    }),
+
     // RM3 second-pass weighted BM25 — the retrieval step q352 stopped
     // short of (its oracle problem was the data-dependent term list):
     // the weighted-term table (term, w4, idf4) is STAGED (weights are
@@ -2571,7 +2601,7 @@ object TextQueries {
     * integer/md5 algebra throughout — no float recompute crosses a
     * selection boundary (the quality/contamination ratios replay the
     * SAME IEEE divisions as the Spark side, the q29/q69 precedent). */
-  private val ingestFunnelOracle: String = {
+  private val ingestFunnelBody: String = {
     import graft.functions.TextClean.{controlRe, unicodeSpaceRe, zeroWidthRe}
     val prepExpr =
       "trim(regexp_replace(regexp_replace(regexp_replace(" +
@@ -2708,13 +2738,41 @@ object TextQueries {
           UNION
           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
         fin AS (SELECT id AS doc_id FROM reach GROUP BY id
-                HAVING id = min(r))
+                HAVING id = min(r))"""
+  }
+
+  private val ingestFunnelOracle: String = ingestFunnelBody + """
         SELECT t.doc_id, t.lang, t.source,
           md5(array_to_string(list_sort(list_distinct(t.w)), ' '))
             AS fingerprint
         FROM t JOIN fin ON t.doc_id = fin.doc_id
         ORDER BY t.doc_id"""
-  }
+
+  /** q360 oracle: the same funnel chain folded to per-stage counts —
+    * the map-side prep stages (canonicalize/scrub) drop nothing by
+    * construction, so their rows equal the input count; the gate
+    * stages count their CTEs. Stage names/order mirror
+    * IncrementalIngestJob.run's ledger literally. */
+  private val ingestFunnelLedgerOracle: String = ingestFunnelBody + """
+        SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM (
+          SELECT 0 AS stage_idx, 'input' AS stage,
+            (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+              AS n_docs
+          UNION ALL SELECT 1, 'canonicalized',
+            (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+          UNION ALL SELECT 2, 'scrubbed',
+            (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+          UNION ALL SELECT 3, 'quality_gate',
+            (SELECT count(*) FROM qual)
+          UNION ALL SELECT 4, 'decontaminated',
+            (SELECT count(*) FROM d1)
+          UNION ALL SELECT 5, 'exact_deduped',
+            (SELECT count(*) FROM d2)
+          UNION ALL SELECT 6, 'near_deduped',
+            (SELECT count(*) FROM fin))
+        ORDER BY stage_idx"""
 
   val oracle: Map[String, String] = Map(
     // q100/q101: the oracle evaluates the doc_id-seeded GENERATIVE
@@ -5428,6 +5486,8 @@ object TextQueries {
           ORDER BY doc_id"""),
     // q356: the composed funnel (see ingestFunnelOracle scaladoc)
     "q356_ingest_funnel" -> ingestFunnelOracle,
+    // q360: the same chain folded to the per-stage ledger counts
+    "q360_funnel_ledger" -> ingestFunnelLedgerOracle,
     // q359: the staged (term, w4, idf4) table is the shared source of
     // truth; tfsat4 replays ExactRound.scaled's (num·2e4 + den)//(2·den)
     // on the all-integer rational form of the BM25 saturation, and the

@@ -277,13 +277,14 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q358 incremental SimHash probes the print index by BROADCAST " +
-    "of the banded batch — one broadcast, the index side never " +
-    "hash-partitions before the join") {
+    "of the banded batch — one broadcast, and the only index-side " +
+    "exchange is the narrow (print, count) pre-aggregation") {
     val p = plan("q358_incremental_simhash")
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastHashJoin"), p)
-    // pair agg + per-doc agg + spine join, same budget as q346
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    // distinct-print pre-agg + pair agg + per-doc agg + spine join:
+    // any rise means the index side started shuffling full rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
   }
 
   test("incrementalSemDedup (isolated, maxBlock=0) probes the kept " +
