@@ -10,11 +10,13 @@ import graft.operators.{Decontaminate, Dedup, SemDedup}
   * the same ladder, but every dedup stage probes PERSISTED state
   * instead of re-processing the corpus: exact dedup against the
   * fingerprint set ([[Dedup.incrementalByFingerprint]]), near dedup
-  * against the signature index ([[Dedup.incrementalLshDedup]]), and —
-  * when embeddings ride along — semantic dedup against the frozen
-  * centroids + kept corpus ([[SemDedup.incrementalSemDedup]]). The
-  * job returns the survivors, the APPENDED state for the next batch,
-  * and the per-stage ledger.
+  * against the signature index ([[Dedup.incrementalLshDedup]]),
+  * optionally SimHash near dedup against the persisted prints
+  * ([[Dedup.incrementalSimhashDedup]] — when the state carries them),
+  * and — when embeddings ride along — semantic dedup against the
+  * frozen centroids + kept corpus ([[SemDedup.incrementalSemDedup]]).
+  * The job returns the survivors, the APPENDED state for the next
+  * batch, and the per-stage ledger.
   *
   * Scale shape: every stage is batch-sized work against a
   * scanned-once, never-shuffled state side (Bloom-probed fingerprint
@@ -39,11 +41,17 @@ object IncrementalIngestJob {
     * pair is present only when the pipeline embeds. `centroids` stay
     * frozen between periodic re-trains (re-train = re-run
     * [[CorpusPrepJob]]); `keptEmbeddings` carries
-    * (vec_id, embedding, cluster) for kept docs. */
+    * (vec_id, embedding, cluster) for kept docs. `simhashPrints`
+    * ((doc_id, simhash) — [[TextFns.simhash64]] over the same prepped
+    * text the other indexes hash) is the optional fourth flavor:
+    * when present, a SimHash near-dup stage runs after the MinHash
+    * one ([[Dedup.incrementalSimhashDedup]] probe + within-batch
+    * [[Dedup.hammingDedupGroups]]). */
   final case class State(fingerprints: DataFrame,
                          sigIndex: DataFrame,
                          centroids: Option[Array[(Long, Array[Double])]] = None,
-                         keptEmbeddings: Option[DataFrame] = None)
+                         keptEmbeddings: Option[DataFrame] = None,
+                         simhashPrints: Option[DataFrame] = None)
 
   final case class Config(minQuality: Double = 0.25,
                           minhashK: Int = 8,
@@ -54,7 +62,10 @@ object IncrementalIngestJob {
                           minMatches: Int = 6,
                           contaminationN: Int = 5,
                           contaminationThreshold: Double = 0.5,
-                          semDedupTau: Double = 0.95)
+                          semDedupTau: Double = 0.95,
+                          // SimHash stage threshold (used only when
+                          // the state carries simhashPrints)
+                          simhashMaxHamming: Int = 3)
 
   /** Persist the between-batch state under `dir`: fingerprints and
     * the signature index as parquet side tables, the k-row centroid
@@ -74,6 +85,8 @@ object IncrementalIngestJob {
     }
     state.keptEmbeddings.foreach(_.write.mode("overwrite")
       .parquet(s"$dir/kept_embeddings"))
+    state.simhashPrints.foreach(_.write.mode("overwrite")
+      .parquet(s"$dir/simhash_prints"))
   }
 
   /** Reopen a [[saveState]] layout. The two big side tables stay lazy
@@ -95,7 +108,8 @@ object IncrementalIngestJob {
     State(spark.read.parquet(s"$dir/fingerprints"),
       spark.read.parquet(s"$dir/sig_index"),
       centroids,
-      opt("kept_embeddings").map(spark.read.parquet(_)))
+      opt("kept_embeddings").map(spark.read.parquet(_)),
+      opt("simhash_prints").map(spark.read.parquet(_)))
   }
 
   /** Returns (survivors, appended state, per-stage ledger). The
@@ -166,20 +180,41 @@ object IncrementalIngestJob {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi"))
 
+    // SimHash near dedup (optional fourth flavor): the q358 probe of
+    // the persisted prints, then within-batch hamming groups — the
+    // same two-verdict shape as the MinHash stage above
+    val simDeduped = state.simhashPrints match {
+      case Some(prints) =>
+        val verdicts = Dedup.incrementalSimhashDedup(prints,
+          nearDeduped, cfg.simhashMaxHamming)
+        val vsPrints = nearDeduped.join(
+          verdicts.filter(col("kept") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val hashed = vsPrints.select(col("doc_id"),
+          TextFns.simhash64(col("text")).as("simhash"))
+        val groups = Dedup.hammingDedupGroups(hashed, "simhash",
+          "doc_id", cfg.simhashMaxHamming)
+        stage("simhash_deduped", vsPrints.join(
+          groups.filter(col("doc_id") === col("canonical"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      case None => nearDeduped
+    }
+
     // semantic dedup (optional): assigned batch probes the kept corpus
     val survivors = (state.centroids, state.keptEmbeddings,
         batchEmbeddings) match {
       case (Some(cs), Some(kept), Some(be)) =>
         val verdicts = SemDedup.incrementalSemDedup(cs, kept,
-          be.join(nearDeduped.select(col("doc_id").as("vec_id")),
+          be.join(simDeduped.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi"),
           cfg.semDedupTau)
-        stage("sem_deduped", nearDeduped.join(
+        stage("sem_deduped", simDeduped.join(
           verdicts.filter(col("kept"))
             .select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_semi"))
-      case (Some(_), Some(_), None) => nearDeduped // no batch vectors
-      case _ => nearDeduped
+      case (Some(_), Some(_), None) => simDeduped // no batch vectors
+      case _ => simDeduped
     }
 
     // append the indexes from SURVIVORS only
@@ -203,7 +238,11 @@ object IncrementalIngestJob {
               col("cluster"))))
       case _ => state.keptEmbeddings
     }
-    (survivors, State(newPrints, newSigs, state.centroids, newKept),
+    val newSimhash = state.simhashPrints.map(_.unionByName(survivors
+      .select(col("doc_id"),
+        TextFns.simhash64(col("text")).as("simhash"))))
+    (survivors,
+      State(newPrints, newSigs, state.centroids, newKept, newSimhash),
       ledger.toList)
   }
 }

@@ -2007,6 +2007,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the q356 funnel with the OPTIONAL SimHash stage live: state
+    // additionally carries the prepped corpus's simhash prints, so
+    // run() executes all four near-dup flavors' incremental forms in
+    // one ladder (exact + MinHash probe/groups + SimHash probe/groups;
+    // no embeddings here — q348 anchors the semantic stage). Oracle =
+    // the q356 composition + the q358 print replay + hamming-edge
+    // reachability over the surviving batch.
+    "q361_funnel_simhash" -> ((s, d) => {
+      import graft.functions.TextClean
+      val docs = Tables.documents(s, d)
+      val prepped = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          TextClean.scrub(TextClean.canonicalizeClasses(col("text"))))
+      val state = graft.jobs.IncrementalIngestJob.State(
+        prepped.select(TextFns.fingerprint(col("text"))
+          .as("fingerprint")),
+        Dedup.minhashSignatures(prepped, k = 4, n = 2),
+        simhashPrints = Some(prepped.select(col("doc_id"),
+          TextFns.simhash64(col("text")).as("simhash"))))
+      val cfg = graft.jobs.IncrementalIngestJob.Config(
+        minQuality = 0.25, minhashK = 4, bands = 2, shingleN = 2,
+        minMatches = 3, contaminationN = 5,
+        contaminationThreshold = 0.5, simhashMaxHamming = 3)
+      val (survivors, _, _) = graft.jobs.IncrementalIngestJob.run(
+        state, docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") < 50), cfg)
+      survivors.select(col("doc_id"), col("lang"), col("source"),
+          TextFns.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the q356 funnel's LEDGER as its own gate row: run() returns the
     // per-stage survivor counts a pipeline operator alarms on — this
     // pins the ledger itself (stage order + the count after every
@@ -2773,6 +2804,51 @@ object TextQueries {
           UNION ALL SELECT 6, 'near_deduped',
             (SELECT count(*) FROM fin))
         ORDER BY stage_idx"""
+
+  /** q361 oracle: the q356 composition continued through the SimHash
+    * stage — prints of the PREPPED text via the shared q38 replay
+    * (simhashBody reads the funnel chain's `t`), the q358 pigeonhole
+    * probe dropping `fin` docs within Hamming ≤ 3 of a corpus print,
+    * then verified-hamming-edge reachability over the remainder (the
+    * hammingDedupGroups component semantics). */
+  private val ingestFunnelSimhashOracle: String =
+    ingestFunnelBody + simhashBody + """
+        , cb2 AS (SELECT sm.simhash AS ch, band,
+                   (sm.simhash >> (band * 16)) & 65535 AS bucket
+                 FROM sm, (SELECT unnest([0, 1, 2, 3]) AS band) bx
+                 WHERE sm.doc_id % 5 <> 0 AND sm.simhash IS NOT NULL),
+          bb2 AS (SELECT f.doc_id AS bid, sm.simhash AS bh, band,
+                   (sm.simhash >> (band * 16)) & 65535 AS bucket
+                 FROM sm JOIN fin f ON sm.doc_id = f.doc_id,
+                      (SELECT unnest([0, 1, 2, 3]) AS band) bx
+                 WHERE sm.simhash IS NOT NULL),
+          dsim AS (SELECT DISTINCT bid
+                   FROM cb2 JOIN bb2 USING (band, bucket)
+                   WHERE bit_count(xor(ch, bh)) <= 3),
+          d4 AS (SELECT doc_id FROM fin
+                 WHERE doc_id NOT IN (SELECT bid FROM dsim)),
+          hb AS (SELECT d4.doc_id, sm.simhash, band,
+                   (sm.simhash >> (band * 16)) & 65535 AS bucket
+                 FROM sm JOIN d4 ON sm.doc_id = d4.doc_id,
+                      (SELECT unnest([0, 1, 2, 3]) AS band) bx
+                 WHERE sm.simhash IS NOT NULL),
+          e2 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                 FROM hb a JOIN hb b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id <> b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          reach2(id, r) AS (
+            SELECT doc_id, doc_id FROM d4
+            UNION
+            SELECT e2.dst, reach2.r
+            FROM reach2 JOIN e2 ON e2.src = reach2.id),
+          fin2 AS (SELECT id AS doc_id FROM reach2 GROUP BY id
+                   HAVING id = min(r))
+        SELECT t.doc_id, t.lang, t.source,
+          md5(array_to_string(list_sort(list_distinct(t.w)), ' '))
+            AS fingerprint
+        FROM t JOIN fin2 ON t.doc_id = fin2.doc_id
+        ORDER BY t.doc_id"""
 
   val oracle: Map[String, String] = Map(
     // q100/q101: the oracle evaluates the doc_id-seeded GENERATIVE
@@ -5488,6 +5564,8 @@ object TextQueries {
     "q356_ingest_funnel" -> ingestFunnelOracle,
     // q360: the same chain folded to the per-stage ledger counts
     "q360_funnel_ledger" -> ingestFunnelLedgerOracle,
+    // q361: the funnel continued through the SimHash stage
+    "q361_funnel_simhash" -> ingestFunnelSimhashOracle,
     // q359: the staged (term, w4, idf4) table is the shared source of
     // truth; tfsat4 replays ExactRound.scaled's (num·2e4 + den)//(2·den)
     // on the all-integer rational form of the BM25 saturation, and the

@@ -120,4 +120,63 @@ class IncrementalIngestSpec extends SparkSuite {
       evalSet, IncrementalIngestJob.Config(minQuality = 0.0), Some(be))
     assert(surv2.select("doc_id").as[Long].collect().toSet == ids)
   }
+
+  test("simhash stage wires in when state carries prints: a batch " +
+    "copy passes the EMPTY exact/LSH state and is dropped ONLY by " +
+    "the print probe; state appends survivor prints; None = stage off") {
+    import graft.functions.TextFns
+    val text0 = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((100L, text0, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val prints = corpus.select(col("doc_id"),
+      TextFns.simhash64(col("text")).as("simhash"))
+    // fingerprint/signature state EMPTY: the exact and LSH stages
+    // cannot drop anything, isolating the simhash stage's verdict
+    val st = IncrementalIngestJob.State(
+      emptyState.fingerprints, emptyState.sigIndex,
+      simhashPrints = Some(prints))
+    val batch = Seq(
+      (200L, text0, "en", "web"), // exact text copy: hamming 0
+      (201L, "entirely different subject matter covering storage " +
+        "engines compaction strategies and write amplification today",
+        "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cfg = IncrementalIngestJob.Config(minQuality = 0.0)
+    val (surv, st2, ledger) = IncrementalIngestJob.run(st, batch,
+      evalSet, cfg)
+    val ids = surv.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(201L), s"got $ids; ledger $ledger")
+    assert(ledger.map(_._1).contains("simhash_deduped"))
+    // prints grew by exactly the survivors
+    assert(st2.simhashPrints.get.count() == 2)
+    // and the survivor's print is the appended row
+    val appended = st2.simhashPrints.get
+      .select("doc_id").as[Long].collect().toSet
+    assert(appended == Set(100L, 201L))
+
+    // stage off without prints: the copy survives (nothing else can
+    // drop it against the empty exact/LSH state), no ledger entry
+    val (survOff, stOff, ledgerOff) = IncrementalIngestJob.run(
+      IncrementalIngestJob.State(
+        emptyState.fingerprints, emptyState.sigIndex),
+      batch, evalSet, cfg)
+    assert(survOff.select("doc_id").as[Long].collect().toSet ==
+      Set(200L, 201L))
+    assert(!ledgerOff.map(_._1).contains("simhash_deduped"))
+    assert(stOff.simhashPrints.isEmpty)
+
+    // save/load roundtrip carries the prints side table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_simhash").toString
+    IncrementalIngestJob.saveState(st2, dir)
+    val reopened = IncrementalIngestJob.loadState(spark, dir)
+    assert(reopened.simhashPrints.isDefined &&
+      reopened.simhashPrints.get.count() == 2)
+    // re-ingest of survivors against the absorbed state is a no-op
+    // with the simhash stage live too
+    val (reRun, _, _) = IncrementalIngestJob.run(reopened, surv,
+      evalSet, cfg)
+    assert(reRun.count() == 0)
+  }
 }
