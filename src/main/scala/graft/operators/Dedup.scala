@@ -186,13 +186,16 @@ object Dedup {
     * `corpusSigs` is [[minhashSignatures]] output (`idCol`,
     * sig_0..sig_{k-1}) — the compact side table a pipeline persists and
     * appends each surviving batch's signatures to. Scale shape: the
-    * index is scanned ONCE and banded map-side; the banded BATCH side is
+    * index is scanned ONCE, collapsed to distinct signature vectors
+    * with multiplicity (one narrow map-side-combined exchange), and
+    * banded map-side; the banded distinct BATCH signatures are
     * broadcast (an ingest batch, not a second corpus — for corpus-sized
     * "batches" re-band the union with [[minhashLshPairs]] instead), so
-    * there is ZERO corpus shuffle and only bucket-collision candidates
-    * reach the pair aggregation. The verdict is integer signature
-    * agreement (never a float Jaccard), so it is exactly reproducible
-    * cross-engine (the q346 hash oracle).
+    * the corpus never shuffles full rows and only bucket-collision
+    * candidates — once per distinct content pair, copies multiplying
+    * through counts — reach the pair aggregation. The verdict is
+    * integer signature agreement (never a float Jaccard), so it is
+    * exactly reproducible cross-engine (the q346 hash oracle).
     *
     * Returns one row per batch doc: (`idCol`, n_candidates, n_dups,
     * kept) with kept = 1 iff no indexed doc reached `minMatches`.
@@ -218,33 +221,50 @@ object Dedup {
     // column: verification happens right at the bucket match, so the
     // corpus index is never re-joined by id (one pass total). The
     // band index needs no join key of its own — bandBucket md5-prefixes
-    // it, so cross-band buckets cannot collide.
-    def banded(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
-      sigs.select(col(idCol).as(idAs),
-          array(sigCols.map(col): _*).as(sigAs),
-          explode(array((0 until bands).map(b =>
-            bandBucket(lit(b.toString), (b * r until (b + 1) * r)
-              .map(i => col(s"sig_$i")))): _*)).as("bucket"))
-        .filter(col("bucket").isNotNull)
+    // it, so cross-band buckets cannot collide. BOTH sides collapse to
+    // distinct signature VECTORS first (corpus with multiplicity,
+    // batch as the verdict key): docs with identical signatures get
+    // identical verdicts, so the bucket join runs once per distinct
+    // content and copy mass on either side multiplies back through
+    // counts instead of through join rows (the q358 512× lesson —
+    // pre-collapse, the both-sides-inflated probe read 504-662 s).
+    def bucketsOf(sigs: DataFrame): Column =
+      explode(array((0 until bands).map(b =>
+        bandBucket(lit(b.toString), (b * r until (b + 1) * r)
+          .map(i => sigs(s"sig_$i")))): _*))
     val bsigs = minhashSignatures(batch, k, n, textCol, idCol)
       .localCheckpoint() // feeds both the probe and the output spine
-    val cb = banded(corpusSigs, "_cid", "_csig")
-    val bb = banded(bsigs, "_bid", "_bsig")
+    val cdist = corpusSigs.filter(col("sig_0").isNotNull)
+      .groupBy(sigCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("_n"))
+    val cb = cdist.select(array(sigCols.map(col): _*).as("_csig"),
+        col("_n"), bucketsOf(cdist).as("bucket"))
+      .filter(col("bucket").isNotNull)
+    val bdist = bsigs.filter(col("sig_0").isNotNull)
+      .select(sigCols.map(col): _*).distinct()
+    val bb = bdist.select(array(sigCols.map(col): _*).as("_bsig"),
+        bucketsOf(bdist).as("bucket"))
+      .filter(col("bucket").isNotNull)
     val matches = (0 until k).map(i =>
         when(element_at(col("_csig"), i + 1) ===
           element_at(col("_bsig"), i + 1), 1).otherwise(0))
       .reduce(_ + _)
     val pairs = cb.join(broadcast(bb), Seq("bucket"))
-      .select(col("_bid"), col("_cid"), matches.as("_m"))
-      // a pair sharing several bands repeats with the SAME agreement —
-      // max() collapses it without a pre-aggregation distinct
-      .groupBy(col("_bid"), col("_cid")).agg(max(col("_m")).as("m"))
-    val perDoc = pairs.groupBy(col("_bid")).agg(
-      count(lit(1)).cast("long").as("n_candidates"),
-      sum(when(col("m") >= minMatches, 1L).otherwise(0L))
+      .select(col("_bsig"), col("_csig"), col("_n"), matches.as("_m"))
+      // a pair sharing several bands repeats with the SAME agreement
+      // and multiplicity — max() collapses the band fanout
+      .groupBy(col("_bsig"), col("_csig"))
+      .agg(max(col("_n")).as("n"), max(col("_m")).as("m"))
+    val perSig = pairs.groupBy(col("_bsig")).agg(
+      sum(col("n")).cast("long").as("n_candidates"),
+      sum(when(col("m") >= minMatches, col("n")).otherwise(0L))
         .cast("long").as("n_dups"))
-    bsigs.select(col(idCol))
-      .join(perDoc.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+    // verdicts fan back out over the spine by the signature columns
+    // (null signatures never match — shingle-less docs read (0, 0, 1))
+    val verdictCols = perSig.select(
+      (0 until k).map(i => element_at(col("_bsig"), i + 1)
+        .as(s"sig_$i")) :+ col("n_candidates") :+ col("n_dups"): _*)
+    bsigs.join(broadcast(verdictCols), sigCols, "left")
       .select(col(idCol),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
@@ -605,23 +625,29 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("_n"))
       .select(col("_ch"), col("_n"), bands(col("_ch")).as("bb"))
       .select(col("_ch"), col("_n"), col("bb.band"), col("bb.bucket"))
-    val bb = bh.filter(col("simhash").isNotNull)
-      .select(col(idCol).as("_bid"), col("simhash").as("_bh"),
-        bands(col("simhash")).as("bb"))
-      .select(col("_bid"), col("_bh"), col("bb.band"), col("bb.bucket"))
-    // a (batch doc, print) pair sharing several bands repeats with the
+    // the BATCH side collapses to distinct prints too: docs with the
+    // same print get the same verdict, so the bucket join runs once
+    // per distinct content and verdicts fan back out over the spine —
+    // without this, a copy-heavy batch pays the join per copy (the
+    // 512× crossover's both-sides-inflated shape read 792-885 s
+    // pre-collapse)
+    val bd = bh.filter(col("simhash").isNotNull)
+      .select(col("simhash").as("_bh")).distinct()
+      .select(col("_bh"), bands(col("_bh")).as("bb"))
+      .select(col("_bh"), col("bb.band"), col("bb.bucket"))
+    // a (print, print) pair sharing several bands repeats with the
     // SAME distance and multiplicity — max() collapses the band fanout
-    val pairs = cd.join(broadcast(bb), Seq("band", "bucket"))
-      .select(col("_bid"), col("_ch"), col("_n"),
+    val pairs = cd.join(broadcast(bd), Seq("band", "bucket"))
+      .select(col("_bh"), col("_ch"), col("_n"),
         TextFns.hamming64(col("_ch"), col("_bh")).as("_hd"))
-      .groupBy(col("_bid"), col("_ch"))
+      .groupBy(col("_bh"), col("_ch"))
       .agg(max(col("_n")).as("n"), min(col("_hd")).as("hd"))
-    val perDoc = pairs.groupBy(col("_bid")).agg(
+    val perPrint = pairs.groupBy(col("_bh")).agg(
       sum(col("n")).cast("long").as("n_candidates"),
       sum(when(col("hd") <= maxHamming, col("n")).otherwise(0L))
         .cast("long").as("n_dups"))
-    bh.select(col(idCol))
-      .join(perDoc.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+    bh.join(broadcast(perPrint.withColumnRenamed("_bh", "simhash")),
+        Seq("simhash"), "left")
       .select(col(idCol),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),

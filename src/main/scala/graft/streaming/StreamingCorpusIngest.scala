@@ -42,16 +42,23 @@ object StreamingCorpusIngest {
     * empty signature index must carry sig_0..sig_{minhashK-1} or the
     * first state append fails (k > default: a require in the probe;
     * k < default: a unionByName column mismatch) — so cfg threads
-    * through instead of taking minhashSignatures' default k. */
+    * through instead of taking minhashSignatures' default k. With
+    * `withSimhash`, the bootstrap carries an EMPTY prints table so the
+    * job's SimHash stage (presence-of-state activated) runs from
+    * batch 0 and every snapshot persists the prints side table. */
   private def bootstrapState(spark: SparkSession,
-                             cfg: IncrementalIngestJob.Config)
+                             cfg: IncrementalIngestJob.Config,
+                             withSimhash: Boolean)
       : IncrementalIngestJob.State = {
     import spark.implicits._
     IncrementalIngestJob.State(
       Seq.empty[String].toDF("fingerprint"),
       graft.operators.Dedup.minhashSignatures(
         Seq.empty[(Long, String)].toDF("doc_id", "text"),
-        k = cfg.minhashK, n = cfg.shingleN))
+        k = cfg.minhashK, n = cfg.shingleN),
+      simhashPrints =
+        if (!withSimhash) None
+        else Some(Seq.empty[(Long, Long)].toDF("doc_id", "simhash")))
   }
 
   /** Latest persisted snapshot strictly before `batchId`, if any.
@@ -81,7 +88,8 @@ object StreamingCorpusIngest {
              stateDir: String, checkpointDir: String,
              evalSet: DataFrame,
              cfg: IncrementalIngestJob.Config = IncrementalIngestJob.Config(),
-             maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+             maxFilesPerTrigger: Option[Int] = None,
+             withSimhash: Boolean = false): StreamingQuery =
     readDocs(spark, sourceDir, maxFilesPerTrigger).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) {
@@ -95,7 +103,7 @@ object StreamingCorpusIngest {
           }
         }
         val prev = latestStateBefore(spark, stateDir, batchId)
-          .getOrElse(bootstrapState(spark, cfg))
+          .getOrElse(bootstrapState(spark, cfg, withSimhash))
         val (survivors, next, _) =
           IncrementalIngestJob.run(prev, batch, evalSet, cfg)
         survivors.write.mode("overwrite")

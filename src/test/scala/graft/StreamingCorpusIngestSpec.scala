@@ -81,11 +81,17 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     val q = StreamingCorpusIngest.ingest(spark, srcDir.toString,
       target, state, cp, evalSet,
       cfg = IncrementalIngestJob.Config(minhashK = 4, bands = 2,
-        minMatches = 3))
+        minMatches = 3),
+      withSimhash = true)
     q.awaitTermination() // pre-fix: batch 0 dies on the k mismatch
-    assert(StreamingCorpusIngest.readCorpus(spark, target).count() > 0)
-    val sigCols = IncrementalIngestJob
-      .loadState(spark, s"$state/after_0").sigIndex.columns.toSet
+    val n = StreamingCorpusIngest.readCorpus(spark, target).count()
+    assert(n > 0)
+    val st0 = IncrementalIngestJob.loadState(spark, s"$state/after_0")
+    val sigCols = st0.sigIndex.columns.toSet
     assert(sigCols.contains("sig_3") && !sigCols.contains("sig_4"))
+    // withSimhash: the stage ran from batch 0 and the snapshot carries
+    // the prints side table, one row per survivor
+    assert(st0.simhashPrints.isDefined &&
+      st0.simhashPrints.get.count() == n)
   }
 }
