@@ -265,26 +265,36 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q346 incremental LSH probes the signature index by BROADCAST " +
-    "of the banded batch — one broadcast, and the index side never " +
-    "hash-partitions before the join (shuffles only at the verdict " +
-    "aggregations and the output spine)") {
+    "of the banded batch and fans verdicts back out by BROADCAST of " +
+    "the distinct-signature verdict table — exactly two broadcasts, " +
+    "both batch-bounded, and the index side never hash-partitions " +
+    "full rows (its only exchange is the narrow (sig, count) pre-agg)") {
     val p = plan("q346_incremental_lsh")
-    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    // pair agg + per-doc agg + spine join: any rise means the index
-    // side started shuffling
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert("BroadcastExchange".r.findAllIn(p).size == 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("BuildLeft"), p)
+    // index (sig, count) pre-agg + batch distinct-sig pre-agg + pair
+    // agg + per-sig agg: any rise means a side started shuffling full
+    // rows (the batch distinct is batch-bounded by construction)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q358 incremental SimHash probes the print index by BROADCAST " +
-    "of the banded batch — one broadcast, and the only index-side " +
-    "exchange is the narrow (print, count) pre-aggregation") {
+    "of the banded batch and fans verdicts back out by BROADCAST of " +
+    "the distinct-print verdict table — exactly two broadcasts, both " +
+    "batch-bounded, and the only index-side exchange is the narrow " +
+    "(print, count) pre-aggregation") {
     val p = plan("q358_incremental_simhash")
-    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    // distinct-print pre-agg + pair agg + per-doc agg + spine join:
-    // any rise means the index side started shuffling full rows
+    assert("BroadcastExchange".r.findAllIn(p).size == 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("BuildLeft"), p)
+    // distinct-print pre-agg + pair agg + per-print agg: any rise
+    // means the index side started shuffling full rows
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("incrementalSemDedup (isolated, maxBlock=0) probes the kept " +
