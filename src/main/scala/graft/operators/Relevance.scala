@@ -409,9 +409,15 @@ object Relevance {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val sumW6 = math.max(expansion.map(_._2).sum, 1L)
     val origW4 = math.round(1e4 * (1 - alpha) / query.size)
-    val weighted = query.map(_ -> origW4) ++ expansion.map {
+    // RM3's original-query model weights a term by its COUNT in the
+    // query, so repeated query tokens fold into one row with summed
+    // weight — the output contract is ONE ROW PER TERM (rm3Rescore
+    // joins tf on this table; duplicate rows would fan tf out and
+    // double-score the term)
+    val weighted = (query.map(_ -> origW4) ++ expansion.map {
       case (t, w6) => t -> math.round(alpha * 1e4 * w6 / sumW6)
-    }
+    }).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
     // one bounded df pass over the final term set (≤ |Q| + fbTerms)
     val terms = weighted.map(_._1)
     val dfs = docs
@@ -455,9 +461,15 @@ object Relevance {
     // token counts over docs that have tokens
     val totals = dl.agg(sum(col("dl")).as("T"))
       .crossJoin(docs.agg(count(lit(1)).as("N")))
+    // defensively fold duplicate term rows (sum w4 — RM3's additive
+    // mixture; idf is per-term so max is the identity on clean input):
+    // an un-folded duplicate would fan out the tf join AND score the
+    // term once per row, silently double-counting it
     val wt = weightedTerms.select(col("term"),
-      col("w4").cast("long").as("w4"),
-      col("idf4").cast("long").as("idf4"))
+        col("w4").cast("long").as("w4"),
+        col("idf4").cast("long").as("idf4"))
+      .groupBy(col("term"))
+      .agg(sum(col("w4")).as("w4"), max(col("idf4")).as("idf4"))
     val tf = tok.join(broadcast(wt.select(col("term"))), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     tf.join(dl, Seq(idCol))

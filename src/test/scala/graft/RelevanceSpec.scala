@@ -393,4 +393,41 @@ class RelevanceSpec extends SparkSuite {
     val expected3 = wtRow._2 * wtRow._3 * tfsat4
     assert(out.find(_._1 == 3L).get._3 == expected3)
   }
+
+  test("rm3 duplicate-term discipline: a repeated query token folds " +
+    "into ONE weighted row with summed weight, and rm3Rescore folds " +
+    "duplicate input rows instead of fanning tf out per duplicate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q q banana banana split"),
+      (2L, "q banana smoothie"),
+      (3L, "banana banana banana bread"),
+      (4L, "completely unrelated noise words here")
+    ).toDF("doc_id", "text")
+    // repeated query token: RM3's original-query model gives 'q'
+    // count(q)/|Q| of the (1-alpha) mass — one row, double weight
+    val wtDup = graft.operators.Relevance.rm3WeightedTerms(docs,
+      Seq("q", "q", "banana"), fbDocs = 2, fbTerms = 1, alpha = 0.5)
+    val rows = wtDup.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.size == wtDup.count(), "one row per term")
+    assert(rows("q")._1 == 2 * 1667L, // 2 × round(1e4·0.5/3)
+      s"repeated token must carry summed weight; got ${rows("q")}")
+    // rescore must be invariant to duplicate rows in the term table:
+    // (t, w4) ++ (t, w4) scores exactly like the folded (t, 2·w4) —
+    // pre-fix, the duplicate also DOUBLED tf via the join fan-out
+    val wt1 = Seq(("banana", 100L, 5000L)).toDF("term", "w4", "idf4")
+    val wt2 = Seq(("banana", 100L, 5000L), ("banana", 100L, 5000L))
+      .toDF("term", "w4", "idf4")
+    val wtFolded = Seq(("banana", 200L, 5000L))
+      .toDF("term", "w4", "idf4")
+    def scores(wt: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relevance.rm3Rescore(docs, wt, topK = 10)
+        .select("doc_id", "score12").as[(Long, Long)].collect()
+        .toMap
+    val (s1, s2, sf) = (scores(wt1), scores(wt2), scores(wtFolded))
+    assert(s2 == sf, s"duplicate rows must fold, not fan out: $s2 vs $sf")
+    assert(s2 == s1.map { case (k, v) => k -> 2 * v },
+      "folded duplicate = exactly 2× the single-row score")
+  }
 }
