@@ -97,20 +97,12 @@ object Bench {
     // as a real regression — the r8-q44/q18 and r10-q11/q15 pattern.
     // Re-run each such query once now (after both legs, a later window)
     // and record BOTH numbers so the artifact adjudicates itself.
-    val rerun32: Seq[(String, Double)] = (b32opt, b128opt) match {
+    val (rerun32, rerunErrors) = (b32opt, b128opt) match {
       case (Some((r32, _, _, _, dir32)), Some((r128, _, _, _, _))) =>
-        val best128 = r128.map { case (k, ts) => k -> ts.min }.toMap
-        r32.flatMap { case (name, ts) =>
-          val t32 = ts.min
-          best128.get(name)
-            .filter(t128 => t128 > 0 && t32 > 5 * t128)
-            .map { _ =>
-              System.err.println(s"[bench32] $name best $t32 s exceeds " +
-                "5x its bench128 time — contention suspected, re-running")
-              name -> timeOnce(spark, dir32, name)._1
-            }
-        }
-      case _ => Seq.empty
+        contentionReruns(r32,
+          r128.map { case (k, ts) => k -> ts.min }.toMap,
+          n => timeOnce(spark, dir32, n))
+      case _ => (Seq.empty[(String, Double)], Seq.empty[String])
     }
 
     // FULL per-query detail (the pre-r10 three-leg JSON) → a committed
@@ -159,8 +151,7 @@ object Bench {
         else {
           val rr = rerun.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
-          val adj = qs.map { case (k, v) =>
-            math.min(v, rerun.toMap.getOrElse(k, v)) }.sum
+          val adj = rerunAdjusted(qs, rerun.toMap)
           val adjRatio = duck.map { case (d, _) =>
             s""","ratio_rerun_adjusted":${f"${adj / d}%.2f"}""" }
             .getOrElse("")
@@ -179,8 +170,8 @@ object Bench {
         "\"" + p + "\":" + f"$r%.4f" }
       .mkString(""","ann_recall_curve":{""", ",", "}")).getOrElse("")
     val b32d = b32opt.map { case (r32, duck, runs32, errs32, _) =>
-      legDetail("bench32", r32, duck, 32, runs32, errs32,
-        rerun = rerun32)
+      legDetail("bench32", r32, duck, 32, runs32,
+        errs32 ++ rerunErrors, rerun = rerun32)
     }.getOrElse("")
     val b128d = b128opt.map { case (r128, extra, duck, runs128, errs128) =>
       legDetail("bench128", r128, duck, 128, runs128, errs128, extra)
@@ -221,10 +212,9 @@ object Bench {
     }
     val b32c = b32opt.map { case (r32, duck, runs32, errs32, _) =>
       val best = r32.map { case (k, ts) => k -> ts.min }
-      val adj = best.map { case (k, v) =>
-        math.min(v, rerun32.toMap.getOrElse(k, v)) }.sum
+      val adj = rerunAdjusted(best, rerun32.toMap)
       legCompact("bench32", best.map(_._2).sum, duck, 32, runs32,
-        errs32.size, rerun32, Some(adj))
+        errs32.size + rerunErrors.size, rerun32, Some(adj))
     }.getOrElse("")
     val b128c = b128opt.map { case (r128full, extra, duck, runs128, errs128) =>
       val r128 = r128full.map { case (k, ts) => k -> ts.min }
@@ -421,6 +411,49 @@ object Bench {
     }
     (results, errors.toSeq)
   }
+
+  /** Contention outlier guard: a bench32 best-of-N exceeding `factor`×
+    * the SAME query's bench128 best (4× the data) is physically
+    * impossible as a real regression — the r8-q44/q18 and r10-q11/q15
+    * pattern. Re-runs each such query once through `timer` and returns
+    * (valid re-run samples, errors). A FAILED re-run (typically fast)
+    * must never become a valid small sample that lowers the adjusted
+    * total — it is recorded as an error and the adjustment skipped for
+    * that query. Pulled out of main() so the path is spec-testable
+    * before a genuinely contended driver window needs it. */
+  private[graft] def contentionReruns(
+      r32: Seq[(String, Seq[Double])],
+      best128: Map[String, Double],
+      timer: String => (Double, Option[String]),
+      factor: Double = 5.0)
+      : (Seq[(String, Double)], Seq[String]) = {
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
+    val reruns = r32.flatMap { case (name, ts) =>
+      val t32 = ts.min
+      best128.get(name)
+        .filter(t128 => t128 > 0 && t32 > factor * t128)
+        .flatMap { _ =>
+          System.err.println(s"[bench32] $name best $t32 s exceeds " +
+            s"${factor}x its bench128 time — contention suspected, " +
+            "re-running")
+          val (t, err) = timer(name)
+          err match {
+            case Some(e) =>
+              errs += s"contention_rerun failed: $e"
+              None
+            case None => Some(name -> t)
+          }
+        }
+    }
+    (reruns, errs.toSeq)
+  }
+
+  /** The rerun-adjusted leg total: each query takes min(original best,
+    * re-run sample); queries without a (valid) re-run keep their
+    * original best. */
+  private[graft] def rerunAdjusted(best: Seq[(String, Double)],
+                                   rerun: Map[String, Double]): Double =
+    best.map { case (k, v) => math.min(v, rerun.getOrElse(k, v)) }.sum
 
   /** One timed noop-materialized execution: (elapsed sec, error if the
     * run failed — the elapsed time is recorded either way, so a failed
