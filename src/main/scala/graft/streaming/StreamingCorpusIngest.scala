@@ -102,8 +102,23 @@ object StreamingCorpusIngest {
             if (fs.exists(p)) fs.delete(p, true)
           }
         }
-        val prev = latestStateBefore(spark, stateDir, batchId)
+        val loaded = latestStateBefore(spark, stateDir, batchId)
           .getOrElse(bootstrapState(spark, cfg, withSimhash))
+        // restart-over-older-state guard: snapshots written by a run
+        // started with withSimhash=false carry no prints table, and the
+        // presence-of-state-activated SimHash stage would silently turn
+        // off for every subsequent batch (the latestStateBefore
+        // silent-degradation class). Inject an EMPTY prints table so
+        // the stage stays active and every later snapshot persists it.
+        val prev =
+          if (withSimhash && loaded.simhashPrints.isEmpty) {
+            System.err.println(s"[ingest] batch $batchId: loaded state " +
+              "has no simhash_prints but withSimhash=true — injecting " +
+              "an empty prints table so the SimHash stage stays active")
+            import spark.implicits._
+            loaded.copy(simhashPrints =
+              Some(Seq.empty[(Long, Long)].toDF("doc_id", "simhash")))
+          } else loaded
         val (survivors, next, _) =
           IncrementalIngestJob.run(prev, batch, evalSet, cfg)
         survivors.write.mode("overwrite")

@@ -94,4 +94,48 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     assert(st0.simhashPrints.isDefined &&
       st0.simhashPrints.get.count() == n)
   }
+
+  test("restart with withSimhash=true over a state written WITHOUT " +
+    "simhash activates the stage (empty prints injected) instead of " +
+    "silently degrading for every subsequent batch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val day0 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 80)
+    val day1 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 140)
+
+    val srcDir = Files.createTempDirectory("graft_scirs_src")
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String,
+                ts: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_scirs_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, srcDir.resolve(name))
+      srcDir.resolve(name).toFile.setLastModified(ts)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    writeAs(day0, "day0.parquet", t0)
+
+    val target = Files.createTempDirectory("graft_scirs_tgt").toString
+    val state = Files.createTempDirectory("graft_scirs_st").toString
+    val cp = Files.createTempDirectory("graft_scirs_cp").toString
+    // first run: simhash OFF — after_0 carries no prints table
+    StreamingCorpusIngest.ingest(spark, srcDir.toString, target, state,
+      cp, evalSet, withSimhash = false).awaitTermination()
+    assert(IncrementalIngestJob.loadState(spark, s"$state/after_0")
+      .simhashPrints.isEmpty)
+    // second run over the SAME checkpoint/state with simhash ON: batch
+    // 1 loads after_0 (prints-less) — pre-fix the stage silently stayed
+    // off and after_1 carried no prints either
+    writeAs(day1, "day1.parquet", t0 + 120000L)
+    StreamingCorpusIngest.ingest(spark, srcDir.toString, target, state,
+      cp, evalSet, withSimhash = true).awaitTermination()
+    val st1 = IncrementalIngestJob.loadState(spark, s"$state/after_1")
+    val batch1Survivors = spark.read.parquet(target)
+      .where(col("batch_id") === 1).count()
+    assert(batch1Survivors > 0)
+    assert(st1.simhashPrints.isDefined,
+      "after_1 must persist the prints table — the stage was activated")
+    assert(st1.simhashPrints.get.count() == batch1Survivors)
+  }
 }
