@@ -179,4 +179,57 @@ class IncrementalIngestSpec extends SparkSuite {
       evalSet, cfg)
     assert(reRun.count() == 0)
   }
+
+  test("ALL FIVE stages live (the q362 configuration): the ladder " +
+    "runs end to end on the fixtures, every stage appears in the " +
+    "ledger, and survivor re-ingest WITH embeddings against the " +
+    "absorbed state is a total no-op") {
+    import graft.functions.TextClean
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val prepped = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        TextClean.scrub(TextClean.canonicalizeClasses(col("text"))))
+    val stateVecs = e.filter(col("vec_id") % 5 =!= 0)
+    val cs = graft.operators.SemDedup.seedCentroids(stateVecs, 8)
+    val keptState = graft.operators.SemDedup.assign(stateVecs, cs)
+      .select(col("vec_id"), col("vec").as("embedding"), col("cluster"))
+    val st = IncrementalIngestJob.State(
+      prepped.select(TextFns.fingerprint(col("text"))
+        .as("fingerprint")),
+      Dedup.minhashSignatures(prepped, k = 4, n = 2),
+      Some(cs), Some(keptState),
+      Some(prepped.select(col("doc_id"),
+        TextFns.simhash64(col("text")).as("simhash"))))
+    val cfg = IncrementalIngestJob.Config(minQuality = 0.25,
+      minhashK = 4, bands = 2, shingleN = 2, minMatches = 3,
+      contaminationN = 5, contaminationThreshold = 0.5,
+      simhashMaxHamming = 3, semDedupTau = 0.4)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val be = e.filter(col("vec_id") % 5 === 0)
+    val evalSet50 = docs.filter(col("doc_id") < 50)
+    val (s1, st2, ledger) = IncrementalIngestJob.run(st, batch,
+      evalSet50, cfg, Some(be))
+    val surv = s1.localCheckpoint(true)
+    s1.unpersist()
+    // every stage materialized, in run()'s documented order
+    assert(ledger.map(_._1) == Seq("input", "canonicalized",
+      "scrubbed", "quality_gate", "decontaminated", "exact_deduped",
+      "near_deduped", "simhash_deduped", "sem_deduped"), ledger)
+    assert(surv.count() > 0)
+    // all four index families appended from survivors only
+    assert(st2.simhashPrints.get.count() ==
+      st.simhashPrints.get.count() + surv.count())
+    assert(st2.keptEmbeddings.get.count() >= keptState.count())
+    // the no-op: survivors (vectors riding along) against the state
+    // that absorbed them — dropped at the exact probe before any
+    // later stage can even see them, and the semantic probe would
+    // drop them anyway (own vector now in kept state at cosine 1)
+    val survEmb = be.join(surv.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val (s2, _, led2) = IncrementalIngestJob.run(st2, surv,
+      evalSet50, cfg, Some(survEmb))
+    assert(s2.count() == 0, s"survivor re-ingest must be a no-op " +
+      s"with all stages live; ledger: ${led2.mkString(", ")}")
+    s2.unpersist()
+  }
 }
