@@ -35,6 +35,12 @@ import graft.operators.{Decontaminate, Dedup, SemDedup}
   */
 object IncrementalIngestJob {
 
+  /** Dev-only observability seam: when set, [[run]] reports each
+    * stage's materialization wall time (name, seconds) — the number
+    * the funnel profile attributes the fixed per-batch cost with.
+    * Never set in production paths; the ledger shape is unchanged. */
+  private[graft] var stageTimer: Option[(String, Double) => Unit] = None
+
   /** The persisted between-batches state. `fingerprints` is one
     * column (`fingerprint`, the [[TextFns.fingerprint]] hex form);
     * `sigIndex` is [[Dedup.minhashSignatures]] output; the semantic
@@ -133,7 +139,9 @@ object IncrementalIngestJob {
     var previous: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
       val cached = df.cache()
+      val t0 = System.nanoTime()
       ledger += name -> cached.count()
+      stageTimer.foreach(_(name, (System.nanoTime() - t0) / 1e9))
       if (previous != null) previous.unpersist()
       previous = cached
       cached

@@ -280,11 +280,13 @@ object Dedup {
   def hammingDedupGroups(hashed: DataFrame, hashCol: String,
                          idCol: String, maxHamming: Int = 3,
                          maxBucket: Int = Int.MaxValue,
-                         maxIterations: Int = 16): DataFrame = {
+                         maxIterations: Int = 16,
+                         smallCutoff: Long = defaultSmallCutoff)
+      : DataFrame = {
     val edges = hammingBandPairs(hashed, hashCol, idCol, maxHamming,
       maxBucket)
     labelPropagate(hashed.select(col(idCol).as("id")), edges,
-        maxIterations)
+        maxIterations, smallCutoff)
       .select(col("id").as(idCol), col("canonical"))
   }
 
@@ -353,11 +355,16 @@ object Dedup {
     * Convergence is one changed-label count per round over the
     * checkpointed label frames; the jump makes rounds O(log diameter),
     * so `maxIterations` = 16 covers any component a real corpus can
-    * produce. */
+    * produce. Batch-sized inputs (banded rows ≤ `smallCutoff`) skip
+    * the loop for exact driver union-find — identical labels, one
+    * roundtrip (the incremental-ingest latency path; see
+    * [[labelPropagate]]). */
   def minhashDedupGroups(docs: DataFrame, k: Int = 8, bands: Int = 4,
                          n: Int = 2, maxIterations: Int = 16,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         smallCutoff: Long = defaultSmallCutoff)
+      : DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, k, n, textCol, idCol)
@@ -370,22 +377,46 @@ object Dedup {
           .map(i => col(s"sig_$i")))): _*)).as("bucket"))
       .filter(col("bucket").isNotNull)
       .localCheckpoint()
-    var labels = banded.select(col("id")).distinct()
-      .withColumn("canonical", col("id")) // self-label start
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      val hop = banded
-        .join(banded.join(labels, Seq("id"))
-          .groupBy(col("bucket")).agg(min(col("canonical")).as("bmin")),
-          Seq("bucket"))
-        .groupBy(col("id")).agg(min(col("bmin")).as("canonical"))
-      val next = pointerJump(hop).localCheckpoint()
-      converged = labelsChanged(next, labels) == 0
-      freeCheckpointed(labels) // superseded round — drop its blocks now
-      labels = next
-      iter += 1
+    // small-batch fast path (see [[labelPropagate]]): under the cutoff,
+    // components of the bipartite doc-bucket graph come from exact
+    // driver union-find (ids sharing a bucket union through the
+    // bucket's first-seen id) in one roundtrip — identical labels to
+    // the converged loop, none of its per-round scheduling overhead.
+    val labels: DataFrame = if (smallCutoff > 0 &&
+        banded.count() <= smallCutoff &&
+        banded.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairs = banded.collect().iterator.flatMap { row =>
+        val id = row.getLong(0)
+        val bucket = row.getString(1)
+        firstSeen.get(bucket) match {
+          case Some(first) => Iterator((first, id))
+          case None => firstSeen(bucket) = id; Iterator((id, id))
+        }
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      unionFindMinLabels(pairs).toSeq.toDF("id", "canonical")
+    } else {
+      var lbl = banded.select(col("id")).distinct()
+        .withColumn("canonical", col("id")) // self-label start
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        val hop = banded
+          .join(banded.join(lbl, Seq("id"))
+            .groupBy(col("bucket")).agg(min(col("canonical")).as("bmin")),
+            Seq("bucket"))
+          .groupBy(col("id")).agg(min(col("bmin")).as("canonical"))
+        val next = pointerJump(hop).localCheckpoint()
+        converged = labelsChanged(next, lbl) == 0
+        freeCheckpointed(lbl) // superseded round — drop its blocks now
+        lbl = next
+        iter += 1
+      }
+      lbl
     }
     freeCheckpointed(banded)
     // singleton pass-through: docs that produced no band bucket
@@ -706,7 +737,8 @@ object Dedup {
     * never deepens. (The minhash variant propagates through bucket
     * memberships instead.) */
   def labelPropagate(ids: DataFrame, edges: DataFrame,
-                     maxIterations: Int = 16): DataFrame = {
+                     maxIterations: Int = 16,
+                     smallCutoff: Long = defaultSmallCutoff): DataFrame = {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges
@@ -715,6 +747,33 @@ object Dedup {
       // and re-deriving edges per round would re-run the (possibly
       // all-pairs) pair generator each time
       .localCheckpoint()
+    // small-graph fast path: the edge list is already materialized, so
+    // sizing it is one cheap count. Under the cutoff (a batch-sized
+    // graph — the incremental-ingest case, where the iterative loop's
+    // ~4 jobs/round of fixed scheduling overhead dominate a few hundred
+    // docs), collect the edges and run exact union-find on the driver:
+    // the same component-min labels in ONE roundtrip instead of
+    // O(log diameter) shuffle rounds. Precondition shared with the
+    // distributed loop: edge endpoints are drawn from `ids` (a foreign
+    // endpoint is ignored by the loop but unioned through here — no
+    // caller constructs one). The exact path subsumes `maxIterations`;
+    // pass smallCutoff = 0 to pin the distributed loop (as the
+    // truncation spec does).
+    if (smallCutoff > 0 && sym.count() <= smallCutoff &&
+        sym.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val pairs = sym.collect().iterator
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val lbl = unionFindMinLabels(pairs)
+      freeCheckpointed(sym)
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val lblDf = lbl.toSeq.toDF("id", "canonical")
+      return ids.select(col("id"))
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("canonical"), col("id")).as("canonical"))
+    }
     var labels = ids.select(col("id"), col("id").as("canonical"))
       .localCheckpoint()
     var converged = false
@@ -734,6 +793,41 @@ object Dedup {
     }
     freeCheckpointed(sym)
     labels
+  }
+
+  /** Row-count bound under which the component loops switch to exact
+    * driver-side union-find. 500k (id, key) rows ≈ tens of MB on the
+    * driver — trivially safe — while a corpus-sized rebuild (e.g. the
+    * 32× ScaleCheck's 160k docs × 4 bands = 640k banded rows) stays on
+    * the distributed loop. Both paths produce the identical
+    * component-min labels (spec-pinned); the cutoff trades one driver
+    * roundtrip against ~4 jobs × O(log diameter) rounds of scheduling
+    * overhead, which dominate batch-sized graphs. */
+  val defaultSmallCutoff: Long = 500000L
+
+  /** Exact union-find (path compression + min-root union) over an edge
+    * stream: because union always attaches the larger root beneath the
+    * smaller, every root IS its component's minimum id, so the result
+    * maps each seen id to exactly the label the converged distributed
+    * propagation assigns it. */
+  private def unionFindMinLabels(
+      pairs: Iterator[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def add(x: Long): Unit =
+      if (!parent.contains(x)) parent(x) = x
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Drop the block-manager copies behind a locally-checkpointed frame

@@ -131,15 +131,42 @@ class DedupSpec extends SparkSuite {
     val ids = (1 to n).map(_.toLong).toDF("id")
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val converged = Dedup.labelPropagate(ids, edges)
+    // smallCutoff = 0 pins the DISTRIBUTED loop — this test is about
+    // its convergence discipline, which the driver fast path subsumes
+    val converged = Dedup.labelPropagate(ids, edges, smallCutoff = 0)
       .as[(Long, Long)].collect().toMap
     assert(converged.values.toSet == Set(1L), s"under-merged: $converged")
     // a fixed 1-round budget covers ≤2 hops (one neighbor-min + one
     // pointer jump) — the far end of the chain cannot reach id 1: the
     // silent under-merge the convergence check exists to prevent
-    val truncated = Dedup.labelPropagate(ids, edges, maxIterations = 1)
+    val truncated = Dedup.labelPropagate(ids, edges, maxIterations = 1,
+        smallCutoff = 0)
       .as[(Long, Long)].collect().toMap
     assert(truncated.values.toSet != Set(1L))
+  }
+
+  test("the small-graph union-find fast path labels EXACTLY like the " +
+    "distributed propagation loop — edge graphs and bucket graphs") {
+    // labelPropagate: a deterministic pseudo-random graph with chains,
+    // merged components, self-contained singletons, and an isolated id
+    val ids = (1L to 60L).toSeq.toDF("id")
+    val edges = (1 until 50).filter(i => (i * 7) % 3 != 0)
+      .map(i => (i.toLong, (i + (i % 5) + 1).toLong))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.labelPropagate(ids, edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.labelPropagate(ids, edges, smallCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast.keySet == (1L to 60L).toSet) // every id labeled once
+    // minhashDedupGroups: the fixture corpus (dup cluster + near dup +
+    // singleton) through both paths
+    val fastM = Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2)
+      .as[(Long, Long)].collect().toMap
+    val distM = Dedup.minhashDedupGroups(docs, k = 8, bands = 4, n = 2,
+        smallCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fastM == distM)
   }
 
   test("ngramJaccardPairs maxDf drops corpus-frequent shingles so hot " +
