@@ -167,9 +167,12 @@ object IncrementalIngestJob {
       scored, evalSet, cfg.contaminationN, cfg.contaminationThreshold))
 
     // exact dedup: within batch + against the fingerprint set
-    // (Bloom-probed state scan, broadcast resolve)
+    // (Bloom-probed state scan, broadcast resolve). The ledger just
+    // counted the decontaminated frame — reuse it for bloom sizing
+    // instead of paying incrementalByFingerprint's own count action.
     val exactDeduped = stage("exact_deduped",
-      Dedup.incrementalByFingerprint(state.fingerprints, decontaminated))
+      Dedup.incrementalByFingerprint(state.fingerprints, decontaminated,
+        expectedItems = Some(ledger.last._2)))
 
     // near dedup, two verdicts: (a) the banded probe of the signature
     // index at `minMatches` agreement (corpus wins); (b) within-batch
