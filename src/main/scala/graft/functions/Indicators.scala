@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import WindowFns._
@@ -54,6 +54,42 @@ object Indicators {
     round(rsiVal, 4)
   }
 
+  /** [[rsi]] with the window aggregates STAGED as intermediate columns
+    * (optimization round 12, guide §1.2 step 2 / §7.2): Catalyst's
+    * ExtractWindowExpressions extracts one window expression PER TEXTUAL
+    * OCCURRENCE — the pure-Column [[rsi]] formula references avgLoss
+    * twice and each rollingMean embeds its own count gate, so its
+    * physical Window operator evaluates SIX sliding-frame aggregates
+    * (count/avg of loss twice, count/avg of gain) plus FOUR identical
+    * lag(close) columns, and Spark's SlidingWindowFunctionFrame
+    * re-aggregates the whole `period`-row frame per output row for each
+    * of them. Staging computes each distinct aggregate once: one lag,
+    * two sliding avgs, and a row_number gate (O(1)/row running frame) —
+    * the count gates collapse to row_number because gain/loss are
+    * never null BY CONSTRUCTION (`when(...).otherwise(0.0)` is non-null
+    * even for a null delta), so count(gain) over a trailing(period)
+    * frame ≡ min(row_number, period). Identical values to [[rsi]] (same
+    * arithmetic on the same aggregates — equivalence spec-pinned in
+    * IndicatorsSpec); measured ~6→3 window expressions on q15's plan. */
+  def rsiStaged(df: DataFrame, close: Column, w: WindowSpec,
+                period: Int = 14, out: String = "rsi"): DataFrame = {
+    val f = trailing(w, period)
+    val delta = col("_rsi_delta")
+    val gain = when(delta > 0, delta).otherwise(0.0)
+    val loss = when(delta < 0, -delta).otherwise(0.0)
+    val gate = col("_rsi_n") >= period
+    val rsiVal = when(gate && col("_rsi_al") === 0, 100.0)
+      .otherwise(when(gate, round(
+        lit(100.0) - lit(100.0) /
+          (lit(1.0) + col("_rsi_ag") / col("_rsi_al")), 4)))
+    df.withColumn("_rsi_delta", diff(close, w))
+      .withColumn("_rsi_n", row_number().over(w))
+      .withColumn("_rsi_ag", avg(gain).over(f))
+      .withColumn("_rsi_al", avg(loss).over(f))
+      .withColumn(out, rsiVal)
+      .drop("_rsi_delta", "_rsi_n", "_rsi_ag", "_rsi_al")
+  }
+
   /** True range `greatest(h-l, |h-prev_c|, |l-prev_c|)`
     * (reference: ml/feature_engineering.py:43-49). */
   def trueRange(high: Column, low: Column, close: Column,
@@ -76,6 +112,28 @@ object Indicators {
     val sma = rollingMean(close, period, period, w)
     val std = rollingStd(close, period, period, w)
     round((lit(2 * numStd) * std) / nullif(sma, lit(0)) * 100, 4)
+  }
+
+  /** [[bollingerWidth]] with the window aggregates staged as columns
+    * (same rationale as [[rsiStaged]]): the pure-Column form embeds a
+    * count(close) gate in BOTH rollingMean and rollingStd, so the
+    * Window operator evaluates four sliding aggregates where three are
+    * distinct. The count gate stays a real count (close CAN be null in
+    * general, unlike rsi's clamped gain/loss), shared by both
+    * aggregates. Identical values (spec-pinned). */
+  def bollingerStaged(df: DataFrame, close: Column, w: WindowSpec,
+                      period: Int = 20, numStd: Double = 2.0,
+                      out: String = "bb_width"): DataFrame = {
+    val f = trailing(w, period)
+    val gate = col("_bb_n") >= period
+    val sma = when(gate, col("_bb_sma"))
+    val std = when(gate, col("_bb_std"))
+    df.withColumn("_bb_n", count(close).over(f))
+      .withColumn("_bb_sma", avg(close).over(f))
+      .withColumn("_bb_std", stddev_samp(close).over(f))
+      .withColumn(out,
+        round((lit(2 * numStd) * std) / nullif(sma, lit(0)) * 100, 4))
+      .drop("_bb_n", "_bb_sma", "_bb_std")
   }
 
   /** Move-size category on |pct_change|

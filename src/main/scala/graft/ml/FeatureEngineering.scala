@@ -57,16 +57,19 @@ object FeatureEngineering {
       case None => bars.withColumn("sentiment", lit(null).cast("string"))
     }
 
-    var df = withSent
-      .withColumn("volatility", vol)
-      .withColumn("price_change_1", WindowFns.pctChange(col("close"), 1, w))
-      .withColumn("price_change_3", WindowFns.pctChange(col("close"), 3, w))
-      .withColumn("price_change_5", WindowFns.pctChange(col("close"), 5, w))
-      .withColumn("rsi_14", Indicators.rsi(col("close"), w, 14))
-      .withColumn("atr_14",
-        Indicators.atr(col("high"), col("low"), col("close"), w, 14))
-      .withColumn("bb_width_20",
-        Indicators.bollingerWidth(col("close"), w, 20, 2.0))
+    // rsi/bollinger via the staged forms: each distinct window aggregate
+    // computed once instead of per textual occurrence (r12 optimization;
+    // Indicators.rsiStaged scaladoc) — identical values, spec-pinned
+    var df = Indicators.bollingerStaged(
+      Indicators.rsiStaged(withSent
+        .withColumn("volatility", vol)
+        .withColumn("price_change_1", WindowFns.pctChange(col("close"), 1, w))
+        .withColumn("price_change_3", WindowFns.pctChange(col("close"), 3, w))
+        .withColumn("price_change_5", WindowFns.pctChange(col("close"), 5, w)),
+        col("close"), w, 14, "rsi_14")
+        .withColumn("atr_14",
+          Indicators.atr(col("high"), col("low"), col("close"), w, 14)),
+      col("close"), w, 20, 2.0, "bb_width_20")
       .withColumn("volume_ma_20",
         WindowFns.rollingMean(col("volume"), 20, 1, w))
       .withColumn("volume_ratio",

@@ -95,10 +95,12 @@ object SeriesQueries {
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
-    // W8: RSI(14) composite
+    // W8: RSI(14) composite — staged form computes each distinct window
+    // aggregate once (6 sliding aggs + 4 lags → 2 sliding aggs + a
+    // row_number gate + 1 lag; see Indicators.rsiStaged scaladoc)
     "q15_rsi" -> ((s, d) =>
-      bars(s, d).select(col("user_id"), col("date"),
-          Indicators.rsi(col("close"), seriesW, 14).as("rsi_14"))
+      Indicators.rsiStaged(bars(s, d), col("close"), seriesW, 14, "rsi_14")
+        .select(col("user_id"), col("date"), col("rsi_14"))
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
@@ -110,11 +112,12 @@ object SeriesQueries {
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
-    // W10: Bollinger width(20, 2σ)
+    // W10: Bollinger width(20, 2σ) — staged form shares one count gate
+    // between the sma and std aggregates (4 → 3 window expressions)
     "q17_bollinger" -> ((s, d) =>
-      bars(s, d).select(col("user_id"), col("date"),
-          Indicators.bollingerWidth(col("close"), seriesW, 20, 2.0)
-            .as("bb_width_20"))
+      Indicators.bollingerStaged(bars(s, d), col("close"), seriesW,
+          20, 2.0, "bb_width_20")
+        .select(col("user_id"), col("date"), col("bb_width_20"))
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 
