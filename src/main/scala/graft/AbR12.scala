@@ -75,6 +75,22 @@ object AbR12 {
     }
     def q18Kept() = SparkEntry.queries("q18_fact_sentiment")(spark, dir)
 
+    // --- q33: the sf0.1 documents fixture is ONE single-row-group file,
+    // so the MinHash kernel runs on ONE task regardless of cores (guide
+    // §2.5 "input skew: one huge unsplittable file → repartition
+    // immediately after the read"). A/B: kernel on the raw scan vs
+    // after a round-robin repartition to session parallelism. ---
+    def q33Flat() = SparkEntry.queries("q33_minhash_sigs")(spark, dir)
+    def q33Repart() = {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      Dedup.minhashSignatures(docs, k = 4, n = 2)
+        .orderBy(col("doc_id"))
+    }
+
+    AbBench.time("q33 flat scan", q33Flat)
+    AbBench.time("q33 repartitioned", q33Repart)
     AbBench.time("q15_rsi OLD (column)", q15Old)
     AbBench.time("q15_rsi NEW (staged)", q15New)
     AbBench.time("q17_bollinger OLD", q17Old)

@@ -86,4 +86,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Guide §2.5 "one huge unsplittable file → repartition immediately
+    * after the read": a single-row-group parquet file yields a ONE-task
+    * scan no matter how many cores the session has, serializing any
+    * expensive per-row kernel above it (the sf0.1 fixtures are exactly
+    * this shape — q33's MinHash kernel measured 0.92 s single-task vs
+    * 0.62 s repartitioned, graft.AbR12). Round-robin repartition to
+    * session parallelism ONLY when the scan's split count cannot feed
+    * half the cores; any real-scale input (and the inflated bench legs,
+    * ≥cpus files) splits fine and passes through untouched, so this
+    * never adds a shuffle where the layout already parallelizes.
+    * Deterministic: Spark's sort-before-repartition (on by default)
+    * makes the round-robin assignment stable under task retries. */
+  def parallelized(s: SparkSession, df: DataFrame): DataFrame = {
+    val scanParts = df.rdd.getNumPartitions // plan-only, no job
+    val target = s.sparkContext.defaultParallelism
+    if (scanParts * 2 <= target) df.repartition(target) else df
+  }
 }

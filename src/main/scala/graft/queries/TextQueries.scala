@@ -94,8 +94,14 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     // minhash signatures (md5-seeded, word-bigram shingles)
+    // the kernel is the cost here, and a single-row-group fixture file
+    // scans as ONE task — parallelize the map work when (and only when)
+    // the scan under-feeds the session (Tables.parallelized scaladoc;
+    // measured 0.92 → 0.62 s at sf0.1, no-op on the ≥cpus-file
+    // inflated legs)
     "q33_minhash_sigs" -> ((s, d) =>
-      Dedup.minhashSignatures(Tables.documents(s, d), k = 4, n = 2)
+      Dedup.minhashSignatures(
+          Tables.parallelized(s, Tables.documents(s, d)), k = 4, n = 2)
         .orderBy(col("doc_id"))),
 
     // n-gram jaccard pairs via inverted index (no cross join), with the

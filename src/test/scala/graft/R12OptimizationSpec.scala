@@ -112,6 +112,25 @@ class R12OptimizationSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("Tables.parallelized repartitions a one-task scan to session " +
+    "parallelism and passes a well-split input through untouched") {
+    // sf0.001 documents = one single-row-group file → 1 scan task
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(docs.rdd.getNumPartitions == 1)
+    val par = Tables.parallelized(spark, docs)
+    assert(par.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(par.queryExecution.executedPlan.toString
+      .contains("Exchange RoundRobinPartitioning"))
+    // already-split input (≥ half the cores): untouched, no shuffle
+    val wide = spark.range(100).repartition(
+      spark.sparkContext.defaultParallelism).toDF("id")
+    val same = Tables.parallelized(spark, wide)
+    assert(same eq wide)
+    // values unchanged, one row per doc either way
+    assert(par.count() == docs.count())
+  }
+
   test("stgDailyPrices plans exactly one lag window expression (was " +
     "four identical lags before the r12 staging)") {
     val bars = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 10.0),
