@@ -177,8 +177,11 @@ object Bench {
       legDetail("bench128", r128, duck, 128, runs128, errs128, extra)
     }.getOrElse("")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qsFull$mainRunsJson$curveJson,"sf":"$sfDir"${errJson(errors)}$b32d$b128d}"""
+    // keyed by core count so the driver's lower-core leg doesn't
+    // clobber the 32-core detail (r12 lost the 32-core bench128
+    // per-query ratios this way) — both legs' details now coexist
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_detail.json")
+      s"BENCH_detail_c$cpus.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case scala.util.control.NonFatal(e) =>

@@ -100,11 +100,15 @@ object AnalyticsViews {
     // scaladoc); the scaled e4 longs are kept so F1 — a ratio of the
     // ROUNDED P and R — also rounds exactly: with p = p4/10⁴,
     // r = r4/10⁴, round(2pr/(p+r)·10⁴) = round(2·p4·r4/(p4+r4))
-    val p4 = ExactRound.scaled(col("n"), sum(col("n")).over(pDen), 4)
-    val r4 = ExactRound.scaled(col("n"), sum(col("n")).over(rDen), 4)
+    // stage each partition-sum once: ExactRound.scaled references its
+    // denominator twice (half-up div), so the inline form planned each
+    // sum(n) window aggregate ×2 (per-occurrence extraction, the r12
+    // q11/q15 lesson)
     cm
-      .withColumn("_p4", p4)
-      .withColumn("_r4", r4)
+      .withColumn("_pden", sum(col("n")).over(pDen))
+      .withColumn("_rden", sum(col("n")).over(rDen))
+      .withColumn("_p4", ExactRound.scaled(col("n"), col("_pden"), 4))
+      .withColumn("_r4", ExactRound.scaled(col("n"), col("_rden"), 4))
       .filter(col("predicted_class") === col("actual_class"))
       .select(col("predicted_class").as("class"),
         (col("_p4").cast("double") / 10000).as("precision"),

@@ -87,9 +87,18 @@ object AsOfJoin {
     val wFwd = base.orderBy((Seq(col(timeCol).asc, col("_side").desc) ++
         tiebreak): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val backPick = last(col("_payload"), ignoreNulls = true).over(wBack)
-    val fwdPick = first(col("_payload"), ignoreNulls = true).over(wFwd)
+    // stage each pick window expression ONCE as a column and derive
+    // the tolerance/nearest algebra from the staged columns: window
+    // expressions extract per textual occurrence (the r12 q11/q15
+    // lesson), so the inline form planned the last()/first() window
+    // aggregate 2-3× per direction and ~12× for "nearest"
     val unioned = rTagged.unionByName(lTagged)
+    val withBack = if (direction == "forward") unioned
+      else unioned.withColumn("_back",
+        last(col("_payload"), ignoreNulls = true).over(wBack))
+    val staged = if (direction == "backward") withBack
+      else withBack.withColumn("_fwd",
+        first(col("_payload"), ignoreNulls = true).over(wFwd))
     def tolerated(pick: Column, dir: String): Column = {
       val in = tolerance.map { tol =>
         if (dir == "backward") pick.getField(rtName) >= col(timeCol) - tol
@@ -98,11 +107,11 @@ object AsOfJoin {
       when(pick.isNotNull && in, pick)
     }
     val asof = direction match {
-      case "backward" => tolerated(backPick, "backward")
-      case "forward"  => tolerated(fwdPick, "forward")
+      case "backward" => tolerated(col("_back"), "backward")
+      case "forward"  => tolerated(col("_fwd"), "forward")
       case "nearest"  =>
-        val b = tolerated(backPick, "backward")
-        val f = tolerated(fwdPick, "forward")
+        val b = tolerated(col("_back"), "backward")
+        val f = tolerated(col("_fwd"), "forward")
         // fractional epoch-seconds distance: works for INT/DATE/
         // TIMESTAMP times and preserves sub-second gaps (a long cast
         // would floor 10.9s and 10.0s to equal distance)
@@ -112,7 +121,7 @@ object AsOfJoin {
             secs(f.getField(rtName)) - secs(col(timeCol)), b)
           .otherwise(f)
     }
-    val matched = unioned
+    val matched = staged
       .withColumn("_asof", asof)
       .filter(col("_side") === 1)
 

@@ -14,12 +14,12 @@ import graft.functions.TextFns
   * one task. [[distributedPrefixSum]] instead computes the classic
   * two-phase parallel scan:
   *
-  *   1. range-repartition by the ordering (each partition owns a
-  *      contiguous key range; Spark's range partitioner samples
-  *      deterministically),
-  *   2. per-partition running sums via a window PARTITIONED by
-  *      `spark_partition_id()` — all partitions in parallel,
-  *   3. per-partition totals (one tiny row per partition) get their own
+  *   1. assign each row a range-bucket id that is MONOTONE along the
+  *      ordering (quantile literals probed at construction — a pure
+  *      row function, see [[Ranks.prefixSums]]),
+  *   2. per-bucket running sums via a window PARTITIONED by the
+  *      bucket id — all buckets in parallel,
+  *   3. per-bucket totals (one tiny row per bucket) get their own
   *      prefix sum and broadcast back as offsets.
   *
   * The only single-partition window runs over `numPartitions` rows.
@@ -30,35 +30,18 @@ object BudgetSelect {
 
   /** Adds `cumCol` = running sum of `valueCol` over the TOTAL order
     * given by `order` (which must be tie-free), without a global
-    * single-partition window. */
+    * single-partition window. Delegates to [[Ranks.prefixSums]] —
+    * whose range-bucket id is a pure row function (construction-time
+    * quantile literals), unlike this object's original
+    * `repartitionByRange` + `spark_partition_id()` formulation, where
+    * the offsets subtree and the running-sum subtree were separate
+    * executions whose SAMPLED range boundaries could legally disagree
+    * (observed under AQE in r13 as off-by-a-few global ranks). */
   def distributedPrefixSum(df: DataFrame, order: Seq[Column],
                            valueCol: Column, cumCol: String,
-                           numPartitions: Int = 0): DataFrame = {
-    val n = if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__local_cum",
-      sum(valueCol).over(
-        Window.partitionBy(col("__pid"))
-          .orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // per-partition totals: numPartitions rows — the one tiny
-    // single-partition window in the job
-    val offsets = local.groupBy(col("__pid"))
-      .agg(sum(valueCol).as("__ptotal"))
-      .withColumn("__offset",
-        coalesce(sum(col("__ptotal")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumCol, col("__offset") + col("__local_cum"))
-      .drop("__pid", "__local_cum", "__offset")
-  }
+                           numPartitions: Int = 0): DataFrame =
+    Ranks.prefixSums(df, order, Seq(cumCol -> valueCol),
+      numPartitions = numPartitions)
 
   /** Greedy budget selection over `documents`: score with
     * [[TextFns.qualityScore]] (4dp-exact), order by (quality DESC,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -24,10 +23,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: one token explode (map-side) → one B-bucket aggregate
   * (fixed state, broadcast back) → one per-doc sum keyed by id. The
   * bucket model is B rows regardless of corpus size; nothing quadratic
-  * anywhere. The top-k rank runs on the per-doc frame; at extreme doc
-  * cardinality the cut would come from an approx-quantile threshold
-  * broadcast back (the q116/q135 gate shape) — the exact rank is the
-  * oracle semantics.
+  * anywhere. The top-k keep set comes from orderBy+limit
+  * (TakeOrderedAndProject: per-partition top-k, topK-row merge)
+  * broadcast back onto the per-doc frame — no corpus-scale
+  * single-partition rank window anywhere.
   */
 object Dsir {
 
@@ -64,14 +63,24 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lr")).as("_lw"))
-    val ranked = docs.select(col(idCol))
+    val base = docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .withColumn("_rk", row_number().over(Window.orderBy(
-        col("_lw").desc_nulls_last, col(idCol))))
-    ranked.select(col(idCol),
-      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-      col("_lw").cast("double").as("log_weight"),
-      (col("_lw").isNotNull && col("_rk") <= topK).cast("long")
-        .as("kept"))
+    // top-k keep WITHOUT a corpus-scale single-partition rank window:
+    // under the tie-free (log-weight DESC NULLS LAST, id) total order
+    // the kept set is exactly the topK highest non-null log-weights —
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // top-k, then a topK-row merge) and the flag comes back as a
+    // broadcast join of ≤ topK ids. Identical to
+    // `row_number() <= topK AND _lw IS NOT NULL` for every doc.
+    val topIds = base.where(col("_lw").isNotNull)
+      .orderBy(col("_lw").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), lit(1L).as("_in_top"))
+    base.join(broadcast(topIds), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("_lw").cast("double").as("log_weight"),
+        (col("_lw").isNotNull && col("_in_top").isNotNull).cast("long")
+          .as("kept"))
   }
 }

@@ -482,12 +482,17 @@ object EventSeries {
   def drawdown(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val peak = max(col("close")).over(w)
-    val dd = round((col("close") - peak) / peak * 100, 4)
+    // stage the running max once and derive the drawdown from the
+    // staged column: window expressions extract per textual occurrence
+    // (the r12 q11/q15 lesson), so the inline form planned the
+    // max(close) running aggregate 4× (twice in the ratio, twice more
+    // inside the min(dd) argument)
     bars.select(col("user_id"), col("date"), col("close"))
-      .withColumn("peak", peak)
-      .withColumn("drawdown_pct", dd)
-      .withColumn("max_drawdown_pct", min(dd).over(w))
+      .withColumn("peak", max(col("close")).over(w))
+      .withColumn("drawdown_pct",
+        round((col("close") - col("peak")) / col("peak") * 100, 4))
+      .withColumn("max_drawdown_pct",
+        min(col("drawdown_pct")).over(w))
   }
 
   /** Pairwise Pearson correlation of daily returns between keys — the
@@ -552,14 +557,16 @@ object EventSeries {
   def momentumQuintiles(bars: DataFrame, lookback: Int = 5,
                         buckets: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("date"))
-    val prevN = lag(col("close"), lookback).over(w)
-    val mom = round((col("close") - prevN)
-      / nullif(prevN, lit(0)) * 100, 4)
-    val nextClose = lead(col("close"), 1).over(w)
-    val nextRet = round((nextClose - col("close"))
-      / nullif(col("close"), lit(0)) * 100, 4)
-    val scored = bars.select(col("user_id"), col("date"),
-        mom.as("mom"), nextRet.as("next_ret"))
+    // stage the lag once (per-occurrence extraction: the inline form
+    // planned lag(close, lookback) ×3 — numerator + NULLIF's two)
+    val scored = bars
+      .withColumn("_prev", lag(col("close"), lookback).over(w))
+      .withColumn("_next", lead(col("close"), 1).over(w))
+      .select(col("user_id"), col("date"),
+        round((col("close") - col("_prev"))
+          / nullif(col("_prev"), lit(0)) * 100, 4).as("mom"),
+        round((col("_next") - col("close"))
+          / nullif(col("close"), lit(0)) * 100, 4).as("next_ret"))
       .where(col("mom").isNotNull)
     val qW = Window.partitionBy(col("date"))
       .orderBy(col("mom").desc, col("user_id"))
@@ -958,10 +965,15 @@ object EventSeries {
       lit(1L).as("delta"))
     val ends = sessions.select((col("end_us").cast("long") + 1)
       .as("us"), lit(-1L).as("delta"))
-    val w = Window.orderBy(col("us").asc, col("delta").asc)
-    starts.union(ends)
-      .withColumn("cc", sum(col("delta")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // scale-safe sweep line: two-phase prefix sum instead of a
+    // single-partition window over every session endpoint. Ties on
+    // (us, delta) are harmless here exactly as they were in the
+    // single-partition form: within a tie run the multiset of running
+    // sums is order-invariant, and the output only keeps
+    // max-per-day over start rows.
+    Ranks.prefixSums(starts.union(ends),
+        Seq(col("us").asc, col("delta").asc),
+        values = Seq("cc" -> col("delta")))
       .where(col("delta") === 1)
       .select(graft.queries.iso(to_date(timestamp_micros(col("us"))))
         .as("date"), col("cc"))
@@ -1085,12 +1097,12 @@ object EventSeries {
           .as("half"))
     val cnt = tagged.groupBy(col("user_id"), col("half"))
       .agg(count(lit(1)).cast("long").as("c"))
-    def deciles(h: String) = {
-      val w = Window.orderBy(col("c").desc, col("user_id").asc)
-      cnt.where(col("half") === h)
-        .withColumn("dec", ntile(buckets).over(w).cast("long"))
-        .select(col("user_id"), col("dec").as(s"dec_$h"))
-    }
+    // scale-safe exact ntile over the per-user frame (two-phase
+    // row_number + closed-form bucket; no single-partition window)
+    def deciles(h: String) =
+      Ranks.distributedNtile(cnt.where(col("half") === h),
+          Seq(col("c").desc, col("user_id").asc), buckets, "dec")
+        .select(col("user_id"), col("dec").cast("long").as(s"dec_$h"))
     deciles("a").join(deciles("b"), Seq("user_id"), "outer")
       .groupBy(coalesce(col("dec_a"), lit(0L)).as("decile_first"),
         coalesce(col("dec_b"), lit(0L)).as("decile_second"))
@@ -1518,14 +1530,19 @@ object EventSeries {
                       zThreshold: Double = 3.0): DataFrame = {
     val f = Window.partitionBy(col("user_id")).orderBy(col("date"))
       .rowsBetween(-period, -1)
-    val gate = count(col("volume")).over(f) >= period
-    val mu = when(gate, avg(col("volume")).over(f))
-    val sd = when(gate, stddev_samp(col("volume")).over(f))
-    val z = round((col("volume") - mu) / nullif(sd, lit(0)), 4)
+    // stage each distinct window aggregate once (per-occurrence
+    // extraction: the inline form planned count ×3 — once per gate
+    // reference, doubled again inside NULLIF — and stddev ×2)
     bars.select(col("user_id"), col("date"), col("volume"))
-      .withColumn("vol_z", z)
+      .withColumn("_n", count(col("volume")).over(f))
+      .withColumn("_mu", avg(col("volume")).over(f))
+      .withColumn("_sd", stddev_samp(col("volume")).over(f))
+      .withColumn("vol_z",
+        round((col("volume") - when(col("_n") >= period, col("_mu")))
+          / nullif(when(col("_n") >= period, col("_sd")), lit(0)), 4))
       .withColumn("is_anomaly",
         (abs(col("vol_z")) >= zThreshold).cast("long"))
+      .drop("_n", "_mu", "_sd")
   }
 
   /** Distinct active users over a trailing `windowDays` calendar window
@@ -1555,10 +1572,10 @@ object EventSeries {
     * (exact DECIMAL value sum), each ntile-bucketed 1..`buckets` with
     * a user-id tiebreak so the ordering is total and the buckets are
     * engine-portable. The per-user rollup is one hash aggregate; the
-    * three global ntiles sort the BOUNDED per-user frame (one row per
-    * customer). At extreme user cardinality the scores would come from
-    * broadcast approx-quantile thresholds instead — the exact ntile is
-    * the oracle-matching reference semantics. */
+    * three exact ntiles run scale-safely as
+    * [[Ranks.distributedNtile]] (two-phase row_number + closed-form
+    * bucket), so even extreme user cardinality never serializes
+    * through one task. */
   def rfmSegments(events: DataFrame, buckets: Int = 5): DataFrame = {
     val per = events.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_d"),
@@ -1568,14 +1585,17 @@ object EventSeries {
     val scored = per.crossJoin(broadcast(anchor))
       .withColumn("recency",
         datediff(col("anchor"), col("last_d")).cast("long"))
-    val rW = Window.orderBy(col("recency"), col("user_id"))
-    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mW = Window.orderBy(col("mon").desc, col("user_id"))
-    scored.select(col("user_id"), col("recency"), col("frequency"),
+    val withR = Ranks.distributedNtile(scored,
+      Seq(col("recency").asc, col("user_id").asc), buckets, "_rs")
+    val withF = Ranks.distributedNtile(withR,
+      Seq(col("frequency").desc, col("user_id").asc), buckets, "_fs")
+    val withM = Ranks.distributedNtile(withF,
+      Seq(col("mon").desc, col("user_id").asc), buckets, "_ms")
+    withM.select(col("user_id"), col("recency"), col("frequency"),
         col("mon").cast("double").as("monetary"),
-        ntile(buckets).over(rW).cast("long").as("r_score"),
-        ntile(buckets).over(fW).cast("long").as("f_score"),
-        ntile(buckets).over(mW).cast("long").as("m_score"))
+        col("_rs").cast("long").as("r_score"),
+        col("_fs").cast("long").as("f_score"),
+        col("_ms").cast("long").as("m_score"))
       .withColumn("segment",
         concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
   }
@@ -2304,13 +2324,18 @@ object EventSeries {
     val joined = r.join(broadcast(market), Seq("date"))
     val f = WindowFns.series(col("user_id"), col("date"))
       .rowsBetween(-(period - 1), 0)
-    val beta = covar_pop(col("ret"), col("mkt_ret")).over(f) /
-      nullif(var_pop(col("mkt_ret")).over(f), lit(0.0))
-    joined.select(col("user_id"), col("date"), col("ret"),
-      // the raw market mean carries agg-order ULP noise — emit rounded
-      round(col("mkt_ret"), 4).as("mkt_ret"),
-      when(count(col("ret")).over(f) >= period, round(beta, 4))
-        .as("rolling_beta"))
+    // stage each distinct window aggregate once (per-occurrence
+    // extraction: the inline form planned var_pop ×2 via NULLIF)
+    joined
+      .withColumn("_cov", covar_pop(col("ret"), col("mkt_ret")).over(f))
+      .withColumn("_var", var_pop(col("mkt_ret")).over(f))
+      .withColumn("_n", count(col("ret")).over(f))
+      .select(col("user_id"), col("date"), col("ret"),
+        // the raw market mean carries agg-order ULP noise — emit rounded
+        round(col("mkt_ret"), 4).as("mkt_ret"),
+        when(col("_n") >= period,
+          round(col("_cov") / nullif(col("_var"), lit(0.0)), 4))
+          .as("rolling_beta"))
   }
 
   /** DAU/MAU stickiness per observed date: distinct daily actives over

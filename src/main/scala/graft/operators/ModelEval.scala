@@ -55,9 +55,11 @@ object ModelEval {
   def liftGain(scored: DataFrame, buckets: Int = 10,
                tiebreak: Seq[String] = Seq("user_id", "date")): DataFrame = {
     val order = col("score").desc +: tiebreak.map(col)
-    val w = Window.orderBy(order: _*)
-    val bucketed = scored.withColumn("bucket",
-      ntile(buckets).over(w).cast("long"))
+    // scale-safe exact ntile over the eval-set-sized frame (two-phase
+    // row_number + closed-form bucket; no single-partition window)
+    val bucketed = Ranks.distributedNtile(scored, order, buckets,
+        "bucket")
+      .withColumn("bucket", col("bucket").cast("long"))
     val perBucket = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col("label")).cast("long").as("n_pos"))
@@ -213,14 +215,13 @@ object ModelEval {
     val perScore = scored.groupBy(col("score"))
       .agg(sum(col("label")).cast("long").as("p"),
         (count(lit(1)) - sum(col("label"))).cast("long").as("q"))
-    val cum = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    perScore
-      .withColumn("tp", sum(col("p")).over(cum).cast("long"))
-      .withColumn("fp", sum(col("q")).over(cum).cast("long"))
-      .withColumn("np", sum(col("p")).over(tot).cast("long"))
+    // cumulatives + grand total via the two-phase prefix-sum shape —
+    // the distinct-score frame is quantization-bounded in practice,
+    // but at raw-double score cardinality the old single-partition
+    // cumulative window would serialize it through one task
+    Ranks.prefixSums(perScore, Seq(col("score").desc),
+        values = Seq("tp" -> col("p"), "fp" -> col("q")),
+        totals = Map("tp" -> "np"))
       .select(col("score").as("threshold"), col("tp"), col("fp"),
         graft.functions.ExactRound.ratio(col("tp"),
           col("tp") + col("fp"), 4).as("precision_at"),
@@ -281,12 +282,15 @@ object ModelEval {
     * assignment is a deterministic total order (score desc, key/date
     * tiebreak). */
   def woeIv(scored: DataFrame, buckets: Int = 10): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("user_id").asc,
-      col("date").asc)
     val tot = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val d = scored.withColumn("decile",
-        ntile(buckets).over(w).cast("long"))
+    // scale-safe exact ntile over the eval-set-sized frame (two-phase
+    // row_number + closed-form bucket; no single-partition window).
+    // The downstream `tot` windows run over the bounded decile table.
+    val d = Ranks.distributedNtile(scored,
+        Seq(col("score").desc, col("user_id").asc, col("date").asc),
+        buckets, "decile")
+      .withColumn("decile", col("decile").cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("label")).cast("long").as("np"))

@@ -898,20 +898,20 @@ object Relevance {
     * ntiles, with per-bucket doc/token counts and the CUMULATIVE token
     * share — "the top 10% of docs hold X% of the tokens", the planning
     * number behind budget caps and packing shard sizing. All-integer
-    * plus bridge ratios. The global ntile is the oracle-matching
-    * reference semantics (the RFM note applies: at extreme corpus
-    * cardinality the cut points would come from broadcast
-    * approx-quantiles); the cumulative window runs over the bounded
-    * bucket table. */
+    * plus bridge ratios. The ntile runs scale-safely as
+    * [[Ranks.distributedNtile]] (two-phase row_number + closed-form
+    * bucket — exact ntile semantics, no corpus-scale single-partition
+    * window); the cumulative window runs over the bounded bucket
+    * table. */
   def tokenLorenz(docs: DataFrame, buckets: Int = 10,
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val base = docs.select(col(idCol),
       graft.functions.TextFns.tokenCount(col(textCol)).cast("long")
         .as("n_tok"))
-    val w = Window.orderBy(col("n_tok").desc, col(idCol).asc)
-    val t = base
-      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+    val t = Ranks.distributedNtile(base,
+        Seq(col("n_tok").desc, col(idCol).asc), buckets, "bucket")
+      .withColumn("bucket", col("bucket").cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tokens"))
