@@ -14,10 +14,12 @@ import graft.streaming.StreamingCorpusIngest
   * live: SimHash on), and reports each batch's triggerExecution from
   * the engine's own progress events plus the wall-clock total.
   *
-  * What to expect: per-batch time = the funnel's fixed per-batch cost
-  * plus the per-snapshot state REWRITE (snapshots are full copies —
-  * the scaladoc's compaction note), so later batches pay a growing
-  * write share while the probe share stays flat.
+  * What to expect (r13, delta snapshots): per-batch time = the
+  * funnel's fixed per-batch cost plus an O(batch) delta write — flat
+  * across batches except the periodic compaction batch, which also
+  * writes the full folded state. (Pre-r13, every batch rewrote the
+  * FULL accumulated state and later batches paid a growing write
+  * share: 8-11 s/batch at sf0.1×8.)
   *
   *   SPARK_GRAFT_BATCHES=8 sbt 'runMain graft.StreamingThroughput'
   */

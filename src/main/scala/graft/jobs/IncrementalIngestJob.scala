@@ -118,6 +118,39 @@ object IncrementalIngestJob {
       opt("simhash_prints").map(spark.read.parquet(_)))
   }
 
+  /** Reopen the UNION of several [[saveState]] layouts (a compact
+    * snapshot plus the delta chain after it — the streaming wrapper's
+    * r13 layout). Required tables read all their paths in one
+    * multi-path parquet scan; optional side tables union over the
+    * dirs that have them (None when none do); centroids — a fixed
+    * k-row array, not append-only — come from the LATEST dir carrying
+    * them. Equivalent to loadState(dir) when `dirs` has one element. */
+  def loadStateUnion(spark: org.apache.spark.sql.SparkSession,
+                     dirs: Seq[String]): State = {
+    require(dirs.nonEmpty, "need at least one state dir")
+    val fs = new org.apache.hadoop.fs.Path(dirs.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def present(sub: String): Seq[String] = dirs
+      .map(d => s"$d/$sub")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    def union(sub: String): Option[org.apache.spark.sql.DataFrame] = {
+      val ps = present(sub)
+      if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
+    }
+    val centroids = present("centroids").lastOption.map(p =>
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1))
+    State(
+      union("fingerprints").getOrElse(sys.error(
+        s"no fingerprints under any of $dirs")),
+      union("sig_index").getOrElse(sys.error(
+        s"no sig_index under any of $dirs")),
+      centroids,
+      union("kept_embeddings"),
+      union("simhash_prints"))
+  }
+
   /** Returns (survivors, appended state, per-stage ledger). The
     * survivor frame keeps the batch's columns; the appended state is
     * built from the survivors only — a doc dropped at ANY stage never
@@ -229,31 +262,58 @@ object IncrementalIngestJob {
     }
 
     // append the indexes from SURVIVORS only
-    val newPrints = state.fingerprints.unionByName(survivors
-      .select(TextFns.fingerprint(col("text")).as("fingerprint")))
-    val newSigs = state.sigIndex.unionByName(Dedup.minhashSignatures(
-      survivors, cfg.minhashK, cfg.shingleN))
-    val newKept = (state.centroids, state.keptEmbeddings,
-        batchEmbeddings) match {
-      case (Some(cs), Some(kept), Some(be)) =>
-        val survivorVecs = be.join(
-          survivors.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
+    val delta = stateContribution(state, survivors, cfg,
+      batchEmbeddings)
+    val newKept = (state.keptEmbeddings, delta.keptEmbeddings) match {
+      case (Some(kept), Some(dk)) =>
         // normalize the vector dtype across the union: assign emits
         // double arrays, a raw embeddings table may carry floats
         Some(kept.select(col("vec_id"),
             graft.operators.Similarity.asDouble(col("embedding"))
               .as("embedding"), col("cluster"))
-          .unionByName(SemDedup.assign(survivorVecs, cs)
-            .select(col("vec_id"), col("vec").as("embedding"),
-              col("cluster"))))
+          .unionByName(dk))
       case _ => state.keptEmbeddings
     }
-    val newSimhash = state.simhashPrints.map(_.unionByName(survivors
-      .select(col("doc_id"),
-        TextFns.simhash64(col("text")).as("simhash"))))
     (survivors,
-      State(newPrints, newSigs, state.centroids, newKept, newSimhash),
+      State(state.fingerprints.unionByName(delta.fingerprints),
+        state.sigIndex.unionByName(delta.sigIndex),
+        state.centroids, newKept,
+        state.simhashPrints.map(_.unionByName(
+          delta.simhashPrints.get))),
       ledger.toList)
+  }
+
+  /** The per-batch state DELTA [[run]] appends: index rows built from
+    * this batch's survivors only, shaped like a [[State]] whose tables
+    * hold just the contribution. Split out so the streaming wrapper
+    * can persist DELTAS instead of full snapshots (the full rewrite
+    * grew O(state) per micro-batch); `run`'s appended state is
+    * exactly `state ∪ stateContribution(...)` table-by-table, so the
+    * two persisted layouts replay identically. Optional tables follow
+    * the live stages: simhash delta exists iff the state carries
+    * prints, kept-embeddings delta iff the semantic stage is live AND
+    * the batch shipped vectors. */
+  def stateContribution(state: State, survivors: DataFrame, cfg: Config,
+                        batchEmbeddings: Option[DataFrame] = None)
+      : State = {
+    val deltaKept = (state.centroids, state.keptEmbeddings,
+        batchEmbeddings) match {
+      case (Some(cs), Some(_), Some(be)) =>
+        val survivorVecs = be.join(
+          survivors.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        Some(SemDedup.assign(survivorVecs, cs)
+          .select(col("vec_id"), col("vec").as("embedding"),
+            col("cluster")))
+      case _ => None
+    }
+    State(
+      survivors.select(TextFns.fingerprint(col("text"))
+        .as("fingerprint")),
+      Dedup.minhashSignatures(survivors, cfg.minhashK, cfg.shingleN),
+      state.centroids,
+      deltaKept,
+      state.simhashPrints.map(_ => survivors.select(col("doc_id"),
+        TextFns.simhash64(col("text")).as("simhash"))))
   }
 }

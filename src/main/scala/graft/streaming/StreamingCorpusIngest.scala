@@ -12,17 +12,27 @@ import graft.jobs.IncrementalIngestJob
   * persisted state, not an event-time window).
   *
   * Idempotency under at-least-once foreachBatch: state is persisted
-  * as PER-BATCH SNAPSHOTS (`stateDir/after_<id>`), and batch N always
-  * loads the latest snapshot with id < N — so a REPLAYED batch reloads
-  * the exact state it saw the first time and rewrites identical
-  * survivors/state (write-by-batch-id overwrite, the
+  * as PER-BATCH DELTAS (`stateDir/delta_<id>`, just that batch's
+  * survivor contribution) plus a periodic full COMPACT
+  * (`stateDir/after_<id>`, every `compactEvery`-th batch), and batch
+  * N always loads the latest compact with id < N unioned with every
+  * delta in between — so a REPLAYED batch reloads the exact state it
+  * saw the first time and rewrites an identical delta
+  * (write-by-batch-id overwrite, the
   * [[StreamingIngest.ingestDailyBars]] discipline). Folding survivors
   * into one running state dir instead would lose the replayed batch's
   * rows: after the state absorbed them, a replay would dedup them all
   * away and overwrite the partition with nothing. Batch 0 clears the
   * target and state dirs — a fresh checkpoint means "reprocess from
-  * scratch". At warehouse scale a periodic compaction folds old
-  * snapshots (state frames are append-only unions of survivors).
+  * scratch".
+  *
+  * r13 optimization (guide §6 / VERDICT item 5): the original layout
+  * wrote the FULL state snapshot every batch — an O(accumulated
+  * state) rewrite per micro-batch that dominated steady-state latency
+  * (8-11 s/batch at sf0.1×8, growing with state). Deltas make the
+  * per-batch write O(batch survivors); the bounded delta chain
+  * (≤ compactEvery parquet dirs per table) keeps the load-side file
+  * count flat.
   */
 object StreamingCorpusIngest {
 
@@ -61,25 +71,30 @@ object StreamingCorpusIngest {
         else Some(Seq.empty[(Long, Long)].toDF("doc_id", "simhash")))
   }
 
-  /** Latest persisted snapshot strictly before `batchId`, if any.
-    * Discovery goes through Hadoop's FileSystem for the path's scheme —
-    * java.io.File would return null on HDFS/S3 state dirs and silently
-    * fall back to the empty bootstrap state every batch (cross-batch
-    * dedup off, no error). */
+  /** The state visible to `batchId`: the latest full compact
+    * (`after_<c>`, c < batchId) if any, unioned with every delta in
+    * (c, batchId). None when neither exists. Discovery goes through
+    * Hadoop's FileSystem for the path's scheme — java.io.File would
+    * return null on HDFS/S3 state dirs and silently fall back to the
+    * empty bootstrap state every batch (cross-batch dedup off, no
+    * error). */
   private def latestStateBefore(spark: SparkSession, stateDir: String,
                                 batchId: Long): Option[IncrementalIngestJob.State] = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids =
+    def ids(prefix: String): Seq[Long] =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq
         .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("after_"))
-        .flatMap(_.getPath.getName.stripPrefix("after_").toLongOption)
+          st.getPath.getName.startsWith(prefix))
+        .flatMap(_.getPath.getName.stripPrefix(prefix).toLongOption)
         .filter(_ < batchId)
-    if (ids.isEmpty) None
-    else Some(IncrementalIngestJob.loadState(spark,
-      s"$stateDir/after_${ids.max}"))
+    val compact = ids("after_").maxOption
+    val deltas = ids("delta_").filter(i => compact.forall(_ < i)).sorted
+    val dirs = compact.map(c => s"$stateDir/after_$c").toSeq ++
+      deltas.map(i => s"$stateDir/delta_$i")
+    if (dirs.isEmpty) None
+    else Some(IncrementalIngestJob.loadStateUnion(spark, dirs))
   }
 
   /** Start the ingest: survivors land in `targetDir/batch_id=<id>`,
@@ -89,7 +104,8 @@ object StreamingCorpusIngest {
              evalSet: DataFrame,
              cfg: IncrementalIngestJob.Config = IncrementalIngestJob.Config(),
              maxFilesPerTrigger: Option[Int] = None,
-             withSimhash: Boolean = false): StreamingQuery =
+             withSimhash: Boolean = false,
+             compactEvery: Int = 8): StreamingQuery =
     readDocs(spark, sourceDir, maxFilesPerTrigger).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) {
@@ -123,7 +139,17 @@ object StreamingCorpusIngest {
           IncrementalIngestJob.run(prev, batch, evalSet, cfg)
         survivors.write.mode("overwrite")
           .parquet(s"$targetDir/batch_id=$batchId")
-        IncrementalIngestJob.saveState(next, s"$stateDir/after_$batchId")
+        // persist only this batch's contribution — O(batch), not
+        // O(accumulated state); a replayed batch rewrites the same
+        // delta because it reloaded the same pre-batch state
+        IncrementalIngestJob.saveState(
+          IncrementalIngestJob.stateContribution(prev, survivors, cfg),
+          s"$stateDir/delta_$batchId")
+        // periodic compaction bounds the delta chain the next load
+        // unions (and a compact is exactly what run() already built)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          IncrementalIngestJob.saveState(next,
+            s"$stateDir/after_$batchId")
         // run() returns its last staged frame still cached — without
         // this, one cached frame leaks per micro-batch for the session
         survivors.unpersist()

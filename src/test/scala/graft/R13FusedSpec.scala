@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventSeries
+
+/** Round-13 q18 fusion equivalence pin: the single-scan fused fact
+  * model (one per-(user, day, type) aggregate; bars merged by
+  * same-partition window aggregates; sentiment top-1 in the same
+  * partitioning; no join) must equal
+  * [[EventSeries.fctPricesWithSentiment]] cell-for-cell on data that
+  * exercises the merge edge cases: dominant-type COUNT TIES (name
+  * tiebreak), single-event days, a day whose open/close come from
+  * different event types (the per-type partial merge must recover the
+  * global arg-min/arg-max), and multi-user lag boundaries. */
+class R13FusedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(d: Int, h: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+
+  private def events = Seq(
+    // user 1, day 1: open from "view" (eid 1), close from "buy"
+    // (eid 4), high/low split across types, tie 2-2 between buy/view
+    (1L, 1L, ts(1, 9), "view", 10.0),
+    (2L, 1L, ts(1, 10), "buy", 99.0),
+    (3L, 1L, ts(1, 11), "view", 1.0),
+    (4L, 1L, ts(1, 12), "buy", 50.0),
+    // user 1, day 2: single event (lag crosses the day boundary)
+    (5L, 1L, ts(2, 9), "click", 42.0),
+    // user 2, day 1: three-way 1-1-1 tie — lexicographic min wins
+    (6L, 2L, ts(1, 9), "zebra", 7.0),
+    (7L, 2L, ts(1, 10), "alpha", 8.0),
+    (8L, 2L, ts(1, 11), "mid", 9.0),
+    // user 2, day 3: dominant type by count
+    (9L, 2L, ts(3, 9), "buy", 5.0),
+    (10L, 2L, ts(3, 10), "buy", 6.0),
+    (11L, 2L, ts(3, 11), "view", 100.0)
+  ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("fused single-scan fact model equals fctPricesWithSentiment " +
+    "cell-for-cell (ties, single-event days, cross-type open/close)") {
+    val cols = Seq("user_id", "date", "open", "high", "low", "close",
+      "volume", "prev_close", "price_change", "pct_change",
+      "sentiment", "n_events", "move_category")
+    val a = EventSeries.fctPricesWithSentiment(events)
+      .select(cols.map(col): _*)
+      .orderBy("user_id", "date").collect().toSeq
+    val b = AbR13.fusedFct(events)
+      .select(cols.map(col): _*)
+      .orderBy("user_id", "date").collect().toSeq
+    assert(a == b)
+    // sanity on the edge cases themselves
+    val byKey = a.map(r => (r.getLong(0), r.getDate(1).toString) -> r).toMap
+    val u1d1 = byKey((1L, "2024-01-01"))
+    assert(u1d1.getDouble(2) == 10.0 && u1d1.getDouble(5) == 50.0) // open/close
+    assert(u1d1.getDouble(3) == 99.0 && u1d1.getDouble(4) == 1.0)  // high/low
+    assert(u1d1.getString(10) == "buy") // 2-2 tie → lexicographic min
+    val u2d1 = byKey((2L, "2024-01-01"))
+    assert(u2d1.getString(10) == "alpha") // 1-1-1 tie
+    val u2d3 = byKey((2L, "2024-01-03"))
+    assert(u2d3.getString(10) == "buy" && u2d3.getLong(11) == 2L)
+  }
+}

@@ -57,9 +57,10 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     val reference = (s0.select("doc_id").as[Long].collect() ++
       s1.select("doc_id").as[Long].collect()).toSet
     assert(streamed == reference)
-    // two state snapshots persisted, one per batch
+    // two state DELTAS persisted, one per batch (r13 layout: full
+    // compacts only every compactEvery batches)
     assert(new java.io.File(state).listFiles()
-      .count(_.getName.startsWith("after_")) == 2)
+      .count(_.getName.startsWith("delta_")) == 2)
   }
 
   test("a non-default minhashK threads into the batch-0 bootstrap " +
@@ -86,7 +87,7 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     q.awaitTermination() // pre-fix: batch 0 dies on the k mismatch
     val n = StreamingCorpusIngest.readCorpus(spark, target).count()
     assert(n > 0)
-    val st0 = IncrementalIngestJob.loadState(spark, s"$state/after_0")
+    val st0 = IncrementalIngestJob.loadState(spark, s"$state/delta_0")
     val sigCols = st0.sigIndex.columns.toSet
     assert(sigCols.contains("sig_3") && !sigCols.contains("sig_4"))
     // withSimhash: the stage ran from batch 0 and the snapshot carries
@@ -119,23 +120,63 @@ class StreamingCorpusIngestSpec extends SparkSuite {
     val target = Files.createTempDirectory("graft_scirs_tgt").toString
     val state = Files.createTempDirectory("graft_scirs_st").toString
     val cp = Files.createTempDirectory("graft_scirs_cp").toString
-    // first run: simhash OFF — after_0 carries no prints table
+    // first run: simhash OFF — delta_0 carries no prints table
     StreamingCorpusIngest.ingest(spark, srcDir.toString, target, state,
       cp, evalSet, withSimhash = false).awaitTermination()
-    assert(IncrementalIngestJob.loadState(spark, s"$state/after_0")
+    assert(IncrementalIngestJob.loadState(spark, s"$state/delta_0")
       .simhashPrints.isEmpty)
     // second run over the SAME checkpoint/state with simhash ON: batch
-    // 1 loads after_0 (prints-less) — pre-fix the stage silently stayed
-    // off and after_1 carried no prints either
+    // 1 loads delta_0 (prints-less) — pre-fix the stage silently stayed
+    // off and the next snapshot carried no prints either
     writeAs(day1, "day1.parquet", t0 + 120000L)
     StreamingCorpusIngest.ingest(spark, srcDir.toString, target, state,
       cp, evalSet, withSimhash = true).awaitTermination()
-    val st1 = IncrementalIngestJob.loadState(spark, s"$state/after_1")
+    val st1 = IncrementalIngestJob.loadState(spark, s"$state/delta_1")
     val batch1Survivors = spark.read.parquet(target)
       .where(col("batch_id") === 1).count()
     assert(batch1Survivors > 0)
     assert(st1.simhashPrints.isDefined,
-      "after_1 must persist the prints table — the stage was activated")
+      "delta_1 must persist the prints table — the stage was activated")
     assert(st1.simhashPrints.get.count() == batch1Survivors)
+  }
+
+  test("compaction: with compactEvery=2 a full after_1 snapshot lands " +
+    "and equals the union of the delta chain (the state a later batch " +
+    "would load either way)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val day0 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 120)
+    val day1 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 160)
+
+    val srcDir = Files.createTempDirectory("graft_scicp_src")
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String,
+                ts: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_scicp_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, srcDir.resolve(name))
+      srcDir.resolve(name).toFile.setLastModified(ts)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    writeAs(day0, "day0.parquet", t0)
+    writeAs(day1, "day1.parquet", t0 + 120000L)
+
+    val target = Files.createTempDirectory("graft_scicp_tgt").toString
+    val state = Files.createTempDirectory("graft_scicp_st").toString
+    val cp = Files.createTempDirectory("graft_scicp_cp").toString
+    StreamingCorpusIngest.ingest(spark, srcDir.toString, target, state,
+        cp, evalSet, maxFilesPerTrigger = Some(1), compactEvery = 2)
+      .awaitTermination()
+
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names.contains("delta_0") && names.contains("delta_1"))
+    assert(names.contains("after_1"), "batch 1 is the compaction batch")
+    val compact = IncrementalIngestJob.loadState(spark, s"$state/after_1")
+    val chained = IncrementalIngestJob.loadStateUnion(spark,
+      Seq(s"$state/delta_0", s"$state/delta_1"))
+    assert(compact.fingerprints.as[String].collect().sorted.toSeq ==
+      chained.fingerprints.as[String].collect().sorted.toSeq)
+    assert(compact.sigIndex.count() == chained.sigIndex.count())
   }
 }
