@@ -27,9 +27,21 @@ import graft.operators.EventSeries
   */
 object AbR13 {
 
-  /** Fused q18 candidate — must be value-identical to
-    * EventSeries.fctPricesWithSentiment (pinned in R13FusedSpec if
-    * adopted). */
+  /** The PRE-r13 two-scan q18 formulation (dailyBars branch +
+    * dailySentiment branch + broadcast join), inlined verbatim so the
+    * A/B and the R13FusedSpec equivalence pin survive the operator's
+    * adoption of the fused form. */
+  def twoScanFct(events: DataFrame): DataFrame = {
+    val p = EventSeries.stgDailyPrices(EventSeries.dailyBars(events))
+    val g = EventSeries.dailySentiment(events)
+    p.join(broadcast(g), Seq("user_id", "date"), "left")
+      .withColumn("move_category",
+        Indicators.moveCategory(col("pct_change")))
+  }
+
+  /** The fused q18 form as adopted into
+    * [[EventSeries.fctPricesWithSentiment]] (kept callable here so
+    * the A/B below times exactly what shipped). */
   def fusedFct(events: DataFrame): DataFrame = {
     val perUdt = events
       .groupBy(col("user_id"), to_date(col("ts")).as("date"),
@@ -75,16 +87,18 @@ object AbR13 {
         col("n_events"), col("move_category"))
   }
 
-  /** q22 candidate: top-row-per-key dedup via row_number (hash-agg-free
-    * WindowGroupLimit shape) — same selection as min(struct(values)). */
-  def dedupeTopRow(incoming: DataFrame, keys: Seq[String],
-                   targetCols: Seq[String]): DataFrame = {
+  /** The PRE-r13 min(struct)-based in-batch dedup (SortAggregate
+    * pair), inlined verbatim so the A/B and the WritesSpec
+    * equivalence pin survive Writes.dedupeByKey's adoption of the
+    * row_number top-1 form. */
+  def dedupeMinStruct(incoming: DataFrame, keys: Seq[String],
+                      targetCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
     val valueCols = incoming.columns.filterNot(keys.contains)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(valueCols.map(c => col(c).asc): _*)
     incoming
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
+      .groupBy(keyCols: _*)
+      .agg(min(struct(valueCols.map(col).toIndexedSeq: _*)).as("_v"))
+      .select(keyCols ++ valueCols.map(c => col(s"_v.$c").as(c)): _*)
       .select(targetCols.map(col).toIndexedSeq: _*)
   }
 
@@ -93,7 +107,12 @@ object AbR13 {
     val dir = AbBench.scaleDir()
     val events = () => Tables.events(spark, dir)
 
-    def q18Current() = SparkEntry.queries("q18_fact_sentiment")(spark, dir)
+    def q18TwoScan() = twoScanFct(events())
+      .select(col("user_id"), col("date"), col("close"),
+        col("prev_close"), col("pct_change"), col("sentiment"),
+        col("n_events"), col("move_category"))
+      .withColumn("date", graft.queries.iso(col("date")))
+      .orderBy(col("user_id"), col("date"))
     def q18Fused() = fusedFct(events())
       .select(col("user_id"), col("date"), col("close"),
         col("prev_close"), col("pct_change"), col("sentiment"),
@@ -101,14 +120,14 @@ object AbR13 {
       .withColumn("date", graft.queries.iso(col("date")))
       .orderBy(col("user_id"), col("date"))
 
-    def q22Current() = SparkEntry.queries("q22_insert_ignore")(spark, dir)
-    def q22TopRow() = {
+    def q22TopRow() = SparkEntry.queries("q22_insert_ignore")(spark, dir)
+    def q22MinStruct() = {
       val b = EventSeries.dailyBars(events())
       val existing = b.filter(col("date") <= lit("2024-01-15").cast("date"))
       val incoming = b.filter(col("date").between(
           lit("2024-01-10").cast("date"), lit("2024-01-20").cast("date")))
         .withColumn("volume", col("volume") + 1000L)
-      val deduped = dedupeTopRow(incoming, Seq("user_id", "date"),
+      val deduped = dedupeMinStruct(incoming, Seq("user_id", "date"),
         existing.columns.toIndexedSeq)
       existing.unionByName(
           deduped.join(existing.select(col("user_id"), col("date"))
@@ -117,9 +136,9 @@ object AbR13 {
         .orderBy(col("user_id"), col("date"))
     }
 
-    AbBench.time("q18 CURRENT (2-scan join)", q18Current)
+    AbBench.time("q18 OLD (2-scan join)", q18TwoScan)
     AbBench.time("q18 FUSED (1-scan windows)", q18Fused)
-    AbBench.time("q22 CURRENT (min struct)", q22Current)
+    AbBench.time("q22 OLD (min struct)", q22MinStruct)
     AbBench.time("q22 TOP-ROW (row_number)", q22TopRow)
     spark.stop()
   }

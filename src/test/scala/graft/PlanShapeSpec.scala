@@ -88,11 +88,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q18's enrichment side is broadcast, never shuffled into a " +
-    "sort-merge join") {
+  test("q18 is the r13 FUSED single-scan shape: one events scan, no " +
+    "join at all (bars and sentiment share the per-(user,day,type) " +
+    "aggregate)") {
     val p = plan("q18_fact_sentiment")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected ONE scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"fused q18 must not join:\n$p")
   }
 
   test("q71 mix is a pure map-side filter: zero Exchange (the sort in " +

@@ -38,15 +38,16 @@ class R13FusedSpec extends SparkSuite {
     (11L, 2L, ts(3, 11), "view", 100.0)
   ).toDF("event_id", "user_id", "ts", "event_type", "value")
 
-  test("fused single-scan fact model equals fctPricesWithSentiment " +
-    "cell-for-cell (ties, single-event days, cross-type open/close)") {
+  test("fused single-scan fact model equals the pre-r13 two-scan " +
+    "formulation cell-for-cell (ties, single-event days, cross-type " +
+    "open/close)") {
     val cols = Seq("user_id", "date", "open", "high", "low", "close",
       "volume", "prev_close", "price_change", "pct_change",
       "sentiment", "n_events", "move_category")
-    val a = EventSeries.fctPricesWithSentiment(events)
+    val a = AbR13.twoScanFct(events)
       .select(cols.map(col): _*)
       .orderBy("user_id", "date").collect().toSeq
-    val b = AbR13.fusedFct(events)
+    val b = EventSeries.fctPricesWithSentiment(events)
       .select(cols.map(col): _*)
       .orderBy("user_id", "date").collect().toSeq
     assert(a == b)
@@ -60,5 +61,35 @@ class R13FusedSpec extends SparkSuite {
     assert(u2d1.getString(10) == "alpha") // 1-1-1 tie
     val u2d3 = byKey((2L, "2024-01-03"))
     assert(u2d3.getString(10) == "buy" && u2d3.getLong(11) == 2L)
+  }
+
+  test("row_number top-1 dedup (Writes.dedupeByKey r13 form, via " +
+    "insertIgnore) picks the exact row min(struct(values)) picked — " +
+    "null values and partial ties included") {
+    import graft.operators.Writes
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "s", "v")
+    // duplicate keys: value-null vs non-null (null sorts FIRST both
+    // ways), a partial tie broken by the second value column, and a
+    // full tie (identical rows — either pick is the same row)
+    val incoming = Seq(
+      (3L, null.asInstanceOf[String], 5.0),
+      (3L, "a", 1.0),
+      (4L, "x", 7.0), (4L, "x", 3.0),
+      (5L, "z", 9.0), (5L, "z", 9.0),
+      (2L, "clash", 0.0)
+    ).toDF("k", "s", "v")
+    val got = Writes.insertIgnore(existing, incoming, Seq("k"))
+      .orderBy("k").collect().toSeq
+    val ref = existing.unionByName(
+        AbR13.dedupeMinStruct(incoming, Seq("k"),
+            existing.columns.toIndexedSeq)
+          .join(existing.select(col("k")).distinct(), Seq("k"),
+            "left_anti"))
+      .orderBy("k").collect().toSeq
+    assert(got == ref)
+    // the null-first pick is the interesting one: k=3 keeps (null, 5.0)
+    val k3 = got.find(_.getLong(0) == 3L).get
+    assert(k3.isNullAt(1) && k3.getDouble(2) == 5.0)
   }
 }
