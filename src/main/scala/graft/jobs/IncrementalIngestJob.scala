@@ -161,7 +161,14 @@ object IncrementalIngestJob {
     * predecessor, so the RETURNED survivor frame is still cached —
     * long-lived callers should `survivors.unpersist()` once the
     * survivors and appended state are written (the streaming wrapper
-    * does; a leak here compounds one frame per micro-batch). */
+    * does; a leak here compounds one frame per micro-batch).
+    *
+    * (r13 note: a "lean" mode skipping the per-stage counts — pure
+    * instrumentation — was A/B'd and REJECTED: without the eager
+    * materialization the lazily-cached stages race-recompute under
+    * the ladder's fan-out inside the caller's first action, and
+    * StreamingThroughput read 10-22 s/batch vs 8-11 s with the eager
+    * counts. The counts stay.) */
   def run(state: State, batch: DataFrame, evalSet: DataFrame,
           cfg: Config = Config(),
           batchEmbeddings: Option[DataFrame] = None)
