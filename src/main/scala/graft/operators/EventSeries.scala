@@ -677,6 +677,8 @@ object EventSeries {
           .otherwise(call_function("div",
             abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
           .as("m"))
+    // unpartitioned window over the per-DATE market frame — bounded
+    // by the observation span in days, never by volume (scale-audit r13)
     val wm = Window.orderBy(col("date"))
     val mkt3 = mkt
       .withColumn("m_prev", lag(col("m"), 1).over(wm))
@@ -729,6 +731,8 @@ object EventSeries {
           .cast("long").as("k"))
     val share6 = call_function("div",
       col("k") * 2000000L + col("n"), col("n") * 2)
+    // unpartitioned window over the per-DAY frame — span-bounded
+    // (scale-audit r13)
     val w = Window.orderBy(col("d"))
     val src = daily.withColumn("y", share6)
       .withColumn("x", (row_number().over(w) - 1).cast("long"))
@@ -767,6 +771,8 @@ object EventSeries {
       .where(col("rn") <= k)
       .select(col("m"), col("user_id"))
     val months = top.select(col("m")).distinct()
+    // unpartitioned window over distinct WEEKS — span-bounded
+    // (scale-audit r13)
     val wm = Window.orderBy(col("m"))
     val pairs = months.withColumn("pm", lag(col("m"), 1).over(wm))
       .where(col("pm").isNotNull)
@@ -1000,6 +1006,8 @@ object EventSeries {
     val m4c = least(greatest(col("m4"), lit(-100000L)), lit(100000L))
     val lr = round(log(lit(1.0) +
       m4c.cast("double") / 1000000), 10).cast("decimal(38,10)")
+    // unpartitioned cumulative window over the per-DATE index frame —
+    // span-bounded (scale-audit r13)
     val w = Window.orderBy(col("date"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mkt.withColumn("_lr", lr)
@@ -1218,6 +1226,8 @@ object EventSeries {
           .otherwise(call_function("div",
             abs(col("sm")) * 2 + col("nm"), col("nm") * 2)))
           .as("m4"))
+    // unpartitioned rank over the per-DATE market frame — span-bounded
+    // (scale-audit r13)
     val wMed = Window.orderBy(col("m4").asc, col("date").asc)
     val mkt = mkt0
       .withColumn("_rn", row_number().over(wMed))
@@ -2210,6 +2220,8 @@ object EventSeries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path").asc)
       .limit(k)
+    // unpartitioned rank over the post-limit(k) frame — k rows
+    // (scale-audit r13)
     counted.withColumn("rank",
       row_number().over(Window.orderBy(col("n").desc, col("path").asc))
         .cast("long"))

@@ -63,6 +63,8 @@ object ModelEval {
     val perBucket = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col("label")).cast("long").as("n_pos"))
+    // unpartitioned windows over the BUCKETS-row table only
+    // (scale-audit r13)
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.rowsBetween(Window.unboundedPreceding,

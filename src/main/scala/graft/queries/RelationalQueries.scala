@@ -484,6 +484,8 @@ object RelationalQueries {
         .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
           sum(cents).cast("long").as("c"))
+      // unpartitioned lag over the per-MONTH revenue frame —
+      // span-bounded (scale-audit r13)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
       m.withColumn("pc", lag(col("c"), 1).over(w))
         .select(iso(to_date(col("m"))).as("month"), col("n_orders"),

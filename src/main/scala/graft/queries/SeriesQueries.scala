@@ -865,6 +865,8 @@ object SeriesQueries {
         .agg(count(when(col("pct_change") > 0, 1)).as("advances"),
           count(when(col("pct_change") < 0, 1)).as("declines"),
           count(when(col("pct_change") === 0, 1)).as("unchanged"))
+      // unpartitioned cumulative window over the per-DATE advance/
+      // decline frame — span-bounded (scale-audit r13)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("date"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
