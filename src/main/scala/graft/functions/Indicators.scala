@@ -182,6 +182,29 @@ object Indicators {
     round((close - lo) / nullif(hi - lo, lit(0)) * 100, 4)
   }
 
+  /** [[stochasticK]] with each distinct window aggregate staged ONCE
+    * as an intermediate column (the r12 rsiStaged discipline): window
+    * expressions extract per textual occurrence, so the Column form
+    * plans duplicate sliding aggregates (q147 before-plan: 6 window
+    * exprs for %K where three suffice — NULLIF and the gate each
+    * re-reference their argument).
+    * Values are bit-identical (same arithmetic over the staged
+    * columns; pinned in R13FusedSpec). */
+  def stochasticKStaged(df: DataFrame, high: Column, low: Column,
+                        close: Column, w: WindowSpec, period: Int = 14,
+                        out: String = "pct_k"): DataFrame = {
+    val f = trailing(w, period)
+    val gate = col("_stk_n") >= period
+    val lo = when(gate, col("_stk_lo"))
+    val hi = when(gate, col("_stk_hi"))
+    df.withColumn("_stk_n", count(low).over(f))
+      .withColumn("_stk_lo", min(low).over(f))
+      .withColumn("_stk_hi", max(high).over(f))
+      .withColumn(out,
+        round((close - lo) / nullif(hi - lo, lit(0)) * 100, 4))
+      .drop("_stk_n", "_stk_lo", "_stk_hi")
+  }
+
   /** %D(smooth): SMA of the ROUNDED %K (both engines smooth the same
     * 4dp values — keeps the oracle fold identical), min_periods=smooth
     * so warm-up and flat-range nulls cascade. */
@@ -218,6 +241,26 @@ object Indicators {
     val hi = when(gate, max(high).over(f))
     val lo = when(gate, min(low).over(f))
     round((hi - close) / nullif(hi - lo, lit(0)) * -100, 4)
+  }
+
+  /** [[williamsR]] with each distinct window aggregate staged ONCE
+    * (the r12 rsiStaged discipline — see [[stochasticKStaged]]): the
+    * Column form planned count ×3 / max ×2 / min ×1 (q167
+    * before-plan) where three aggregates suffice. Values
+    * bit-identical (pinned in R13FusedSpec). */
+  def williamsRStaged(df: DataFrame, high: Column, low: Column,
+                      close: Column, w: WindowSpec, period: Int = 14,
+                      out: String = "wr"): DataFrame = {
+    val f = trailing(w, period)
+    val gate = col("_wr_n") >= period
+    val hi = when(gate, col("_wr_hi"))
+    val lo = when(gate, col("_wr_lo"))
+    df.withColumn("_wr_n", count(high).over(f))
+      .withColumn("_wr_hi", max(high).over(f))
+      .withColumn("_wr_lo", min(low).over(f))
+      .withColumn(out,
+        round((hi - close) / nullif(hi - lo, lit(0)) * -100, 4))
+      .drop("_wr_n", "_wr_hi", "_wr_lo")
   }
 
   /** Commodity Channel Index(period): `(tp − SMA(tp)) / (0.015 · MD)`

@@ -359,16 +359,16 @@ object SeriesQueries {
         .orderBy(col("user_id"))),
 
     // stochastic oscillator %K(14) + %D(3) over the daily bars
-    "q147_stochastic" -> ((s, d) => {
-      val k = Indicators.stochasticK(col("high"), col("low"),
-        col("close"), seriesW, 14)
-      bars(s, d).select(col("user_id"), col("date"), col("close"),
-          k.as("pct_k"))
+    "q147_stochastic" -> ((s, d) =>
+      // staged %K: one count/min/max each instead of the Column
+      // form's per-occurrence duplicates (r13 window-expr dedup)
+      Indicators.stochasticKStaged(bars(s, d), col("high"), col("low"),
+          col("close"), seriesW, 14, "pct_k")
+        .select(col("user_id"), col("date"), col("close"), col("pct_k"))
         .withColumn("pct_d",
           Indicators.stochasticD(col("pct_k"), seriesW, 3))
         .withColumn("date", iso(col("date")))
-        .orderBy(col("user_id"), col("date"))
-    }),
+        .orderBy(col("user_id"), col("date"))),
 
     // on-balance volume: cumulative signed volume, exact integers
     "q148_obv" -> ((s, d) =>
@@ -813,9 +813,10 @@ object SeriesQueries {
     // Williams %R(14): bounded [-100,0] overbought/oversold gauge,
     // the lookback INCLUDES the current row (classic definition)
     "q167_williams_r" -> ((s, d) =>
-      bars(s, d).select(col("user_id"), col("date"), col("close"),
-          Indicators.williamsR(col("high"), col("low"), col("close"),
-            seriesW, 14).as("wr_14"))
+      // staged %R: one count/max/min each (r13 window-expr dedup)
+      Indicators.williamsRStaged(bars(s, d), col("high"), col("low"),
+          col("close"), seriesW, 14, "wr_14")
+        .select(col("user_id"), col("date"), col("close"), col("wr_14"))
         .withColumn("date", iso(col("date")))
         .orderBy(col("user_id"), col("date"))),
 

@@ -92,4 +92,40 @@ class R13FusedSpec extends SparkSuite {
     val k3 = got.find(_.getLong(0) == 3L).get
     assert(k3.isNullAt(1) && k3.getDouble(2) == 5.0)
   }
+
+  test("stochasticKStaged / williamsRStaged equal the Column forms " +
+    "cell-for-cell incl. warm-up nulls and flat-range (hi == lo) rows") {
+    import graft.functions.{Indicators, WindowFns}
+    val rows = for (k <- Seq("a", "b"); t <- 1 to 40) yield {
+      val base = if (t >= 10 && t <= 30) 50.0 // flat range: hi == lo
+        else 50.0 + 5 * math.sin(t / 2.0)
+      (k, t, base + 1.0, base - 1.0, base)
+    }
+    val flat = rows.map { case (k, t, h, l, c) =>
+      if (t >= 10 && t <= 30) (k, t, 50.0, 50.0, 50.0)
+      else (k, t, h, l, c)
+    }.toDF("k", "t", "high", "low", "close")
+    val w = WindowFns.series(col("k"), col("t"))
+    val a = flat.select(col("k"), col("t"),
+        Indicators.stochasticK(col("high"), col("low"), col("close"),
+          w, 14).as("pk"),
+        Indicators.williamsR(col("high"), col("low"), col("close"),
+          w, 14).as("wr"))
+      .orderBy("k", "t").collect().toSeq
+    val b = Indicators.williamsRStaged(
+        Indicators.stochasticKStaged(flat, col("high"), col("low"),
+          col("close"), w, 14, "pk"),
+        col("high"), col("low"), col("close"), w, 14, "wr")
+      .select(col("k"), col("t"), col("pk"), col("wr"))
+      .orderBy("k", "t").collect().toSeq
+    assert(a == b)
+    // warm-up rows are null; the flat stretch must produce null %K/%R
+    assert(a.take(13).forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    assert(a.exists(r => !r.isNullAt(2)))
+    // windows ending in t 23..30 sit entirely inside the flat stretch
+    val flatRows = a.filter { r =>
+      val t = r.getInt(1); t >= 23 && t <= 30 && r.getString(0) == "a"
+    }
+    assert(flatRows.exists(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
